@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the BM25 lane, dedup passes and the
+  * text-quality analytics. Everything is built from codegen'd SQL
+  * functions so the same semantics are expressible in the DuckDB oracle.
+  *
+  * Capability parity: signature tokens / jaccard
+  * (reference: crates/mnemo-core/src/query/experience.rs:152-200),
+  * est_tokens (query/retained.rs:67-70), excerpt (query/recall.rs:1096-1106).
+  */
+object TextOps {
+
+  /** Lowercase alnum tokenizer — `[^a-z0-9]+` split, empties dropped.
+    * DuckDB equivalent:
+    * `list_filter(regexp_split_to_array(lower(t),'[^a-z0-9]+'), x -> len(x)>0)` */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Distinct token set (order not meaningful). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Jaccard similarity of two token-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) > 0,
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double"))
+
+  /** Word k-shingles (positional n-grams over the token array). */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k), i =>
+        concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** The reference's token estimator: ceil(chars / 4). */
+  def estTokens(text: Column): Column = ceil(length(text) / lit(4.0)).cast("long")
+
+  /** First line, char-safe truncated with ellipsis (recall.rs:1096-1106). */
+  def excerpt(text: Column, maxChars: Int = 120): Column = {
+    val firstLine = element_at(filter(split(text, "\n"), l => length(trim(l)) > 0), 1)
+    when(length(firstLine) <= maxChars, firstLine)
+      .otherwise(concat(substring(firstLine, 1, maxChars), lit("…")))
+  }
+
+  /** Normalized document fingerprint: md5 of lowercase text with
+    * whitespace collapsed — byte-stable across engines. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))).cast("double")
+        / length(text).cast("double")).otherwise(lit(0.0))
+
+  /** Ratio of tokens that are in a stopword list. */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+        .cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+}

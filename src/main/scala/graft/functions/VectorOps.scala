@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType` embedding columns, composed from the
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) so the hot
+  * path stays inside whole-stage codegen — no UDFs.
+  *
+  * Capability parity: cosine similarity is the scoring primitive of the
+  * reference's semantic lane and dedup/conflict passes
+  * (reference: crates/mnemo-core/src/query/reflection.rs:361-378).
+  *
+  * All arithmetic is forced to DOUBLE before accumulating: the stored
+  * embeddings are float32, and accumulating in float32 would both lose
+  * precision and diverge from any SQL oracle computing in double.
+  */
+object VectorOps {
+
+  /** Element-wise dot product, accumulated left-to-right in double. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity in [-1, 1]; null-safe on empty/zero vectors
+    * (returns null rather than NaN so filters drop it cleanly). */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom =!= 0.0, dotProduct(a, b) / denom)
+  }
+
+  /** Squared euclidean distance. */
+  def squaredL2Distance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Per-dimension z-score distance against a broadcast (mu, sigma^2)
+    * baseline: sqrt(mean((x - mu)^2 / max(var, eps))) — the reference's
+    * embedding-outlier metric (anomaly/outlier.rs:60-102). */
+  def zScoreDistance(x: Column, mu: Column, varDiag: Column, eps: Double = 1e-6): Column = {
+    val terms = zip_with(
+      zip_with(x, mu, (a, b) => a.cast("double") - b.cast("double")),
+      varDiag,
+      (d, v) => d * d / greatest(v.cast("double"), lit(eps)))
+    sqrt(aggregate(terms, lit(0.0), (acc, t) => acc + t) / size(x))
+  }
+
+  /** Deterministic random-hyperplane bucket id for LSH-style ANN
+    * pre-partitioning: sign bits of dot products against `nPlanes`
+    * pseudo-random unit-free hyperplanes derived from a seed. The planes
+    * are generated per-dimension with a splitmix-style integer hash, so
+    * the bucketing is reproducible with zero data movement. */
+  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    def planeCoef(p: Int, i: Int): Double = {
+      // splitmix64 finalizer over (seed, plane, dim index) -> [-1, 1)
+      var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * 131071L + i.toLong + 1L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+    val bits: Seq[Column] = (0 until nPlanes).map { p =>
+      val dot: Column = (0 until dim).map { i =>
+        element_at(vec, i + 1).cast("double") * lit(planeCoef(p, i))
+      }.reduce(_ + _)
+      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).as("bucket")
+  }
+}

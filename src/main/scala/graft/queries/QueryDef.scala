@@ -1,0 +1,27 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator: a Spark implementation plus (when the
+  * semantics are SQL-expressible) an equivalent DuckDB oracle query.
+  *
+  * Contract notes (driver compare):
+  *  - output column names must match the oracle exactly;
+  *  - every query ends with a total ORDER BY (unique tie-break), so row
+  *    order is deterministic in both engines;
+  *  - money/count aggregates are computed in exact decimal then cast to
+  *    double; transcendental scores are rounded to 6 dp — so the value
+  *    hash matches bit-for-bit.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryGroup {
+  def all: Seq[QueryDef]
+  final def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+  final def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
