@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object HashChain {
 
+  /** Field separator inside the hashed payload (ASCII 0x01): prevents
+    * boundary ambiguity ("ab"+"c" vs "a"+"bc") without colliding with
+    * realistic column bytes. DuckDB equivalent: `chr(1)`. */
+  val Sep = "\u0001"
+
   /** Content hash of a row: sha256 over the concatenated identity cols. */
   def contentHash(cols: Column*): Column =
-    sha2(concat_ws("", cols: _*), 256)
+    sha2(concat_ws(Sep, cols: _*), 256)
 
   /** Adds `content_hash`, `prev_hash` and `chain_hash` columns.
     *

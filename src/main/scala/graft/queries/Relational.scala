@@ -241,8 +241,8 @@ object Relational extends QueryGroup {
              COALESCE(prev_hash, '') AS prev_hash,
              sha256(content_hash || COALESCE(prev_hash, '')) AS chain_hash
       FROM (SELECT user_id, event_id,
-                   sha256(CAST(event_id AS VARCHAR) || event_type || CAST(user_id AS VARCHAR)) AS content_hash,
-                   LAG(sha256(CAST(event_id AS VARCHAR) || event_type || CAST(user_id AS VARCHAR)))
+                   sha256(CAST(event_id AS VARCHAR) || chr(1) || event_type || chr(1) || CAST(user_id AS VARCHAR)) AS content_hash,
+                   LAG(sha256(CAST(event_id AS VARCHAR) || chr(1) || event_type || chr(1) || CAST(user_id AS VARCHAR)))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_hash
             FROM events)
       ORDER BY user_id, event_id"""))
