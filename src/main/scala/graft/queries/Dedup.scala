@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{MinHash, TextOps, VectorOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` / `embeddings` — the core
+  * batch passes of a training-data pipeline, each in its scalable
+  * formulation:
+  *
+  *  - exact:   per-doc fingerprint, one groupBy — shuffle on a 16-byte
+  *             key, no pairwise work at all;
+  *  - blocked n-gram Jaccard and MinHash-LSH: candidate pairs come from
+  *             an equi-join on a block/band key, so the quadratic
+  *             explosion is bounded per bucket (tunable via band count)
+  *             instead of O(N²) global;
+  *  - SimHash: constant-size sketch, near-dup = sketch equality —
+  *             again a plain groupBy;
+  *  - embedding cosine: pair generation blocked on `label` (stand-in
+  *             for an ANN/LSH partition), exact cosine verify inside.
+  *
+  * At 100 TB only the band-key equi-joins shuffle, and their key
+  * cardinality is a design knob. Capability parity: semantic dedup pass
+  * of the reference (crates/mnemo-core/src/query/reflection.rs:384-470).
+  */
+object Dedup extends QueryGroup {
+
+  private val toksSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
+  // 3-shingle set CTE (DuckDB) — mirrors TextOps.shingles(k=3) + distinct
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN list_transform(generate_series(0, len(toks) - 3),
+      |                               i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+      |           ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM toks)""".stripMargin
+
+  private val q1 = QueryDef(
+    "d1_exact_dedup",
+    (s, dir) => {
+      // exact dedup on the normalized bag-of-words fingerprint: one
+      // narrow projection + one groupBy-count; survivor = min doc_id
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(TextOps.tokens(col("text"))))))
+          .as("fp"))
+      val w = Window.partitionBy(col("fp"))
+      d.withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("group_size") > 1)
+        .select(col("doc_id"), col("fp"), col("group_size"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $toksSql,
+      fps AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        FROM toks)
+      SELECT doc_id, fp,
+             COUNT(*) OVER (PARTITION BY fp) AS group_size,
+             doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
+      FROM fps
+      QUALIFY group_size > 1
+      ORDER BY doc_id"""))
+
+  private val q2 = QueryDef(
+    "d2_ngram_jaccard",
+    (s, dir) => {
+      // candidate pairs share the lexicographically-minimal shingle
+      // hash (1-band blocking); exact 3-gram Jaccard verifies
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+        .withColumn("bk", array_min(transform(col("sh"), x => md5(x))))
+      val a = base.select(col("doc_id").as("a"), col("sh").as("sha"), col("bk"))
+      val b = base.select(col("doc_id").as("b"), col("sh").as("shb"), col("bk"))
+      a.join(b, Seq("bk")).filter(col("a") < col("b"))
+        .withColumn("jac", TextOps.jaccard(col("sha"), col("shb")))
+        .filter(col("jac") >= 0.4)
+        .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    },
+    Some(s"""
+      WITH $toksSql,
+      $shinglesSql,
+      blocked AS (
+        SELECT doc_id, sh,
+               (list_sort(list_transform(sh, x -> md5(x))))[1] AS bk
+        FROM sh)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM blocked a JOIN blocked b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+      ORDER BY a, b"""))
+
+  private val q3 = QueryDef(
+    "d3_minhash_lsh",
+    (s, dir) => {
+      val nHashes = 8
+      val rowsPerBand = 2
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+        .withColumn("sig", MinHash.signature(col("sh"), nHashes))
+        .withColumn("bands", MinHash.bandKeys(col("sig"), nHashes, rowsPerBand))
+      val exploded = base.select(col("doc_id"), col("sh"),
+        explode(col("bands")).as("bk"))
+      val a = exploded.select(col("doc_id").as("a"), col("sh").as("sha"), col("bk"))
+      val b = exploded.select(col("doc_id").as("b"), col("sh").as("shb"), col("bk"))
+      a.join(b, Seq("bk")).filter(col("a") < col("b"))
+        .select("a", "b", "sha", "shb").distinct()
+        .withColumn("jac", TextOps.jaccard(col("sha"), col("shb")))
+        .filter(col("jac") >= 0.3)
+        .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    },
+    Some(s"""
+      WITH $toksSql,
+      $shinglesSql,
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(generate_series(0, 7),
+                 i -> (list_sort(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || s))))[1]) AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, sh,
+               unnest(list_transform(generate_series(0, 3),
+                 b -> md5(CAST(b AS VARCHAR) || sig[2*b+1] || sig[2*b+2]))) AS bk
+        FROM sigs),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.sh AS sha, b.sh AS shb
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+      SELECT a, b,
+             ROUND(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sha, shb))), 6) AS jaccard
+      FROM pairs
+      WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+            / len(list_distinct(list_concat(sha, shb))) >= 0.3
+      ORDER BY a, b"""))
+
+  private val q4 = QueryDef(
+    "d4_simhash",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), MinHash.simhash16(TextOps.tokens(col("text"))).as("simhash"))
+      val w = Window.partitionBy(col("simhash"))
+      d.withColumn("n_same_sketch", count(lit(1)).over(w))
+        .orderBy("doc_id")
+        .limit(300)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      hx AS (SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 4)) AS hx FROM toks),
+      sim AS (
+        SELECT doc_id,
+               CAST(COALESCE(list_sum(list_transform(generate_series(0, 15), p ->
+                 CASE WHEN COALESCE(list_sum(list_transform(hx, h ->
+                        2 * (CAST(FLOOR((strpos('0123456789abcdef', substr(h, p // 4 + 1, 1)) - 1)
+                                        / POW(2, 3 - (p % 4))) AS BIGINT) % 2) - 1)), 0) > 0
+                      THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS simhash
+        FROM hx)
+      SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_same_sketch
+      FROM sim
+      ORDER BY doc_id
+      LIMIT 300"""))
+
+  private val q5 = QueryDef(
+    "d5_embedding_neardup",
+    (s, dir) => {
+      // pair generation blocked on `label` (the ANN-partition stand-in),
+      // exact double-precision cosine verify inside each block
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b"), col("label"), col("embedding").as("vb"))
+      a.join(b, Seq("label")).filter(col("a") < col("b"))
+        .withColumn("cos", VectorOps.cosineSimilarity(col("va"), col("vb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("label"), col("a"), col("b"), round(col("cos"), 6).as("cosine"))
+        .orderBy("label", "a", "b")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+             ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+      ORDER BY a.label, a, b"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline analytics over the `documents` table: language ID,
+  * quality scoring, token accounting — the per-document narrow
+  * transforms a 100 TB training-data pipeline runs before any shuffle.
+  * All of them are pure projections (no join, no shuffle except the
+  * final aggregate/order), so they scale linearly with input splits.
+  *
+  * Capability parity: quality/ratio scoring mirrors the reference's
+  * signature-token + est_tokens text primitives
+  * (crates/mnemo-core/src/query/experience.rs:152-200, retained.rs:67-70).
+  */
+object TextAnalysis extends QueryGroup {
+
+  // stopword profiles for the n-gram language-ID heuristic
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "los", "y", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "de", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "zu"))
+
+  private def langProfileSql(lang: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, '$lang' AS cand_lang,
+       |       CASE WHEN len(toks) > 0
+       |            THEN CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS DOUBLE) / len(toks)
+       |            ELSE 0.0 END AS hit_ratio
+       |FROM toks""".stripMargin
+  }
+
+  private val q1 = QueryDef(
+    "t1_lang_id",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      // long-form score per candidate language, argmax by window
+      val scored = langProfiles.map { case (lang, words) =>
+        toks.select(
+          col("doc_id"), lit(lang).as("cand_lang"),
+          when(size(col("toks")) > 0,
+            size(filter(col("toks"), t => t.isin(words.map(lit): _*))).cast("double")
+              / size(col("toks")).cast("double"))
+            .otherwise(0.0).as("hit_ratio"))
+      }.reduce(_ unionAll _)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("hit_ratio").desc, col("cand_lang"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang").as("pred_lang"),
+          round(col("hit_ratio"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val lanes = langProfiles
+        .map { case (l, ws) => langProfileSql(l, ws) }
+        .mkString("\nUNION ALL\n")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      scored AS ($lanes)
+      SELECT doc_id, cand_lang AS pred_lang, ROUND(hit_ratio, 6) AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY hit_ratio DESC, cand_lang) AS rn
+            FROM scored)
+      WHERE rn = 1
+      ORDER BY doc_id"""
+    })
+
+  private val q2 = QueryDef(
+    "t2_quality_score",
+    (s, dir) => {
+      val en = langProfiles.head._2
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+      val nTok = size(col("toks"))
+      val avgWordLen = when(nTok > 0,
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+        .otherwise(0.0)
+      val stopRatio = TextOps.stopwordRatio(col("toks"), en)
+      val lenScore = least(lit(1.0), nTok.cast("double") / 64.0)
+      val stopScore = least(lit(1.0), stopRatio * 4.0)
+      val wordLenScore = lit(1.0) - least(lit(1.0), abs(avgWordLen - 4.7) / 4.7)
+      d.select(col("doc_id"),
+          nTok.as("n_tokens"),
+          round(avgWordLen, 6).as("avg_word_len"),
+          round(stopRatio, 6).as("stopword_ratio"),
+          round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * wordLenScore, 6)
+            .as("quality"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .limit(200)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS avg_word_len,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS stopword_ratio
+        FROM t)
+      SELECT doc_id, n_tokens,
+             ROUND(avg_word_len, 6) AS avg_word_len,
+             ROUND(stopword_ratio, 6) AS stopword_ratio,
+             ROUND(0.4 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
+                 + 0.3 * LEAST(1.0, stopword_ratio * 4.0)
+                 + 0.3 * (1.0 - LEAST(1.0, ABS(avg_word_len - 4.7) / 4.7)), 6) AS quality
+      FROM m
+      ORDER BY quality DESC, doc_id
+      LIMIT 200"""))
+
+  private val q3 = QueryDef(
+    "t3_token_stats",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val wsToks = size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+      // BPE-ish pieces: word fragments of <=4 chars — a deterministic
+      // proxy for subword token counting
+      val bpeToks = size(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]{1,4}"), lit(0)))
+      d.select(col("source"), wsToks.as("ws"), bpeToks.as("bpe"),
+          TextOps.estTokens(col("text")).as("est"), col("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          sum(col("est")).as("est_tokens"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS ws_tokens,
+             CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}'))) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(CAST(CEIL(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens,
+             ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3)
+}
