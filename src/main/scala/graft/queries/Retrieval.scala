@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's retrieval lanes (SURVEY §2.3) re-expressed as
+  * declarative Spark jobs: exact filter scan (R1), BM25 lexical from
+  * first-principles TF/DF aggregates (R2), semantic cosine top-k behind
+  * a permission semi-join (R3/R10), recency decay (R8), and the
+  * weighted reciprocal-rank hybrid fusion (R6/R7).
+  *
+  * Scale design: every lane ranks by a `round(score, 6)` key with a
+  * unique-id tiebreak, so lane ranks are reproducible across engines
+  * and runs; lane top-k happens BEFORE fusion (TakeOrderedAndProject on
+  * each lane), so the fusion groupBy only ever sees k·lanes rows per
+  * query regardless of corpus size. All corpus-level stats (N, avgdl,
+  * document frequencies) are tiny aggregates broadcast back against the
+  * big side.
+  *
+  * Reference: crates/mnemo-core/src/query/recall.rs:393-733,
+  * query/retrieval.rs:7-46, search/tantivy_index.rs:150-200.
+  */
+object Retrieval extends QueryGroup {
+
+  private val terms = Seq("spark", "query", "fast")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private val toksSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
+  /** (doc_id, bm25) for docs matching >=1 query term; bm25 rounded 6dp. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("toks"))).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms.map(lit): _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * (K1 + 1) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idf * tfNorm)
+      .groupBy("doc_id").agg(round(sum(col("contrib")), 6).as("bm25"))
+  }
+
+  private val bm25Sql = s"""
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM toks),
+      |tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks)
+      |  WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")})
+      |  GROUP BY doc_id, dl, term),
+      |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      |bm AS (
+      |  SELECT doc_id,
+      |         ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      |             * tf * ($K1 + 1) / (tf + $K1 * (1 - $B + $B * dl / avgdl))), 6) AS bm25
+      |  FROM tf JOIN dft USING (term) CROSS JOIN stats
+      |  GROUP BY doc_id)""".stripMargin
+
+  private val q1 = QueryDef(
+    "r1_exact_lane",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en" &&
+          col("n_chars").between(200, 400) &&
+          col("source").isin("src1", "src2", "src3") &&
+          array_contains(TextOps.tokens(col("text")), "spark"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH $toksSql
+      SELECT d.doc_id, source, n_chars
+      FROM documents d JOIN toks USING (doc_id)
+      WHERE lang = 'en' AND n_chars BETWEEN 200 AND 400
+        AND source IN ('src1', 'src2', 'src3')
+        AND list_contains(toks, 'spark')
+      ORDER BY doc_id"""))
+
+  private val q2 = QueryDef(
+    "r2_bm25",
+    (s, dir) =>
+      bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20),
+    Some(s"""
+      WITH $toksSql,
+      $bm25Sql
+      SELECT doc_id, bm25 FROM bm
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20"""))
+
+  private val q3 = QueryDef(
+    "r3_semantic_lane",
+    (s, dir) => {
+      // permission pre-filter FIRST (semi-join against the accessible
+      // dimension), THEN the cosine top-k — the "permission-safe ANN"
+      // pushdown of recall.rs:381-387
+      val e = Tables.embeddings(s, dir)
+      val allowed = s.range(0, 8).select(col("id").cast("int").as("label"))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.join(broadcast(allowed), Seq("label"), "left_semi")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", round(VectorOps.cosineSimilarity(col("embedding"), col("qv")), 6))
+        .select(col("vec_id"), col("label"), col("cos").as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT vec_id, label,
+             ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      FROM e CROSS JOIN q
+      WHERE label IN (0, 1, 2, 3, 4, 5, 6, 7) AND vec_id <> 0
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10"""))
+
+  private val q4 = QueryDef(
+    "r8_recency_score",
+    (s, dir) => {
+      // exp half-life decay (168 h), anchored at a fixed as-of instant so
+      // the computation is reproducible (SURVEY §7 "non-determinism traps")
+      val nowMicros = 1706745600000000L // 2024-02-01T00:00:00Z
+      val ageH = (lit(nowMicros) - col("ts")).cast("double") / 3.6e9
+      val score = exp(-ageH * log(lit(2.0)) / 168.0)
+      Tables.events(s, dir)
+        .withColumn("recency", round(score, 6))
+        .select("event_id", "user_id", "recency")
+        .orderBy(col("recency").desc, col("event_id"))
+        .limit(100)
+    },
+    Some("""
+      SELECT event_id, user_id,
+             ROUND(exp(-(CAST(1706745600000000 - epoch_us(ts) AS DOUBLE) / 3.6e9)
+                       * ln(2.0) / 168.0), 6) AS recency
+      FROM events
+      ORDER BY recency DESC, event_id
+      LIMIT 100"""))
+
+  private val q5 = QueryDef(
+    "r6_hybrid_rrf",
+    (s, dir) => {
+      // weighted 3-lane hybrid: lexical BM25, semantic cosine, and an
+      // "importance" lane (n_chars), fused by weighted RRF with k=60
+      val d = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+
+      // top-k-then-rank: TakeOrderedAndProject trims the lane to 50 rows
+      // BEFORE the global rank window, so the window never sees the corpus
+      def lane(df: DataFrame, orderKey: Seq[org.apache.spark.sql.Column], w: Double): DataFrame =
+        df.orderBy(orderKey: _*).limit(50)
+          .withColumn("rank", row_number().over(Window.orderBy(orderKey: _*)))
+          .select(col("doc_id"), (lit(w) / (col("rank") + 60)).as("contrib"))
+
+      val lex = lane(bm25Scores(s, dir), Seq(col("bm25").desc, col("doc_id")), 0.5)
+      val sem = lane(
+        d.join(e, col("doc_id") === col("vec_id"))
+          .crossJoin(broadcast(qv))
+          .withColumn("cos", round(VectorOps.cosineSimilarity(col("embedding"), col("qv")), 6)),
+        Seq(col("cos").desc, col("doc_id")), 0.3)
+      val imp = lane(d, Seq(col("n_chars").desc, col("doc_id")), 0.2)
+
+      lex.unionAll(sem).unionAll(imp)
+        .groupBy("doc_id")
+        .agg(round(sum(col("contrib")), 6).as("rrf_score"), count(lit(1)).as("n_lanes"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $toksSql,
+      $bm25Sql,
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+      lex AS (
+        SELECT doc_id, 0.5 / (rank + 60) AS contrib
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm)
+        WHERE rank <= 50),
+      sem AS (
+        SELECT doc_id, 0.3 / (rank + 60) AS contrib
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS rank
+              FROM (SELECT d.doc_id,
+                           ROUND(list_dot_product(v, qv)
+                               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS c
+                    FROM documents d JOIN e ON d.doc_id = e.vec_id CROSS JOIN q))
+        WHERE rank <= 50),
+      imp AS (
+        SELECT doc_id, 0.2 / (rank + 60) AS contrib
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank FROM documents)
+        WHERE rank <= 50),
+      lanes AS (SELECT * FROM lex UNION ALL SELECT * FROM sem UNION ALL SELECT * FROM imp)
+      SELECT doc_id, ROUND(SUM(contrib), 6) AS rrf_score, COUNT(*) AS n_lanes
+      FROM lanes GROUP BY doc_id
+      ORDER BY rrf_score DESC, doc_id
+      LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
+}

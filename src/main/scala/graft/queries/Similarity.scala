@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table.
+  *
+  * Scale design: the query set is always the SMALL side — broadcast it,
+  * so the big side streams through a map-side cosine scan with no
+  * shuffle; the only exchange is the per-query top-k window (partitioned
+  * by query id, i.e. embarrassingly parallel). The IVF and LSH variants
+  * are the 100 TB path: they cut the scanned fraction by assigning
+  * vectors to coarse cells (IVF: nearest-centroid; LSH: hyperplane sign
+  * buckets) and probing only matching cells — candidate generation
+  * becomes an equi-join on the cell key.
+  *
+  * Capability parity: the reference's semantic lane + filtered ANN
+  * (crates/mnemo-core/src/index/usearch.rs:66-360, query/recall.rs:407-420),
+  * re-expressed as exact/filtered top-k jobs.
+  */
+object Similarity extends QueryGroup {
+
+  private val cosSql =
+    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+
+  private def cos(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
+
+  /** query vectors: every 97th id — small, deterministic, broadcastable */
+  private def queryVecs(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("embedding").as("qv"))
+
+  private val q1 = QueryDef(
+    "v1_knn_bruteforce",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val scored = e.crossJoin(broadcast(queryVecs(e)))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", VectorOps.cosineSimilarity(col("embedding"), col("qv")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
+      scored AS (
+        SELECT qid, e.vec_id, ${cos("e.v", "qv")} AS c
+        FROM e CROSS JOIN q WHERE e.vec_id <> qid)
+      SELECT qid, rank, vec_id, ROUND(c, 6) AS cosine
+      FROM (SELECT qid, vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rank
+            FROM scored)
+      WHERE rank <= 5
+      ORDER BY qid, rank"""))
+
+  private val q2 = QueryDef(
+    "v2_knn_lsh",
+    (s, dir) => {
+      // hyperplane-LSH bucketed variant: the 100 TB path. Bucket id is a
+      // deterministic projection (no data movement to build); candidate
+      // generation is an equi-join on the bucket. Approximate by design,
+      // so verified by a rows/recall spec rather than a SQL oracle.
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", VectorOps.hyperplaneBucket(col("embedding"), 64, 8))
+      val q = queryVecs(e.select(col("vec_id"), col("label"), col("embedding")))
+        .join(e.select(col("vec_id").as("qid"), col("bucket")), "qid")
+      val cands = e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", VectorOps.cosineSimilarity(col("embedding"), col("qv")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      cands.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  private val q3 = QueryDef(
+    "v3_knn_ivf",
+    (s, dir) => {
+      // IVF: coarse-quantize to nearest of ~N/100 centroids, probe the 2
+      // nearest cells per query. Assignment is one broadcast-centroid
+      // scan; the probe is an equi-join on cell id.
+      val e = Tables.embeddings(s, dir)
+      val cent = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val cells = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", VectorOps.cosineSimilarity(col("embedding"), col("cv")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+      val probes = queryVecs(e).crossJoin(broadcast(cent))
+        .withColumn("qcos", VectorOps.cosineSimilarity(col("qv"), col("cv")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("qv"), col("cid"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      cells.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", VectorOps.cosineSimilarity(col("embedding"), col("qv")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cid").as("cell"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+      assign AS (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cos("v", "cv")} DESC, cid) AS rn
+        FROM e CROSS JOIN cent),
+      cells AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
+      probes AS (
+        SELECT qid, qv, cid FROM (
+          SELECT qid, qv, cid,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${cos("qv", "cv")} DESC, cid) AS pr
+          FROM q CROSS JOIN cent)
+        WHERE pr <= 2),
+      cand AS (
+        SELECT qid, qv, c.vec_id, c.v, c.cid
+        FROM probes p JOIN cells c ON c.cid = p.cid AND c.vec_id <> p.qid)
+      SELECT qid, rank, vec_id, cell, ROUND(c, 6) AS cosine
+      FROM (SELECT qid, vec_id, cid AS cell, ${cos("v", "qv")} AS c,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${cos("v", "qv")} DESC, vec_id) AS rank
+            FROM cand)
+      WHERE rank <= 5
+      ORDER BY qid, rank"""))
+
+  private val q4 = QueryDef(
+    "e1_eval_metrics",
+    (s, dir) => {
+      // retrieval-quality metrics (recall@10 / MRR / nDCG@10) with
+      // same-label as the relevance oracle — the reference's bench-as-test
+      // shape (bench/locomo, A13)
+      val e = Tables.embeddings(s, dir)
+      val scored = e.crossJoin(broadcast(queryVecs(e)))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", VectorOps.cosineSimilarity(col("embedding"), col("qv")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val top = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .withColumn("hit", (col("label") === col("qlabel")).cast("int"))
+      val idcg = aggregate(sequence(lit(1), lit(10)), lit(0.0),
+        (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0))
+      val per = top.groupBy("qid").agg(
+        sum(col("hit")).as("hits"),
+        min(when(col("hit") === 1, col("rank"))).as("first_hit"),
+        sum(when(col("hit") === 1, lit(1.0) / log2(col("rank").cast("double") + 1.0)))
+          .as("dcg"))
+      per.agg(
+          count(lit(1)).as("n_queries"),
+          round(avg(col("hits").cast("double") / 10.0), 6).as("recall_at_10"),
+          round(avg(coalesce(lit(1.0) / col("first_hit"), lit(0.0))), 6).as("mrr"),
+          round(avg(coalesce(col("dcg"), lit(0.0)) / idcg), 6).as("ndcg_at_10"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id % 97 = 0),
+      scored AS (
+        SELECT qid, qlabel, e.vec_id, e.label, ${cos("e.v", "qv")} AS c
+        FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+      top AS (
+        SELECT qid, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS hit, rank
+        FROM (SELECT qid, qlabel, label, c,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rank
+              FROM scored)
+        WHERE rank <= 10),
+      idcg AS (
+        SELECT CAST(SUM(1.0 / log2(i + 1.0)) AS DOUBLE) AS v
+        FROM (SELECT unnest(generate_series(1, 10)) AS i)),
+      per AS (
+        SELECT qid, SUM(hit) AS hits,
+               MIN(CASE WHEN hit = 1 THEN rank END) AS first_hit,
+               SUM(CASE WHEN hit = 1 THEN 1.0 / log2(rank + 1.0) END) AS dcg
+        FROM top GROUP BY qid)
+      SELECT COUNT(*) AS n_queries,
+             ROUND(AVG(CAST(hits AS DOUBLE) / 10.0), 6) AS recall_at_10,
+             ROUND(AVG(COALESCE(1.0 / first_hit, 0.0)), 6) AS mrr,
+             ROUND(AVG(COALESCE(dcg, 0.0) / (SELECT v FROM idcg)), 6) AS ndcg_at_10
+      FROM per"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
+}
