@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph traversal over relational edge lists — the reference's memory
+  * graph / causality shapes (SURVEY J3/J5/R5, mnemo-graph/src/lib.rs:53-78,
+  * query/causality.rs:41-288) as iterative DataFrame joins.
+  *
+  * Scale design: every hop is one equi-join on the edge key — shuffle
+  * partitioned by node id, no driver-side adjacency structure; bounded
+  * depth (2–3) keeps the plan static, and the connected-components pass
+  * is min-label propagation, the standard large-graph formulation (one
+  * join + one aggregate per iteration, converges in diameter steps).
+  * The co-occurrence edge list is derived from `lineitem` with a
+  * modulo-sampled order set so the test subgraph is deterministic.
+  */
+object GraphOps extends QueryGroup {
+
+  /** Bidirectional part co-occurrence edges over a modulo-sampled order
+    * subset: (src, dst) distinct part pairs sharing an order. */
+  private def coEdges(s: SparkSession, dir: String, mod: Int): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % mod === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("src"))
+    val b = li.select(col("ok"), col("pk").as("dst"))
+    a.join(b, "ok").filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  private def coEdgesSql(mod: Int) =
+    s"""li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey % $mod = 0),
+       |edges AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk)""".stripMargin
+
+  private val q1 = QueryDef(
+    "g1_two_hop",
+    (s, dir) => {
+      // R5 graph lane: BFS from seeds with per-hop score decay 0.5^hop,
+      // first-seen (min-hop) dedup
+      val edges = coEdges(s, dir, 50).cache()
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .orderBy("node").limit(5)
+      val h1 = edges.join(seeds.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .withColumn("hop", lit(1))
+      val h2 = edges.join(h1.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .withColumn("hop", lit(2))
+      h1.unionAll(h2)
+        .join(seeds, Seq("node"), "left_anti")
+        .groupBy("node").agg(min(col("hop")).as("hop"))
+        .withColumn("score", round(pow(0.5, col("hop")), 6))
+        .orderBy("node")
+    },
+    Some(s"""
+      WITH ${coEdgesSql(50)},
+      seeds AS (SELECT DISTINCT src AS node FROM edges ORDER BY node LIMIT 5),
+      h1 AS (SELECT DISTINCT dst AS node, 1 AS hop
+             FROM edges JOIN seeds ON edges.src = seeds.node),
+      h2 AS (SELECT DISTINCT e.dst AS node, 2 AS hop
+             FROM edges e JOIN h1 ON e.src = h1.node),
+      uni AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+      SELECT node, MIN(hop) AS hop, ROUND(POW(0.5, MIN(hop)), 6) AS score
+      FROM uni
+      WHERE node NOT IN (SELECT node FROM seeds)
+      GROUP BY node
+      ORDER BY node"""))
+
+  private val q2 = QueryDef(
+    "g2_causality_trace",
+    (s, dir) => {
+      // J5 causality: parent = previous event in the per-user stream;
+      // trace ancestors of every error event to depth 3 by iterative
+      // parent joins (the bounded-BFS shape of causality.rs)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val parented = Tables.events(s, dir)
+        .withColumn("parent_id", lag(col("event_id"), 1).over(w))
+        .select("event_id", "user_id", "event_type", "parent_id")
+        .cache()
+      val base = parented.filter(col("event_type") === "error" && col("parent_id").isNotNull)
+        .select(col("event_id").as("root"), col("parent_id").as("anc"), lit(1).as("depth"))
+      val levels = Iterator.iterate(base) { frontier =>
+        frontier.join(parented.select(col("event_id").as("anc"),
+            col("parent_id").as("next_anc")), "anc")
+          .filter(col("next_anc").isNotNull)
+          .select(col("root"), col("next_anc").as("anc"),
+            (col("depth") + 1).as("depth"))
+      }.take(3).toSeq
+      levels.reduce(_ unionAll _)
+        .select(col("root").as("event_id"), col("depth"), col("anc").as("ancestor_id"))
+        .orderBy("event_id", "depth")
+        .limit(1000)
+    },
+    Some("""
+      WITH RECURSIVE parented AS (
+        SELECT event_id, user_id, event_type,
+               LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS parent_id
+        FROM events),
+      trace AS (
+        SELECT event_id AS root, parent_id AS anc, 1 AS depth
+        FROM parented WHERE event_type = 'error' AND parent_id IS NOT NULL
+        UNION ALL
+        SELECT t.root, p.parent_id, t.depth + 1
+        FROM trace t JOIN parented p ON t.anc = p.event_id
+        WHERE t.depth < 3 AND p.parent_id IS NOT NULL)
+      SELECT root AS event_id, depth, anc AS ancestor_id
+      FROM trace
+      ORDER BY event_id, depth
+      LIMIT 1000"""))
+
+  private val q3 = QueryDef(
+    "g3_connected_components",
+    (s, dir) => {
+      // min-label propagation to fixpoint — each iteration is one join +
+      // one aggregate; at scale this is the standard Pregel-style CC
+      val edges = coEdges(s, dir, 300).cache()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("component", col("node"))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 50) {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(min(col("component")).as("ncomp"))
+        val next = labels.join(viaNeighbors, Seq("node"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("ncomp"), col("component")))
+              .as("component"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("component", "old"), "node")
+          .filter(col("component") < col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.groupBy("component")
+        .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+        .orderBy("component")
+    },
+    Some(s"""
+      WITH RECURSIVE ${coEdgesSql(300)},
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+      comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+      SELECT component, COUNT(*) AS n_nodes, MAX(node) AS max_node
+      FROM comp
+      GROUP BY component
+      ORDER BY component"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3)
+}
