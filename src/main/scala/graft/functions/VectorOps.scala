@@ -35,6 +35,16 @@ object VectorOps {
     when(denom =!= 0.0, dotProduct(a, b) / denom)
   }
 
+  /** Same semantics and bit-identical result as [[cosineSimilarity]],
+    * computed by the fused codegen'd native expression
+    * [[graft.plans.CosineSimilarityExpr]] — one loop, no intermediate
+    * arrays; the hot-path choice for pairwise/k-NN scans. */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.CosineSimilarityExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Squared euclidean distance. */
   def squaredL2Distance(a: Column, b: Column): Column =
     aggregate(

@@ -186,7 +186,7 @@ object Dedup extends QueryGroup {
       val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("b"), col("label"), col("embedding").as("vb"))
       a.join(b, Seq("label")).filter(col("a") < col("b"))
-        .withColumn("cos", VectorOps.cosineSimilarity(col("va"), col("vb")))
+        .withColumn("cos", VectorOps.cosineFast(col("va"), col("vb")))
         .filter(col("cos") >= 0.3)
         .select(col("label"), col("a"), col("b"), round(col("cos"), 6).as("cosine"))
         .orderBy("label", "a", "b")

@@ -113,7 +113,7 @@ object Retrieval extends QueryGroup {
       e.join(broadcast(allowed), Seq("label"), "left_semi")
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(qv))
-        .withColumn("cos", round(VectorOps.cosineSimilarity(col("embedding"), col("qv")), 6))
+        .withColumn("cos", round(VectorOps.cosineFast(col("embedding"), col("qv")), 6))
         .select(col("vec_id"), col("label"), col("cos").as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
@@ -171,7 +171,7 @@ object Retrieval extends QueryGroup {
       val sem = lane(
         d.join(e, col("doc_id") === col("vec_id"))
           .crossJoin(broadcast(qv))
-          .withColumn("cos", round(VectorOps.cosineSimilarity(col("embedding"), col("qv")), 6)),
+          .withColumn("cos", round(VectorOps.cosineFast(col("embedding"), col("qv")), 6)),
         Seq(col("cos").desc, col("doc_id")), 0.3)
       val imp = lane(d, Seq(col("n_chars").desc, col("doc_id")), 0.2)
 

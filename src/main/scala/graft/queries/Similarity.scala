@@ -39,7 +39,7 @@ object Similarity extends QueryGroup {
       val e = Tables.embeddings(s, dir)
       val scored = e.crossJoin(broadcast(queryVecs(e)))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", VectorOps.cosineSimilarity(col("embedding"), col("qv")))
+        .withColumn("cos", VectorOps.cosineFast(col("embedding"), col("qv")))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
@@ -72,7 +72,7 @@ object Similarity extends QueryGroup {
         .join(e.select(col("vec_id").as("qid"), col("bucket")), "qid")
       val cands = e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", VectorOps.cosineSimilarity(col("embedding"), col("qv")))
+        .withColumn("cos", VectorOps.cosineFast(col("embedding"), col("qv")))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       cands.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
@@ -92,20 +92,20 @@ object Similarity extends QueryGroup {
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
       val cells = e.crossJoin(broadcast(cent))
-        .withColumn("ccos", VectorOps.cosineSimilarity(col("embedding"), col("cv")))
+        .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid"))
       val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
       val probes = queryVecs(e).crossJoin(broadcast(cent))
-        .withColumn("qcos", VectorOps.cosineSimilarity(col("qv"), col("cv")))
+        .withColumn("qcos", VectorOps.cosineFast(col("qv"), col("cv")))
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= 2)
         .select(col("qid"), col("qv"), col("cid"))
       val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       cells.join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", VectorOps.cosineSimilarity(col("embedding"), col("qv")))
+        .withColumn("cos", VectorOps.cosineFast(col("embedding"), col("qv")))
         .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("vec_id"), col("cid").as("cell"),
@@ -146,7 +146,7 @@ object Similarity extends QueryGroup {
       val e = Tables.embeddings(s, dir)
       val scored = e.crossJoin(broadcast(queryVecs(e)))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", VectorOps.cosineSimilarity(col("embedding"), col("qv")))
+        .withColumn("cos", VectorOps.cosineFast(col("embedding"), col("qv")))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       val top = scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
