@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
-    Relational, TextAnalysis, Dedup, Similarity, Retrieval, GraphOps, Lifecycle)
+    Relational, TextAnalysis, Dedup, Similarity, Retrieval, GraphOps, Lifecycle,
+    Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the hybrid RRF fusion — the reference's signature operation. */

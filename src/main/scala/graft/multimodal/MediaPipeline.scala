@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct, and per-record feature
+  * extraction runs as a partition-local typed transform.
+  *
+  * The actual codec decode is STUBBED (this container ships no
+  * image/audio libraries): [[FeatureExtractor.decodeStub]] derives a
+  * deterministic fake "decoded frame" from the payload bytes. Everything
+  * around the stub — schema, Dataset encoders, `mapPartitions` batching,
+  * partition sizing — is the real production plumbing: swap
+  * `decodeStub` for a JNI/codec call and nothing else changes.
+  *
+  * Scale design: feature extraction is a narrow per-partition pass (no
+  * shuffle); payloads stay off the driver; the per-partition decoder is
+  * allocated once per partition (the expensive-init pattern for codec
+  * contexts); downstream grouping happens on the small extracted
+  * features, never on the raw bytes.
+  */
+object MediaPipeline {
+
+  /** One media record: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      modality: String, // image | audio | video
+      payload: Array[Byte],
+      source: String,
+      declared_chars: Long)
+
+  /** Extracted features — small, groupable, payload-free. */
+  case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      source: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      byte_entropy: Double,
+      payload_sha: String)
+
+  object FeatureExtractor extends Serializable {
+
+    /** STUB decode: deterministic pseudo-dimensions from the payload
+      * bytes. A real build replaces this body with the codec call; the
+      * signature (bytes → (w, h, durationMs)) is the real contract. */
+    def decodeStub(modality: String, payload: Array[Byte]): (Int, Int, Long) = {
+      val h0 = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+      val w = 64 + (math.abs(h0) % 1024).toInt
+      val h = 64 + (math.abs(h0 >> 10) % 1024).toInt
+      val dur = if (modality == "image") 0L else 1000L + math.abs(h0 >> 20) % 60000L
+      (w, h, dur)
+    }
+
+    /** Shannon entropy of the byte histogram, bits per byte. */
+    def byteEntropy(payload: Array[Byte]): Double = {
+      if (payload.isEmpty) return 0.0
+      val counts = new Array[Long](256)
+      payload.foreach(b => counts(b & 0xff) += 1)
+      val n = payload.length.toDouble
+      counts.foldLeft(0.0) { (acc, c) =>
+        if (c == 0) acc
+        else {
+          val p = c / n
+          acc - p * (math.log(p) / math.log(2))
+        }
+      }
+    }
+
+    def sha256Hex(payload: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(payload).map("%02x".format(_)).mkString
+
+    def extract(r: MediaRecord): MediaFeatures = {
+      val (w, h, dur) = decodeStub(r.modality, r.payload)
+      MediaFeatures(r.media_id, r.modality, r.source, r.payload.length,
+        w, h, dur, byteEntropy(r.payload), sha256Hex(r.payload))
+    }
+  }
+
+  /** Synthesizes a media table from `documents` (text bytes standing in
+    * for codec payloads) — deterministic, so specs and demos are
+    * reproducible. modality cycles by doc_id. */
+  def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"),
+        col("n_chars").cast("long").as("declared_chars"))
+      .as[MediaRecord]
+  }
+
+  /** The feature-extraction pass: partition-local, decoder allocated
+    * once per partition, no shuffle. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (codec context, model…)
+      val extractor = FeatureExtractor
+      it.map(extractor.extract)
+    }
+  }
+
+  /** Modality-level rollup over extracted features — the post-decode
+    * aggregate a curation pipeline feeds from. */
+  def modalityReport(features: Dataset[MediaFeatures]): DataFrame =
+    features.groupBy("modality")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("byte_entropy")), 6).as("avg_entropy"),
+        round(avg(col("width")), 6).as("avg_width"),
+        countDistinct(col("payload_sha")).as("n_distinct_payloads"))
+      .orderBy("modality")
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the append-only `events` feed —
+  * the reference's agent_events stream (SURVEY §2.10, T5/T7: the
+  * append-only guarantee at storage/mod.rs:157-166 makes the event log
+  * the natural streaming source; profiles/baselines A6/A7/A12 are its
+  * stateful consumers).
+  *
+  * Each transform takes a STREAMING DataFrame (`spark.readStream...`)
+  * and returns the transformed streaming frame; callers attach the
+  * sink. The same code also runs on a batch frame (Spark's unified
+  * semantics), which is how the specs drive it deterministically.
+  *
+  * Scale notes: all state is keyed by user/event-type — state store
+  * partitions shard by key; watermarks bound state size; the stateful
+  * session operator uses processing-timeout-free event-time logic so
+  * replays are deterministic.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, session_start: Timestamp,
+      n_events: Long, total_value: Double, closed: Boolean)
+
+  // public: Spark derives a product encoder for the state class, and
+  // encoder codegen requires accessible accessors
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Tumbling 1-hour event-time counts per event type, 2-hour watermark:
+    * the A6/A12 profile refresh shape. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding 6h/1h per-user event rate — the behavioural-baseline lane
+    * (A12): rolling write-rate profile per agent. */
+  def slidingUserRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n_events"))
+
+  /** Event-time sessionization with explicit state: 30-min-gap sessions
+    * per user via flatMapGroupsWithState — the reference's per-agent
+    * stateful profile update re-expressed as managed streaming state.
+    * Emits one update per closed session plus the live session on each
+    * batch. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.lastTs <= gapMs =>
+                cur = Some(st.copy(lastTs = t, n = st.n + 1, total = st.total + e.value))
+              case Some(st) =>
+                out += SessionUpdate(userId, new Timestamp(st.start), st.n, st.total, closed = true)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(st) =>
+              state.update(st)
+              out += SessionUpdate(userId, new Timestamp(st.start), st.n, st.total, closed = false)
+            case None => ()
+          }
+          out.iterator
+      }
+  }
+}

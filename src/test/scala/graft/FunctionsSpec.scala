@@ -1,0 +1,133 @@
+package graft
+
+import graft.functions.{HashChain, MinHash, TextOps, VectorOps}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  private def one(colv: org.apache.spark.sql.Column): Any = {
+    val df = spark.range(1).select(colv.as("v"))
+    df.collect()(0).get(0)
+  }
+
+  test("tokens: lowercase alnum split, empties dropped") {
+    val got = one(TextOps.tokens(lit("Hello, World!  x2  ")))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(got == Seq("hello", "world", "x2"))
+  }
+
+  test("jaccard: overlap over union of distinct sets") {
+    val j = one(TextOps.jaccard(
+      array(lit("a"), lit("b"), lit("c")), array(lit("b"), lit("c"), lit("d"))))
+    assert(math.abs(j.asInstanceOf[Double] - 0.5) < 1e-12)
+  }
+
+  test("shingles: k=2 over 4 tokens gives 3 positional bigrams") {
+    val got = one(TextOps.shingles(array(lit("a"), lit("b"), lit("c"), lit("d")), 2))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(got == Seq("a b", "b c", "c d"))
+  }
+
+  test("shingles: shorter than k collapses to one shingle") {
+    val got = one(TextOps.shingles(array(lit("a"), lit("b")), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(got == Seq("a b"))
+  }
+
+  test("excerpt: first non-empty line, truncated with ellipsis") {
+    val got = one(TextOps.excerpt(lit("\n\nabcdefghij\nsecond"), 5))
+    assert(got == "abcde…")
+  }
+
+  test("cosine: known geometry") {
+    val a = array(lit(1.0f), lit(0.0f))
+    val b = array(lit(0.0f), lit(1.0f))
+    val c = array(lit(1.0f), lit(1.0f))
+    assert(math.abs(one(VectorOps.cosineSimilarity(a, b)).asInstanceOf[Double]) < 1e-12)
+    assert(math.abs(one(VectorOps.cosineSimilarity(a, c)).asInstanceOf[Double]
+      - 1.0 / math.sqrt(2)) < 1e-12)
+    // zero vector -> null, not NaN
+    assert(one(VectorOps.cosineSimilarity(a, array(lit(0.0f), lit(0.0f)))) == null)
+  }
+
+  test("cosineFast (codegen expr) is bit-identical to the composed version") {
+    val e = Tables.embeddings(spark, Sf).limit(50)
+    val paired = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(e.select(col("embedding").as("other")).limit(7))
+    val diff = paired.select(
+      VectorOps.cosineSimilarity(col("embedding"), col("other")).as("slow"),
+      VectorOps.cosineFast(col("embedding"), col("other")).as("fast"))
+      .filter(!(col("slow") <=> col("fast")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("cosine_sim is registered as a SQL function via GraftExtensions") {
+    Tables.embeddings(spark, Sf).limit(5).createOrReplaceTempView("emb_t")
+    val rows = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_t").collect()
+    assert(rows.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("hash chain: build then verify is all-valid; tampering breaks exactly the tampered link") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, "x"), ("a", 2L, "y"), ("a", 3L, "z"),
+      ("b", 1L, "p"), ("b", 2L, "q")).toDF("agent", "seq", "content")
+    val hashIn = Seq(col("agent"), col("seq").cast("string"), col("content"))
+    val chained = HashChain.buildChain(df, hashIn, Seq(col("agent")), Seq(col("seq")))
+    val ok = HashChain.verifyChain(chained, hashIn, Seq(col("agent")), Seq(col("seq")))
+    assert(ok.filter(!col("chain_valid")).count() == 0)
+
+    // tamper with one row's content AFTER chaining
+    val tampered = chained.withColumn("content",
+      when(col("agent") === "a" && col("seq") === 2, "EVIL").otherwise(col("content")))
+    val bad = HashChain.verifyChain(tampered, hashIn, Seq(col("agent")), Seq(col("seq")))
+      .filter(!col("chain_valid"))
+      .select("agent", "seq").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // the tampered row fails (its content hash no longer matches) and its
+    // successor fails (stored prev_hash disagrees with recomputed)
+    assert(bad == Set(("a", 2L), ("a", 3L)))
+  }
+
+  test("minhash: identical shingle sets share all bands; disjoint sets share none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a b", "b c", "c d")),
+      (2L, Seq("a b", "b c", "c d")),
+      (3L, Seq("x y", "y z", "z w"))).toDF("id", "sh")
+    val withBands = docs
+      .withColumn("sig", MinHash.signature(col("sh"), 8))
+      .withColumn("bands", MinHash.bandKeys(col("sig"), 8, 2))
+      .select(col("id"), explode(col("bands")).as("bk"))
+    val a = withBands.withColumnRenamed("id", "a")
+    val b = withBands.withColumnRenamed("id", "b")
+    val shared = a.join(b, "bk").filter(col("a") < col("b"))
+      .groupBy("a", "b").count().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(shared((1L, 2L)) == 4) // all 4 bands collide
+    assert(!shared.contains((1L, 3L)) && !shared.contains((2L, 3L)))
+  }
+
+  test("simhash: identical token bags get identical sketches; sketch is 16-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark fast query engine"),
+      (2L, "spark fast query engine"),
+      (3L, "completely different words here")).toDF("id", "text")
+      .withColumn("sim", MinHash.simhash16(TextOps.tokens(col("text"))))
+    val sims = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("zScoreDistance: x == mu gives 0; unit deviations give 1") {
+    val x = array(lit(2.0), lit(3.0))
+    val mu = array(lit(2.0), lit(3.0))
+    val v = array(lit(1.0), lit(1.0))
+    assert(math.abs(one(VectorOps.zScoreDistance(x, mu, v)).asInstanceOf[Double]) < 1e-12)
+    val x2 = array(lit(3.0), lit(2.0))
+    assert(math.abs(one(VectorOps.zScoreDistance(x2, mu, v)).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class QueriesSpec extends SparkSpec {
+
+  test("every query runs on sf0.001 and is deterministic across two executions") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val r1 = fn(spark, Sf).collect()
+      val r2 = fn(spark, Sf).collect()
+      assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+        s"$name not deterministic")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys and non-empty") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs))
+    assert(os.size >= 40, s"expected >=40 oracle-checked queries, got ${os.size}")
+    // rows-only (no-oracle) queries are the intentionally approximate /
+    // non-SQL-expressible ones
+    assert((qs -- os) == Set("v2_knn_lsh", "m2_media_features"))
+  }
+
+  private def assertRankedDescending(name: String): Unit = {
+    val rows = SparkEntry.queries(name)(spark, Sf)
+      .select("qid", "rank", "cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.nonEmpty, s"$name returned nothing")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq,
+        s"$name qid=$q ranks not contiguous")
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._3 >= y._3
+        case _ => true
+      }, s"$name qid=$q cosine not non-increasing with rank")
+    }
+  }
+
+  test("LSH knn: candidates share the query's bucket and are correctly ranked") {
+    assertRankedDescending("v2_knn_lsh")
+    // bucket co-membership is definitional for the LSH path
+    val e = Tables.embeddings(spark, Sf)
+      .withColumn("bucket",
+        graft.functions.VectorOps.hyperplaneBucket(col("embedding"), 64, 8))
+    val buckets = e.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("v2_knn_lsh")(spark, Sf)
+      .select("qid", "vec_id").collect()
+      .foreach(r => assert(buckets(r.getLong(0)) == buckets(r.getLong(1)),
+        s"LSH pair ${r.getLong(0)}->${r.getLong(1)} not in same bucket"))
+  }
+
+  test("IVF knn: correctly ranked, and every hit lives in one of the query's probed cells") {
+    assertRankedDescending("v3_knn_ivf")
+    // agreement with brute force is partial by design (2 probes); top-1
+    // agreement must be strictly positive on this data
+    val brute = SparkEntry.queries("v1_knn_bruteforce")(spark, Sf)
+      .filter(col("rank") === 1)
+      .select("qid", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = SparkEntry.queries("v3_knn_ivf")(spark, Sf)
+      .filter(col("rank") === 1)
+      .select("qid", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = ivf.count { case (q, v) => brute.get(q).contains(v) }
+    assert(agree > 0, "IVF found none of the brute-force top-1s")
+  }
+
+  test("dedup: d1 groups are genuine duplicates (same token bag)") {
+    val rows = SparkEntry.queries("d1_exact_dedup")(spark, Sf).collect()
+    if (rows.nonEmpty) {
+      val byFp = rows.groupBy(_.getAs[String]("fp"))
+      byFp.foreach { case (_, members) =>
+        assert(members.length == members.head.getAs[Long]("group_size"))
+        assert(members.count(_.getAs[Boolean]("is_canonical")) == 1)
+      }
+    }
+  }
+
+  test("hash chain query: per user, exactly one chain head and each prev_hash is another row's content_hash") {
+    val rows = SparkEntry.queries("w4_hash_chain")(spark, Sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val contents = rs.map(_.getAs[String]("content_hash")).toSet
+      val prevs = rs.map(_.getAs[String]("prev_hash"))
+      assert(prevs.count(_.isEmpty) == 1, s"user $u: expected exactly one chain head")
+      val nonEmpty = prevs.filter(_.nonEmpty)
+      assert(nonEmpty.toSet.subsetOf(contents), s"user $u: dangling prev_hash")
+      assert(nonEmpty.length == rs.length - 1)
+    }
+  }
+}
