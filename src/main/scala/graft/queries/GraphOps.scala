@@ -118,9 +118,14 @@ object GraphOps extends QueryGroup {
     (s, dir) => {
       // min-label propagation to fixpoint — each iteration is one join +
       // one aggregate; at scale this is the standard Pregel-style CC
-      val edges = coEdges(s, dir, 300).cache()
+      // the modulo-sampled subgraph is tiny by construction, so the
+      // iteration runs on a handful of partitions (at full scale the same
+      // loop runs on the natural partitioning with periodic checkpoints
+      // to truncate lineage)
+      val edges = coEdges(s, dir, 300).coalesce(4).cache()
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("component", col("node"))
+        .coalesce(4).localCheckpoint()
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 50) {
@@ -132,7 +137,7 @@ object GraphOps extends QueryGroup {
           .select(col("node"),
             least(col("component"), coalesce(col("ncomp"), col("component")))
               .as("component"))
-          .cache()
+          .coalesce(4).localCheckpoint() // truncate lineage each round
         changed = next.join(labels.withColumnRenamed("component", "old"), "node")
           .filter(col("component") < col("old")).count()
         labels = next

@@ -128,17 +128,26 @@ object Lifecycle extends QueryGroup {
     "l4_embedding_baseline",
     (s, dir) => {
       // per-label (μ, diag σ²) baseline + per-vector z-score distance
-      // (A7 + X11): outliers = top-20 by sqrt(mean((x−μ)²/max(σ²,ε)))
+      // (A7 + X11): outliers = top-20 by sqrt(mean((x−μ)²/max(σ²,ε))).
+      // The baseline (10 labels × 64 dims) is re-packed into per-label μ/σ²
+      // ARRAYS and broadcast, so the scoring pass is one narrow zip_with
+      // scan over the vectors — no join back on (label, dim)
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      val x = e.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
         .withColumn("x", col("x").cast("double"))
-      val base = e.groupBy("label", "dim")
+      val base = x.groupBy("label", "dim")
         .agg(avg(col("x")).as("mu"), var_pop(col("x")).as("v"))
-      e.join(base, Seq("label", "dim"))
-        .withColumn("term", (col("x") - col("mu")) * (col("x") - col("mu"))
-          / greatest(col("v"), lit(1e-6)))
-        .groupBy("vec_id", "label")
-        .agg(round(sqrt(sum(col("term")) / 64.0), 6).as("zdist"))
+      val baseArr = base.groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+          p => p.getField("mu")).as("mus"),
+        transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+          p => p.getField("v")).as("vs"))
+      e.join(broadcast(baseArr), "label")
+        .withColumn("zdist",
+          round(graft.functions.VectorOps.zScoreDistance(
+            col("embedding"), col("mus"), col("vs")), 6))
+        .select("vec_id", "label", "zdist")
         .orderBy(col("zdist").desc, col("vec_id"))
         .limit(20)
     },
