@@ -208,5 +208,90 @@ object Retrieval extends QueryGroup {
       ORDER BY rrf_score DESC, doc_id
       LIMIT 20"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
+  private val q6 = QueryDef(
+    "r4_domain_scoped",
+    (s, dir) => {
+      // anti-dilution (MASDR-RAG, recall.rs:422-477): the domain predicate
+      // (F2: source/lang sub-corpus) composes BEFORE the dense top-k, so
+      // the cosine scan touches only the scoped slice — pushdown by
+      // construction
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("source").isin("src2", "src5", "src8"))
+        .join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", round(VectorOps.cosineFast(col("embedding"), col("qv")), 6))
+        .select(col("doc_id"), col("source"), col("cos").as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 3)
+      SELECT doc_id, source,
+             ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      FROM documents JOIN e ON doc_id = e.vec_id CROSS JOIN q
+      WHERE lang = 'en' AND source IN ('src2', 'src5', 'src8')
+      ORDER BY cosine DESC, doc_id
+      LIMIT 10"""))
+
+  private val q7 = QueryDef(
+    "r9_reconstruct",
+    (s, dir) => {
+      // reconstruct (recall.rs:867-871,1019-1106): semantic top-5 seeds →
+      // 1-hop linked context (neighbouring docs in the same source) →
+      // deterministic rank-ordered belief summary + mean-score confidence
+      val d = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 11).select(col("embedding").as("qv"))
+      val seeds = d.join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", round(VectorOps.cosineFast(col("embedding"), col("qv")), 6))
+        .orderBy(col("cos").desc, col("doc_id")).limit(5)
+        .select(col("doc_id"), col("source"), col("cos"),
+          TextOps.excerpt(col("text"), 30).as("ex"))
+      // 1-hop link: adjacent doc ids within the same source
+      val linked = seeds.alias("s")
+        .join(d.alias("n"),
+          col("n.source") === col("s.source") &&
+            (col("n.doc_id") === col("s.doc_id") + 1 ||
+              col("n.doc_id") === col("s.doc_id") - 1))
+        .select(col("s.doc_id").as("seed_id"), col("n.doc_id").as("linked_id"))
+        .groupBy("seed_id").agg(count(lit(1)).as("n_linked"))
+      seeds.join(linked, col("doc_id") === col("seed_id"), "left")
+        .agg(
+          concat_ws(" | ",
+            transform(
+              array_sort(collect_list(struct((-col("cos")).as("nc"),
+                col("doc_id"), col("ex")))),
+              p => p.getField("ex"))).as("belief"),
+          round(avg(col("cos")), 6).as("confidence"),
+          sum(coalesce(col("n_linked"), lit(0L))).as("linked_context"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 11),
+      seeds AS (
+        SELECT doc_id, source,
+               ROUND(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos,
+               CASE WHEN len((list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1]) <= 30
+                    THEN (list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1]
+                    ELSE substr((list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1], 1, 30) || '…' END AS ex
+        FROM documents JOIN e ON doc_id = e.vec_id CROSS JOIN q
+        ORDER BY cos DESC, doc_id
+        LIMIT 5),
+      linked AS (
+        SELECT s.doc_id AS seed_id, COUNT(*) AS n_linked
+        FROM seeds s JOIN documents n
+          ON n.source = s.source AND (n.doc_id = s.doc_id + 1 OR n.doc_id = s.doc_id - 1)
+        GROUP BY s.doc_id)
+      SELECT string_agg(ex, ' | ' ORDER BY cos DESC, doc_id) AS belief,
+             ROUND(AVG(cos), 6) AS confidence,
+             CAST(SUM(COALESCE(n_linked, 0)) AS BIGINT) AS linked_context
+      FROM seeds LEFT JOIN linked ON doc_id = seed_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
 }
