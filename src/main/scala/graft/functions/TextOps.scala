@@ -27,11 +27,14 @@ object TextOps {
     when(size(array_union(a, b)) > 0,
       size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double"))
 
-  /** Word k-shingles (positional n-grams over the token array). */
+  /** Word k-shingles (positional n-grams over the token array).
+    * Built from k direct element lookups per position — O(n·k) — rather
+    * than a per-position `slice` copy, which is O(n²) per document and
+    * dominates shingling cost on long texts. */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array(concat_ws(" ", toks)))
 
   /** The reference's token estimator: ceil(chars / 4). */

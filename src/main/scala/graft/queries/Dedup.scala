@@ -83,8 +83,12 @@ object Dedup extends QueryGroup {
       // the (large) shingle arrays are joined back per side afterwards,
       // so the shuffle moves 16-byte keys, not documents
       val base = Tables.documents(s, dir)
+        // bind the token array to an attribute first: inside the shingle
+        // lambda each element access must reference a column, not
+        // re-evaluate the tokenizer expression per position
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+          array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
         .withColumn("bk",
           concat_ws("", slice(array_sort(transform(col("sh"), x => md5(x))), 1, 2)))
         .cache()
@@ -126,8 +130,12 @@ object Dedup extends QueryGroup {
       // deduped as bare (a, b) id pairs BEFORE the shingle arrays are
       // joined back for the exact-Jaccard verify
       val base = Tables.documents(s, dir)
+        // bind the token array to an attribute first: inside the shingle
+        // lambda each element access must reference a column, not
+        // re-evaluate the tokenizer expression per position
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+          array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
         .withColumn("sig", MinHash.signature(col("sh"), nHashes))
         .withColumn("bands", MinHash.bandKeys(col("sig"), nHashes, rowsPerBand))
         .cache()
