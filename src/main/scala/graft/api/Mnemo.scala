@@ -1,0 +1,228 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import graft.functions.{HashChain, TextOps, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's whole-operation API surface (SURVEY §2.11 — MCP tools
+  * `remember` / `recall` / `forget` / `share` / `verify`, engine passes)
+  * as a typed facade over a parquet-backed memory table.
+  *
+  * Spark-first write path (§3.2 re-designed): a remember BATCH is one
+  * job — deterministic hash embedding, content hash, and chain linkage
+  * all computed as column expressions; the per-(agent, thread) chain is
+  * a `lag` window seeded from the store's current tail hashes, so
+  * appends never probe row-by-row. Soft deletes are tombstones, which
+  * makes `as_of` point-in-time recall (T1) a pure predicate.
+  *
+  * Reference entry points: query/remember.rs:67-270, recall.rs:332-1000,
+  * forget.rs, hash.rs:9-24; deterministic embedder embedding/mod.rs:68-110.
+  */
+object Mnemo {
+
+  val EmbeddingDim = 64
+
+  /** Deterministic hash embedding (the reference's offline embedder):
+    * each token hashes to a dimension and a sign via md5 nibbles; the
+    * vector is the signed token-count profile, L2-normalized. Pure
+    * column expression — no UDF, reproducible across engines. */
+  def hashEmbedding(text: Column, dim: Int = EmbeddingDim): Column = {
+    val toks = TextOps.tokens(text)
+    // per-token: dim index from first 4 md5 hex chars, sign from the 5th
+    val hx = transform(toks, t => substring(md5(t), 1, 5))
+    val raw = transform(sequence(lit(0), lit(dim - 1)), d => {
+      aggregate(hx, lit(0.0), (acc, h) => {
+        val idx = conv(substring(h, 1, 4), 16, 10).cast("long") % dim
+        val sign = when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0, 1.0)
+          .otherwise(-1.0)
+        acc + when(idx === d, sign).otherwise(0.0)
+      })
+    })
+    val norm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
+    when(norm > 0, transform(raw, x => (x / norm).cast("float")))
+      .otherwise(transform(raw, x => x.cast("float")))
+  }
+
+  final case class RememberRequest(
+      id: String,
+      agentId: String,
+      threadId: String,
+      content: String,
+      memoryType: String = "episodic", // episodic|semantic|procedural|working
+      scope: String = "private", // private|shared|public|global
+      importance: Float = 0.5f,
+      tags: Seq[String] = Nil,
+      createdAt: Timestamp)
+
+  final case class RecallRequest(
+      query: String = "",
+      agentId: Option[String] = None,
+      strategy: String = "hybrid", // exact|lexical|semantic|hybrid
+      memoryTypes: Seq[String] = Nil,
+      minImportance: Option[Float] = None,
+      tagsAnyOf: Seq[String] = Nil,
+      asOf: Option[Timestamp] = None,
+      includeDeleted: Boolean = false,
+      limit: Int = 10)
+
+  def open(spark: SparkSession, path: String): MnemoStore = new MnemoStore(spark, path)
+}
+
+/** A parquet-backed memory store with the reference's operation set. */
+final class MnemoStore(val spark: SparkSession, val path: String) {
+
+  import Mnemo._
+
+  private def exists: Boolean =
+    new java.io.File(path).exists() && new java.io.File(path).list() != null &&
+      new java.io.File(path).list().nonEmpty
+
+  /** Current table including tombstones (empty frame if never written). */
+  def table(): DataFrame =
+    if (exists) spark.read.parquet(path)
+    else spark.emptyDataFrame
+
+  /** REMEMBER a batch: enrich → chain per (agent, thread) continuing
+    * from the store's tail → append. One job, no per-row probes. */
+  def remember(batch: Seq[RememberRequest]): Unit = {
+    import spark.implicits._
+    val in = batch.toDF()
+      .select(
+        col("id"), col("agentId").as("agent_id"), col("threadId").as("thread_id"),
+        col("content"), col("memoryType").as("memory_type"), col("scope"),
+        col("importance"), col("tags"), col("createdAt").as("created_at"))
+      .withColumn("embedding", hashEmbedding(col("content")))
+      .withColumn("content_hash",
+        HashChain.contentHash(col("content"), col("agent_id"),
+          col("created_at").cast("string")))
+      .withColumn("deleted_at", lit(null).cast("timestamp"))
+      .withColumn("access_count", lit(0L))
+
+    // seed: tail content_hash per (agent, thread) already in the store
+    val tails =
+      if (exists)
+        table().groupBy("agent_id", "thread_id")
+          .agg(max_by(col("content_hash"),
+            struct(col("created_at"), col("id"))).as("tail_hash"))
+      else
+        spark.emptyDataFrame
+          .withColumn("agent_id", lit("")).withColumn("thread_id", lit(""))
+          .withColumn("tail_hash", lit(""))
+          .limit(0)
+
+    val w = Window.partitionBy(col("agent_id"), col("thread_id"))
+      .orderBy(col("created_at"), col("id"))
+    val chained = in
+      .join(broadcast(tails), Seq("agent_id", "thread_id"), "left")
+      .withColumn("prev_hash",
+        coalesce(lag(col("content_hash"), 1).over(w), col("tail_hash")))
+      .withColumn("chain_hash",
+        sha2(concat(col("content_hash"), coalesce(col("prev_hash"), lit(""))), 256))
+      .drop("tail_hash")
+
+    chained.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** FORGET: soft delete (tombstone) — never physically removes, so
+    * as-of recall and audits keep working (T1/S4). */
+  def forget(agentId: String, ids: Seq[String], at: Timestamp): Unit = {
+    val updated = table().withColumn("deleted_at",
+      when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*) &&
+        col("deleted_at").isNull, lit(at)).otherwise(col("deleted_at")))
+    val tmp = path + ".tmp"
+    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** The F1 predicate conjunction (recall.rs:1125-1275). */
+  private def passesFilters(r: RecallRequest): Column = {
+    val live = r.asOf match {
+      case Some(t) =>
+        col("created_at") <= lit(t) &&
+          !(col("deleted_at").isNotNull && col("deleted_at") <= lit(t))
+      case None if r.includeDeleted => lit(true)
+      case None => col("deleted_at").isNull
+    }
+    val agent = r.agentId.map(a =>
+      col("agent_id") === a || col("scope").isin("public", "global"))
+      .getOrElse(lit(true))
+    val types =
+      if (r.memoryTypes.nonEmpty) col("memory_type").isin(r.memoryTypes.map(lit): _*)
+      else lit(true)
+    val imp = r.minImportance.map(m => col("importance") >= m).getOrElse(lit(true))
+    val tags =
+      if (r.tagsAnyOf.nonEmpty)
+        arrays_overlap(col("tags"), array(r.tagsAnyOf.map(lit): _*))
+      else lit(true)
+    live && agent && types && imp && tags
+  }
+
+  /** RECALL: filter → lane scores → (weighted RRF if hybrid) → top-k.
+    * Lanes follow SURVEY §2.3; scoring matches the engine's batch
+    * queries (BM25-lite lexical via token overlap, cosine semantic on
+    * the deterministic hash embedding, recency on created_at). */
+  def recall(r: RecallRequest, now: Timestamp): DataFrame = {
+    val base = table().filter(passesFilters(r))
+    val qToks = TextOps.tokenSet(lit(r.query))
+    val lexScore = TextOps.jaccard(TextOps.tokenSet(col("content")), qToks)
+    val semScore = VectorOps.cosineFast(col("embedding"), hashEmbedding(lit(r.query)))
+    val ageH = (lit(now).cast("long") - col("created_at").cast("long")) / 3600.0
+    val recScore = exp(-ageH * math.log(2) / 168.0)
+
+    r.strategy match {
+      case "exact" =>
+        base.withColumn("score", lit(1.0))
+          .orderBy(col("created_at").desc, col("id"))
+          .limit(r.limit)
+      case "lexical" =>
+        base.withColumn("score", coalesce(lexScore, lit(0.0)))
+          .orderBy(col("score").desc, col("id")).limit(r.limit)
+      case "semantic" =>
+        base.withColumn("score", coalesce(semScore, lit(0.0)))
+          .orderBy(col("score").desc, col("id")).limit(r.limit)
+      case _ => // hybrid: weighted RRF over 3 ranked lanes (k = 60)
+        def lane(score: Column, w: Double): DataFrame =
+          base.withColumn("s", coalesce(score, lit(0.0)))
+            .orderBy(col("s").desc, col("id")).limit(r.limit * 3)
+            .withColumn("rank",
+              row_number().over(Window.orderBy(col("s").desc, col("id"))))
+            .select(col("id").as("rid"), (lit(w) / (col("rank") + 60)).as("contrib"))
+        val fused = lane(lexScore, 0.35)
+          .unionAll(lane(semScore, 0.45))
+          .unionAll(lane(recScore, 0.20))
+          .groupBy("rid").agg(sum(col("contrib")).as("score"))
+        base.join(fused, col("id") === col("rid"))
+          .drop("rid")
+          .orderBy(col("score").desc, col("id"))
+          .limit(r.limit)
+    }
+  }
+
+  /** VERIFY: recompute every link of every (agent, thread) chain; rows
+    * with broken linkage localize the tamper (hash.rs:41-98 → one
+    * window pass, W4). Cross-batch seams are checked via the stored
+    * prev_hash, which the builder seeded from the previous batch tail. */
+  def verifyChains(): DataFrame = {
+    val w = Window.partitionBy(col("agent_id"), col("thread_id"))
+      .orderBy(col("created_at"), col("id"))
+    val recomputed = HashChain.contentHash(col("content"), col("agent_id"),
+      col("created_at").cast("string"))
+    table()
+      .withColumn("expected_prev",
+        coalesce(lag(col("content_hash"), 1).over(w), col("prev_hash")))
+      .withColumn("chain_valid",
+        col("content_hash") === recomputed &&
+          coalesce(col("prev_hash"), lit("")) === coalesce(col("expected_prev"), lit("")) &&
+          col("chain_hash") ===
+            sha2(concat(col("content_hash"), coalesce(col("prev_hash"), lit(""))), 256))
+  }
+
+  /** Register SQL views (the pgwire-equivalent surface, §3.3): plain
+    * Spark SQL over `memories` is a superset of the reference's SQL
+    * subset. */
+  def registerViews(): Unit =
+    table().createOrReplaceTempView("memories")
+}

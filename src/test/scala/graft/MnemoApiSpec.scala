@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.api.Mnemo
+import graft.api.Mnemo.{RecallRequest, RememberRequest}
+import org.apache.spark.sql.functions._
+
+class MnemoApiSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def freshStore() = {
+    val dir = Files.createTempDirectory("mnemo-store").toFile
+    dir.delete()
+    Mnemo.open(spark, dir.getAbsolutePath)
+  }
+
+  private def seed(store: graft.api.MnemoStore): Unit = {
+    store.remember(Seq(
+      RememberRequest("m1", "alice", "t1", "spark makes batch queries fast",
+        tags = Seq("infra"), createdAt = ts("2024-01-01 10:00:00")),
+      RememberRequest("m2", "alice", "t1", "the deploy failed on tuesday",
+        tags = Seq("ops"), importance = 0.9f, createdAt = ts("2024-01-02 10:00:00")),
+      RememberRequest("m3", "alice", "t1", "postgres migration notes",
+        memoryType = "semantic", createdAt = ts("2024-01-03 10:00:00")),
+      RememberRequest("m4", "bob", "t1", "bob private memo", scope = "private",
+        createdAt = ts("2024-01-02 12:00:00")),
+      RememberRequest("m5", "bob", "t1", "public runbook for spark jobs",
+        scope = "public", createdAt = ts("2024-01-04 12:00:00"))))
+  }
+
+  test("remember then recall(exact) respects agent visibility: own + public") {
+    val store = freshStore()
+    seed(store)
+    val got = store.recall(
+      RecallRequest(strategy = "exact", agentId = Some("alice"), limit = 10),
+      ts("2024-02-01 00:00:00"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(got == Set("m1", "m2", "m3", "m5")) // bob's private m4 hidden
+  }
+
+  test("recall(lexical) ranks token-overlapping content first") {
+    val store = freshStore()
+    seed(store)
+    val top = store.recall(
+      RecallRequest(query = "spark batch queries", strategy = "lexical", limit = 2),
+      ts("2024-02-01 00:00:00")).select("id").collect().map(_.getString(0))
+    assert(top.head == "m1")
+  }
+
+  test("recall(semantic) on the deterministic hash embedding finds the same doc for its own text") {
+    val store = freshStore()
+    seed(store)
+    val top = store.recall(
+      RecallRequest(query = "postgres migration notes", strategy = "semantic", limit = 1),
+      ts("2024-02-01 00:00:00")).select("id").collect().map(_.getString(0))
+    assert(top.toSeq == Seq("m3"))
+  }
+
+  test("recall(hybrid) fuses lanes and honours filters (type, importance, tags)") {
+    val store = freshStore()
+    seed(store)
+    val all = store.recall(
+      RecallRequest(query = "spark", strategy = "hybrid", limit = 10),
+      ts("2024-02-01 00:00:00"))
+    assert(all.count() > 0)
+    val onlyImportant = store.recall(
+      RecallRequest(query = "spark", strategy = "hybrid",
+        minImportance = Some(0.8f), limit = 10),
+      ts("2024-02-01 00:00:00")).select("id").collect().map(_.getString(0)).toSet
+    assert(onlyImportant == Set("m2"))
+    val tagged = store.recall(
+      RecallRequest(strategy = "exact", tagsAnyOf = Seq("ops"), limit = 10),
+      ts("2024-02-01 00:00:00")).select("id").collect().map(_.getString(0)).toSet
+    assert(tagged == Set("m2"))
+  }
+
+  test("forget is a tombstone: hidden now, visible as-of before deletion, auditable") {
+    val store = freshStore()
+    seed(store)
+    store.forget("alice", Seq("m2"), ts("2024-01-10 00:00:00"))
+    val now = store.recall(
+      RecallRequest(strategy = "exact", agentId = Some("alice"), limit = 10),
+      ts("2024-02-01 00:00:00")).select("id").collect().map(_.getString(0)).toSet
+    assert(!now.contains("m2"))
+    val before = store.recall(
+      RecallRequest(strategy = "exact", agentId = Some("alice"), limit = 10,
+        asOf = Some(ts("2024-01-05 00:00:00"))),
+      ts("2024-02-01 00:00:00")).select("id").collect().map(_.getString(0)).toSet
+    assert(before.contains("m2")) // point-in-time: existed and not yet deleted
+    assert(store.table().filter(col("id") === "m2").count() == 1) // never physically removed
+  }
+
+  test("chains link across remember batches and verify end-to-end") {
+    val store = freshStore()
+    seed(store)
+    // second batch continues alice/t1's chain
+    store.remember(Seq(
+      RememberRequest("m6", "alice", "t1", "follow-up note",
+        createdAt = ts("2024-01-05 10:00:00"))))
+    val v = store.verifyChains()
+    assert(v.filter(!col("chain_valid")).count() == 0)
+    // the new row's prev_hash is the previous batch's tail content_hash
+    val tail = v.filter(col("id") === "m3").select("content_hash").collect()(0).getString(0)
+    val m6prev = v.filter(col("id") === "m6").select("prev_hash").collect()(0).getString(0)
+    assert(m6prev == tail)
+  }
+
+  test("SQL view surface: plain Spark SQL over the memories view") {
+    val store = freshStore()
+    seed(store)
+    store.registerViews()
+    val n = spark.sql(
+      "SELECT count(*) FROM memories WHERE agent_id = 'alice'").collect()(0).getLong(0)
+    assert(n == 3)
+  }
+}
