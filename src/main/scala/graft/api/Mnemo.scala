@@ -164,8 +164,12 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * Lanes follow SURVEY §2.3; scoring matches the engine's batch
     * queries (BM25-lite lexical via token overlap, cosine semantic on
     * the deterministic hash embedding, recency on created_at). */
-  def recall(r: RecallRequest, now: Timestamp): DataFrame = {
-    val base = table().filter(passesFilters(r))
+  def recall(r: RecallRequest, now: Timestamp): DataFrame =
+    recallOver(table(), r, now)
+
+  /** Same recall pipeline over an explicit (already scoped) frame. */
+  def recallOver(source: DataFrame, r: RecallRequest, now: Timestamp): DataFrame = {
+    val base = source.filter(passesFilters(r))
     val qToks = TextOps.tokenSet(lit(r.query))
     val lexScore = TextOps.jaccard(TextOps.tokenSet(col("content")), qToks)
     val semScore = VectorOps.cosineFast(col("embedding"), hashEmbedding(lit(r.query)))
@@ -225,4 +229,87 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * subset. */
   def registerViews(): Unit =
     table().createOrReplaceTempView("memories")
+
+  // ---- ACL sharing (S13/J2: share.rs:43-137, check_permission) ----
+
+  private def aclPath = path + "_acls"
+
+  private def aclExists: Boolean =
+    new java.io.File(aclPath).exists() && new java.io.File(aclPath).list() != null &&
+      new java.io.File(aclPath).list().nonEmpty
+
+  /** SHARE: grant `toAgent` read access to specific memories. The grant
+    * table is a small broadcast dimension, exactly the reference's acls
+    * table. */
+  def share(memoryIds: Seq[String], toAgent: String, grantedAt: Timestamp): Unit = {
+    import spark.implicits._
+    memoryIds.map(id => (id, toAgent, grantedAt))
+      .toDF("memory_id", "principal_id", "granted_at")
+      .write.mode(SaveMode.Append).parquet(aclPath)
+  }
+
+  def acls(): DataFrame =
+    if (aclExists) spark.read.parquet(aclPath)
+    else {
+      import spark.implicits._
+      Seq.empty[(String, String, Timestamp)]
+        .toDF("memory_id", "principal_id", "granted_at")
+    }
+
+  /** RECALL with the full visibility closure (S8): own records ∪
+    * public/global scope ∪ ACL grants — the grant leg is a broadcast
+    * semi-join placed BEFORE scoring. */
+  def recallVisible(agentId: String, r: RecallRequest, now: Timestamp): DataFrame = {
+    val grants = acls().filter(col("principal_id") === agentId)
+      .select(col("memory_id"))
+    val visible = table()
+      .join(broadcast(grants), col("id") === col("memory_id"), "left")
+      .filter(col("agent_id") === agentId ||
+        col("scope").isin("public", "global") ||
+        col("memory_id").isNotNull)
+      .drop("memory_id")
+    recallOver(visible, r.copy(agentId = None), now)
+  }
+
+  // ---- checkpoints / branch / merge (§2.8, checkpoint.rs, merge.rs) ----
+
+  private def ckptPath = path + "_ckpts"
+
+  private def ckptExists: Boolean =
+    new java.io.File(ckptPath).exists() && new java.io.File(ckptPath).list() != null &&
+      new java.io.File(ckptPath).list().nonEmpty
+
+  /** CHECKPOINT: snapshot the ids of an agent's live memories as a ref
+    * array (one row). */
+  def checkpoint(name: String, agentId: String, at: Timestamp): Unit = {
+    val refs = table()
+      .filter(col("agent_id") === agentId && col("deleted_at").isNull &&
+        col("created_at") <= lit(at))
+      .agg(sort_array(collect_list(col("id"))).as("memory_refs"))
+      .withColumn("name", lit(name))
+      .withColumn("agent_id", lit(agentId))
+      .withColumn("created_at", lit(at))
+    refs.write.mode(SaveMode.Append).parquet(ckptPath)
+  }
+
+  def checkpoints(): DataFrame =
+    if (ckptExists) spark.read.parquet(ckptPath)
+    else spark.emptyDataFrame
+
+  /** MERGE two checkpoints: FullMerge = union-distinct of ref arrays
+    * (merge.rs:87-114). Returns the merged ref array. */
+  def mergeCheckpoints(nameA: String, nameB: String): Seq[String] = {
+    val c = checkpoints()
+    val a = c.filter(col("name") === nameA).select(explode(col("memory_refs")).as("r"))
+    val b = c.filter(col("name") === nameB).select(explode(col("memory_refs")).as("r"))
+    a.union(b).distinct().orderBy("r").collect().map(_.getString(0)).toSeq
+  }
+
+  /** REPLAY a checkpoint: refs ⨝ memories (J8) — the agent's state at
+    * checkpoint time, chain-verifiable. */
+  def replay(name: String): DataFrame = {
+    val refs = checkpoints().filter(col("name") === name)
+      .select(explode(col("memory_refs")).as("ref_id"))
+    table().join(broadcast(refs), col("id") === col("ref_id"), "left_semi")
+  }
 }

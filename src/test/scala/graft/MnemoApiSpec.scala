@@ -116,4 +116,34 @@ class MnemoApiSpec extends SparkSpec {
       "SELECT count(*) FROM memories WHERE agent_id = 'alice'").collect()(0).getLong(0)
     assert(n == 3)
   }
+
+  test("share grants cross-agent visibility via the ACL semi-join") {
+    val store = freshStore()
+    seed(store)
+    // bob cannot see alice's private m1 before the grant
+    val before = store.recallVisible("bob",
+      RecallRequest(strategy = "exact", limit = 10), ts("2024-02-01 00:00:00"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(!before.contains("m1"))
+    store.share(Seq("m1"), "bob", ts("2024-01-06 00:00:00"))
+    val after = store.recallVisible("bob",
+      RecallRequest(strategy = "exact", limit = 10), ts("2024-02-01 00:00:00"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(after.contains("m1"))
+    assert(!after.contains("m3")) // ungranted private rows stay hidden
+  }
+
+  test("checkpoint, merge and replay reconstruct agent state") {
+    val store = freshStore()
+    seed(store)
+    store.checkpoint("ck1", "alice", ts("2024-01-02 11:00:00")) // m1, m2
+    store.checkpoint("ck2", "alice", ts("2024-01-04 00:00:00")) // m1..m3
+    val merged = store.mergeCheckpoints("ck1", "ck2")
+    assert(merged == Seq("m1", "m2", "m3"))
+    val replayed = store.replay("ck1").select("id").collect().map(_.getString(0)).toSet
+    assert(replayed == Set("m1", "m2"))
+    // replayed state is chain-verifiable
+    val v = store.verifyChains()
+    assert(v.filter(!org.apache.spark.sql.functions.col("chain_valid")).count() == 0)
+  }
 }
