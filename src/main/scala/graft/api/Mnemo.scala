@@ -99,6 +99,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
         HashChain.contentHash(col("content"), col("agent_id"),
           col("created_at").cast("string")))
       .withColumn("deleted_at", lit(null).cast("timestamp"))
+      .withColumn("redacted", lit(false))
       .withColumn("access_count", lit(0L))
 
     // seed: tail content_hash per (agent, thread) already in the store
@@ -132,6 +133,23 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     val updated = table().withColumn("deleted_at",
       when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*) &&
         col("deleted_at").isNull, lit(at)).otherwise(col("deleted_at")))
+    val tmp = path + ".tmp"
+    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** FORGET-SUBJECT (GDPR/DPDPA redaction, forget.rs:392-430): every
+    * record tagged `subject:<id>` has its content replaced with a
+    * redaction marker and is tombstoned — but its hashes are KEPT, so
+    * the per-agent chains still verify end-to-end (the reference's
+    * "Redact keeps hashes" contract). */
+  def forgetSubject(subjectTag: String, at: Timestamp): Unit = {
+    val hit = array_contains(col("tags"), subjectTag) && !col("redacted")
+    val updated = table()
+      .withColumn("content", when(hit, "[REDACTED]").otherwise(col("content")))
+      .withColumn("deleted_at", when(hit && col("deleted_at").isNull, lit(at))
+        .otherwise(col("deleted_at")))
+      .withColumn("redacted", when(hit, lit(true)).otherwise(col("redacted")))
     val tmp = path + ".tmp"
     updated.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
@@ -218,7 +236,9 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
       .withColumn("expected_prev",
         coalesce(lag(col("content_hash"), 1).over(w), col("prev_hash")))
       .withColumn("chain_valid",
-        col("content_hash") === recomputed &&
+        // redacted rows keep their original hashes: linkage is verified,
+        // the content recompute is skipped (the redaction contract)
+        (col("redacted") || col("content_hash") === recomputed) &&
           coalesce(col("prev_hash"), lit("")) === coalesce(col("expected_prev"), lit("")) &&
           col("chain_hash") ===
             sha2(concat(col("content_hash"), coalesce(col("prev_hash"), lit(""))), 256))

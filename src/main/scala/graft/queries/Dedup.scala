@@ -230,5 +230,52 @@ object Dedup extends QueryGroup {
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
       ORDER BY a.label, a, b"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
+  private val q6 = QueryDef(
+    "a3_resolve_conflicts",
+    (s, dir) => {
+      // conflict resolution over the near-dup pairs (conflict.rs:154-307):
+      // two of the reference's strategies side by side — KeepNewest
+      // (higher id = later UUIDv7) and EvidenceWeighted (composite score,
+      // here the vectors' norm-weighted label affinity stand-in: the
+      // member whose id appears in MORE near-dup pairs wins, tie → newest)
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b"), col("label"), col("embedding").as("vb"))
+      val pairs = a.join(b, Seq("label")).filter(col("a") < col("b"))
+        .withColumn("cos", VectorOps.cosineFast(col("va"), col("vb")))
+        .filter(col("cos") >= 0.3)
+        .select("label", "a", "b").cache()
+      val degree = pairs.select(col("a").as("m")).unionAll(pairs.select(col("b").as("m")))
+        .groupBy("m").agg(count(lit(1)).as("deg"))
+      pairs
+        .join(degree.select(col("m").as("a"), col("deg").as("deg_a")), Seq("a"))
+        .join(degree.select(col("m").as("b"), col("deg").as("deg_b")), Seq("b"))
+        .withColumn("keep_newest", greatest(col("a"), col("b")))
+        .withColumn("keep_evidence",
+          when(col("deg_a") > col("deg_b"), col("a"))
+            .when(col("deg_b") > col("deg_a"), col("b"))
+            .otherwise(greatest(col("a"), col("b"))))
+        .select("label", "a", "b", "keep_newest", "keep_evidence")
+        .orderBy("label", "a", "b")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      pairs AS (
+        SELECT a.label, a.vec_id AS a, b.vec_id AS b
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+      degree AS (
+        SELECT m, COUNT(*) AS deg FROM (
+          SELECT a AS m FROM pairs UNION ALL SELECT b AS m FROM pairs)
+        GROUP BY m)
+      SELECT label, a, b,
+             GREATEST(a, b) AS keep_newest,
+             CASE WHEN da.deg > db.deg THEN a
+                  WHEN db.deg > da.deg THEN b
+                  ELSE GREATEST(a, b) END AS keep_evidence
+      FROM pairs JOIN degree da ON pairs.a = da.m JOIN degree db ON pairs.b = db.m
+      ORDER BY label, a, b"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
 }

@@ -146,4 +146,30 @@ class MnemoApiSpec extends SparkSpec {
     val v = store.verifyChains()
     assert(v.filter(!org.apache.spark.sql.functions.col("chain_valid")).count() == 0)
   }
+
+  test("forget_subject redacts content and tombstones but chains still verify (GDPR Redact)") {
+    val store = freshStore()
+    store.remember(Seq(
+      RememberRequest("s1", "alice", "t1", "pii about subject:u42 here",
+        tags = Seq("subject:u42"), createdAt = ts("2024-01-01 10:00:00")),
+      RememberRequest("s2", "alice", "t1", "unrelated note",
+        createdAt = ts("2024-01-02 10:00:00")),
+      RememberRequest("s3", "alice", "t1", "more on subject:u42",
+        tags = Seq("subject:u42"), createdAt = ts("2024-01-03 10:00:00"))))
+    store.forgetSubject("subject:u42", ts("2024-01-10 00:00:00"))
+    val t = store.table()
+    // redacted rows lose content, keep hashes, gain tombstones
+    val red = t.filter(col("redacted")).select("id", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(red == Map("s1" -> "[REDACTED]", "s3" -> "[REDACTED]"))
+    assert(t.filter(col("redacted") && col("deleted_at").isNull).count() == 0)
+    // default recall hides them; the untouched row is intact
+    val vis = store.recall(
+      RecallRequest(strategy = "exact", agentId = Some("alice"), limit = 10),
+      ts("2024-02-01 00:00:00")).select("id").collect().map(_.getString(0)).toSet
+    assert(vis == Set("s2"))
+    // the chain (including the redacted middle) still verifies end-to-end
+    val v = store.verifyChains()
+    assert(v.filter(!col("chain_valid")).count() == 0)
+  }
 }
