@@ -61,17 +61,29 @@ object Trust extends QueryGroup {
     "x8_plan_match",
     (s, dir) => {
       // plan library = all documents; queries = every 101st document's
-      // text; match = signature-token Jaccard, keep best plan >= 0.2
+      // text; match = signature-token Jaccard, keep best plan >= 0.2.
+      // Scalable formulation: |A∩B| comes from an exploded token
+      // equi-join (hash join on the token), |A∪B| = |A|+|B|−|A∩B| —
+      // never a pairwise array scan, so cost is O(matching tokens), not
+      // O(plans × queries × set size). Zero-overlap pairs drop out
+      // naturally (their Jaccard 0 can't reach the threshold).
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokenSet(col("text")).as("sig"))
       val queries = d.filter(col("doc_id") % 101 === 0)
-        .select(col("doc_id").as("query_id"), col("sig").as("qsig"))
+        .select(col("doc_id").as("query_id"), col("sig").as("qsig"),
+          size(col("sig")).as("nq"))
+      val qTokens = queries.select(col("query_id"), col("nq"),
+        explode(col("qsig")).as("tok"))
+      val planTokens = d.filter(col("doc_id") % 101 =!= 0)
+        .select(col("doc_id").as("plan_id"), size(col("sig")).as("np"),
+          explode(col("sig")).as("tok"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("jac").desc, col("plan_id"))
-      d.select(col("doc_id").as("plan_id"), col("sig"))
-        .filter(col("plan_id") % 101 =!= 0) // plans exclude the queries
-        .crossJoin(broadcast(queries))
-        .withColumn("jac", TextOps.jaccard(col("sig"), col("qsig")))
+      planTokens.join(broadcast(qTokens), "tok")
+        .groupBy("query_id", "plan_id", "nq", "np")
+        .agg(count(lit(1)).as("ninter"))
+        .withColumn("jac",
+          col("ninter").cast("double") / (col("nq") + col("np") - col("ninter")))
         .filter(col("jac") >= 0.2)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
