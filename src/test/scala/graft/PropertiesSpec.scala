@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.{HashChain, MinHash, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Property-style invariants over the operator library — the
+  * reference's property tests (SURVEY §5: "prefix-only, never
+  * reorders", 100% single-mutation tamper detection) re-expressed over
+  * the Spark implementations with seeded randomized inputs. */
+class PropertiesSpec extends SparkSpec {
+
+  private def words(rnd: scala.util.Random, n: Int): Seq[String] =
+    Seq.fill(n)(Seq.fill(1 + rnd.nextInt(7))(
+      ('a' + rnd.nextInt(26)).toChar).mkString)
+
+  test("jaccard is symmetric, bounded in [0,1], and 1 on self") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.fill(6)(words(rnd, 1 + rnd.nextInt(40)).mkString(" "))
+    val df = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+      .withColumn("sig", TextOps.tokenSet(col("text")))
+    val a = df.select(col("id").as("ia"), col("sig").as("sa"))
+    val b = df.select(col("id").as("ib"), col("sig").as("sb"))
+    val rows = a.crossJoin(b)
+      .select(col("ia"), col("ib"),
+        TextOps.jaccard(col("sa"), col("sb")).as("j"),
+        TextOps.jaccard(col("sb"), col("sa")).as("jr"))
+      .collect()
+    assert(rows.length == 36)
+    rows.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - r.getDouble(3)) < 1e-12) // symmetric
+      if (r.getInt(0) == r.getInt(1)) assert(j == 1.0)
+    }
+  }
+
+  test("simhash is invariant under token permutation (10 random docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { _ =>
+      val toks = words(rnd, 1 + rnd.nextInt(30))
+      val d = toks.mkString(" ")
+      val perm = rnd.shuffle(toks).mkString(" ")
+      val out = Seq((1L, d), (2L, perm)).toDF("id", "text")
+        .select(MinHash.simhash16(TextOps.tokens(col("text"))).as("s"))
+        .collect().map(_.getLong(0))
+      assert(out(0) == out(1), s"simhash not permutation-invariant for: $d")
+    }
+  }
+
+  test("minhash signature is permutation-invariant; subset minima dominate superset minima") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 10).foreach { _ =>
+      val full = words(rnd, 12).distinct
+      val perm = rnd.shuffle(full)
+      val sigs = Seq((1L, full), (2L, perm)).toDF("id", "sh")
+        .select(MinHash.signature(col("sh"), 4).as("sig"))
+        .collect().map(_.getSeq[String](0))
+      assert(sigs(0) == sigs(1))
+      val sub = full.take(math.max(1, full.size / 2))
+      val pair = Seq((1L, full), (2L, sub)).toDF("id", "sh")
+        .select(MinHash.signature(col("sh"), 4).as("sig"))
+        .collect().map(_.getSeq[String](0))
+      pair(0).zip(pair(1)).foreach { case (f, s) =>
+        assert(f <= s, "min over a superset must be <= min over its subset")
+      }
+    }
+  }
+
+  test("hash chain: every single-row tamper position is detected (tamper detection = 100%)") {
+    import spark.implicits._
+    val n = 8
+    val rows = (1 to n).map(i => ("agent", i.toLong, s"content-$i"))
+    val df = rows.toDF("agent", "seq", "content")
+    val hashIn = Seq(col("agent"), col("seq").cast("string"), col("content"))
+    val chained = HashChain.buildChain(df, hashIn, Seq(col("agent")), Seq(col("seq")))
+      .cache()
+    (1 to n).foreach { victim =>
+      val tampered = chained.withColumn("content",
+        when(col("seq") === victim, concat(col("content"), lit("X")))
+          .otherwise(col("content")))
+      val bad = HashChain.verifyChain(tampered, hashIn,
+        Seq(col("agent")), Seq(col("seq")))
+        .filter(!col("chain_valid")).count()
+      assert(bad >= 1, s"tamper at seq=$victim of $n went undetected")
+    }
+  }
+
+  test("evidence budget (running-sum window) selects a prefix and never reorders") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    (1 to 10).foreach { _ =>
+      val costs = Seq.fill(15)(1L + rnd.nextInt(50))
+      val df = costs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("rank", "cost")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("rank")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val kept = df
+        .withColumn("before", coalesce(sum(col("cost")).over(w), lit(0L)))
+        .filter(col("before") < 100)
+        .select("rank").collect().map(_.getLong(0)).toSeq
+      assert(kept == kept.sorted)
+      assert(kept == (0L until kept.length.toLong)) // a true prefix
+      assert(kept.nonEmpty) // budget checked BEFORE each row: head admitted
+    }
+  }
+
+  test("RRF fusion is rank-monotone: improving a lane rank never lowers the fused score") {
+    // pure arithmetic property of w/(k+rank)
+    val k = 60
+    (1 to 50).foreach { r =>
+      assert(1.0 / (k + r) > 1.0 / (k + r + 1))
+    }
+  }
+}
