@@ -138,6 +138,19 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** TOUCH (S7/P3): batched access bump for a set of recalled ids —
+    * the reference's per-hit `access_count += 1` re-expressed as ONE
+    * conditional rewrite for the whole result batch (the accumulated
+    * touch-set MERGE of SURVEY S7). */
+  def touch(ids: Seq[String]): Unit = {
+    val hit = col("id").isin(ids.map(lit): _*)
+    val updated = table().withColumn("access_count",
+      when(hit, col("access_count") + 1).otherwise(col("access_count")))
+    val tmp = path + ".tmp"
+    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** FORGET-SUBJECT (GDPR/DPDPA redaction, forget.rs:392-430): every
     * record tagged `subject:<id>` has its content replaced with a
     * redaction marker and is tombstoned — but its hashes are KEPT, so

@@ -293,5 +293,83 @@ object Retrieval extends QueryGroup {
              CAST(SUM(COALESCE(n_linked, 0)) AS BIGINT) AS linked_context
       FROM seeds LEFT JOIN linked ON doc_id = seed_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
+  private val q8 = QueryDef(
+    "r5_graph_lane",
+    (s, dir) => {
+      // the graph retrieval lane proper (recall.rs:479-555): semantic
+      // seeds → bounded BFS with per-hop decay 0.5^hop over the doc
+      // adjacency (same-source neighbours), first-seen dedup, then
+      // RRF-fusion of [seed lane, graph lane] with k=60
+      val d = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 5).select(col("embedding").as("qv"))
+      val seeds = d.join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", round(VectorOps.cosineFast(col("embedding"), col("qv")), 6))
+        .orderBy(col("cos").desc, col("doc_id")).limit(5)
+        .select(col("doc_id"), col("cos"))
+      // adjacency: same source, doc id ±1 (the relations stand-in)
+      val adj = d.alias("x").join(d.alias("y"),
+          col("y.source") === col("x.source") &&
+            (col("y.doc_id") === col("x.doc_id") + 1 ||
+              col("y.doc_id") === col("x.doc_id") - 1))
+        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+      val h1 = adj.join(seeds.select(col("doc_id").as("src")), "src")
+        .select(col("dst").as("doc_id")).distinct().withColumn("hop", lit(1))
+      val h2 = adj.join(h1.select(col("doc_id").as("src")), "src")
+        .select(col("dst").as("doc_id")).distinct().withColumn("hop", lit(2))
+      val graphLane = h1.unionAll(h2)
+        .join(seeds.select("doc_id"), Seq("doc_id"), "left_anti")
+        .groupBy("doc_id").agg(min(col("hop")).as("hop"))
+        .withColumn("gscore", pow(0.5, col("hop")))
+      // RRF fuse: seed lane ranked by cosine, graph lane by decay score
+      def rrf(df: DataFrame, key: Seq[org.apache.spark.sql.Column], w: Double) =
+        df.orderBy(key: _*).limit(20)
+          .withColumn("rank", row_number().over(Window.orderBy(key: _*)))
+          .select(col("doc_id"), (lit(w) / (col("rank") + 60)).as("contrib"))
+      rrf(seeds, Seq(col("cos").desc, col("doc_id")), 1.0)
+        .unionAll(rrf(graphLane, Seq(col("gscore").desc, col("doc_id")), 1.0))
+        .groupBy("doc_id")
+        .agg(round(sum(col("contrib")), 6).as("rrf_score"), count(lit(1)).as("n_lanes"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(15)
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 5),
+      seeds AS (
+        SELECT doc_id,
+               ROUND(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+        FROM documents JOIN e ON doc_id = e.vec_id CROSS JOIN q
+        ORDER BY cos DESC, doc_id
+        LIMIT 5),
+      adj AS (
+        SELECT x.doc_id AS src, y.doc_id AS dst
+        FROM documents x JOIN documents y
+          ON y.source = x.source AND (y.doc_id = x.doc_id + 1 OR y.doc_id = x.doc_id - 1)),
+      h1 AS (SELECT DISTINCT dst AS doc_id, 1 AS hop
+             FROM adj JOIN seeds ON adj.src = seeds.doc_id),
+      h2 AS (SELECT DISTINCT a.dst AS doc_id, 2 AS hop
+             FROM adj a JOIN h1 ON a.src = h1.doc_id),
+      graph_lane AS (
+        SELECT doc_id, MIN(hop) AS hop, POW(0.5, MIN(hop)) AS gscore
+        FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+        WHERE doc_id NOT IN (SELECT doc_id FROM seeds)
+        GROUP BY doc_id),
+      lane_seed AS (
+        SELECT doc_id, 1.0 / (rank + 60) AS contrib
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank FROM seeds)
+        WHERE rank <= 20),
+      lane_graph AS (
+        SELECT doc_id, 1.0 / (rank + 60) AS contrib
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY gscore DESC, doc_id) AS rank FROM graph_lane)
+        WHERE rank <= 20),
+      lanes AS (SELECT * FROM lane_seed UNION ALL SELECT * FROM lane_graph)
+      SELECT doc_id, ROUND(SUM(contrib), 6) AS rrf_score, COUNT(*) AS n_lanes
+      FROM lanes GROUP BY doc_id
+      ORDER BY rrf_score DESC, doc_id
+      LIMIT 15"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
 }

@@ -172,4 +172,14 @@ class MnemoApiSpec extends SparkSpec {
     val v = store.verifyChains()
     assert(v.filter(!col("chain_valid")).count() == 0)
   }
+
+  test("touch bumps access_count for the recalled batch only") {
+    val store = freshStore()
+    seed(store)
+    store.touch(Seq("m1", "m3"))
+    store.touch(Seq("m1"))
+    val counts = store.table().select("id", "access_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("m1") == 2 && counts("m3") == 1 && counts("m2") == 0)
+  }
 }
