@@ -71,21 +71,36 @@ object VectorOps {
     * pseudo-random unit-free hyperplanes derived from a seed. The planes
     * are generated per-dimension with a splitmix-style integer hash, so
     * the bucketing is reproducible with zero data movement. */
+  /** splitmix64 finalizer over (seed, plane, dim index) -> [-1, 1).
+    * Driver-side and pure, so the exact same literal coefficients can be
+    * embedded in an external SQL oracle (see [[hyperplaneBucketSql]]). */
+  def planeCoef(p: Int, i: Int, seed: Long = 42L): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * 131071L + i.toLong + 1L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
-    def planeCoef(p: Int, i: Int): Double = {
-      // splitmix64 finalizer over (seed, plane, dim index) -> [-1, 1)
-      var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * 131071L + i.toLong + 1L)
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble)
-    }
     val bits: Seq[Column] = (0 until nPlanes).map { p =>
       val dot: Column = (0 until dim).map { i =>
-        element_at(vec, i + 1).cast("double") * lit(planeCoef(p, i))
+        element_at(vec, i + 1).cast("double") * lit(planeCoef(p, i, seed))
       }.reduce(_ + _)
       when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).as("bucket")
   }
+
+  /** ANSI-SQL rendering of [[hyperplaneBucket]] over a DOUBLE[] column
+    * named `vecVar` (1-indexed): identical literal coefficients and the
+    * same left-to-right accumulation order, so both engines compute
+    * bit-identical dot products and therefore identical bucket ids. */
+  def hyperplaneBucketSql(vecVar: String, dim: Int, nPlanes: Int, seed: Long = 42L): String =
+    (0 until nPlanes).map { p =>
+      val dot = (0 until dim)
+        .map(i => s"$vecVar[${i + 1}] * ${planeCoef(p, i, seed)}")
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

@@ -96,5 +96,41 @@ object EventWindows extends QueryGroup {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
+  private val q5 = QueryDef(
+    "w5_logical_clock",
+    (s, dir) => {
+      // W5 — logical-clock assignment (model/event.rs): per-agent
+      // monotone event ordering; the digest proves the clock order is
+      // identical across engines
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("user_id") < 10)
+        .withColumn("clock", row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(col("clock")).cast("long").as("last_clock"),
+          max_by(col("event_id"), col("clock")).as("last_event_id"),
+          md5(concat_ws(",",
+            transform(
+              array_sort(collect_list(struct(col("clock"),
+                col("event_id").cast("string").as("event_id")))),
+              p => p.getField("event_id")))).as("chain_digest"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH clocked AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS clock
+        FROM events WHERE user_id < 10)
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(MAX(clock) AS BIGINT) AS last_clock,
+             arg_max(event_id, clock) AS last_event_id,
+             md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY clock)) AS chain_digest
+      FROM clocked
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
 }

@@ -1,0 +1,311 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Governance / API-surface operators from SURVEY §2.1/§2.2/§2.4/§2.11:
+  * the current-fact resolver (P5), the ACL+delegation permission closure
+  * (S13), the pgwire-style SQL entry point (F5 — Spark SQL is a strict
+  * superset of the reference's parser, so the "parser" is one
+  * `spark.sql` call over a registered view), quarantine replay, the
+  * token-budget planner (X13), and the watermark-incremental upsert
+  * (S11).
+  *
+  * Scale design: every permission leg is a join against tiny broadcast
+  * dimension tables (acls/delegations), exactly how a 100 TB memories
+  * table would check access — the big side streams, never shuffles. The
+  * fact resolver and upsert are single-shuffle window passes partitioned
+  * by the fact/merge key.
+  */
+object Governance extends QueryGroup {
+
+  private val NowMicros = 1706745600000000L // 2024-02-01T00:00:00Z
+  private val WmMicros = 1705276800000000L // 2024-01-15T00:00:00Z
+
+  /** P5 — current-fact resolver (query/current_fact_resolver.rs:108-180):
+    * group hits by fact key, keep the most recent per group (recency
+    * desc, tie score desc, then id desc), emit the supersession chain of
+    * losers; keyless hits pass through; re-sort by score. */
+  private val q1 = QueryDef(
+    "p5_current_fact",
+    (s, dir) => {
+      val hits = Tables.events(s, dir)
+        .filter(col("value") > 4.0)
+        .withColumn("fact_key",
+          when(col("event_type") === "purchase",
+            concat(lit("k:"), get_json_object(col("props"), "$.k"))))
+      val w = Window.partitionBy(col("fact_key"))
+        .orderBy(col("ts").desc, col("value").desc, col("event_id").desc)
+      val ranked = hits.filter(col("fact_key").isNotNull)
+        .withColumn("rn", row_number().over(w))
+      val chains = ranked.groupBy("fact_key").agg(
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_superseded"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(when(col("rn").between(2, 4),
+              struct(col("rn"), col("event_id").cast("string").as("event_id"))))),
+            p => p.getField("event_id"))).as("superseded"))
+      val winners = ranked.filter(col("rn") === 1)
+        .join(chains, "fact_key")
+        .select(col("event_id"), col("fact_key"), col("value").as("score"),
+          col("n_superseded"), col("superseded"))
+      val keyless = hits.filter(col("fact_key").isNull)
+        .select(col("event_id"), col("fact_key"), col("value").as("score"),
+          lit(0L).as("n_superseded"), lit("").as("superseded"))
+      winners.unionAll(keyless)
+        .orderBy(col("score").desc, col("event_id"))
+        .limit(100)
+    },
+    Some("""
+      WITH hits AS (
+        SELECT event_id, epoch_us(ts) AS tsu, value,
+               CASE WHEN event_type = 'purchase'
+                    THEN 'k:' || json_extract_string(props, '$.k') END AS fact_key
+        FROM events WHERE value > 4.0),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fact_key
+                   ORDER BY tsu DESC, value DESC, event_id DESC) AS rn
+        FROM hits WHERE fact_key IS NOT NULL),
+      chains AS (
+        SELECT fact_key,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_superseded,
+               COALESCE(string_agg(CASE WHEN rn BETWEEN 2 AND 4
+                 THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY rn), '') AS superseded
+        FROM ranked GROUP BY fact_key),
+      winners AS (
+        SELECT r.event_id, r.fact_key, r.value AS score, c.n_superseded, c.superseded
+        FROM ranked r JOIN chains c USING (fact_key) WHERE rn = 1),
+      keyless AS (
+        SELECT event_id, fact_key, value AS score, CAST(0 AS BIGINT) AS n_superseded,
+               '' AS superseded
+        FROM hits WHERE fact_key IS NULL)
+      SELECT * FROM (SELECT * FROM winners UNION ALL SELECT * FROM keyless)
+      ORDER BY score DESC, event_id
+      LIMIT 100"""))
+
+  /** S13 — permission closure with delegation chain
+    * (storage/duckdb.rs:338-426,754-830): accessible = owner ∪ direct
+    * grant ∪ grant-to-delegator (depth 1 and 2). The acls/delegations
+    * sides are tiny and broadcast; the memories side streams. */
+  private val q2 = QueryDef(
+    "s13_delegation_chain",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_custkey") % 100).as("owner"))
+      val acl = orders
+        .filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), (col("o_orderkey") % 100).as("principal"))
+      val deleg = s.range(100).select(col("id").as("p"))
+        .filter(col("p") % 3 === 0 && col("p") % 5 =!= 0)
+        .select(col("p").as("dfrom"), ((col("p") * 7 + 1) % 100).as("dto"))
+      val ownerLeg = orders.filter(col("owner") < 10)
+        .select(col("owner").as("agent"), col("o_orderkey"), lit("owner").as("leg"))
+      val directLeg = acl.filter(col("principal") < 10)
+        .select(col("principal").as("agent"), col("o_orderkey"), lit("direct").as("leg"))
+      val d1Leg = acl.join(broadcast(deleg), col("principal") === col("dfrom"))
+        .filter(col("dto") < 10)
+        .select(col("dto").as("agent"), col("o_orderkey"), lit("deleg1").as("leg"))
+      val d2 = deleg.select(col("dfrom").as("dfrom2"), col("dto").as("dto2"))
+      val d2Leg = acl
+        .join(broadcast(deleg), col("principal") === col("dfrom"))
+        .join(broadcast(d2), col("dto") === col("dfrom2"))
+        .filter(col("dto2") < 10)
+        .select(col("dto2").as("agent"), col("o_orderkey"), lit("deleg2").as("leg"))
+      ownerLeg.unionAll(directLeg).unionAll(d1Leg).unionAll(d2Leg)
+        .groupBy("agent")
+        .agg(
+          countDistinct(when(col("leg") === "owner", col("o_orderkey"))).as("n_owner"),
+          countDistinct(when(col("leg") === "direct", col("o_orderkey"))).as("n_direct"),
+          countDistinct(when(col("leg") === "deleg1", col("o_orderkey"))).as("n_deleg1"),
+          countDistinct(when(col("leg") === "deleg2", col("o_orderkey"))).as("n_deleg2"),
+          countDistinct(col("o_orderkey")).as("n_accessible"))
+        .orderBy("agent")
+    },
+    Some("""
+      WITH acl AS (
+        SELECT o_orderkey, o_orderkey % 100 AS principal
+        FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 13 <> 0),
+      deleg AS (
+        SELECT range AS dfrom, (range * 7 + 1) % 100 AS dto
+        FROM range(100) WHERE range % 3 = 0 AND range % 5 <> 0),
+      legs AS (
+        SELECT o_custkey % 100 AS agent, o_orderkey, 'owner' AS leg
+        FROM orders WHERE o_custkey % 100 < 10
+        UNION ALL
+        SELECT principal, o_orderkey, 'direct' FROM acl WHERE principal < 10
+        UNION ALL
+        SELECT d.dto, a.o_orderkey, 'deleg1'
+        FROM acl a JOIN deleg d ON a.principal = d.dfrom WHERE d.dto < 10
+        UNION ALL
+        SELECT d2.dto, a.o_orderkey, 'deleg2'
+        FROM acl a JOIN deleg d1 ON a.principal = d1.dfrom
+        JOIN deleg d2 ON d1.dto = d2.dfrom WHERE d2.dto < 10)
+      SELECT agent,
+             COUNT(DISTINCT CASE WHEN leg = 'owner' THEN o_orderkey END) AS n_owner,
+             COUNT(DISTINCT CASE WHEN leg = 'direct' THEN o_orderkey END) AS n_direct,
+             COUNT(DISTINCT CASE WHEN leg = 'deleg1' THEN o_orderkey END) AS n_deleg1,
+             COUNT(DISTINCT CASE WHEN leg = 'deleg2' THEN o_orderkey END) AS n_deleg2,
+             COUNT(DISTINCT o_orderkey) AS n_accessible
+      FROM legs
+      GROUP BY agent
+      ORDER BY agent"""))
+
+  /** F5 — pgwire SQL surface (crates/mnemo-pgwire/src/parser.rs:9-382):
+    * the reference hand-rolls a SELECT/LIKE/LIMIT/OFFSET parser; Spark
+    * SQL is a strict superset, so the whole entry point is one
+    * `spark.sql` over a registered view. */
+  private val q3 = QueryDef(
+    "f5_sql_surface",
+    (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("memories")
+      s.sql("""
+        SELECT doc_id AS id, source AS agent_id, lang, n_chars
+        FROM memories
+        WHERE text LIKE '%the%' AND lang = 'en'
+        ORDER BY doc_id
+        LIMIT 40 OFFSET 10""")
+    },
+    Some("""
+      SELECT doc_id AS id, source AS agent_id, lang, n_chars
+      FROM documents
+      WHERE text LIKE '%the%' AND lang = 'en'
+      ORDER BY doc_id
+      LIMIT 40 OFFSET 10"""))
+
+  /** replay_quarantine (§2.11): re-evaluate quarantined records against
+    * the current policy — single-marker long documents are released,
+    * the rest stay quarantined. */
+  private val q4 = QueryDef(
+    "q1_quarantine_replay",
+    (s, dir) => {
+      val markers = Seq(
+        "ignore (all )?previous instructions",
+        "system prompt",
+        "exfiltrate|keylogger")
+      val nHits = markers
+        .map(m => when(lower(col("text")).rlike(m), 1L).otherwise(0L))
+        .reduce(_ + _)
+      Tables.documents(s, dir)
+        .withColumn("n_hits", nHits)
+        .filter(col("n_hits") >= 1)
+        .withColumn("decision",
+          when(col("n_hits") === 1 && col("n_chars") >= 200, "release")
+            .otherwise("quarantined"))
+        .select("doc_id", "n_hits", "n_chars", "decision")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH scanned AS (
+        SELECT doc_id, n_chars,
+               CAST((CASE WHEN regexp_matches(lower(text), 'ignore (all )?previous instructions') THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(lower(text), 'system prompt') THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(lower(text), 'exfiltrate|keylogger') THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM documents)
+      SELECT doc_id, n_hits, n_chars,
+             CASE WHEN n_hits = 1 AND n_chars >= 200 THEN 'release'
+                  ELSE 'quarantined' END AS decision
+      FROM scanned
+      WHERE n_hits >= 1
+      ORDER BY doc_id"""))
+
+  /** X13 — token-budget planner (budget/planner.rs:1-215): per-model
+    * context budget → per-lane token allocation; pure arithmetic over a
+    * literal model table. */
+  private val q5 = QueryDef(
+    "x13_budget_plan",
+    (s, dir) => {
+      import s.implicits._
+      Seq(("m8k", 8192L), ("m32k", 32768L), ("m128k", 131072L), ("m200k", 200000L))
+        .toDF("model", "ctx")
+        .withColumn("budget", col("ctx") - 3072L)
+        .withColumn("evidence",
+          least(floor(col("budget") / 2.0).cast("long"), lit(4096L)))
+        .withColumn("semantic_toks", floor(col("evidence") * 0.5).cast("long"))
+        .withColumn("lexical_toks", floor(col("evidence") * 0.3).cast("long"))
+        .withColumn("graph_toks",
+          col("evidence") - col("semantic_toks") - col("lexical_toks"))
+        .select("model", "ctx", "budget", "evidence",
+          "semantic_toks", "lexical_toks", "graph_toks")
+        .orderBy("model")
+    },
+    Some("""
+      WITH m AS (
+        SELECT * FROM (VALUES ('m8k', CAST(8192 AS BIGINT)), ('m32k', 32768),
+                              ('m128k', 131072), ('m200k', 200000)) AS t(model, ctx)),
+      plan AS (
+        SELECT model, ctx, ctx - 3072 AS budget,
+               LEAST(CAST(FLOOR((ctx - 3072) / 2.0) AS BIGINT), 4096) AS evidence
+        FROM m)
+      SELECT model, ctx, budget, evidence,
+             CAST(FLOOR(evidence * 0.5) AS BIGINT) AS semantic_toks,
+             CAST(FLOOR(evidence * 0.3) AS BIGINT) AS lexical_toks,
+             evidence - CAST(FLOOR(evidence * 0.5) AS BIGINT)
+                      - CAST(FLOOR(evidence * 0.3) AS BIGINT) AS graph_toks
+      FROM plan
+      ORDER BY model"""))
+
+  /** S11 — watermark-incremental sync + upsert (list_memories_since /
+    * upsert_memory, storage/duckdb.rs:714-740): latest-per-key snapshots
+    * either side of the watermark, full-outer merged and classified —
+    * the read/compute side of a `MERGE INTO`. */
+  private val q6 = QueryDef(
+    "s11_watermark_upsert",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      def latest(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"))
+      }
+      val base = latest(e.filter(col("ts") <= WmMicros))
+        .withColumnRenamed("event_id", "base_id")
+      val incr = latest(e.filter(col("ts") > WmMicros))
+        .withColumnRenamed("event_id", "incr_id")
+      base.join(incr, Seq("user_id", "event_type"), "full_outer")
+        .withColumn("class",
+          when(col("base_id").isNull, "insert")
+            .when(col("incr_id").isNull, "unchanged")
+            .otherwise("update"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("class") === "insert", 1L).otherwise(0L)).as("n_insert"),
+          sum(when(col("class") === "update", 1L).otherwise(0L)).as("n_update"),
+          sum(when(col("class") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+          count(lit(1)).as("n_keys"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_type, event_id FROM (
+          SELECT user_id, event_type, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE epoch_us(ts) <= 1705276800000000)
+        WHERE rn = 1),
+      incr AS (
+        SELECT user_id, event_type, event_id FROM (
+          SELECT user_id, event_type, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE epoch_us(ts) > 1705276800000000)
+        WHERE rn = 1),
+      merged AS (
+        SELECT COALESCE(b.event_type, i.event_type) AS event_type,
+               CASE WHEN b.event_id IS NULL THEN 'insert'
+                    WHEN i.event_id IS NULL THEN 'unchanged'
+                    ELSE 'update' END AS class
+        FROM base b FULL OUTER JOIN incr i
+          ON b.user_id = i.user_id AND b.event_type = i.event_type)
+      SELECT event_type,
+             CAST(SUM(CASE WHEN class = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+             CAST(SUM(CASE WHEN class = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+             CAST(SUM(CASE WHEN class = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+             COUNT(*) AS n_keys
+      FROM merged
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
+}

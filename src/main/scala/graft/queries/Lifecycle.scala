@@ -377,6 +377,100 @@ object Lifecycle extends QueryGroup {
          OR (n_purchase > 0 AND n_signup = 0)
       ORDER BY user_id"""))
 
+  private val q11 = QueryDef(
+    "a12_behavior_drift",
+    (s, dir) => {
+      // behavioural-baseline drift exporter (A12,
+      // mnemo-baseline/src/{profile,anomaly}.rs): per-agent daily event
+      // rate → EWMA profile (geometric weights, alpha=0.3) → z-score of
+      // the latest day against the profile
+      val daily = Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .withColumn("day", expr("ts div 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val withLast = daily.withColumn("last_day",
+        max(col("day")).over(Window.partitionBy(col("user_id"))))
+      withLast.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_days"),
+          max_by(col("cnt"), col("day")).as("last_cnt"),
+          stddev_pop(col("cnt")).as("sd"),
+          sum(col("cnt") * pow(lit(0.7), col("last_day") - col("day"))).as("wsum"),
+          sum(pow(lit(0.7), col("last_day") - col("day"))).as("wnorm"))
+        .withColumn("ewma", col("wsum") / col("wnorm"))
+        .withColumn("z",
+          round((col("last_cnt") - col("ewma")) / greatest(col("sd"), lit(0.001)), 6))
+        .select(col("user_id"), col("n_days"), round(col("ewma"), 6).as("ewma"),
+          col("last_cnt").cast("long").as("last_cnt"), col("z"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM events WHERE user_id < 50
+        GROUP BY user_id, epoch_us(ts) // 86400000000),
+      w AS (
+        SELECT user_id, day, cnt,
+               MAX(day) OVER (PARTITION BY user_id) AS last_day
+        FROM daily),
+      prof AS (
+        SELECT user_id, COUNT(*) AS n_days,
+               arg_max(cnt, day) AS last_cnt,
+               stddev_pop(cnt) AS sd,
+               SUM(cnt * pow(0.7, last_day - day)) / SUM(pow(0.7, last_day - day)) AS ewma
+        FROM w GROUP BY user_id)
+      SELECT user_id, n_days, ROUND(ewma, 6) AS ewma,
+             CAST(last_cnt AS BIGINT) AS last_cnt,
+             ROUND((last_cnt - ewma) / GREATEST(sd, 0.001), 6) AS z
+      FROM prof
+      ORDER BY user_id"""))
+
+  private val q12 = QueryDef(
+    "c1_consolidate_topic",
+    (s, dir) => {
+      // caller-chosen topic consolidation (consolidate.rs:1-409): members
+      // selected by topic predicate, digested in deterministic
+      // (doc_id)-order into one "[Consolidated from N memories] a | b…"
+      // document per language
+      val members = Tables.documents(s, dir)
+        .filter(lower(col("text")).contains("model"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val withEx = members.withColumn("rn", row_number().over(w))
+        .withColumn("ex", TextOps.excerpt(col("text"), 20))
+      withEx.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_members"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          concat_ws(" | ",
+            transform(
+              array_sort(collect_list(when(col("rn") <= 3,
+                struct(col("doc_id"), col("ex"))))),
+              p => p.getField("ex"))).as("body"))
+        .withColumn("doc",
+          concat(lit("[Consolidated from "), col("n_members").cast("string"),
+            lit(" memories] "), col("body")))
+        .select("lang", "n_members", "avg_chars", "doc")
+        .orderBy("lang")
+    },
+    Some("""
+      WITH members AS (
+        SELECT lang, doc_id, n_chars,
+               CASE WHEN len((list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1]) <= 20
+                    THEN (list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1]
+                    ELSE substr((list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1], 1, 20) || '…' END AS ex,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+        WHERE lower(text) LIKE '%model%')
+      SELECT lang, COUNT(*) AS n_members,
+             ROUND(AVG(n_chars), 6) AS avg_chars,
+             '[Consolidated from ' || COUNT(*) || ' memories] '
+               || string_agg(CASE WHEN rn <= 3 THEN ex END, ' | ' ORDER BY doc_id) AS doc
+      FROM members
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[QueryDef] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12)
 }

@@ -271,5 +271,33 @@ object Scoring extends QueryGroup {
       GROUP BY source
       ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
+  private val q7 = QueryDef(
+    "a10_ebbinghaus",
+    (s, dir) => {
+      // Ebbinghaus decay lane (score/decay.rs:30-102):
+      // clamp(0.5^(age/half_life) + log2(1+hits)·0.05, floor, 1.0)
+      val ageH = (lit(NowMicros) - col("ts")).cast("double") / 3.6e9
+      val hits = coalesce(
+        get_json_object(col("props"), "$.k").cast("double"), lit(0.0))
+      val retention = least(lit(1.0), greatest(lit(0.05),
+        pow(lit(0.5), ageH / 168.0) + log2(lit(1.0) + hits) * 0.05))
+      Tables.events(s, dir)
+        .withColumn("retention", round(retention, 6))
+        .select("event_id", "user_id", "retention")
+        .orderBy(col("retention").desc, col("event_id"))
+        .limit(100)
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_id, user_id,
+               ROUND(LEAST(1.0, GREATEST(0.05,
+                 pow(0.5, (CAST(1706745600000000 - epoch_us(ts) AS DOUBLE) / 3.6e9) / 168.0)
+                 + log2(1.0 + COALESCE(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)) * 0.05)), 6) AS retention
+        FROM events)
+      SELECT event_id, user_id, retention
+      FROM r
+      ORDER BY retention DESC, event_id
+      LIMIT 100"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
 }

@@ -64,8 +64,9 @@ object Similarity extends QueryGroup {
     (s, dir) => {
       // hyperplane-LSH bucketed variant: the 100 TB path. Bucket id is a
       // deterministic projection (no data movement to build); candidate
-      // generation is an equi-join on the bucket. Approximate by design,
-      // so verified by a rows/recall spec rather than a SQL oracle.
+      // generation is an equi-join on the bucket. The plane coefficients
+      // are driver-side literals, so the oracle embeds the exact same
+      // values and both engines compute bit-identical buckets.
       val e = Tables.embeddings(s, dir)
         .withColumn("bucket", VectorOps.hyperplaneBucket(col("embedding"), 64, 8))
       val q = queryVecs(e.select(col("vec_id"), col("label"), col("embedding")))
@@ -79,7 +80,19 @@ object Similarity extends QueryGroup {
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
         .orderBy("qid", "rank")
     },
-    None)
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v, ${VectorOps.hyperplaneBucketSql("v", 64, 8)} AS bucket FROM e),
+      q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id % 97 = 0),
+      cand AS (
+        SELECT qid, qv, b.vec_id, b.v
+        FROM b JOIN q USING (bucket) WHERE b.vec_id <> qid)
+      SELECT qid, rank, vec_id, ROUND(c, 6) AS cosine
+      FROM (SELECT qid, vec_id, ${cos("v", "qv")} AS c,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${cos("v", "qv")} DESC, vec_id) AS rank
+            FROM cand)
+      WHERE rank <= 5
+      ORDER BY qid, rank"""))
 
   private val q3 = QueryDef(
     "v3_knn_ivf",
@@ -190,5 +203,55 @@ object Similarity extends QueryGroup {
              ROUND(AVG(COALESCE(dcg, 0.0) / (SELECT v FROM idcg)), 6) AS ndcg_at_10
       FROM per"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
+  private val q5 = QueryDef(
+    "e2_wilson_ci",
+    (s, dir) => {
+      // Wilson 95% interval on recall@1 — the reference publishes every
+      // headline metric with Wilson bounds (bench/RESULTS.md, README):
+      // (p + z²/2n ± z·sqrt(p(1-p)/n + z²/4n²)) / (1 + z²/n)
+      val e = Tables.embeddings(s, dir)
+      val scored = e.crossJoin(broadcast(queryVecs(e)))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", VectorOps.cosineFast(col("embedding"), col("qv")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val top1 = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .withColumn("hit", (col("label") === col("qlabel")).cast("double"))
+      val z = lit(1.96)
+      top1.agg(count(lit(1)).cast("double").as("n"), avg(col("hit")).as("p"))
+        .withColumn("denom", lit(1.0) + z * z / col("n"))
+        .withColumn("center", col("p") + z * z / (lit(2.0) * col("n")))
+        .withColumn("margin", z * sqrt(
+          col("p") * (lit(1.0) - col("p")) / col("n") +
+            z * z / (lit(4.0) * col("n") * col("n"))))
+        .select(
+          col("n").cast("long").as("n_queries"),
+          round(col("p"), 6).as("recall_at_1"),
+          round((col("center") - col("margin")) / col("denom"), 6).as("wilson_lo"),
+          round((col("center") + col("margin")) / col("denom"), 6).as("wilson_hi"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id % 97 = 0),
+      scored AS (
+        SELECT qid, qlabel, e.vec_id, e.label, ${cos("e.v", "qv")} AS c
+        FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+      top1 AS (
+        SELECT qid, CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END AS hit
+        FROM (SELECT qid, qlabel, label, c,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rank
+              FROM scored)
+        WHERE rank = 1),
+      agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(hit) AS p FROM top1)
+      SELECT CAST(n AS BIGINT) AS n_queries,
+             ROUND(p, 6) AS recall_at_1,
+             ROUND(((p + 1.96 * 1.96 / (2.0 * n))
+                    - 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n)))
+                   / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+             ROUND(((p + 1.96 * 1.96 / (2.0 * n))
+                    + 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n)))
+                   / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+      FROM agg"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
 }

@@ -24,7 +24,7 @@ class QueriesSpec extends SparkSpec {
     assert(os.size >= 40, s"expected >=40 oracle-checked queries, got ${os.size}")
     // rows-only (no-oracle) queries are the intentionally approximate /
     // non-SQL-expressible ones
-    assert((qs -- os) == Set("v2_knn_lsh", "m2_media_features"))
+    assert((qs -- os) == Set("m2_media_features"))
   }
 
   private def assertRankedDescending(name: String): Unit = {
