@@ -7,18 +7,20 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract); the
   * same line is also written to bench_out.json for offline reads.
   *
-  * Methodology: one untimed warmup pass at sf0.001 first. The reference's
-  * criterion benches (engine_bench.rs) warm up before sampling; in the
-  * JVM the analogue is JIT + whole-stage-codegen compilation, which is
-  * per-plan-shape one-time cost (~0.5-5 s/query) and irrelevant at 100 TB
-  * where each plan compiles once and runs for minutes. The warmup runs
-  * the same plans on the tiny SF so compiled code is hot; caches are
-  * cleared so the measured pass still pays real IO + shuffle. */
+  * Methodology: one untimed warmup pass over the same queries at the
+  * same SF first. The reference's criterion benches (engine_bench.rs)
+  * warm up on the same input before sampling; in the JVM the analogue is
+  * JIT + whole-stage-codegen compilation, a per-plan one-time cost
+  * (~0.5-5 s/query) that is irrelevant at 100 TB where each plan
+  * compiles once and runs for minutes. Warming at the measured SF (not a
+  * smaller one) matters because AQE picks different physical plans per
+  * data size, so the generated code differs. Caches are cleared after
+  * warmup, so the measured pass still pays real IO + shuffle. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

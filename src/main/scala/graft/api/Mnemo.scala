@@ -345,4 +345,109 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
       .select(explode(col("memory_refs")).as("ref_id"))
     table().join(broadcast(refs), col("id") === col("ref_id"), "left_semi")
   }
+
+  // ---- delegation (S13: delegate tool + check_permission chain,
+  //      storage/duckdb.rs:338-426,754-830) ----
+
+  private def delegPath = path + "_delegations"
+
+  private def delegExists: Boolean =
+    new java.io.File(delegPath).exists() && new java.io.File(delegPath).list() != null &&
+      new java.io.File(delegPath).list().nonEmpty
+
+  /** DELEGATE: `fromAgent` lets `toAgent` read what it can read, until
+    * `expiresAt`. */
+  def delegate(fromAgent: String, toAgent: String, grantedAt: Timestamp,
+      expiresAt: Timestamp): Unit = {
+    import spark.implicits._
+    Seq((fromAgent, toAgent, grantedAt, expiresAt))
+      .toDF("from_agent", "to_agent", "granted_at", "expires_at")
+      .write.mode(SaveMode.Append).parquet(delegPath)
+  }
+
+  def delegations(): DataFrame =
+    if (delegExists) spark.read.parquet(delegPath)
+    else {
+      import spark.implicits._
+      Seq.empty[(String, String, Timestamp, Timestamp)]
+        .toDF("from_agent", "to_agent", "granted_at", "expires_at")
+    }
+
+  /** Permission closure at time `now`: memory ids readable by `agentId`
+    * via owner → public scope → direct ACL → 1/2-hop unexpired
+    * delegation. Every leg is a broadcast of a tiny dimension against
+    * the streaming memories side — the 100 TB access-check shape. */
+  def accessibleIds(agentId: String, now: Timestamp): DataFrame = {
+    val live = delegations().filter(col("expires_at") > lit(now))
+      .select(col("from_agent"), col("to_agent"))
+    // principals whose reads this agent inherits (depth ≤ 2) + itself
+    val hop1 = live.filter(col("to_agent") === agentId).select(col("from_agent"))
+    val hop2 = live.join(hop1.withColumnRenamed("from_agent", "mid"),
+        col("to_agent") === col("mid"))
+      .select(col("from_agent"))
+    val principals = hop1.union(hop2)
+      .union(spark.createDataFrame(Seq(Tuple1(agentId))).toDF("from_agent"))
+      .distinct()
+      .withColumnRenamed("from_agent", "principal")
+    val grantLeg = acls()
+      .join(broadcast(principals), col("principal_id") === col("principal"), "left_semi")
+      .select(col("memory_id").as("id"))
+    val ownLeg = table()
+      .join(broadcast(principals), col("agent_id") === col("principal"), "left_semi")
+      .select(col("id"))
+    val publicLeg = table().filter(col("scope").isin("public", "global"))
+      .select(col("id"))
+    ownLeg.union(publicLeg).union(grantLeg).distinct()
+  }
+
+  // ---- attention-state KV blobs (§2.11 attention_state_put/get,
+  //      mnemo-attention-state/src/lib.rs:1-444) ----
+
+  private def attnPath = path + "_attention"
+
+  private def attnExists: Boolean =
+    new java.io.File(attnPath).exists() && new java.io.File(attnPath).list() != null &&
+      new java.io.File(attnPath).list().nonEmpty
+
+  /** PUT an opaque state blob under (agent, key) — append-only; GET
+    * resolves latest-per-key (W2), so history is retained. */
+  def attentionStatePut(agentId: String, key: String, blob: Array[Byte],
+      at: Timestamp): Unit = {
+    import spark.implicits._
+    Seq((agentId, key, blob, at))
+      .toDF("agent_id", "key", "blob", "updated_at")
+      .write.mode(SaveMode.Append).parquet(attnPath)
+  }
+
+  def attentionStateGet(agentId: String, key: String): Option[Array[Byte]] = {
+    if (!attnExists) return None
+    val w = Window.partitionBy(col("agent_id"), col("key"))
+      .orderBy(col("updated_at").desc)
+    spark.read.parquet(attnPath)
+      .filter(col("agent_id") === agentId && col("key") === key)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("blob"))
+      .collect()
+      .headOption.map(_.getAs[Array[Byte]](0))
+  }
+
+  // ---- Letta-compat façade (§2.11 mem_write / mem_read / mem_revise /
+  //      mem_forget): thin aliases over the native operations ----
+
+  def memWrite(r: RememberRequest): Unit = remember(Seq(r))
+
+  def memRead(agentId: String, query: String, limit: Int, now: Timestamp): DataFrame =
+    recall(RecallRequest(query = query, agentId = Some(agentId), limit = limit), now)
+
+  /** REVISE: tombstone the old record and write the replacement with a
+    * `supersedes:<id>` tag — the chain stays verifiable because nothing
+    * is rewritten in place. */
+  def memRevise(old: String, replacement: RememberRequest, at: Timestamp): Unit = {
+    forget(replacement.agentId, Seq(old), at)
+    remember(Seq(replacement.copy(tags = replacement.tags :+ s"supersedes:$old")))
+  }
+
+  def memForget(agentId: String, ids: Seq[String], at: Timestamp): Unit =
+    forget(agentId, ids, at)
 }

@@ -371,5 +371,50 @@ object Retrieval extends QueryGroup {
       ORDER BY rrf_score DESC, doc_id
       LIMIT 15"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
+  private val q9 = QueryDef(
+    "p9_envelope",
+    (s, dir) => {
+      // P9 — harness envelope rendering (retrieval.rs:436-918): the same
+      // top-k hit set shaped into per-harness context strings. Pure
+      // presentation: the cross join fans each hit over the harness
+      // table, one format expression per harness.
+      import graft.functions.TextOps
+      val hits = Tables.documents(s, dir)
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(5)
+        .select(col("doc_id"), TextOps.excerpt(col("text"), 30).as("ex"),
+          col("n_chars"))
+      val harness = Seq("claude_code", "codex", "generic")
+      val fanned = harness.map(h => hits.withColumn("harness", lit(h)))
+        .reduce(_ unionAll _)
+      fanned.withColumn("envelope",
+          when(col("harness") === "claude_code",
+            concat(lit("<memory id=\""), col("doc_id").cast("string"),
+              lit("\">"), col("ex"), lit("</memory>")))
+            .when(col("harness") === "codex",
+              concat(lit("## Memory "), col("doc_id").cast("string"),
+                lit("\n"), col("ex")))
+            .otherwise(concat(col("doc_id").cast("string"), lit(": "), col("ex"))))
+        .select("harness", "doc_id", "envelope")
+        .orderBy("harness", "doc_id")
+    },
+    Some("""
+      WITH hits AS (
+        SELECT doc_id,
+               CASE WHEN len((list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1]) <= 30
+                    THEN (list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1]
+                    ELSE substr((list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1], 1, 30) || '…' END AS ex
+        FROM documents
+        ORDER BY n_chars DESC, doc_id
+        LIMIT 5),
+      harness AS (SELECT unnest(['claude_code', 'codex', 'generic']) AS harness)
+      SELECT harness, doc_id,
+             CASE harness
+               WHEN 'claude_code' THEN '<memory id="' || doc_id || '">' || ex || '</memory>'
+               WHEN 'codex' THEN '## Memory ' || doc_id || chr(10) || ex
+               ELSE doc_id || ': ' || ex END AS envelope
+      FROM hits CROSS JOIN harness
+      ORDER BY harness, doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9)
 }

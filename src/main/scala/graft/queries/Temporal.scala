@@ -43,5 +43,51 @@ object Temporal extends QueryGroup {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
-  val all: Seq[QueryDef] = Seq(q1)
+  private val q2 = QueryDef(
+    "t6_reflection_cadence",
+    (s, dir) => {
+      // coordinated reflection cadence (T6, reflection.rs:56-137): run a
+      // pass only if ≥5 new records since the last ReflectionCompleted
+      // marker AND ≥24h have elapsed (never-reflected agents gate on
+      // volume alone). `signup` events stand in for the completion marker.
+      val NowMicros = 1706745600000000L // 2024-02-01T00:00:00Z
+      val e = Tables.events(s, dir).filter(col("user_id") < 30)
+      val last = e.groupBy("user_id")
+        .agg(max(when(col("event_type") === "signup", col("ts"))).as("last_reflect"))
+      val counts = e.join(last, "user_id")
+        .filter(col("last_reflect").isNull || col("ts") > col("last_reflect"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_new"))
+      last.join(counts, Seq("user_id"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("hours_since", round(
+          (lit(NowMicros) - col("last_reflect")).cast("double") / 3.6e9, 6))
+        .withColumn("should_run",
+          col("n_new") >= 5 &&
+            (col("last_reflect").isNull || col("hours_since") >= 24.0))
+        .select("user_id", "n_new", "hours_since", "should_run")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu
+                 FROM events WHERE user_id < 30),
+      last AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'signup' THEN tsu END) AS last_reflect
+        FROM e GROUP BY user_id),
+      counts AS (
+        SELECT e.user_id, COUNT(*) AS n_new
+        FROM e JOIN last USING (user_id)
+        WHERE last_reflect IS NULL OR tsu > last_reflect
+        GROUP BY e.user_id)
+      SELECT last.user_id,
+             COALESCE(n_new, 0) AS n_new,
+             ROUND(CAST(1706745600000000 - last_reflect AS DOUBLE) / 3.6e9, 6) AS hours_since,
+             COALESCE(n_new, 0) >= 5
+               AND (last_reflect IS NULL
+                    OR CAST(1706745600000000 - last_reflect AS DOUBLE) / 3.6e9 >= 24.0)
+               AS should_run
+      FROM last LEFT JOIN counts USING (user_id)
+      ORDER BY last.user_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2)
 }

@@ -173,6 +173,56 @@ class MnemoApiSpec extends SparkSpec {
     assert(v.filter(!col("chain_valid")).count() == 0)
   }
 
+  test("delegation chain extends the permission closure to depth 2 with expiry") {
+    val store = freshStore()
+    seed(store)
+    store.share(Seq("m1"), "carol", ts("2024-01-05 00:00:00"))
+    val now = ts("2024-02-01 00:00:00")
+    // dave inherits carol's grant via carol→dave; erin via carol→dave→erin
+    store.delegate("carol", "dave", ts("2024-01-06 00:00:00"), ts("2024-06-01 00:00:00"))
+    store.delegate("dave", "erin", ts("2024-01-07 00:00:00"), ts("2024-06-01 00:00:00"))
+    // expired delegation must NOT leak
+    store.delegate("carol", "mallory", ts("2024-01-06 00:00:00"), ts("2024-01-10 00:00:00"))
+    def ids(agent: String) =
+      store.accessibleIds(agent, now).collect().map(_.getString(0)).toSet
+    assert(ids("carol").contains("m1"))
+    assert(ids("dave").contains("m1"))
+    assert(ids("erin").contains("m1"))
+    assert(!ids("mallory").contains("m1"))
+    // everyone still sees public m5; nobody gains alice's other privates
+    assert(ids("mallory").contains("m5"))
+    assert(!ids("erin").contains("m3"))
+  }
+
+  test("attention-state KV: put/get resolves latest per (agent, key)") {
+    val store = freshStore()
+    store.attentionStatePut("alice", "focus", "v1".getBytes, ts("2024-01-01 10:00:00"))
+    store.attentionStatePut("alice", "focus", "v2".getBytes, ts("2024-01-02 10:00:00"))
+    store.attentionStatePut("alice", "other", "x".getBytes, ts("2024-01-03 10:00:00"))
+    assert(store.attentionStateGet("alice", "focus").map(new String(_)) == Some("v2"))
+    assert(store.attentionStateGet("alice", "other").map(new String(_)) == Some("x"))
+    assert(store.attentionStateGet("bob", "focus").isEmpty)
+  }
+
+  test("Letta-compat façade: mem_revise tombstones the old row and links the successor") {
+    val store = freshStore()
+    store.memWrite(RememberRequest("n1", "alice", "t1", "original fact",
+      createdAt = ts("2024-01-01 10:00:00")))
+    store.memRevise("n1",
+      RememberRequest("n2", "alice", "t1", "revised fact",
+        createdAt = ts("2024-01-05 10:00:00")),
+      ts("2024-01-05 09:00:00"))
+    val vis = store.memRead("alice", "", 10, ts("2024-02-01 00:00:00"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(vis == Set("n2"))
+    val tags = store.table().filter(col("id") === "n2")
+      .select(explode(col("tags"))).collect().map(_.getString(0)).toSet
+    assert(tags.contains("supersedes:n1"))
+    // the tombstoned original survives for audit and the chain verifies
+    assert(store.table().filter(col("id") === "n1" && col("deleted_at").isNotNull).count() == 1)
+    assert(store.verifyChains().filter(!col("chain_valid")).count() == 0)
+  }
+
   test("touch bumps access_count for the recalled batch only") {
     val store = freshStore()
     seed(store)
