@@ -133,14 +133,17 @@ object GraphOps extends QueryGroup {
           .join(labels.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(min(col("component")).as("ncomp"))
+        // carry the did-anything-improve flag through the relabel, so
+        // convergence detection is a filter-count on the checkpointed
+        // result rather than an extra join against the old labels
         val next = labels.join(viaNeighbors, Seq("node"), "left")
           .select(col("node"),
             least(col("component"), coalesce(col("ncomp"), col("component")))
-              .as("component"))
+              .as("component"),
+            (coalesce(col("ncomp"), col("component")) < col("component")).as("chg"))
           .coalesce(4).localCheckpoint() // truncate lineage each round
-        changed = next.join(labels.withColumnRenamed("component", "old"), "node")
-          .filter(col("component") < col("old")).count()
-        labels = next
+        changed = next.filter(col("chg")).count()
+        labels = next.drop("chg")
         iter += 1
       }
       labels.groupBy("component")

@@ -69,6 +69,7 @@ object Trust extends QueryGroup {
       // naturally (their Jaccard 0 can't reach the threshold).
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokenSet(col("text")).as("sig"))
+        .cache() // tokenized once, read by both the query and plan sides
       val queries = d.filter(col("doc_id") % 101 === 0)
         .select(col("doc_id").as("query_id"), col("sig").as("qsig"),
           size(col("sig")).as("nq"))
