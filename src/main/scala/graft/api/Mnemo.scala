@@ -69,6 +69,19 @@ object Mnemo {
       limit: Int = 10)
 
   def open(spark: SparkSession, path: String): MnemoStore = new MnemoStore(spark, path)
+
+  /** Checkpoint-merge modes (merge.rs:58-182). */
+  sealed trait MergeMode
+  case object FullMerge extends MergeMode
+  case object Squash extends MergeMode
+  final case class CherryPick(chosen: Seq[String]) extends MergeMode
+
+  /** First-writer-wins merge of state snapshots (merge.rs:118-133):
+    * the target's entries take precedence, the source only fills keys
+    * the target lacks. */
+  def mergeStates(target: Map[String, String],
+      source: Map[String, String]): Map[String, String] =
+    source ++ target
 }
 
 /** A parquet-backed memory store with the reference's operation set. */
@@ -331,10 +344,22 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
 
   /** MERGE two checkpoints: FullMerge = union-distinct of ref arrays
     * (merge.rs:87-114). Returns the merged ref array. */
-  def mergeCheckpoints(nameA: String, nameB: String): Seq[String] = {
+  def mergeCheckpoints(nameA: String, nameB: String): Seq[String] =
+    mergeCheckpoints(nameA, nameB, Mnemo.FullMerge)
+
+  /** MERGE with the reference's three modes (merge.rs:87-114):
+    * FullMerge and Squash both produce target ∪ source (Squash only
+    * collapses history, which the batch model has no separate notion
+    * of); CherryPick keeps target ∪ (source ∩ chosen). */
+  def mergeCheckpoints(nameA: String, nameB: String,
+      mode: Mnemo.MergeMode): Seq[String] = {
     val c = checkpoints()
     val a = c.filter(col("name") === nameA).select(explode(col("memory_refs")).as("r"))
-    val b = c.filter(col("name") === nameB).select(explode(col("memory_refs")).as("r"))
+    val bAll = c.filter(col("name") === nameB).select(explode(col("memory_refs")).as("r"))
+    val b = mode match {
+      case Mnemo.CherryPick(chosen) => bAll.filter(col("r").isin(chosen.map(lit): _*))
+      case _ => bAll
+    }
     a.union(b).distinct().orderBy("r").collect().map(_.getString(0)).toSeq
   }
 

@@ -133,6 +133,20 @@ class MnemoApiSpec extends SparkSpec {
     assert(!after.contains("m3")) // ungranted private rows stay hidden
   }
 
+  test("merge modes: CherryPick keeps target plus chosen source refs; state merge is first-writer-wins") {
+    val store = freshStore()
+    seed(store)
+    store.checkpoint("ckA", "alice", ts("2024-01-02 11:00:00")) // m1, m2
+    store.checkpoint("ckB", "alice", ts("2024-01-04 00:00:00")) // m1..m3
+    assert(store.mergeCheckpoints("ckA", "ckB", Mnemo.Squash) == Seq("m1", "m2", "m3"))
+    assert(store.mergeCheckpoints("ckA", "ckB", Mnemo.CherryPick(Seq("m3")))
+      == Seq("m1", "m2", "m3"))
+    assert(store.mergeCheckpoints("ckA", "ckB", Mnemo.CherryPick(Nil))
+      == Seq("m1", "m2"))
+    assert(Mnemo.mergeStates(Map("k" -> "target", "t" -> "1"), Map("k" -> "source", "s" -> "2"))
+      == Map("k" -> "target", "t" -> "1", "s" -> "2"))
+  }
+
   test("checkpoint, merge and replay reconstruct agent state") {
     val store = freshStore()
     seed(store)

@@ -114,4 +114,20 @@ class PropertiesSpec extends SparkSpec {
       assert(1.0 / (k + r) > 1.0 / (k + r + 1))
     }
   }
+
+  test("hyperplane LSH bucket is invariant under positive scaling (cosine geometry)") {
+    import graft.functions.VectorOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "v")
+      .withColumn("v4", transform(col("v"), x => (x * 4.0f)))
+      .withColumn("b", VectorOps.hyperplaneBucket(col("v"), 64, 8))
+      .withColumn("b4", VectorOps.hyperplaneBucket(col("v4"), 64, 8))
+    // sign(dot(αv, h)) == sign(dot(v, h)) for α > 0: same bucket
+    assert(df.filter(col("b") =!= col("b4")).count() == 0)
+    // buckets spread: not everything collapses into one bucket
+    assert(df.select("b").distinct().count() > 1)
+  }
 }
