@@ -253,5 +253,126 @@ object Similarity extends QueryGroup {
                    / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
       FROM agg"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
+  private val q6 = QueryDef(
+    "e3_token_efficiency",
+    (s, dir) => {
+      // token efficiency of top-5 retrieval vs full history — the
+      // reference's headline context-compression metric
+      // (bench/RESULTS.md:18-24: ~89% fewer tokens, est ceil(chars/4))
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), ceil(length(col("text")) / 4.0).cast("long").as("est_tokens"))
+        .join(e, col("doc_id") === col("vec_id"))
+      val q = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
+      val top5 = d.crossJoin(broadcast(q))
+        .filter(col("doc_id") =!= col("qid"))
+        .withColumn("cos", VectorOps.cosineFast(col("embedding"), col("qv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .groupBy("qid").agg(sum(col("est_tokens")).as("top5_tokens"))
+      val full = d.agg(sum(col("est_tokens")).as("full_tokens"))
+      top5.crossJoin(broadcast(full))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          round(avg(col("top5_tokens").cast("double")), 6).as("avg_top5_tokens"),
+          max(col("full_tokens")).as("full_tokens"),
+          round(lit(1.0) - avg(col("top5_tokens").cast("double")) /
+            max(col("full_tokens")).cast("double"), 6).as("savings_pct"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      d AS (
+        SELECT doc_id, CAST(CEIL(len(text) / 4.0) AS BIGINT) AS est_tokens, v
+        FROM documents JOIN e ON doc_id = vec_id),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
+      top5 AS (
+        SELECT qid, CAST(SUM(est_tokens) AS BIGINT) AS top5_tokens
+        FROM (SELECT qid, est_tokens,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY ${cos("d.v", "qv")} DESC, doc_id) AS rank
+              FROM d CROSS JOIN q WHERE doc_id <> qid)
+        WHERE rank <= 5
+        GROUP BY qid),
+      fullhist AS (SELECT CAST(SUM(est_tokens) AS BIGINT) AS full_tokens FROM d)
+      SELECT COUNT(*) AS n_queries,
+             ROUND(AVG(CAST(top5_tokens AS DOUBLE)), 6) AS avg_top5_tokens,
+             MAX(full_tokens) AS full_tokens,
+             ROUND(1.0 - AVG(CAST(top5_tokens AS DOUBLE))
+                   / CAST(MAX(full_tokens) AS DOUBLE), 6) AS savings_pct
+      FROM top5 CROSS JOIN fullhist"""))
+
+  private val q7 = QueryDef(
+    "v4_pq_knn",
+    (s, dir) => {
+      // product-quantization k-NN (the memory-compression scale path): 64
+      // dims split into 4 subspaces of 16; each subvector is coded as its
+      // nearest sub-centroid; query distance is ADC — the sum of
+      // query-to-centroid subdistances looked up by code. Encoding is a
+      // broadcast-centroid scan; ADC is an equi-join on (subspace, code).
+      // Ranking uses the 6-dp-rounded distance in BOTH engines so the
+      // order is identical across float implementations.
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val subs = e.select(col("vec_id"),
+        posexplode(array((0 until 4).map(m =>
+          slice(col("embedding"), m * 16 + 1, 16)): _*)).as(Seq("m", "sv")))
+      val cent = subs.filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("cid"), col("m"), col("sv").as("scv"))
+      val wAssign = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("sdist"), col("cid"))
+      val codes = subs.join(broadcast(cent), Seq("m"))
+        .withColumn("sdist", round(VectorOps.squaredL2Distance(col("sv"), col("scv")), 6))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cid").as("code"))
+      val qsubs = subs.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+      val adcTable = qsubs.join(broadcast(cent), Seq("m"))
+        .withColumn("qdist", VectorOps.squaredL2Distance(col("qsv"), col("scv")))
+        .select(col("qid"), col("m"), col("cid").as("code"), col("qdist"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+      codes.join(broadcast(adcTable), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(round(sum(col("qdist")), 6).as("adist"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+        .orderBy("qid", "rank")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      subs AS (
+        SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS sv
+        FROM e, (SELECT unnest(generate_series(0, 3)) AS m)),
+      cent AS (
+        SELECT vec_id AS cid, m, sv AS scv FROM subs WHERE vec_id % 250 = 0),
+      codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT s.vec_id, s.m, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ROUND(list_sum(list_transform(
+                     list_zip(s.sv, c.scv), p -> (p[1] - p[2]) * (p[1] - p[2]))), 6), c.cid) AS rn
+          FROM subs s JOIN cent c ON s.m = c.m)
+        WHERE rn = 1),
+      adc AS (
+        SELECT s.vec_id AS qid, s.m, c.cid AS code,
+               list_sum(list_transform(
+                 list_zip(s.sv, c.scv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qdist
+        FROM subs s JOIN cent c ON s.m = c.m
+        WHERE s.vec_id % 97 = 0),
+      dists AS (
+        SELECT a.qid, codes.vec_id, ROUND(SUM(a.qdist), 6) AS adist
+        FROM codes JOIN adc a ON codes.m = a.m AND codes.code = a.code
+        WHERE codes.vec_id <> a.qid
+        GROUP BY a.qid, codes.vec_id)
+      SELECT qid, rank, vec_id, adist
+      FROM (SELECT qid, vec_id, adist,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+            FROM dists)
+      WHERE rank <= 5
+      ORDER BY qid, rank"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
 }
