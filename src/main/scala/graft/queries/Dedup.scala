@@ -277,5 +277,85 @@ object Dedup extends QueryGroup {
       FROM pairs JOIN degree da ON pairs.a = da.m JOIN degree db ON pairs.b = db.m
       ORDER BY label, a, b"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
+  private val q7 = QueryDef(
+    "d6_dedup_groups",
+    (s, dir) => {
+      // end-to-end dedup pass: blocked-Jaccard candidate pairs (the d2
+      // shape) -> connected components over the pair graph -> one
+      // canonical survivor (min doc_id) per group with its group size.
+      // At 100 TB the pair graph is orders of magnitude smaller than the
+      // corpus (only near-dups appear), so the CC loop runs on a tiny
+      // edge list; each iteration is one join + one aggregate.
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
+        .withColumn("bk",
+          concat_ws("", slice(array_sort(transform(col("sh"), x => md5(x))), 1, 2)))
+        .cache()
+      val ids = base.select(col("doc_id"), col("bk"))
+      val cand = ids.select(col("doc_id").as("a"), col("bk"))
+        .join(ids.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+      val sets = base.select(col("doc_id"), col("sh"))
+      val pairs = cand
+        .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+        .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.4)
+        .select("a", "b")
+      // undirected edge list + min-label propagation to fixpoint
+      val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+        .coalesce(4).cache()
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("component", col("node"))
+        .coalesce(4).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 30) {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("node", "a"), "a")
+          .groupBy(col("b").as("node"))
+          .agg(min(col("component")).as("ncomp"))
+        val next = labels.join(viaNeighbors, Seq("node"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("ncomp"), col("component")))
+              .as("component"),
+            (coalesce(col("ncomp"), col("component")) < col("component")).as("chg"))
+          .coalesce(4).localCheckpoint()
+        changed = next.filter(col("chg")).count()
+        labels = next.drop("chg")
+        iter += 1
+      }
+      val sizes = labels.groupBy("component").agg(count(lit(1)).as("group_size"))
+      labels.join(sizes, "component")
+        .select(col("node").as("doc_id"), col("component").as("canonical_id"),
+          col("group_size"), (col("node") === col("component")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $toksSql,
+      $shinglesSql,
+      blocked AS (
+        SELECT doc_id, sh,
+               array_to_string(list_slice(list_sort(list_transform(sh, x -> md5(x))), 1, 2), '') AS bk
+        FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM blocked a JOIN blocked b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4),
+      edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      reach AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),
+      comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+      SELECT node AS doc_id, component AS canonical_id,
+             COUNT(*) OVER (PARTITION BY component) AS group_size,
+             node = component AS is_canonical
+      FROM comp
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
 }

@@ -307,5 +307,75 @@ object Governance extends QueryGroup {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
+  /** S22 — markdown/git working-set sync (crates/mnemo-md-sync/src/lib.rs,
+    * parser.rs): parse each document into fixed blocks, hash per block,
+    * roll up a content hash, and three-way diff the remote snapshot
+    * against the previous local working set (simulated deterministically:
+    * every 97th doc is new, every 5th was edited). The parse+hash is a
+    * narrow per-row projection; the diff is one equi-join on doc id. */
+  private val q7 = QueryDef(
+    "s22_workingset_diff",
+    (s, dir) => {
+      import graft.functions.TextOps
+      def blocksOf(toks: org.apache.spark.sql.Column) = {
+        val nblk = floor((size(toks) + 19) / 20).cast("int")
+        when(size(toks) > 0,
+          transform(sequence(lit(0), nblk - 1), i =>
+            md5(concat_ws(" ", slice(toks, i * 20 + 1, lit(20))))))
+          .otherwise(array().cast("array<string>"))
+      }
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val remote = d
+        .withColumn("blocks", blocksOf(col("toks")))
+        .select(col("doc_id"), size(col("blocks")).cast("long").as("n_blocks"),
+          md5(concat_ws(",", col("blocks"))).as("rh"))
+      val local = d.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("ltoks",
+          when(col("doc_id") % 5 === 0, slice(col("toks"), lit(2), size(col("toks"))))
+            .otherwise(col("toks")))
+        .withColumn("blocks", blocksOf(col("ltoks")))
+        .select(col("doc_id"), md5(concat_ws(",", col("blocks"))).as("lh"))
+      remote.join(local, Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("lh").isNull, "new")
+            .when(col("rh") =!= col("lh"), "changed")
+            .otherwise("unchanged"))
+        .select("doc_id", "n_blocks", "status")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      remote AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) > 0
+                 THEN list_transform(generate_series(0, CAST(CEIL(len(toks) / 20.0) AS BIGINT) - 1),
+                        i -> md5(array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20), ' ')))
+                 ELSE []::VARCHAR[] END AS blocks
+        FROM t),
+      r AS (SELECT doc_id, len(blocks) AS n_blocks,
+                   md5(array_to_string(blocks, ',')) AS rh FROM remote),
+      lt AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN list_slice(toks, 2, len(toks)) ELSE toks END AS toks
+        FROM t WHERE doc_id % 97 <> 0),
+      localb AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) > 0
+                 THEN list_transform(generate_series(0, CAST(CEIL(len(toks) / 20.0) AS BIGINT) - 1),
+                        i -> md5(array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20), ' ')))
+                 ELSE []::VARCHAR[] END AS blocks
+        FROM lt),
+      l AS (SELECT doc_id, md5(array_to_string(blocks, ',')) AS lh FROM localb)
+      SELECT r.doc_id, n_blocks,
+             CASE WHEN lh IS NULL THEN 'new'
+                  WHEN rh <> lh THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM r LEFT JOIN l ON r.doc_id = l.doc_id
+      ORDER BY r.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
 }

@@ -150,5 +150,54 @@ object TextAnalysis extends QueryGroup {
       GROUP BY source
       ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3)
+  private val q4 = QueryDef(
+    "t4_winnow_fingerprint",
+    (s, dir) => {
+      // document fingerprinting by winnowing (Schleimer et al., SIGMOD'03):
+      // k-gram hashes -> min per sliding window of w -> distinct set.
+      // The hash domain is md5 hex (lexicographic min), the same
+      // cross-engine-stable discipline as the MinHash sketch. One narrow
+      // projection per doc, no shuffle at all — the 100 TB shape.
+      val k = 4; val w = 4
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextOps.shingles(col("toks"), k).as("sh"))
+        .withColumn("hs", transform(col("sh"), x => md5(x)))
+      val windowMins =
+        when(size(col("hs")) >= w,
+          transform(sequence(lit(0), size(col("hs")) - w), i =>
+            array_min(array((0 until w).map(j => element_at(col("hs"), i + j + 1)): _*))))
+          .otherwise(array(array_min(col("hs"))))
+      d.withColumn("fps", array_sort(array_distinct(windowMins)))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
+          md5(concat_ws(",", col("fps"))).as("digest"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 4
+                 THEN list_transform(generate_series(0, len(toks) - 4),
+                        i -> array_to_string(list_slice(toks, i + 1, i + 4), ' '))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM t),
+      hs AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM sh),
+      fp AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                 CASE WHEN len(hs) >= 4
+                   THEN list_transform(generate_series(0, len(hs) - 4),
+                          i -> list_min(list_slice(hs, i + 1, i + 4)))
+                   ELSE [list_min(hs)] END)) AS fps
+        FROM hs)
+      SELECT doc_id, len(fps) AS n_fingerprints,
+             md5(array_to_string(fps, ',')) AS digest
+      FROM fp
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
 }
