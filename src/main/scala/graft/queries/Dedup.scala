@@ -136,7 +136,9 @@ object Dedup extends QueryGroup {
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
-        .withColumn("sig", MinHash.signature(col("sh"), nHashes))
+        // digests bound to an attribute first — see MinHash.shingleDigests
+        .withColumn("dg", MinHash.shingleDigests(col("sh")))
+        .withColumn("sig", MinHash.signature(col("dg"), nHashes))
         .withColumn("bands", MinHash.bandKeys(col("sig"), nHashes, rowsPerBand))
         .cache()
       val exploded = base.select(col("doc_id"), explode(col("bands")).as("bk"))
@@ -156,11 +158,12 @@ object Dedup extends QueryGroup {
     Some(s"""
       WITH $toksSql,
       $shinglesSql,
+      dg AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS dg FROM sh),
       sigs AS (
         SELECT doc_id, sh,
                list_transform(generate_series(0, 7),
-                 i -> (list_sort(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || s))))[1]) AS sig
-        FROM sh),
+                 i -> list_min(list_transform(dg, d -> substr(d || d, 2 * i + 1, 16)))) AS sig
+        FROM dg),
       bands AS (
         SELECT doc_id, sh,
                unnest(list_transform(generate_series(0, 3),
@@ -317,12 +320,13 @@ object Dedup extends QueryGroup {
           .join(labels.withColumnRenamed("node", "a"), "a")
           .groupBy(col("b").as("node"))
           .agg(min(col("component")).as("ncomp"))
+        // lazy checkpoint: the convergence-count action materializes it
         val next = labels.join(viaNeighbors, Seq("node"), "left")
           .select(col("node"),
             least(col("component"), coalesce(col("ncomp"), col("component")))
               .as("component"),
             (coalesce(col("ncomp"), col("component")) < col("component")).as("chg"))
-          .coalesce(4).localCheckpoint()
+          .coalesce(4).localCheckpoint(false)
         changed = next.filter(col("chg")).count()
         labels = next.drop("chg")
         iter += 1

@@ -136,12 +136,15 @@ object GraphOps extends QueryGroup {
         // carry the did-anything-improve flag through the relabel, so
         // convergence detection is a filter-count on the checkpointed
         // result rather than an extra join against the old labels
+        // lazy checkpoint + one aggregate action: the convergence count
+        // itself materializes the checkpointed RDD, so each round costs a
+        // single job instead of eager-materialize + count
         val next = labels.join(viaNeighbors, Seq("node"), "left")
           .select(col("node"),
             least(col("component"), coalesce(col("ncomp"), col("component")))
               .as("component"),
             (coalesce(col("ncomp"), col("component")) < col("component")).as("chg"))
-          .coalesce(4).localCheckpoint() // truncate lineage each round
+          .coalesce(4).localCheckpoint(false) // truncate lineage each round
         changed = next.filter(col("chg")).count()
         labels = next.drop("chg")
         iter += 1
