@@ -15,7 +15,7 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     Relational, TextAnalysis, Dedup, Similarity, Retrieval, GraphOps, Lifecycle,
-    Multimodal, Scoring, Temporal, EventWindows, Trust, Governance)
+    Multimodal, Scoring, Temporal, EventWindows, Trust, Governance, Pipeline)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the hybrid RRF fusion — the reference's signature operation. */
