@@ -292,6 +292,60 @@ object Relational extends QueryGroup {
       WHERE rank <= 3
       ORDER BY o_custkey, rank"""))
 
+  private val q12 = QueryDef(
+    "j9_asof_event",
+    (s, dir) => {
+      // per-row as-of join (the multi-probe generalization of J6): each
+      // purchase event is matched to the user's latest view event at or
+      // before its timestamp. Implemented as the union+window merge —
+      // tag both streams, sort within user, carry the last build row
+      // forward — which is ONE shuffle on the user key and a linear
+      // window pass; the naive formulation is an O(n·m) theta join that
+      // Spark can only execute as a nested loop. Builds sort before
+      // probes at equal ts (kind 0 < 1), so "at or before" is exact.
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          lit(0).as("kind"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          lit(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionAll(purchases)
+        .withColumn("bld",
+          last(when(col("kind") === 0,
+            struct(col("event_id"), col("value"))), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("bld.event_id"), lit(-1L)).as("view_id"),
+          round(coalesce(col("bld.value"), lit(0.0)), 6).as("view_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu FROM events),
+      tagged AS (
+        SELECT user_id, tsu, event_id, value, 0 AS kind FROM e WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, tsu, event_id, value, 1 AS kind FROM e WHERE event_type = 'purchase'),
+      m AS (
+        SELECT *,
+          last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY tsu, kind, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+          last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY tsu, kind, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
+        FROM tagged)
+      SELECT event_id, user_id,
+             COALESCE(view_id, -1) AS view_id,
+             ROUND(COALESCE(view_value, 0.0), 6) AS view_value
+      FROM m WHERE kind = 1
+      ORDER BY event_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12)
 }
