@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards: the scale properties this library
+  * promises (filter pushdown to the scan, broadcast of genuinely small
+  * sides, top-k without a global sort, no accidental nested-loop joins)
+  * are asserted here so a refactor cannot silently trade them away.
+  * These inspect the pre-execution plan; AQE may improve it further at
+  * runtime but never reintroduces the asserted-away shapes.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, Sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("s6_filter_topk: filters reach the parquet scan; top-k avoids a global sort") {
+    val p = plan("s6_filter_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("PushedFilters: [IsNotNull"), "filters must push to the scan")
+    assert(!p.contains("PushedFilters: []"), "scan lost its pushed filters")
+  }
+
+  test("j2_broadcast_join_agg: every dimension side is broadcast, never sort-merged") {
+    val p = plan("j2_broadcast_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dimension join regressed to sort-merge")
+  }
+
+  test("j9_asof_event: the as-of merge stays a window pass, no nested loop") {
+    val p = plan("j9_asof_event")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "as-of join must not be a theta/nested-loop join")
+    assert(p.contains("Window"), "expected the union+window merge")
+  }
+
+  test("pl1_quality_gate: the 5-row median side broadcasts onto the stream") {
+    val p = plan("pl1_quality_gate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("column pruning: narrow projections read narrow schemas") {
+    // s6 projects 6 of orders' 9 columns; the scan schema must shrink
+    val p = plan("s6_filter_topk")
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(read.nonEmpty && !read.contains("o_comment"),
+      s"scan reads unprojected columns: $read")
+  }
+
+  test("dedup/lsh candidate generation never cross-joins the corpus") {
+    Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d6_dedup_groups").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n: blocked pair generation regressed to a cross join")
+    }
+  }
+}
