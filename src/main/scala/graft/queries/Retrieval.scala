@@ -416,5 +416,70 @@ object Retrieval extends QueryGroup {
       FROM hits CROSS JOIN harness
       ORDER BY harness, doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9)
+  private val q10 = QueryDef(
+    "r10_recall_explain",
+    (s, dir) => {
+      // R6's optional ScoreBreakdown (query/recall.rs:576-732 "explain"):
+      // the same 3-lane weighted RRF as r6_hybrid_rrf, but per-lane rank
+      // and contribution survive the fusion group-by as pivoted columns,
+      // so every hit explains WHY it ranked. Same single small shuffle:
+      // each lane is top-50 before the union, the pivot sees <=150 rows.
+      val d = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+      def lane(df: DataFrame, name: String,
+               orderKey: Seq[org.apache.spark.sql.Column], w: Double): DataFrame =
+        df.orderBy(orderKey: _*).limit(50)
+          .withColumn("rank", row_number().over(Window.orderBy(orderKey: _*)))
+          .select(col("doc_id"), lit(name).as("lane"), col("rank"),
+            (lit(w) / (col("rank") + 60)).as("contrib"))
+      val lex = lane(bm25Scores(s, dir), "lex", Seq(col("bm25").desc, col("doc_id")), 0.5)
+      val sem = lane(
+        d.join(e, col("doc_id") === col("vec_id"))
+          .crossJoin(broadcast(qv))
+          .withColumn("cos", round(VectorOps.cosineFast(col("embedding"), col("qv")), 6)),
+        "sem", Seq(col("cos").desc, col("doc_id")), 0.3)
+      val imp = lane(d, "imp", Seq(col("n_chars").desc, col("doc_id")), 0.2)
+      def rankOf(l: String) =
+        coalesce(max(when(col("lane") === l, col("rank"))), lit(0)).as(s"${l}_rank")
+      lex.unionAll(sem).unionAll(imp)
+        .groupBy("doc_id")
+        .agg(round(sum(col("contrib")), 6).as("rrf_score"),
+          rankOf("lex"), rankOf("sem"), rankOf("imp"),
+          count(lit(1)).as("n_lanes"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $toksSql,
+      $bm25Sql,
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+      lex AS (
+        SELECT doc_id, 'lex' AS lane, rank, 0.5 / (rank + 60) AS contrib
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm)
+        WHERE rank <= 50),
+      sem AS (
+        SELECT doc_id, 'sem' AS lane, rank, 0.3 / (rank + 60) AS contrib
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS rank
+              FROM (SELECT d.doc_id,
+                           ROUND(list_dot_product(v, qv)
+                               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS c
+                    FROM documents d JOIN e ON d.doc_id = e.vec_id CROSS JOIN q))
+        WHERE rank <= 50),
+      imp AS (
+        SELECT doc_id, 'imp' AS lane, rank, 0.2 / (rank + 60) AS contrib
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank FROM documents)
+        WHERE rank <= 50),
+      lanes AS (SELECT * FROM lex UNION ALL SELECT * FROM sem UNION ALL SELECT * FROM imp)
+      SELECT doc_id, ROUND(SUM(contrib), 6) AS rrf_score,
+             CAST(COALESCE(MAX(CASE WHEN lane = 'lex' THEN rank END), 0) AS INTEGER) AS lex_rank,
+             CAST(COALESCE(MAX(CASE WHEN lane = 'sem' THEN rank END), 0) AS INTEGER) AS sem_rank,
+             CAST(COALESCE(MAX(CASE WHEN lane = 'imp' THEN rank END), 0) AS INTEGER) AS imp_rank,
+             COUNT(*) AS n_lanes
+      FROM lanes GROUP BY doc_id
+      ORDER BY rrf_score DESC, doc_id
+      LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10)
 }
