@@ -342,6 +342,20 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     if (ckptExists) spark.read.parquet(ckptPath)
     else spark.emptyDataFrame
 
+  /** BRANCH: fork a new named ref from an existing checkpoint
+    * (branch.rs:48-117) — the branch starts with the source's exact
+    * memory_refs under a new (name, agent) and diverges via ordinary
+    * remember/forget; mergeCheckpoints reunites it later. */
+  def branch(newName: String, fromCheckpoint: String, asAgent: String,
+      at: Timestamp): Unit = {
+    val src = checkpoints().filter(col("name") === fromCheckpoint)
+      .select(col("memory_refs"))
+      .withColumn("name", lit(newName))
+      .withColumn("agent_id", lit(asAgent))
+      .withColumn("created_at", lit(at))
+    src.write.mode(SaveMode.Append).parquet(ckptPath)
+  }
+
   /** MERGE two checkpoints: FullMerge = union-distinct of ref arrays
     * (merge.rs:87-114). Returns the merged ref array. */
   def mergeCheckpoints(nameA: String, nameB: String): Seq[String] =

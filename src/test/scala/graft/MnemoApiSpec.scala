@@ -161,6 +161,19 @@ class MnemoApiSpec extends SparkSpec {
     assert(v.filter(!org.apache.spark.sql.functions.col("chain_valid")).count() == 0)
   }
 
+  test("branch forks a checkpoint under a new name and merges back a superset") {
+    val store = freshStore()
+    seed(store)
+    store.checkpoint("main1", "alice", ts("2024-01-02 11:00:00")) // m1, m2
+    store.branch("feature", "main1", "alice-fork", ts("2024-01-02 12:00:00"))
+    // the branch starts from the source's exact refs
+    val br = store.replay("feature").select("id").collect().map(_.getString(0)).toSet
+    assert(br == Set("m1", "m2"))
+    // later mainline checkpoint diverges; merging branch+main reunites
+    store.checkpoint("main2", "alice", ts("2024-01-04 00:00:00")) // m1..m3
+    assert(store.mergeCheckpoints("feature", "main2") == Seq("m1", "m2", "m3"))
+  }
+
   test("forget_subject redacts content and tombstones but chains still verify (GDPR Redact)") {
     val store = freshStore()
     store.remember(Seq(
