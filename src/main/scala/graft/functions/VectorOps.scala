@@ -83,21 +83,15 @@ object VectorOps {
   }
 
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
-    val bits: Seq[Column] = (0 until nPlanes).map { p =>
-      // plane as an array literal + one zip_with/aggregate loop: a small
-      // expression tree that stays inside whole-stage codegen (the naive
-      // 64-term sum per plane blows past the generated-method size limit
-      // and falls back to interpreted eval). Accumulation is the same
-      // left-to-right order as the SQL chain; the leading 0.0 seed can
-      // only normalize a -0.0 first term, which cannot change any
-      // downstream sum or the sign test.
-      val plane = array((0 until dim).map(i => lit(planeCoef(p, i, seed))): _*)
-      val dot = aggregate(
-        zip_with(vec, plane, (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, t) => acc + t)
-      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _).as("bucket")
+    // native codegen'd loop (graft.plans.HyperplaneBucketExpr): the
+    // coefficient table rides along as ONE object reference instead of
+    // nPlanes×dim literal nodes, so plan compile time stays milliseconds
+    // and the loop stays inside whole-stage codegen. Accumulation is the
+    // same left-to-right double order as the SQL chain, so bucket ids are
+    // bit-identical to hyperplaneBucketSql.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.HyperplaneBucketExpr(
+      ColumnBridge.expression(vec), dim, nPlanes, seed)).as("bucket")
   }
 
   /** ANSI-SQL rendering of [[hyperplaneBucket]] over a DOUBLE[] column

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{MinHash, TextOps, VectorOps}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,10 +18,12 @@ import org.apache.spark.sql.functions._
   *             instead of O(N²) global;
   *  - SimHash: constant-size sketch, near-dup = sketch equality —
   *             again a plain groupBy;
-  *  - embedding cosine: pair generation blocked on `label` (stand-in
-  *             for an ANN/LSH partition), exact cosine verify inside.
+  *  - embedding cosine: pair generation blocked on banded hyperplane-LSH
+  *             buckets (L independent tables of 2^b sign buckets; b and L
+  *             are the recall/cost knobs, b scaling with log N), exact
+  *             cosine verify inside each bucket.
   *
-  * At 100 TB only the band-key equi-joins shuffle, and their key
+  * At 100 TB only the band/bucket-key equi-joins shuffle, and their key
   * cardinality is a design knob. Capability parity: semantic dedup pass
   * of the reference (crates/mnemo-core/src/query/reflection.rs:384-470).
   */
@@ -209,29 +212,68 @@ object Dedup extends QueryGroup {
       ORDER BY doc_id
       LIMIT 300"""))
 
+  // Banded hyperplane-LSH blocking for embedding near-dup work:
+  // LshTables independent hash tables (seeds LshSeed..+L-1), each
+  // hashing a vector to one of 2^LshPlanes sign buckets. Candidate
+  // pairs = same (table, bucket); recall is tuned by L, bucket
+  // occupancy by planes (scale planes ~ log2 N to keep buckets O(1)).
+  // Pair generation carries ONLY ids — vectors are joined back for the
+  // exact cosine verify afterwards, so the blocking shuffle moves
+  // (id, tbl, bkt) triples, never embeddings.
+  private val LshTables = 4
+  private val LshPlanes = 8
+  private val LshSeed = 42L
+
+  private def lshCandidatePairs(e: DataFrame): DataFrame = {
+    val keys = e.select(col("vec_id"),
+      posexplode(array((0 until LshTables).map(t =>
+        VectorOps.hyperplaneBucket(col("embedding"), 64, LshPlanes, LshSeed + t)): _*))
+        .as(Seq("tbl", "bkt")))
+    keys.select(col("vec_id").as("a"), col("tbl"), col("bkt"))
+      .join(keys.select(col("vec_id").as("b"), col("tbl"), col("bkt")), Seq("tbl", "bkt"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  // DuckDB mirror: identical plane coefficients (driver-side literals),
+  // identical left-to-right accumulation → bit-identical bucket ids.
+  private val lshPairsSql: String = {
+    val keys = (0 until LshTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${VectorOps.hyperplaneBucketSql("v", 64, LshPlanes, LshSeed + t)} AS bkt FROM e"
+    }.mkString("keys AS (", " UNION ALL ", ")")
+    s"""$keys,
+       |pairs AS (
+       |  SELECT DISTINCT ka.vec_id AS a, kb.vec_id AS b
+       |  FROM keys ka JOIN keys kb
+       |    ON ka.tbl = kb.tbl AND ka.bkt = kb.bkt AND ka.vec_id < kb.vec_id)""".stripMargin
+  }
+
   private val q5 = QueryDef(
     "d5_embedding_neardup",
     (s, dir) => {
-      // pair generation blocked on `label` (the ANN-partition stand-in),
-      // exact double-precision cosine verify inside each block
+      // candidate pairs from banded hyperplane LSH (the real ANN
+      // partition — bucket count grows with the planes knob, unlike a
+      // fixed label domain), exact double-precision cosine verify inside
       val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("b"), col("label"), col("embedding").as("vb"))
-      a.join(b, Seq("label")).filter(col("a") < col("b"))
+      val vecs = e.select(col("vec_id"), col("embedding"))
+      lshCandidatePairs(e)
+        .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
+        .join(vecs.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
         .withColumn("cos", VectorOps.cosineFast(col("va"), col("vb")))
         .filter(col("cos") >= 0.3)
-        .select(col("label"), col("a"), col("b"), round(col("cos"), 6).as("cosine"))
-        .orderBy("label", "a", "b")
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
+        .orderBy("a", "b")
     },
-    Some("""
-      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-      SELECT a.label, a.vec_id AS a, b.vec_id AS b,
-             ROUND(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
-      ORDER BY a.label, a, b"""))
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      $lshPairsSql
+      SELECT a, b,
+             ROUND(list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+      FROM pairs JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+      WHERE list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3
+      ORDER BY a, b"""))
 
   private val q6 = QueryDef(
     "a3_resolve_conflicts",
@@ -242,12 +284,12 @@ object Dedup extends QueryGroup {
       // here the vectors' norm-weighted label affinity stand-in: the
       // member whose id appears in MORE near-dup pairs wins, tie → newest)
       val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("b"), col("label"), col("embedding").as("vb"))
-      val pairs = a.join(b, Seq("label")).filter(col("a") < col("b"))
-        .withColumn("cos", VectorOps.cosineFast(col("va"), col("vb")))
-        .filter(col("cos") >= 0.3)
-        .select("label", "a", "b").cache()
+      val vecs = e.select(col("vec_id"), col("embedding"))
+      val pairs = lshCandidatePairs(e)
+        .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
+        .join(vecs.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
+        .filter(VectorOps.cosineFast(col("va"), col("vb")) >= 0.3)
+        .select("a", "b").cache()
       val degree = pairs.select(col("a").as("m")).unionAll(pairs.select(col("b").as("m")))
         .groupBy("m").agg(count(lit(1)).as("deg"))
       pairs
@@ -258,27 +300,28 @@ object Dedup extends QueryGroup {
           when(col("deg_a") > col("deg_b"), col("a"))
             .when(col("deg_b") > col("deg_a"), col("b"))
             .otherwise(greatest(col("a"), col("b"))))
-        .select("label", "a", "b", "keep_newest", "keep_evidence")
-        .orderBy("label", "a", "b")
+        .select("a", "b", "keep_newest", "keep_evidence")
+        .orderBy("a", "b")
     },
-    Some("""
-      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      pairs AS (
-        SELECT a.label, a.vec_id AS a, b.vec_id AS b
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      $lshPairsSql,
+      near AS (
+        SELECT a, b
+        FROM pairs JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+        WHERE list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3),
       degree AS (
         SELECT m, COUNT(*) AS deg FROM (
-          SELECT a AS m FROM pairs UNION ALL SELECT b AS m FROM pairs)
+          SELECT a AS m FROM near UNION ALL SELECT b AS m FROM near)
         GROUP BY m)
-      SELECT label, a, b,
+      SELECT a, b,
              GREATEST(a, b) AS keep_newest,
              CASE WHEN da.deg > db.deg THEN a
                   WHEN db.deg > da.deg THEN b
                   ELSE GREATEST(a, b) END AS keep_evidence
-      FROM pairs JOIN degree da ON pairs.a = da.m JOIN degree db ON pairs.b = db.m
-      ORDER BY label, a, b"""))
+      FROM near JOIN degree da ON near.a = da.m JOIN degree db ON near.b = db.m
+      ORDER BY a, b"""))
 
   private val q7 = QueryDef(
     "d6_dedup_groups",

@@ -28,9 +28,14 @@ object Similarity extends QueryGroup {
 
   private def cos(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
 
-  /** query vectors: every 97th id — small, deterministic, broadcastable */
+  /** query vectors: the first [[MaxQueries]] multiples of 97 — a FIXED-size
+    * deterministic sample, so the broadcast side is O(1) in corpus size and
+    * total scoring work is O(N · MaxQueries), never O(N²/97). */
+  private val MaxQueries = 32
+  private val MaxQueryId = 97L * MaxQueries // 3104
+
   private def queryVecs(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 97 === 0)
+    e.filter(col("vec_id") % 97 === 0 && col("vec_id") < MaxQueryId)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("embedding").as("qv"))
 
   private val q1 = QueryDef(
@@ -48,7 +53,7 @@ object Similarity extends QueryGroup {
     },
     Some(s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0 AND vec_id < 3104),
       scored AS (
         SELECT qid, e.vec_id, ${cos("e.v", "qv")} AS c
         FROM e CROSS JOIN q WHERE e.vec_id <> qid)
@@ -83,7 +88,7 @@ object Similarity extends QueryGroup {
     Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       b AS (SELECT vec_id, v, ${VectorOps.hyperplaneBucketSql("v", 64, 8)} AS bucket FROM e),
-      q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id % 97 = 0),
+      q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id % 97 = 0 AND vec_id < 3104),
       cand AS (
         SELECT qid, qv, b.vec_id, b.v
         FROM b JOIN q USING (bucket) WHERE b.vec_id <> qid)
@@ -133,7 +138,7 @@ object Similarity extends QueryGroup {
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cos("v", "cv")} DESC, cid) AS rn
         FROM e CROSS JOIN cent),
       cells AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0 AND vec_id < 3104),
       probes AS (
         SELECT qid, qv, cid FROM (
           SELECT qid, qv, cid,
@@ -179,7 +184,7 @@ object Similarity extends QueryGroup {
     },
     Some(s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id % 97 = 0),
+      q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id % 97 = 0 AND vec_id < 3104),
       scored AS (
         SELECT qid, qlabel, e.vec_id, e.label, ${cos("e.v", "qv")} AS c
         FROM e CROSS JOIN q WHERE e.vec_id <> qid),
@@ -232,7 +237,7 @@ object Similarity extends QueryGroup {
     },
     Some(s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id % 97 = 0),
+      q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id % 97 = 0 AND vec_id < 3104),
       scored AS (
         SELECT qid, qlabel, e.vec_id, e.label, ${cos("e.v", "qv")} AS c
         FROM e CROSS JOIN q WHERE e.vec_id <> qid),
@@ -263,7 +268,7 @@ object Similarity extends QueryGroup {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), ceil(length(col("text")) / 4.0).cast("long").as("est_tokens"))
         .join(e, col("doc_id") === col("vec_id"))
-      val q = e.filter(col("vec_id") % 97 === 0)
+      val q = e.filter(col("vec_id") % 97 === 0 && col("vec_id") < MaxQueryId)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
       val top5 = d.crossJoin(broadcast(q))
@@ -286,7 +291,7 @@ object Similarity extends QueryGroup {
       d AS (
         SELECT doc_id, CAST(CEIL(len(text) / 4.0) AS BIGINT) AS est_tokens, v
         FROM documents JOIN e ON doc_id = vec_id),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0 AND vec_id < 3104),
       top5 AS (
         SELECT qid, CAST(SUM(est_tokens) AS BIGINT) AS top5_tokens
         FROM (SELECT qid, est_tokens,
@@ -326,7 +331,7 @@ object Similarity extends QueryGroup {
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("cid").as("code"))
-      val qsubs = subs.filter(col("vec_id") % 97 === 0)
+      val qsubs = subs.filter(col("vec_id") % 97 === 0 && col("vec_id") < MaxQueryId)
         .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
       val adcTable = qsubs.join(broadcast(cent), Seq("m"))
         .withColumn("qdist", VectorOps.squaredL2Distance(col("qsv"), col("scv")))
@@ -361,7 +366,7 @@ object Similarity extends QueryGroup {
                list_sum(list_transform(
                  list_zip(s.sv, c.scv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qdist
         FROM subs s JOIN cent c ON s.m = c.m
-        WHERE s.vec_id % 97 = 0),
+        WHERE s.vec_id % 97 = 0 AND s.vec_id < 3104),
       dists AS (
         SELECT a.qid, codes.vec_id, ROUND(SUM(a.qdist), 6) AS adist
         FROM codes JOIN adc a ON codes.m = a.m AND codes.code = a.code

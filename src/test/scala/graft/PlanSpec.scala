@@ -58,4 +58,15 @@ class PlanSpec extends SparkSpec {
         s"$n: blocked pair generation regressed to a cross join")
     }
   }
+
+  test("embedding near-dup pairs block on LSH buckets, not a bounded label domain") {
+    // the pair-join key must be the (tbl, bkt) hyperplane bucket — whose
+    // cardinality scales with the planes knob — never the 10-ary `label`
+    Seq("d5_embedding_neardup", "a3_resolve_conflicts").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n: pair generation cross-joins")
+      assert(p.contains("bkt"), s"$n: expected hyperplane-bucket join key")
+      assert(!p.toLowerCase.contains("label"), s"$n: pair join keyed on bounded-cardinality label")
+    }
+  }
 }
