@@ -44,14 +44,16 @@ object MediaPipeline {
 
   object FeatureExtractor extends Serializable {
 
-    /** STUB decode: deterministic pseudo-dimensions from the payload
-      * bytes. A real build replaces this body with the codec call; the
-      * signature (bytes → (w, h, durationMs)) is the real contract. */
+    /** STUB decode: deterministic pseudo-dimensions derived from the
+      * payload's sha-256 (first 48 bits), so the stub is exactly
+      * reproducible in ANSI-ish SQL for the correctness oracle. A real
+      * build replaces this body with the codec call; the signature
+      * (bytes → (w, h, durationMs)) is the real contract. */
     def decodeStub(modality: String, payload: Array[Byte]): (Int, Int, Long) = {
-      val h0 = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
-      val w = 64 + (math.abs(h0) % 1024).toInt
-      val h = 64 + (math.abs(h0 >> 10) % 1024).toInt
-      val dur = if (modality == "image") 0L else 1000L + math.abs(h0 >> 20) % 60000L
+      val h0 = java.lang.Long.parseLong(sha256Hex(payload).substring(0, 12), 16)
+      val w = 64 + (h0 % 1024).toInt
+      val h = 64 + ((h0 >> 10) % 1024).toInt
+      val dur = if (modality == "image") 0L else 1000L + (h0 >> 20) % 60000L
       (w, h, dur)
     }
 
