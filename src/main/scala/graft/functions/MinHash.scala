@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * Design notes for 100 TB: both sketches reduce each document to a
   * constant-size signature in a single narrow (no-shuffle) projection;
   * the only shuffle in an LSH dedup job is the band-key groupBy, whose
-  * key cardinality is tunable via (nHashes, rowsPerBand). The hash
-  * domain is lowercase md5 hex, totally ordered lexicographically, so
-  * "min over shingles" needs no integer conversion and agrees
-  * byte-for-byte across engines.
+  * key cardinality is tunable via (nHashes, rowsPerBand). The minhash
+  * domain is a pairwise-independent universal family over a 32-bit
+  * digest fingerprint, so "min over shingles" is the textbook min-wise
+  * estimator and agrees exactly across engines (pure integer
+  * arithmetic).
   *
   * Capability parity: the reference dedups via pairwise embedding cosine
   * (crates/mnemo-core/src/query/reflection.rs:384-470); MinHash/SimHash
@@ -21,8 +22,34 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  private val Sep = ""
+  // band-key separator: visible escape, NOT a raw control byte (an
+  // invisible \x01 in source survives reads unseen and once cost a
+  // debug round). Join-key only — never compared against oracle output.
+  private val Sep = "\u0001"
   private val HexDigits = "0123456789abcdef"
+
+  /** Modulus of the universal hash family: largest prime below 2³¹.
+    * With a, b, x all < P, the update aᵢ·x + bᵢ stays well inside the
+    * signed 64-bit range, so checked-overflow engines (DuckDB) evaluate
+    * the identical expression without wraparound concerns. */
+  val Prime = 2147483629L
+
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic (aᵢ, bᵢ) of the Carter-Wegman family, aᵢ ∈ [1, P-1],
+    * bᵢ ∈ [0, P-1] — embedded as literals in both the Column expression
+    * and the generated oracle SQL, so the engines can't drift. */
+  private def coeffs(nHashes: Int): Seq[(Long, Long)] =
+    (0 until nHashes).map { i =>
+      val a = Math.floorMod(splitmix(0x5eedL + 2L * i), Prime - 1) + 1
+      val b = Math.floorMod(splitmix(0x5eedL + 2L * i + 1), Prime)
+      (a, b)
+    }
 
   /** Per-shingle md5 digests. Bind the result to a named column BEFORE
     * passing it to [[signature]]: lambda bodies re-evaluate non-attribute
@@ -31,20 +58,28 @@ object MinHash {
   def shingleDigests(shingles: Column): Column = transform(shingles, s => md5(s))
 
   /** k-minhash signature over a digest array: element i is min over
-    * digests of hᵢ(d), where hᵢ(d) is the 16-hex-char window of d‖d
-    * starting at hex offset 2i. One md5 per shingle total (not one per
-    * hash function): the k "hash functions" are overlapping 64-bit views
-    * of the same digest — each window still mixes every input bit, and
-    * min-over-shingles selects (near-)independently per window. Cuts the
-    * dominant sketch cost k-fold vs the md5(i‖s) formulation. */
-  def signature(digests: Column, nHashes: Int): Column =
-    array((0 until nHashes).map { i =>
-      // the d‖d wrap only matters once the window runs past the 32-hex
-      // digest end (i > 8); below that a plain substring is cheaper
-      array_min(transform(digests, d =>
-        if (2 * i + 16 <= 32) substring(d, 2 * i + 1, 16)
-        else substring(concat(d, d), 2 * i + 1, 16)))
+    * shingles of hᵢ(x) = (aᵢ·x + bᵢ) mod P, where x is the first 32 bits
+    * of the shingle's md5. One md5 per shingle total; the k hash
+    * functions are a pairwise-independent universal family over the
+    * fingerprint (the classic min-wise formulation, the same shape as
+    * Spark MLlib's MinHashLSH), so LSH bands of consecutive elements
+    * have the ~sʳ collision probability the analysis assumes — unlike
+    * overlapping windows of one digest, which share most of their bits
+    * between adjacent elements. */
+  def signature(digests: Column, nHashes: Int): Column = {
+    def x(d: Column): Column = conv(substring(d, 1, 8), 16, 10).cast("long") % Prime
+    array(coeffs(nHashes).map { case (a, b) =>
+      array_min(transform(digests, d => (lit(a) * x(d) + lit(b)) % Prime))
     }: _*)
+  }
+
+  /** DuckDB mirror of [[signature]]: a BIGINT-list expression over the
+    * digest-list expression `dgList`, identical coefficients and
+    * arithmetic. */
+  def signatureSql(dgList: String, nHashes: Int): String =
+    coeffs(nHashes).map { case (a, b) =>
+      s"list_min(list_transform($dgList, d -> ($a * (('0x' || substr(d, 1, 8))::BIGINT % $Prime) + $b) % $Prime))"
+    }.mkString("[", ", ", "]")
 
   /** LSH band keys: the signature is cut into bands of `rowsPerBand`
     * consecutive hashes; each band key is the md5 of (bandIdx ⊕ joined
@@ -55,7 +90,7 @@ object MinHash {
     val nBands = nHashes / rowsPerBand
     array((0 until nBands).map { b =>
       val members = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
-      md5(concat_ws(Sep, lit(b.toString) +: members: _*))
+      md5(concat_ws(Sep, lit(b.toString) +: members.map(_.cast("string")): _*))
     }: _*)
   }
 

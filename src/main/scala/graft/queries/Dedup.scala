@@ -163,14 +163,13 @@ object Dedup extends QueryGroup {
       $shinglesSql,
       dg AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS dg FROM sh),
       sigs AS (
-        SELECT doc_id, sh,
-               list_transform(generate_series(0, 7),
-                 i -> list_min(list_transform(dg, d -> substr(d || d, 2 * i + 1, 16)))) AS sig
+        SELECT doc_id, sh, ${MinHash.signatureSql("dg", 8)} AS sig
         FROM dg),
       bands AS (
         SELECT doc_id, sh,
                unnest(list_transform(generate_series(0, 3),
-                 b -> md5(CAST(b AS VARCHAR) || sig[2*b+1] || sig[2*b+2]))) AS bk
+                 b -> md5(CAST(b AS VARCHAR) || chr(1) || CAST(sig[2*b+1] AS VARCHAR)
+                          || chr(1) || CAST(sig[2*b+2] AS VARCHAR)))) AS bk
         FROM sigs),
       pairs AS (
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.sh AS sha, b.sh AS shb
