@@ -364,15 +364,18 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
   /** MERGE with the reference's three modes (merge.rs:87-114):
     * FullMerge and Squash both produce target ∪ source (Squash only
     * collapses history, which the batch model has no separate notion
-    * of); CherryPick keeps target ∪ (source ∩ chosen). */
+    * of); CherryPick appends the chosen ids to the target
+    * UNCONDITIONALLY (merge.rs:88-100 pushes cherry_pick_ids without
+    * intersecting the source checkpoint's refs — a chosen id absent
+    * from the source still lands in the merge). */
   def mergeCheckpoints(nameA: String, nameB: String,
       mode: Mnemo.MergeMode): Seq[String] = {
+    import spark.implicits._
     val c = checkpoints()
     val a = c.filter(col("name") === nameA).select(explode(col("memory_refs")).as("r"))
-    val bAll = c.filter(col("name") === nameB).select(explode(col("memory_refs")).as("r"))
     val b = mode match {
-      case Mnemo.CherryPick(chosen) => bAll.filter(col("r").isin(chosen.map(lit): _*))
-      case _ => bAll
+      case Mnemo.CherryPick(chosen) => chosen.toDF("r")
+      case _ => c.filter(col("name") === nameB).select(explode(col("memory_refs")).as("r"))
     }
     a.union(b).distinct().orderBy("r").collect().map(_.getString(0)).toSeq
   }
@@ -481,8 +484,16 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
 
   /** REVISE: tombstone the old record and write the replacement with a
     * `supersedes:<id>` tag — the chain stays verifiable because nothing
-    * is rewritten in place. */
+    * is rewritten in place. Fails loudly if the old record belongs to a
+    * different agent (a silent no-op tombstone would leave both records
+    * live while the successor still claims supersession). */
   def memRevise(old: String, replacement: RememberRequest, at: Timestamp): Unit = {
+    val owners = table().filter(col("id") === old)
+      .select(col("agent_id")).distinct().collect().map(_.getString(0))
+    require(owners.nonEmpty, s"memRevise: no record with id $old")
+    require(owners.forall(_ == replacement.agentId),
+      s"memRevise: $old belongs to agent ${owners.mkString(",")}, " +
+        s"not ${replacement.agentId}")
     forget(replacement.agentId, Seq(old), at)
     remember(Seq(replacement.copy(tags = replacement.tags :+ s"supersedes:$old")))
   }

@@ -434,8 +434,11 @@ object Lifecycle extends QueryGroup {
       // selected by topic predicate, digested in deterministic
       // (doc_id)-order into one "[Consolidated from N memories] a | b…"
       // document per language
+      // topic word chosen to actually match rows at every correctness SF
+      // (the synthetic corpus vocabulary has no "model"), so the
+      // excerpt/string_agg parity is exercised, not vacuously green
       val members = Tables.documents(s, dir)
-        .filter(lower(col("text")).contains("model"))
+        .filter(lower(col("text")).contains("vector"))
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       val withEx = members.withColumn("rn", row_number().over(w))
         .withColumn("ex", TextOps.excerpt(col("text"), 20))
@@ -462,7 +465,7 @@ object Lifecycle extends QueryGroup {
                     ELSE substr((list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1], 1, 20) || '…' END AS ex,
                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         FROM documents
-        WHERE lower(text) LIKE '%model%')
+        WHERE lower(text) LIKE '%vector%')
       SELECT lang, COUNT(*) AS n_members,
              ROUND(AVG(n_chars), 6) AS avg_chars,
              '[Consolidated from ' || COUNT(*) || ' memories] '

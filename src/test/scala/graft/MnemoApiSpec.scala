@@ -143,6 +143,10 @@ class MnemoApiSpec extends SparkSpec {
       == Seq("m1", "m2", "m3"))
     assert(store.mergeCheckpoints("ckA", "ckB", Mnemo.CherryPick(Nil))
       == Seq("m1", "m2"))
+    // reference semantics (merge.rs:88-100): chosen ids append to the
+    // target unconditionally, even when absent from the source checkpoint
+    assert(store.mergeCheckpoints("ckA", "ckB", Mnemo.CherryPick(Seq("zz-external")))
+      == Seq("m1", "m2", "zz-external"))
     assert(Mnemo.mergeStates(Map("k" -> "target", "t" -> "1"), Map("k" -> "source", "s" -> "2"))
       == Map("k" -> "target", "t" -> "1", "s" -> "2"))
   }
@@ -242,6 +246,14 @@ class MnemoApiSpec extends SparkSpec {
     val vis = store.memRead("alice", "", 10, ts("2024-02-01 00:00:00"))
       .select("id").collect().map(_.getString(0)).toSet
     assert(vis == Set("n2"))
+    // revising another agent's record must fail loudly, not silently
+    // no-op the tombstone while still writing the successor
+    intercept[IllegalArgumentException] {
+      store.memRevise("n2",
+        RememberRequest("n3", "bob", "t1", "cross-agent steal",
+          createdAt = ts("2024-01-06 10:00:00")),
+        ts("2024-01-06 09:00:00"))
+    }
     val tags = store.table().filter(col("id") === "n2")
       .select(explode(col("tags"))).collect().map(_.getString(0)).toSet
     assert(tags.contains("supersedes:n1"))
