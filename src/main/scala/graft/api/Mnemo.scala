@@ -25,6 +25,12 @@ object Mnemo {
 
   val EmbeddingDim = 64
 
+  /** Reserved tag of experience-tier plan records (R11): never surfaced
+    * by ordinary recall — only when the caller explicitly requests the
+    * tag. Same wire value as the reference
+    * (query/experience.rs:51 `EXPERIENCE_PLAN_TAG`). */
+  val ExperiencePlanTag = "__experience_plan__"
+
   /** Deterministic hash embedding (the reference's offline embedder):
     * each token hashes to a dimension and a sign via md5 nibbles; the
     * vector is the signed token-count profile, L2-normalized. Pure
@@ -55,18 +61,70 @@ object Mnemo {
       scope: String = "private", // private|shared|public|global
       importance: Float = 0.5f,
       tags: Seq[String] = Nil,
-      createdAt: Timestamp)
+      createdAt: Timestamp,
+      expiresAt: Option[Timestamp] = None,
+      quarantined: Boolean = false)
 
   final case class RecallRequest(
       query: String = "",
       agentId: Option[String] = None,
       strategy: String = "hybrid", // exact|lexical|semantic|hybrid
-      memoryTypes: Seq[String] = Nil,
+      memoryTypes: Seq[String] = Nil, // multi; takes precedence over memoryType
+      memoryType: Option[String] = None, // single-type filter
+      scope: Option[String] = None, // explicit scope filter (≠ visibility)
       minImportance: Option[Float] = None,
       tagsAnyOf: Seq[String] = Nil,
+      after: Option[Timestamp] = None, // created_at ∈ [after, before]
+      before: Option[Timestamp] = None,
       asOf: Option[Timestamp] = None,
       includeDeleted: Boolean = false,
       limit: Int = 10)
+
+  /** The full F1 recall predicate (recall.rs:1125-1275) as ONE Column
+    * conjunction — every leg of the reference's `passes_filters`, in
+    * order: reserved experience-plan hiding (R11), deleted/as-of,
+    * expiry, quarantine, explicit scope filter, type (multi precedence
+    * over single), importance, tags-any-of, created_at temporal range,
+    * and scope-based visibility (public/global always; shared → owner
+    * or ACL grant via `granted`; private → owner only).
+    *
+    * `granted` is the caller's ACL-grant boolean column (lit(false)
+    * when no grant join was made). Static so the registered
+    * `f1_filter_matrix` query and the typed API share the production
+    * code path. */
+  def recallPredicate(r: RecallRequest, now: Timestamp, granted: Column): Column = {
+    val reserved =
+      if (r.tagsAnyOf.contains(ExperiencePlanTag)) lit(true)
+      else !array_contains(col("tags"), ExperiencePlanTag)
+    val live = r.asOf match {
+      case Some(t) =>
+        col("created_at") <= lit(t) &&
+          !(col("deleted_at").isNotNull && col("deleted_at") <= lit(t))
+      case None if r.includeDeleted => lit(true)
+      case None => col("deleted_at").isNull
+    }
+    val unexpired = col("expires_at").isNull || col("expires_at") >= lit(now)
+    val notQuarantined = !col("quarantined")
+    val scopeFilter = r.scope.map(s => col("scope") === s).getOrElse(lit(true))
+    val types =
+      if (r.memoryTypes.nonEmpty) col("memory_type").isin(r.memoryTypes.map(lit): _*)
+      else r.memoryType.map(t => col("memory_type") === t).getOrElse(lit(true))
+    val imp = r.minImportance.map(m => col("importance") >= m).getOrElse(lit(true))
+    val tags =
+      if (r.tagsAnyOf.nonEmpty)
+        arrays_overlap(col("tags"), array(r.tagsAnyOf.map(lit): _*))
+      else lit(true)
+    val range =
+      r.after.map(a => col("created_at") >= lit(a)).getOrElse(lit(true)) &&
+        r.before.map(b => col("created_at") <= lit(b)).getOrElse(lit(true))
+    val visible = r.agentId.map(a =>
+      col("scope").isin("public", "global") ||
+        col("agent_id") === a ||
+        (col("scope") === "shared" && granted))
+      .getOrElse(lit(true))
+    reserved && live && unexpired && notQuarantined && scopeFilter &&
+      types && imp && tags && range && visible
+  }
 
   def open(spark: SparkSession, path: String): MnemoStore = new MnemoStore(spark, path)
 
@@ -106,7 +164,8 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
       .select(
         col("id"), col("agentId").as("agent_id"), col("threadId").as("thread_id"),
         col("content"), col("memoryType").as("memory_type"), col("scope"),
-        col("importance"), col("tags"), col("createdAt").as("created_at"))
+        col("importance"), col("tags"), col("createdAt").as("created_at"),
+        col("expiresAt").as("expires_at"), col("quarantined"))
       .withColumn("embedding", hashEmbedding(col("content")))
       .withColumn("content_hash",
         HashChain.contentHash(col("content"), col("agent_id"),
@@ -181,39 +240,30 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  /** The F1 predicate conjunction (recall.rs:1125-1275). */
-  private def passesFilters(r: RecallRequest): Column = {
-    val live = r.asOf match {
-      case Some(t) =>
-        col("created_at") <= lit(t) &&
-          !(col("deleted_at").isNotNull && col("deleted_at") <= lit(t))
-      case None if r.includeDeleted => lit(true)
-      case None => col("deleted_at").isNull
-    }
-    val agent = r.agentId.map(a =>
-      col("agent_id") === a || col("scope").isin("public", "global"))
-      .getOrElse(lit(true))
-    val types =
-      if (r.memoryTypes.nonEmpty) col("memory_type").isin(r.memoryTypes.map(lit): _*)
-      else lit(true)
-    val imp = r.minImportance.map(m => col("importance") >= m).getOrElse(lit(true))
-    val tags =
-      if (r.tagsAnyOf.nonEmpty)
-        arrays_overlap(col("tags"), array(r.tagsAnyOf.map(lit): _*))
-      else lit(true)
-    live && agent && types && imp && tags
-  }
-
   /** RECALL: filter → lane scores → (weighted RRF if hybrid) → top-k.
     * Lanes follow SURVEY §2.3; scoring matches the engine's batch
     * queries (BM25-lite lexical via token overlap, cosine semantic on
-    * the deterministic hash embedding, recency on created_at). */
+    * the deterministic hash embedding, recency on created_at). The
+    * filter is the full F1 conjunction [[Mnemo.recallPredicate]]; the
+    * shared-scope ACL leg is a broadcast grant join placed BEFORE
+    * scoring (R10: permission-safe pre-filter). */
   def recall(r: RecallRequest, now: Timestamp): DataFrame =
     recallOver(table(), r, now)
 
   /** Same recall pipeline over an explicit (already scoped) frame. */
   def recallOver(source: DataFrame, r: RecallRequest, now: Timestamp): DataFrame = {
-    val base = source.filter(passesFilters(r))
+    val withGrant = r.agentId match {
+      case Some(a) =>
+        val grants = acls().filter(col("principal_id") === a)
+          .select(col("memory_id"))
+        source.join(broadcast(grants), col("id") === col("memory_id"), "left")
+          .withColumn("__granted", col("memory_id").isNotNull)
+          .drop("memory_id")
+      case None => source.withColumn("__granted", lit(false))
+    }
+    val base = withGrant
+      .filter(Mnemo.recallPredicate(r, now, col("__granted")))
+      .drop("__granted")
     val qToks = TextOps.tokenSet(lit(r.query))
     val lexScore = TextOps.jaccard(TextOps.tokenSet(col("content")), qToks)
     val semScore = VectorOps.cosineFast(col("embedding"), hashEmbedding(lit(r.query)))

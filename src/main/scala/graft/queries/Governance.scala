@@ -377,5 +377,88 @@ object Governance extends QueryGroup {
       FROM r LEFT JOIN l ON r.doc_id = l.doc_id
       ORDER BY r.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
+  /** F1+R11 — the FULL recall predicate matrix (recall.rs:1125-1275),
+    * run through the production [[graft.api.Mnemo.recallPredicate]]
+    * conjunction (the same Column the typed API filters with): reserved
+    * experience-plan hiding, tombstones, expiry, quarantine, type set,
+    * importance floor, tags-any-of, created_at range, and scope-based
+    * visibility with the shared→ACL-grant leg. Deterministic memory
+    * attributes are synthesized from doc_id so every leg excludes some
+    * rows at every SF. */
+  private val q8 = QueryDef(
+    "f1_filter_matrix",
+    (s, dir) => {
+      import graft.api.Mnemo
+      val baseTs = "timestamp'2024-01-01 00:00:00'"
+      val m = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(lit("agent_"), col("doc_id") % 7).as("agent_id"),
+        element_at(array(lit("private"), lit("shared"), lit("public"), lit("global")),
+          (col("doc_id") % 4 + 1).cast("int")).as("scope"),
+        element_at(array(lit("episodic"), lit("semantic"), lit("procedural"), lit("working")),
+          ((col("doc_id") / 4).cast("long") % 4 + 1).cast("int")).as("memory_type"),
+        ((col("doc_id") % 100).cast("double") / 100.0).as("importance"),
+        concat(
+          array(concat(lit("topic_"), col("doc_id") % 5)),
+          when(col("doc_id") % 11 === 0, array(lit(Mnemo.ExperiencePlanTag)))
+            .otherwise(array().cast("array<string>")),
+          when(col("doc_id") % 13 === 0, array(lit("pii")))
+            .otherwise(array().cast("array<string>"))).as("tags"),
+        expr(s"timestampadd(MINUTE, doc_id, $baseTs)").as("created_at"),
+        when(col("doc_id") % 17 === 0,
+          expr(s"timestampadd(MINUTE, doc_id + 60, $baseTs)")).as("deleted_at"),
+        when(col("doc_id") % 19 === 0,
+          expr(s"timestampadd(DAY, doc_id % 300, $baseTs)")).as("expires_at"),
+        (col("doc_id") % 23 === 0).as("quarantined"),
+        (col("doc_id") % 29 === 0).as("granted"))
+      val req = Mnemo.RecallRequest(
+        agentId = Some("agent_3"),
+        memoryTypes = Seq("episodic", "semantic"),
+        minImportance = Some(0.25f),
+        tagsAnyOf = Seq("topic_1", "topic_2", "topic_3", "pii"),
+        // created_at = base + doc_id minutes, so the window must catch
+        // rows at EVERY correctness SF (sf0.001 tops out at 50 minutes)
+        after = Some(java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+        before = Some(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+      val now = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      m.filter(Mnemo.recallPredicate(req, now, col("granted")))
+        .select(col("doc_id"), col("agent_id"), col("scope"),
+          col("memory_type"), col("importance"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               'agent_' || (doc_id % 7) AS agent_id,
+               (['private', 'shared', 'public', 'global'])[CAST(doc_id % 4 AS INT) + 1] AS scope,
+               (['episodic', 'semantic', 'procedural', 'working'])[CAST((doc_id // 4) % 4 AS INT) + 1] AS memory_type,
+               CAST(doc_id % 100 AS DOUBLE) / 100.0 AS importance,
+               list_concat(list_concat(
+                 ['topic_' || (doc_id % 5)],
+                 CASE WHEN doc_id % 11 = 0 THEN ['__experience_plan__'] ELSE [] END),
+                 CASE WHEN doc_id % 13 = 0 THEN ['pii'] ELSE [] END) AS tags,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS created_at,
+               CASE WHEN doc_id % 17 = 0
+                    THEN TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id + 60) MINUTE END AS deleted_at,
+               CASE WHEN doc_id % 19 = 0
+                    THEN TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 300) DAY END AS expires_at,
+               doc_id % 23 = 0 AS quarantined,
+               doc_id % 29 = 0 AS granted
+        FROM documents)
+      SELECT doc_id, agent_id, scope, memory_type, importance
+      FROM m
+      WHERE NOT list_contains(tags, '__experience_plan__')
+        AND deleted_at IS NULL
+        AND (expires_at IS NULL OR expires_at >= TIMESTAMP '2024-06-01 00:00:00')
+        AND NOT quarantined
+        AND memory_type IN ('episodic', 'semantic')
+        AND importance >= 0.25
+        AND len(list_intersect(tags, ['topic_1', 'topic_2', 'topic_3', 'pii'])) > 0
+        AND created_at >= TIMESTAMP '2024-01-01 00:10:00'
+        AND created_at <= TIMESTAMP '2024-01-03 00:00:00'
+        AND (scope IN ('public', 'global') OR agent_id = 'agent_3'
+             OR (scope = 'shared' AND granted))
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
 }

@@ -31,6 +31,67 @@ class MnemoApiSpec extends SparkSpec {
         scope = "public", createdAt = ts("2024-01-04 12:00:00"))))
   }
 
+  test("recall predicate matrix: every F1 leg excludes its row; reserved tag is opt-in (R11)") {
+    val store = freshStore()
+    val base = ts("2024-01-10 10:00:00")
+    store.remember(Seq(
+      RememberRequest("k0", "alice", "t1", "plain keeper", importance = 0.8f,
+        tags = Seq("t"), createdAt = base),
+      RememberRequest("k1", "alice", "t1", "expired row", importance = 0.8f,
+        tags = Seq("t"), createdAt = base,
+        expiresAt = Some(ts("2024-01-20 00:00:00"))),
+      RememberRequest("k2", "alice", "t1", "quarantined row", importance = 0.8f,
+        tags = Seq("t"), createdAt = base, quarantined = true),
+      RememberRequest("k3", "alice", "t1", "experience plan payload", importance = 0.8f,
+        tags = Seq("t", Mnemo.ExperiencePlanTag), createdAt = base),
+      RememberRequest("k4", "alice", "t1", "too old", importance = 0.8f,
+        tags = Seq("t"), createdAt = ts("2023-12-01 00:00:00")),
+      RememberRequest("k5", "alice", "t1", "too new", importance = 0.8f,
+        tags = Seq("t"), createdAt = ts("2024-03-01 00:00:00")),
+      RememberRequest("k6", "alice", "t1", "low importance", importance = 0.1f,
+        tags = Seq("t"), createdAt = base),
+      RememberRequest("k7", "alice", "t1", "wrong type", memoryType = "working",
+        importance = 0.8f, tags = Seq("t"), createdAt = base),
+      RememberRequest("k8", "alice", "t1", "untagged", importance = 0.8f,
+        createdAt = base),
+      RememberRequest("k9", "alice", "t1", "wrong scope", scope = "shared",
+        importance = 0.8f, tags = Seq("t"), createdAt = base),
+      RememberRequest("k10", "bob", "t1", "bob shared ungranted", scope = "shared",
+        importance = 0.8f, tags = Seq("t"), createdAt = base),
+      RememberRequest("k11", "bob", "t1", "bob shared granted", scope = "shared",
+        importance = 0.8f, tags = Seq("t"), createdAt = base),
+      RememberRequest("k12", "bob", "t1", "bob private granted stays hidden",
+        scope = "private", importance = 0.8f, tags = Seq("t"), createdAt = base)))
+    store.share(Seq("k11", "k12"), "alice", ts("2024-01-11 00:00:00"))
+    val now = ts("2024-02-01 00:00:00")
+    val req = RecallRequest(strategy = "exact", agentId = Some("alice"),
+      memoryTypes = Seq("episodic", "semantic"), minImportance = Some(0.25f),
+      tagsAnyOf = Seq("t"), after = Some(ts("2024-01-01 00:00:00")),
+      before = Some(ts("2024-02-01 00:00:00")), limit = 20)
+    val got = store.recall(req, now).select("id").collect().map(_.getString(0)).toSet
+    // k0 keeper; k9 own-shared passes (owner); k11 shared+granted passes;
+    // every other row is excluded by exactly one leg
+    assert(got == Set("k0", "k9", "k11"))
+    // reserved tag is opt-in: requesting it surfaces the plan row
+    val plans = store.recall(
+      req.copy(tagsAnyOf = Seq(Mnemo.ExperiencePlanTag)), now)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(plans == Set("k3"))
+    // single-type filter applies when the multi list is empty
+    val single = store.recall(
+      req.copy(memoryTypes = Nil, memoryType = Some("working")), now)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(single == Set("k7"))
+    // explicit scope filter is separate from visibility
+    val shared = store.recall(req.copy(scope = Some("shared")), now)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(shared == Set("k9", "k11"))
+    // expired row resurfaces when 'now' precedes its expiry
+    val early = store.recall(req, ts("2024-01-15 00:00:00"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(early.contains("k1"))
+  }
+
   test("remember then recall(exact) respects agent visibility: own + public") {
     val store = freshStore()
     seed(store)
