@@ -524,6 +524,46 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
       .headOption.map(_.getAs[Array[Byte]](0))
   }
 
+  // ---- orientation cache (P7: query/orientation_cache.rs:93-739),
+  //      a MAINTAINED per-namespace store updated by recall batches ----
+
+  private def orientPath = path + "_orientation"
+
+  private def orientExists: Boolean =
+    new java.io.File(orientPath).exists() && new java.io.File(orientPath).list() != null &&
+      new java.io.File(orientPath).list().nonEmpty
+
+  def orientationState(): DataFrame =
+    if (orientExists) spark.read.parquet(orientPath)
+    else {
+      import spark.implicits._
+      Seq.empty[(String, String, Long, Long, String, Long)]
+        .toDF("namespace", "key", "freq", "last_seen", "value", "tokens")
+    }
+
+  /** Distill a recall result into the namespace's context map: upsert
+    * (freq bump + last_seen refresh) then evict to the token budget —
+    * the reference's update_and_render write half, persisted so the
+    * map survives across recalls and sessions. */
+  def orientationUpdate(hits: DataFrame, namespace: String, nowUnix: Long,
+      budget: Int = OrientationCache.DefaultBudget): Unit = {
+    val batch = OrientationCache.distill(hits, lit(namespace), col("content"))
+    val merged = OrientationCache.upsert(orientationState(), batch, nowUnix)
+    // evict ONLY the updated namespace's map (each ContextMap owns its
+    // budget in the reference) — other namespaces pass through untouched
+    val kept = OrientationCache.evict(
+        merged.filter(col("namespace") === namespace), budget, nowUnix)
+      .unionByName(merged.filter(col("namespace") =!= namespace))
+    val tmp = orientPath + ".tmp"
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(orientPath)
+  }
+
+  /** Rendered map for one namespace, key-ascending (the reference's
+    * BTreeMap iteration order). */
+  def orientationRender(namespace: String): DataFrame =
+    orientationState().filter(col("namespace") === namespace).orderBy("key")
+
   // ---- Letta-compat façade (§2.11 mem_write / mem_read / mem_revise /
   //      mem_forget): thin aliases over the native operations ----
 

@@ -299,5 +299,86 @@ object Scoring extends QueryGroup {
       ORDER BY retention DESC, event_id
       LIMIT 100"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
+  /** P7 as a MAINTAINED store: two successive recall batches (even then
+    * odd doc_ids) drive the production upsert + token-budget eviction
+    * of [[graft.api.OrientationCache]]; the ORACLE checks the exact end
+    * state — freqs accumulated across batches, last_seen split between
+    * the two update times, and the evictor having dropped the
+    * lowest-priority entries per namespace (budget 64). Output is
+    * integer/string only, so the hash compare is float-free; priority
+    * only orders the eviction window, identically in both engines. */
+  private val q8 = QueryDef(
+    "p7b_orientation_store",
+    (s, dir) => {
+      import graft.api.OrientationCache
+      val Now1 = 1706745600L // 2024-02-01
+      val Now2 = 1706832000L // 2024-02-02
+      val Budget = 64
+      val docs = Tables.documents(s, dir)
+      def batch(parity: Int) =
+        OrientationCache.distill(
+          docs.filter(col("doc_id") % 2 === parity), col("source"), col("text"))
+      val s1 = OrientationCache.evict(
+        OrientationCache.upsert(
+          docs.sparkSession.emptyDataFrame
+            .withColumn("namespace", lit("")).withColumn("key", lit(""))
+            .withColumn("freq", lit(0L)).withColumn("last_seen", lit(0L))
+            .withColumn("value", lit("")).limit(0),
+          batch(0), Now1),
+        Budget, Now1)
+      val s2 = OrientationCache.evict(
+        OrientationCache.upsert(s1, batch(1), Now2), Budget, Now2)
+      s2.select(col("namespace"), col("key"), col("freq"),
+          col("last_seen"), col("tokens"))
+        .orderBy("namespace", "key")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source AS ns, doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 x -> len(x) > 0)) AS key
+        FROM documents),
+      f AS (
+        SELECT ns, doc_id, key FROM toks
+        WHERE len(key) >= 3 AND key NOT IN ('the', 'a', 'of', 'and', 'to', 'in')),
+      b1 AS (SELECT ns, key, COUNT(*) AS occ FROM f WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      b2 AS (SELECT ns, key, COUNT(*) AS occ FROM f WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+      s1 AS (
+        SELECT ns, key, occ AS freq, 1706745600 AS last_seen, key AS value,
+               GREATEST(CAST(CEIL(CAST(len(key || ': ' || key) AS DOUBLE) / 4.0) AS BIGINT), 1) AS tokens
+        FROM b1),
+      s1p AS (
+        SELECT *, freq * (1.0 / (1.0 + CAST(GREATEST(1706745600 - last_seen, 0) AS DOUBLE) / 86400.0))
+                  * GREATEST(1.0 - CAST(tokens AS DOUBLE) / 64, 0.05) AS pri
+        FROM s1),
+      s1w AS (
+        SELECT *, SUM(tokens) OVER (PARTITION BY ns) AS total,
+               COALESCE(SUM(tokens) OVER (PARTITION BY ns ORDER BY pri ASC, key ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevcum
+        FROM s1p),
+      s1e AS (SELECT ns, key, freq, last_seen, value FROM s1w WHERE total - prevcum <= 64),
+      m2 AS (
+        SELECT COALESCE(a.ns, b.ns) AS ns, COALESCE(a.key, b.key) AS key,
+               COALESCE(a.freq, 0) + COALESCE(b.occ, 0) AS freq,
+               CASE WHEN b.key IS NOT NULL THEN 1706832000 ELSE a.last_seen END AS last_seen,
+               COALESCE(b.key, a.value) AS value
+        FROM s1e a FULL OUTER JOIN b2 b ON a.ns = b.ns AND a.key = b.key),
+      m2t AS (
+        SELECT *, GREATEST(CAST(CEIL(CAST(len(key || ': ' || value) AS DOUBLE) / 4.0) AS BIGINT), 1) AS tokens
+        FROM m2),
+      s2p AS (
+        SELECT *, freq * (1.0 / (1.0 + CAST(GREATEST(1706832000 - last_seen, 0) AS DOUBLE) / 86400.0))
+                  * GREATEST(1.0 - CAST(tokens AS DOUBLE) / 64, 0.05) AS pri
+        FROM m2t),
+      s2w AS (
+        SELECT *, SUM(tokens) OVER (PARTITION BY ns) AS total,
+               COALESCE(SUM(tokens) OVER (PARTITION BY ns ORDER BY pri ASC, key ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevcum
+        FROM s2p)
+      SELECT ns AS namespace, key, freq, last_seen, tokens
+      FROM s2w
+      WHERE total - prevcum <= 64
+      ORDER BY namespace, key"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
 }

@@ -92,6 +92,37 @@ class MnemoApiSpec extends SparkSpec {
     assert(early.contains("k1"))
   }
 
+  test("orientation cache is a maintained store: upserts bump freq across recalls, evictor enforces the budget") {
+    val store = freshStore()
+    seed(store)
+    val now = ts("2024-02-01 00:00:00")
+    def recallAll() = store.recall(
+      RecallRequest(strategy = "exact", agentId = Some("alice"), limit = 10), now)
+    // first recall batch distills into a fresh namespace
+    store.orientationUpdate(recallAll(), "alice", 1706745600L)
+    val s1 = store.orientationRender("alice")
+      .select("key", "freq").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.nonEmpty)
+    assert(s1.keys.forall(_.length >= 3))
+    // second recall of the same rows UPSERTS: every freq strictly grows
+    store.orientationUpdate(recallAll(), "alice", 1706832000L)
+    val s2 = store.orientationRender("alice")
+      .select("key", "freq", "last_seen").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s2.keySet == s1.keySet)
+    s1.foreach { case (k, f1) =>
+      assert(s2(k)._1 == 2 * f1, s"freq of $k should double on identical re-distill")
+      assert(s2(k)._2 == 1706832000L, "last_seen refreshes on upsert")
+    }
+    // a tight budget evicts down to the highest-priority entries
+    store.orientationUpdate(recallAll(), "tight", 1706745600L, budget = 16)
+    val tight = store.orientationRender("tight")
+      .select("key", "tokens").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(tight.nonEmpty && tight.map(_._2).sum <= 16)
+    // namespaces are independent: alice's map is untouched by tight's eviction
+    assert(store.orientationRender("alice").count() == s2.size)
+  }
+
   test("remember then recall(exact) respects agent visibility: own + public") {
     val store = freshStore()
     seed(store)
