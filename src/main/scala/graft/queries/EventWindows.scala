@@ -132,5 +132,30 @@ object EventWindows extends QueryGroup {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
+  /** T5 — the sync engine's incremental MERGE loop, oracle-checked:
+    * the event feed is split into three deterministic micro-batches and
+    * folded through the PRODUCTION [[graft.streaming.SyncLoop.merge]]
+    * (the same function the foreachBatch sink runs); because every
+    * maintained stat is additive (count / DECIMAL sum / min / max), the
+    * incrementally-maintained store must equal a one-shot batch
+    * recompute — which is exactly what the DuckDB oracle computes. */
+  private val q6 = QueryDef(
+    "t5_sync_loop",
+    (s, dir) => {
+      import graft.streaming.SyncLoop
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts", "value")
+      val batches = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+      val store = batches.foldLeft(SyncLoop.emptyProfiles(s))(SyncLoop.merge)
+      store.orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS total_value,
+             MIN(epoch_us(ts)) AS first_us,
+             MAX(epoch_us(ts)) AS last_us
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
 }

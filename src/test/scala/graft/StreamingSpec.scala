@@ -63,6 +63,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch MERGE sync loop maintains profiles incrementally and equals batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SyncLoop
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("syncloop").toFile.getAbsolutePath
+    val (store, wm, ckpt) = (s"$dir/profiles", s"$dir/watermark.txt", s"$dir/ckpt")
+    def toFeed(events: Seq[Event]) = events.map(e =>
+      (e.event_id, e.user_id, e.ts.getTime * 1000L, e.value))
+    val all = Seq(
+      Event(1, ts("10:00"), 1, "click", 1.25),
+      Event(2, ts("10:10"), 1, "click", 2.50),
+      Event(3, ts("10:20"), 2, "view", 0.75),
+      Event(4, ts("11:00"), 1, "view", 4.00),
+      Event(5, ts("11:30"), 3, "click", 1.00))
+    val src = MemoryStream[(Long, Long, Long, Double)]
+    val q = SyncLoop.maintainProfiles(
+      src.toDF().toDF("event_id", "user_id", "ts", "value"), store, wm, ckpt)
+    try {
+      src.addData(toFeed(all.take(3)): _*); q.processAllAvailable()
+      src.addData(toFeed(all.drop(3)): _*); q.processAllAvailable()
+    } finally q.stop()
+    // persisted watermark advanced to the max event time seen
+    assert(SyncLoop.readWatermark(wm).contains(ts("11:30").getTime * 1000L))
+    def snapshot() = SyncLoop.readProfiles(spark, store)
+      .select("user_id", "n_events", "total_value", "first_us", "last_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3), r.getLong(4))).toSet
+    val expected = SyncLoop.merge(SyncLoop.emptyProfiles(spark),
+      toFeed(all).toDF("event_id", "user_id", "ts", "value"))
+      .select("user_id", "n_events", "total_value", "first_us", "last_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3), r.getLong(4))).toSet
+    assert(snapshot() == expected)
+    assert(snapshot().size == 3)
+    // RESUME: a restarted loop re-fed overlapping input must not
+    // double-count — the persisted watermark filters the replay
+    val src2 = MemoryStream[(Long, Long, Long, Double)]
+    val q2 = SyncLoop.maintainProfiles(
+      src2.toDF().toDF("event_id", "user_id", "ts", "value"), store, wm, s"$dir/ckpt2")
+    val extra = Event(6, ts("12:00"), 2, "click", 3.00)
+    try {
+      src2.addData(toFeed(all.drop(2) :+ extra): _*) // replay of 3..5 + one new
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val resumed = snapshot()
+    assert(resumed == SyncLoop.merge(SyncLoop.emptyProfiles(spark),
+      toFeed(all :+ extra).toDF("event_id", "user_id", "ts", "value"))
+      .select("user_id", "n_events", "total_value", "first_us", "last_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3), r.getLong(4))).toSet,
+      "replayed events below the watermark must be skipped, new ones merged")
+  }
+
   test("streaming transforms also run in batch mode (unified semantics)") {
     import spark.implicits._
     val batch = Seq(
