@@ -1,7 +1,8 @@
 package graft
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 
 /** Benchmark main: times every SparkEntry query at the sf dir given by
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract); the
@@ -28,19 +29,30 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // timed action: a checksum aggregate over every output column, so
+    // column-pruning cannot skip projected expression work the way a
+    // bare count() can (an envelope-string query would otherwise be
+    // timed without building its envelopes). Falls back to count() for
+    // the rare output type the hash expression rejects.
+    def force(df: DataFrame): Unit = {
+      try df.agg(sum(xxhash64(df.columns.map(col): _*))).collect()
+      catch { case _: Throwable => df.count() }
+    }
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { force(fn(spark, warmDir)) } catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
     // criterion samples each bench many times and reports a statistic;
-    // min-of-N is the cheap robust analogue (drops GC/straggler noise)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // min-of-N is the cheap robust analogue (drops GC/straggler noise).
+    // 3 reps: round-3 showed min-of-2 still lets one GC/scheduling
+    // straggler masquerade as a per-query regression.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
         spark.catalog.clearCache() // no cross-query cache effects
         (System.nanoTime() - t0) / 1e9
       }
@@ -49,8 +61,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // methodology is IN the emitted line so rounds are compared
+    // like-for-like: warm JIT, min-of-N reps, checksum-forced outputs
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":true,"timed_action":"checksum_agg"}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }

@@ -1,0 +1,99 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bitemporal knowledge-graph edge store (reference: mnemo-graph —
+  * model.rs:55-70 `valid_at`, store/duckdb.rs:101-111 `close_edge`,
+  * store/mod.rs:39): every edge carries a fact-validity window
+  * [valid_from, valid_to) with `valid_to = null` meaning "still true",
+  * plus the transaction time `recorded_at`. Closing an edge is the
+  * SUPERSESSION WRITE: it stamps valid_to on the currently-open row
+  * and is idempotent — re-closing never moves the timestamp (the
+  * reference updates only rows `WHERE valid_to IS NULL`).
+  *
+  * Spark-first: closes are one conditional column rewrite over the
+  * edge table (no row-by-row probes); as-of reads are pure predicates,
+  * so they pushdown to the scan; expansion is an iterative frontier
+  * broadcast-semi-join — the frontier is tiny relative to the edge
+  * table, which streams. As-of READ parity is already oracle-checked by
+  * j6/j9/g1; this class adds the missing write-side op.
+  */
+final class GraphStore(val spark: SparkSession, val path: String) {
+
+  private def exists: Boolean =
+    new java.io.File(path).exists() && new java.io.File(path).list() != null &&
+      new java.io.File(path).list().nonEmpty
+
+  def edges(): DataFrame =
+    if (exists) spark.read.parquet(path)
+    else {
+      import spark.implicits._
+      Seq.empty[(String, String, String, String, Timestamp, Option[Timestamp], Double, Timestamp)]
+        .toDF("id", "src", "dst", "relation", "valid_from", "valid_to",
+          "confidence", "recorded_at")
+    }
+
+  def insertEdge(id: String, src: String, dst: String, relation: String,
+      validFrom: Timestamp, validTo: Option[Timestamp], confidence: Double,
+      recordedAt: Timestamp): Unit = {
+    import spark.implicits._
+    Seq((id, src, dst, relation, validFrom, validTo, confidence, recordedAt))
+      .toDF("id", "src", "dst", "relation", "valid_from", "valid_to",
+        "confidence", "recorded_at")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** close_edge: stamp valid_to on the OPEN row of `edgeId` only —
+    * closing an already-closed edge is a no-op (idempotent), exactly
+    * the reference's `WHERE id = ? AND valid_to IS NULL` update. */
+  def closeEdge(edgeId: String, closedAt: Timestamp): Unit = {
+    val updated = edges().withColumn("valid_to",
+      when(col("id") === edgeId && col("valid_to").isNull, lit(closedAt))
+        .otherwise(col("valid_to")))
+    val tmp = path + ".tmp"
+    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Edges outgoing from `node` that are fact-valid at `asOf`
+    * (valid_from <= asOf < valid_to, null = open), ordered by
+    * confidence desc then recorded_at desc like the reference read. */
+  def outgoingAt(node: String, asOf: Timestamp): DataFrame =
+    edges()
+      .filter(col("src") === node &&
+        col("valid_from") <= lit(asOf) &&
+        (col("valid_to").isNull || col("valid_to") > lit(asOf)))
+      .orderBy(col("confidence").desc, col("recorded_at").desc)
+
+  /** Depth-bounded reachability over edges valid at `asOf`: iterative
+    * frontier expansion, each hop one broadcast semi-join against the
+    * (filtered) edge table. Returns (node, depth of first reach). */
+  def expandAt(start: String, maxDepth: Int, asOf: Timestamp): DataFrame = {
+    import spark.implicits._
+    val valid = edges()
+      .filter(col("valid_from") <= lit(asOf) &&
+        (col("valid_to").isNull || col("valid_to") > lit(asOf)))
+      .select(col("src"), col("dst")).cache()
+    var reached = Seq((start, 0)).toDF("node", "depth")
+    var frontier = reached
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      val next = valid.join(broadcast(frontier), col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint()
+      reached = reached.unionByName(next)
+      frontier = next
+    }
+    reached
+  }
+}
+
+object GraphStore {
+  def open(spark: SparkSession, path: String): GraphStore = new GraphStore(spark, path)
+}
