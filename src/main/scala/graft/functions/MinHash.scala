@@ -26,7 +26,6 @@ object MinHash {
   // invisible \x01 in source survives reads unseen and once cost a
   // debug round). Join-key only — never compared against oracle output.
   private val Sep = "\u0001"
-  private val HexDigits = "0123456789abcdef"
 
   /** Modulus of the universal hash family: largest prime below 2³¹.
     * With a, b, x all < P, the update aᵢ·x + bᵢ stays well inside the
@@ -51,35 +50,43 @@ object MinHash {
       (a, b)
     }
 
-  /** Per-shingle md5 digests. Bind the result to a named column BEFORE
-    * passing it to [[signature]]: lambda bodies re-evaluate non-attribute
-    * argument expressions per element access, so an inlined digest array
-    * would recompute every md5 once per hash function. */
-  def shingleDigests(shingles: Column): Column = transform(shingles, s => md5(s))
+  /** Per-shingle 32-bit fingerprints: first 8 hex chars of md5, parsed
+    * and reduced mod P. Bind the result to a named column BEFORE
+    * passing it to [[signature]]: lambda bodies re-evaluate
+    * non-attribute argument expressions per element access, so an
+    * inlined fingerprint array would recompute every md5+parse once
+    * per hash function (a k-fold waste — exactly what the round-4
+    * bench caught when conv() sat inside the per-hash lambda). */
+  def shingleFingerprints(shingles: Column): Column =
+    transform(shingles, s =>
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long") % Prime)
 
-  /** k-minhash signature over a digest array: element i is min over
-    * shingles of hᵢ(x) = (aᵢ·x + bᵢ) mod P, where x is the first 32 bits
-    * of the shingle's md5. One md5 per shingle total; the k hash
-    * functions are a pairwise-independent universal family over the
-    * fingerprint (the classic min-wise formulation, the same shape as
-    * Spark MLlib's MinHashLSH), so LSH bands of consecutive elements
-    * have the ~sʳ collision probability the analysis assumes — unlike
-    * overlapping windows of one digest, which share most of their bits
-    * between adjacent elements. */
-  def signature(digests: Column, nHashes: Int): Column = {
-    def x(d: Column): Column = conv(substring(d, 1, 8), 16, 10).cast("long") % Prime
+  /** k-minhash signature over a fingerprint array: element i is min
+    * over shingles of hᵢ(x) = (aᵢ·x + bᵢ) mod P. One md5 + one hex
+    * parse per shingle total; the k hash functions are a
+    * pairwise-independent universal family over the fingerprint (the
+    * classic min-wise formulation, the same shape as Spark MLlib's
+    * MinHashLSH), so LSH bands of consecutive elements have the ~sʳ
+    * collision probability the analysis assumes — unlike overlapping
+    * windows of one digest, which share most of their bits between
+    * adjacent elements. */
+  def signature(fingerprints: Column, nHashes: Int): Column =
     array(coeffs(nHashes).map { case (a, b) =>
-      array_min(transform(digests, d => (lit(a) * x(d) + lit(b)) % Prime))
+      array_min(transform(fingerprints, x => (lit(a) * x + lit(b)) % Prime))
     }: _*)
-  }
 
   /** DuckDB mirror of [[signature]]: a BIGINT-list expression over the
-    * digest-list expression `dgList`, identical coefficients and
+    * fingerprint-list expression `fpList`, identical coefficients and
     * arithmetic. */
-  def signatureSql(dgList: String, nHashes: Int): String =
+  def signatureSql(fpList: String, nHashes: Int): String =
     coeffs(nHashes).map { case (a, b) =>
-      s"list_min(list_transform($dgList, d -> ($a * (('0x' || substr(d, 1, 8))::BIGINT % $Prime) + $b) % $Prime))"
+      s"list_min(list_transform($fpList, x -> ($a * x + $b) % $Prime))"
     }.mkString("[", ", ", "]")
+
+  /** DuckDB mirror of [[shingleFingerprints]] over the shingle-list
+    * expression `shList`. */
+  def fingerprintsSql(shList: String): String =
+    s"list_transform($shList, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $Prime)"
 
   /** LSH band keys: the signature is cut into bands of `rowsPerBand`
     * consecutive hashes; each band key is the md5 of (bandIdx ⊕ joined
@@ -95,22 +102,23 @@ object MinHash {
   }
 
   /** 16-bit SimHash over a token array (with multiplicity). Each token
-    * contributes ±1 per bit position, bits taken from the first 4 hex
-    * chars of md5(token); the sketch bit is the sign of the sum.
-    * Returned as a long in [0, 65535]. */
+    * maps to a 16-bit integer (first 4 hex chars of its md5) and
+    * contributes ±1 per bit position; the sketch bit is the sign of the
+    * per-position sum. Returned as a long in [0, 65535].
+    *
+    * ONE aggregate pass over the tokens with a 16-long accumulator —
+    * the previous formulation ran 16 separate aggregates (one per bit),
+    * re-walking the token array 16×; the round-4 bench surfaced that as
+    * 4.4 s on d4 once the timed action stopped letting count() skip the
+    * sketch entirely. */
   def simhash16(toks: Column): Column = {
-    // per-token 4-hex-char prefix, computed once
-    val hexes = transform(toks, t => substring(md5(t), 1, 4))
-    // bit p of token-hex h: nibble = index of hex char p/4 in the digit
-    // string; bit = (nibble >> (3 - p%4)) & 1 — all integer arithmetic
-    def bitOf(h: Column, p: Int): Column = {
-      val nib = instr(lit(HexDigits), substring(h, p / 4 + 1, 1)) - 1
-      floor(nib / math.pow(2, 3 - p % 4)).cast("long") % 2
-    }
-    val bitCols = (0 until 16).map { p =>
-      val bitSum = aggregate(hexes, lit(0L), (acc, h) => acc + bitOf(h, p) * 2 - 1)
-      when(bitSum > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    val xs = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
+    val positions = sequence(lit(0), lit(15))
+    val sums = aggregate(xs, array_repeat(lit(0L), 16), (acc, x) =>
+      zip_with(acc, transform(positions, p =>
+        floor(x / pow(lit(2.0), p)).cast("long") % 2 * 2 - 1), (a, b) => a + b))
+    val bitVals = zip_with(sums, positions, (s, p) =>
+      when(s > 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L)))
+    aggregate(bitVals, lit(0L), (acc, v) => acc + v)
   }
 }

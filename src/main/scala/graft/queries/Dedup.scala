@@ -139,9 +139,10 @@ object Dedup extends QueryGroup {
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
-        // digests bound to an attribute first — see MinHash.shingleDigests
-        .withColumn("dg", MinHash.shingleDigests(col("sh")))
-        .withColumn("sig", MinHash.signature(col("dg"), nHashes))
+        // fingerprints bound to an attribute first — see
+        // MinHash.shingleFingerprints (one md5+parse per shingle total)
+        .withColumn("fp", MinHash.shingleFingerprints(col("sh")))
+        .withColumn("sig", MinHash.signature(col("fp"), nHashes))
         .withColumn("bands", MinHash.bandKeys(col("sig"), nHashes, rowsPerBand))
         .cache()
       val exploded = base.select(col("doc_id"), explode(col("bands")).as("bk"))
@@ -161,10 +162,10 @@ object Dedup extends QueryGroup {
     Some(s"""
       WITH $toksSql,
       $shinglesSql,
-      dg AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS dg FROM sh),
+      fp AS (SELECT doc_id, sh, ${MinHash.fingerprintsSql("sh")} AS fp FROM sh),
       sigs AS (
-        SELECT doc_id, sh, ${MinHash.signatureSql("dg", 8)} AS sig
-        FROM dg),
+        SELECT doc_id, sh, ${MinHash.signatureSql("fp", 8)} AS sig
+        FROM fp),
       bands AS (
         SELECT doc_id, sh,
                unnest(list_transform(generate_series(0, 3),
@@ -197,15 +198,14 @@ object Dedup extends QueryGroup {
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
         FROM documents),
-      hx AS (SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 4)) AS hx FROM toks),
+      xs AS (SELECT doc_id, list_transform(toks, t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS xs FROM toks),
       sim AS (
         SELECT doc_id,
                CAST(COALESCE(list_sum(list_transform(generate_series(0, 15), p ->
-                 CASE WHEN COALESCE(list_sum(list_transform(hx, h ->
-                        2 * (CAST(FLOOR((strpos('0123456789abcdef', substr(h, p // 4 + 1, 1)) - 1)
-                                        / POW(2, 3 - (p % 4))) AS BIGINT) % 2) - 1)), 0) > 0
-                      THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS simhash
-        FROM hx)
+                 CASE WHEN COALESCE(list_sum(list_transform(xs, x ->
+                        CAST(FLOOR(x / POW(2.0, p)) AS BIGINT) % 2 * 2 - 1)), 0) > 0
+                      THEN CAST(POW(2.0, p) AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS simhash
+        FROM xs)
       SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_same_sketch
       FROM sim
       ORDER BY doc_id

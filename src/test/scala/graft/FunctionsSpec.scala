@@ -98,7 +98,7 @@ class FunctionsSpec extends SparkSpec {
       (2L, Seq("a b", "b c", "c d")),
       (3L, Seq("x y", "y z", "z w"))).toDF("id", "sh")
     val withBands = docs
-      .withColumn("dg", MinHash.shingleDigests(col("sh")))
+      .withColumn("dg", MinHash.shingleFingerprints(col("sh")))
       .withColumn("sig", MinHash.signature(col("dg"), 8))
       .withColumn("bands", MinHash.bandKeys(col("sig"), 8, 2))
       .select(col("id"), explode(col("bands")).as("bk"))

@@ -59,6 +59,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("f1_filter_matrix: the full recall predicate stays a scan-level filter, no join for non-ACL legs") {
+    val p = plan("f1_filter_matrix")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    // the matrix is a pure filter+project over one scan: no shuffle at all
+    assert(!p.contains("Exchange") || p.contains("TakeOrderedAndProject") ||
+      p.contains("Sort"), "predicate evaluation should not shuffle the corpus")
+  }
+
+  test("t5_sync_loop: incremental profile merges shuffle once per key, never nested-loop") {
+    val p = plan("t5_sync_loop")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "full-outer profile merge must stay a hash/sort-merge equi-join")
+  }
+
+  test("p7b_orientation_store: eviction is window passes, upsert is an equi-join") {
+    val p = plan("p7b_orientation_store")
+    assert(p.contains("Window"), "closed-form eviction should lower to window passes")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
   test("embedding near-dup pairs block on LSH buckets, not a bounded label domain") {
     // the pair-join key must be the (tbl, bkt) hyperplane bucket — whose
     // cardinality scales with the planes knob — never the 10-ary `label`

@@ -56,12 +56,12 @@ class PropertiesSpec extends SparkSpec {
       val full = words(rnd, 12).distinct
       val perm = rnd.shuffle(full)
       val sigs = Seq((1L, full), (2L, perm)).toDF("id", "sh")
-        .select(MinHash.signature(MinHash.shingleDigests(col("sh")), 4).as("sig"))
+        .select(MinHash.signature(MinHash.shingleFingerprints(col("sh")), 4).as("sig"))
         .collect().map(_.getSeq[Long](0))
       assert(sigs(0) == sigs(1))
       val sub = full.take(math.max(1, full.size / 2))
       val pair = Seq((1L, full), (2L, sub)).toDF("id", "sh")
-        .select(MinHash.signature(MinHash.shingleDigests(col("sh")), 4).as("sig"))
+        .select(MinHash.signature(MinHash.shingleFingerprints(col("sh")), 4).as("sig"))
         .collect().map(_.getSeq[Long](0))
       pair(0).zip(pair(1)).foreach { case (f, s) =>
         assert(f <= s, "min over a superset must be <= min over its subset")
