@@ -22,9 +22,10 @@ class QueriesSpec extends SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs))
     assert(os.size >= 40, s"expected >=40 oracle-checked queries, got ${os.size}")
-    // rows-only (no-oracle) queries are the intentionally approximate /
-    // non-SQL-expressible ones
-    assert((qs -- os) == Set("m2_media_features"))
+    // every registered query is oracle-checked — the media stub decode
+    // became sha-derived (SQL-expressible) in round 4, closing the last
+    // rows-only gap
+    assert((qs -- os).isEmpty, s"queries without an oracle: ${qs -- os}")
   }
 
   private def assertRankedDescending(name: String): Unit = {
