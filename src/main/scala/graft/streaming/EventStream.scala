@@ -34,6 +34,17 @@ object EventStream {
   // encoder codegen requires accessible accessors
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
 
+  /** Streaming exact dedup — the ingest-side twin of the batch d1 pass:
+    * drop re-delivered events by key inside the watermark horizon
+    * (`dropDuplicatesWithinWatermark` keeps state only until the
+    * watermark passes, so state is bounded by lateness × rate, not by
+    * stream length — the 100 TB-feed formulation of at-least-once →
+    * effectively-once ingest). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Tumbling 1-hour event-time counts per event type, 2-hour watermark:
     * the A6/A12 profile refresh shape. */
   def hourlyTypeCounts(events: DataFrame): DataFrame =

@@ -63,6 +63,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops re-delivered events inside the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Event]
+    val q = EventStream.dedupEvents(src.toDF())
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      src.addData(
+        Event(1, ts("10:00"), 1, "click", 1.0),
+        Event(2, ts("10:05"), 1, "click", 2.0),
+        Event(1, ts("10:00"), 1, "click", 1.0)) // duplicate delivery, same batch
+      q.processAllAvailable()
+      src.addData(Event(2, ts("10:05"), 1, "click", 2.0)) // redelivery, next batch
+      q.processAllAvailable()
+      src.addData(Event(3, ts("14:00"), 1, "view", 3.0)) // advances watermark
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq == Seq(1L, 2L, 3L),
+        s"each event id must survive exactly once, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch MERGE sync loop maintains profiles incrementally and equals batch recompute") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.SyncLoop
