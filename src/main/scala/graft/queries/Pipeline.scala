@@ -147,5 +147,39 @@ object Pipeline extends QueryGroup {
       FROM per_src CROSS JOIN z
       ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3)
+  /** Deterministic shuffle-shard export: the final pipeline step that
+    * writes training shards. Order is md5(doc_id) — a reproducible
+    * pseudo-random permutation both engines compute identically — and
+    * the shard is the first hex nibble's bucket, so a re-run (or a
+    * different engine) produces byte-identical shard assignments. At
+    * 100 TB this is one hash projection + one shuffle on shard, and
+    * within-shard order is the hash order, so workers stream shards
+    * without a global sort. */
+  private val q4 = QueryDef(
+    "pl4_shuffle_export",
+    (s, dir) => {
+      val NShards = 8
+      val h = md5(col("doc_id").cast("string"))
+      val shard = (instr(lit(HexDigits), substring(h, 1, 1)) - 1) % NShards
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), h.as("h"))
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("shard"), col("pos"), col("doc_id"), col("n_chars"))
+        .orderBy("shard", "pos")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS INT) AS shard
+        FROM documents)
+      SELECT shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS INT) AS pos,
+             doc_id, n_chars
+      FROM h
+      ORDER BY shard, pos"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
 }

@@ -199,5 +199,50 @@ object TextAnalysis extends QueryGroup {
       FROM fp
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
+  /** Document chunking for training-data prep: fixed-size token windows
+    * (size 64, stride 48 → 16-token overlap) exploded to one row per
+    * chunk — the standard pre-tokenization split. A narrow
+    * projection+explode: no shuffle until the final presentation sort,
+    * so at 100 TB chunking streams with the scan. Chunk starts are
+    * `sequence(0, len-1, stride)` so short docs yield exactly one
+    * chunk and every token lands in ≥1 chunk. */
+  private val q5 = QueryDef(
+    "t7_chunk_documents",
+    (s, dir) => {
+      val Size = 64
+      val Stride = 48
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+      toks
+        .select(col("doc_id"), col("toks"), col("n"),
+          posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(Stride)))
+            .as(Seq("chunk_idx", "start")))
+        .withColumn("chunk_toks", slice(col("toks"), col("start") + 1, lit(Size)))
+        .withColumn("n_tokens", size(col("chunk_toks")))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", col("chunk_toks")).as("chunk_text"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+        .limit(2000)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      chunks AS (
+        SELECT doc_id,
+               CAST(st.i / 48 AS INT) AS chunk_idx,
+               array_to_string(list_slice(toks, st.i + 1, st.i + 64), ' ') AS chunk_text,
+               len(list_slice(toks, st.i + 1, st.i + 64)) AS n_tokens
+        FROM toks,
+             unnest(range(0, GREATEST(len(toks) - 1, 0) + 1, 48)) AS st(i))
+      SELECT doc_id, chunk_idx, chunk_text, n_tokens
+      FROM chunks
+      WHERE n_tokens > 0
+      ORDER BY doc_id, chunk_idx
+      LIMIT 2000"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
 }
