@@ -9,11 +9,14 @@ and compares: column names (sorted), row counts, and exact values (after
 sorting columns by name; rows compared in emitted order AND in sorted order
 so we catch both kinds of mismatch).
 """
+import glob
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -36,8 +39,13 @@ def main(out_dir, sf_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            # Read the Spark side via pyarrow, NOT DuckDB: the driver does,
+            # and DuckDB's client path coerces e.g. DECIMAL to float64 on
+            # BOTH sides, masking render divergences (bit us in round 4).
+            parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            got = pd.concat(
+                [pq.read_table(p).to_pandas() for p in parts],
+                ignore_index=True)
             want = con.execute(sql).fetchdf()
             gcols, wcols = sorted(got.columns), sorted(want.columns)
             if gcols != wcols:

@@ -254,8 +254,11 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
   def recallOver(source: DataFrame, r: RecallRequest, now: Timestamp): DataFrame = {
     val withGrant = r.agentId match {
       case Some(a) =>
+        // distinct: share() appends grant rows, and a duplicate grant
+        // must not duplicate the memory through scoring/RRF — the
+        // reference's check_permission is a boolean, not a multiset.
         val grants = acls().filter(col("principal_id") === a)
-          .select(col("memory_id"))
+          .select(col("memory_id")).distinct()
         source.join(broadcast(grants), col("id") === col("memory_id"), "left")
           .withColumn("__granted", col("memory_id").isNotNull)
           .drop("memory_id")
@@ -357,7 +360,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * semi-join placed BEFORE scoring. */
   def recallVisible(agentId: String, r: RecallRequest, now: Timestamp): DataFrame = {
     val grants = acls().filter(col("principal_id") === agentId)
-      .select(col("memory_id"))
+      .select(col("memory_id")).distinct()
     val visible = table()
       .join(broadcast(grants), col("id") === col("memory_id"), "left")
       .filter(col("agent_id") === agentId ||

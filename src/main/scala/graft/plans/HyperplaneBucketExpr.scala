@@ -24,7 +24,12 @@ import org.apache.spark.sql.types._
   *
   * Bit-identical to the SQL rendering
   * [[graft.functions.VectorOps.hyperplaneBucketSql]]: same coefficients,
-  * same left-to-right double accumulation, same `>= 0` sign test.
+  * same left-to-right double accumulation, same `>= 0` sign test — and
+  * the same degenerate-input semantics: the SQL chain indexes exactly
+  * `dim` elements, so a shorter vector or a null element makes every
+  * plane's dot NULL and every CASE emit 0, i.e. bucket 0. The native
+  * paths mirror that (bucket 0 on short/null-element input) instead of
+  * zero-padding, so bucket ids can never diverge between engines.
   */
 case class HyperplaneBucketExpr(child: Expression, dim: Int, nPlanes: Int, seed: Long)
     extends UnaryExpression {
@@ -49,7 +54,12 @@ case class HyperplaneBucketExpr(child: Expression, dim: Int, nPlanes: Int, seed:
 
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, xs.numElements())
+    if (xs.numElements() < dim) return 0L
+    var k = 0
+    while (k < dim) {
+      if (xs.isNullAt(k)) return 0L
+      k += 1
+    }
     val fl = isFloat
     var bucket = 0L
     var p = 0
@@ -57,7 +67,7 @@ case class HyperplaneBucketExpr(child: Expression, dim: Int, nPlanes: Int, seed:
       var dot = 0.0
       val base = p * dim
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         val x = if (fl) xs.getFloat(i).toDouble else xs.getDouble(i)
         dot += x * coefs(base + i)
         i += 1
@@ -72,22 +82,29 @@ case class HyperplaneBucketExpr(child: Expression, dim: Int, nPlanes: Int, seed:
     val coefRef = ctx.addReferenceObj("planeCoefs", coefs, "double[]")
     val getter = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n")
+      val ok = ctx.freshName("ok")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val bkt = ctx.freshName("bkt")
       val base = ctx.freshName("base")
+      // SQL-mirror degenerate semantics: short vector or null element
+      // → every plane dot is NULL in SQL → bucket 0 here.
       s"""
-         |int $n = java.lang.Math.min($dim, $a.numElements());
          |long $bkt = 0L;
-         |for (int $p = 0; $p < $nPlanes; $p++) {
-         |  double $dot = 0.0;
-         |  int $base = $p * $dim;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += ((double) $a.$getter($i)) * $coefRef[$base + $i];
+         |boolean $ok = $a.numElements() >= $dim;
+         |for (int $i = 0; $ok && $i < $dim; $i++) {
+         |  if ($a.isNullAt($i)) $ok = false;
+         |}
+         |if ($ok) {
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    double $dot = 0.0;
+         |    int $base = $p * $dim;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += ((double) $a.$getter($i)) * $coefRef[$base + $i];
+         |    }
+         |    if ($dot >= 0.0) $bkt |= (1L << $p);
          |  }
-         |  if ($dot >= 0.0) $bkt |= (1L << $p);
          |}
          |${ev.value} = $bkt;
        """.stripMargin

@@ -138,7 +138,13 @@ object EventWindows extends QueryGroup {
     * (the same function the foreachBatch sink runs); because every
     * maintained stat is additive (count / DECIMAL sum / min / max), the
     * incrementally-maintained store must equal a one-shot batch
-    * recompute — which is exactly what the DuckDB oracle computes. */
+    * recompute — which is exactly what the DuckDB oracle computes.
+    * The store's exact DECIMAL total is cast to DOUBLE only at the
+    * output boundary (repo-wide convention, see Relational.scala:22):
+    * both engines convert the same exact decimal to its nearest
+    * double, so the render is bit-identical — emitting the raw
+    * DECIMAL diverges because DuckDB's client path renders it as a
+    * float while parquet decimals render at full scale. */
   private val q6 = QueryDef(
     "t5_sync_loop",
     (s, dir) => {
@@ -146,11 +152,12 @@ object EventWindows extends QueryGroup {
       val ev = Tables.events(s, dir).select("event_id", "user_id", "ts", "value")
       val batches = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
       val store = batches.foldLeft(SyncLoop.emptyProfiles(s))(SyncLoop.merge)
-      store.orderBy("user_id")
+      store.withColumn("total_value", col("total_value").cast("double"))
+        .orderBy("user_id")
     },
     Some("""
       SELECT user_id, COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS total_value,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value,
              MIN(epoch_us(ts)) AS first_us,
              MAX(epoch_us(ts)) AS last_us
       FROM events

@@ -130,4 +130,36 @@ class PropertiesSpec extends SparkSpec {
     // buckets spread: not everything collapses into one bucket
     assert(df.select("b").distinct().count() > 1)
   }
+
+  test("hyperplane bucket mirrors SQL degenerate semantics: short or null-element vector → bucket 0") {
+    // the SQL rendering indexes exactly `dim` elements, so a short
+    // vector or a null element makes every plane dot NULL → bucket 0;
+    // both native paths (interpreted eval and whole-stage codegen)
+    // must agree or d5/a3/v2 oracle parity silently breaks.
+    import graft.functions.VectorOps
+    import spark.implicits._
+    val full = Array.fill(64)(1.0f)
+    val short = Array.fill(63)(1.0f)
+    val withNull: Array[java.lang.Float] =
+      Array.tabulate[java.lang.Float](64)(i => if (i == 7) null else 1.0f)
+    val df = Seq(
+      (1L, full.map(x => x: java.lang.Float)),
+      (2L, short.map(x => x: java.lang.Float)),
+      (3L, withNull)).toDF("id", "v")
+      .withColumn("b", VectorOps.hyperplaneBucket(col("v"), 64, 8))
+    // codegen path (wholestage on) and interpreted path must agree
+    val codegen = df.orderBy("id").select("b").collect().map(_.getLong(0)).toSeq
+    val interp = Seq(full.map(x => x: java.lang.Float), short.map(x => x: java.lang.Float), withNull)
+      .map { arr =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{ArrayType, FloatType}
+        graft.plans.HyperplaneBucketExpr(
+          Literal.create(arr.toSeq, ArrayType(FloatType, containsNull = true)),
+          64, 8, 42L).eval(null).asInstanceOf[Long]
+      }
+    assert(codegen == interp)
+    assert(codegen(0) != 0L)  // well-formed vector lands in a real bucket
+    assert(codegen(1) == 0L)  // short vector → bucket 0
+    assert(codegen(2) == 0L)  // null element → bucket 0
+  }
 }
