@@ -38,6 +38,27 @@ object Similarity extends QueryGroup {
     e.filter(col("vec_id") % 97 === 0 && col("vec_id") < MaxQueryId)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("embedding").as("qv"))
 
+  /** Fixed-k centroid seeds: the k corpus vectors whose md5(vec_id)
+    * sorts first — a deterministic hash sample, so the centroid frame
+    * is O(k) REGARDLESS of corpus size (a `vec_id % m == 0` pick is
+    * O(N/m) and its broadcast grows with the corpus — the round-4
+    * scale flag). One TakeOrdered pass over the corpus picks the
+    * seeds; cross-engine identical because md5 hex and string sort
+    * agree. Real IVF would Lloyd-iterate from these seeds
+    * (reference builds a graph index instead:
+    * crates/mnemo-core/src/index/usearch.rs:66-360); a fixed hash
+    * sample keeps the oracle exactly mirrorable while preserving the
+    * O(k) broadcast contract that matters at scale. */
+  private val CentroidK = 64
+
+  private def centroidSeedIds(e: DataFrame): DataFrame =
+    e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(CentroidK)
+      .select(col("vec_id").as("cid"))
+
+  private val centroidSeedSql =
+    s"SELECT vec_id AS cid FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $CentroidK"
+
   private val q1 = QueryDef(
     "v1_knn_bruteforce",
     (s, dir) => {
@@ -102,12 +123,13 @@ object Similarity extends QueryGroup {
   private val q3 = QueryDef(
     "v3_knn_ivf",
     (s, dir) => {
-      // IVF: coarse-quantize to nearest of ~N/100 centroids, probe the 2
-      // nearest cells per query. Assignment is one broadcast-centroid
-      // scan; the probe is an equi-join on cell id.
+      // IVF: coarse-quantize to nearest of a FIXED k=64 hash-sampled
+      // centroids, probe the 2 nearest cells per query. Assignment is
+      // one broadcast-centroid scan (O(k) broadcast, constant in corpus
+      // size); the probe is an equi-join on cell id.
       val e = Tables.embeddings(s, dir)
-      val cent = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val cent = e.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
+        .select(col("cid"), col("embedding").as("cv"))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
       val cells = e.crossJoin(broadcast(cent))
         .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
@@ -132,7 +154,8 @@ object Similarity extends QueryGroup {
     },
     Some(s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+      seed AS ($centroidSeedSql),
+      cent AS (SELECT cid, v AS cv FROM e JOIN seed ON e.vec_id = seed.cid),
       assign AS (
         SELECT vec_id, v, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cos("v", "cv")} DESC, cid) AS rn
@@ -314,16 +337,18 @@ object Similarity extends QueryGroup {
       // product-quantization k-NN (the memory-compression scale path): 64
       // dims split into 4 subspaces of 16; each subvector is coded as its
       // nearest sub-centroid; query distance is ADC — the sum of
-      // query-to-centroid subdistances looked up by code. Encoding is a
-      // broadcast-centroid scan; ADC is an equi-join on (subspace, code).
-      // Ranking uses the 6-dp-rounded distance in BOTH engines so the
-      // order is identical across float implementations.
+      // query-to-centroid subdistances looked up by code. Sub-centroids
+      // are the FIXED k=64 hash-sampled seed vectors' subvectors, so the
+      // codebook broadcast is O(k·4) — constant in corpus size. Encoding
+      // is a broadcast-centroid scan; ADC is an equi-join on (subspace,
+      // code). Ranking uses the 6-dp-rounded distance in BOTH engines so
+      // the order is identical across float implementations.
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val subs = e.select(col("vec_id"),
         posexplode(array((0 until 4).map(m =>
           slice(col("embedding"), m * 16 + 1, 16)): _*)).as(Seq("m", "sv")))
-      val cent = subs.filter(col("vec_id") % 250 === 0)
-        .select(col("vec_id").as("cid"), col("m"), col("sv").as("scv"))
+      val cent = subs.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
+        .select(col("cid"), col("m"), col("sv").as("scv"))
       val wAssign = Window.partitionBy(col("vec_id"), col("m"))
         .orderBy(col("sdist"), col("cid"))
       val codes = subs.join(broadcast(cent), Seq("m"))
@@ -346,13 +371,15 @@ object Similarity extends QueryGroup {
         .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
         .orderBy("qid", "rank")
     },
-    Some("""
+    Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       subs AS (
         SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS sv
         FROM e, (SELECT unnest(generate_series(0, 3)) AS m)),
+      seed AS ($centroidSeedSql),
       cent AS (
-        SELECT vec_id AS cid, m, sv AS scv FROM subs WHERE vec_id % 250 = 0),
+        SELECT s.vec_id AS cid, s.m, s.sv AS scv
+        FROM subs s JOIN seed ON s.vec_id = seed.cid),
       codes AS (
         SELECT vec_id, m, cid AS code FROM (
           SELECT s.vec_id, s.m, c.cid,

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Trust extends QueryGroup {
 
+  /** x8's query sample: first 32 multiples of 101 — fixed-size, so the
+    * broadcast query-token side is constant in corpus size (the
+    * MaxQueries pattern from [[Similarity]]). */
+  private val MaxPlanQueries = 32
+  private val MaxPlanQueryId = 101L * MaxPlanQueries // 3232
+
   private val q1 = QueryDef(
     "f3_trust_rerank",
     (s, dir) => {
@@ -60,17 +66,22 @@ object Trust extends QueryGroup {
   private val q2 = QueryDef(
     "x8_plan_match",
     (s, dir) => {
-      // plan library = all documents; queries = every 101st document's
-      // text; match = signature-token Jaccard, keep best plan >= 0.2.
-      // Scalable formulation: |A∩B| comes from an exploded token
-      // equi-join (hash join on the token), |A∪B| = |A|+|B|−|A∩B| —
-      // never a pairwise array scan, so cost is O(matching tokens), not
-      // O(plans × queries × set size). Zero-overlap pairs drop out
-      // naturally (their Jaccard 0 can't reach the threshold).
+      // plan library = all documents; queries = the first MaxPlanQueries
+      // multiples of 101 — a FIXED-size deterministic sample, so the
+      // broadcast query-token side is O(1) in corpus size (a bare
+      // `% 101` pick is ~1/101 of ALL corpus tokens — unbounded at
+      // 100×, the round-4 scale flag); match = signature-token Jaccard,
+      // keep best plan >= 0.2. Scalable formulation: |A∩B| comes from
+      // an exploded token equi-join (hash join on the token),
+      // |A∪B| = |A|+|B|−|A∩B| — never a pairwise array scan, so cost is
+      // O(matching tokens), not O(plans × queries × set size).
+      // Zero-overlap pairs drop out naturally (their Jaccard 0 can't
+      // reach the threshold).
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokenSet(col("text")).as("sig"))
         .cache() // tokenized once, read by both the query and plan sides
-      val queries = d.filter(col("doc_id") % 101 === 0)
+      val queries = d.filter(col("doc_id") % 101 === 0 &&
+          col("doc_id") < MaxPlanQueryId)
         .select(col("doc_id").as("query_id"), col("sig").as("qsig"),
           size(col("sig")).as("nq"))
       val qTokens = queries.select(col("query_id"), col("nq"),
@@ -91,13 +102,14 @@ object Trust extends QueryGroup {
         .select(col("query_id"), col("plan_id"), round(col("jac"), 6).as("jaccard"))
         .orderBy("query_id")
     },
-    Some("""
+    Some(s"""
       WITH sigs AS (
         SELECT doc_id,
                list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                  x -> len(x) > 0)) AS sig
         FROM documents),
-      q AS (SELECT doc_id AS query_id, sig AS qsig FROM sigs WHERE doc_id % 101 = 0),
+      q AS (SELECT doc_id AS query_id, sig AS qsig FROM sigs
+            WHERE doc_id % 101 = 0 AND doc_id < $MaxPlanQueryId),
       plans AS (SELECT doc_id AS plan_id, sig FROM sigs WHERE doc_id % 101 <> 0),
       scored AS (
         SELECT query_id, plan_id,

@@ -79,6 +79,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
+  test("v3/v4 centroid side is constant-bounded (fixed-k limit), never O(corpus)") {
+    // round-4 flag: `vec_id % m == 0` centroids grow with the corpus and
+    // are broadcast; the fix picks a FIXED k=64 hash-ordered sample, so
+    // the plan must carry a limit-64 (TakeOrdered/GlobalLimit) on the
+    // centroid branch feeding the broadcast.
+    Seq("v3_knn_ivf", "v4_pq_knn").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("TakeOrderedAndProject") || p.contains("limit=64") ||
+        p.contains("GlobalLimit"),
+        s"$n: centroid seed pick lost its constant bound")
+      assert(p.contains("BroadcastHashJoin"), s"$n: centroid assignment must broadcast")
+    }
+  }
+
+  test("x8_plan_match: broadcast query-token side is a fixed-size sample") {
+    // round-4 flag: a bare `% 101` query pick broadcasts ~1/101 of ALL
+    // corpus tokens — unbounded at scale. The fix bounds the sample to
+    // the first 32 multiples of 101 (doc_id < 3232), so the broadcast
+    // is O(1) in corpus size; the bound must survive in the plan.
+    val p = plan("x8_plan_match")
+    assert(p.contains("BroadcastHashJoin"), "token match should broadcast the query side")
+    assert(p.contains("3232"), "query sample lost its fixed-size bound")
+  }
+
   test("embedding near-dup pairs block on LSH buckets, not a bounded label domain") {
     // the pair-join key must be the (tbl, bkt) hyperplane bucket — whose
     // cardinality scales with the planes knob — never the 10-ary `label`
