@@ -547,19 +547,31 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
   /** Distill a recall result into the namespace's context map: upsert
     * (freq bump + last_seen refresh) then evict to the token budget —
     * the reference's update_and_render write half, persisted so the
-    * map survives across recalls and sessions. */
+    * map survives across recalls and sessions.
+    *
+    * Row-level MERGE, not a store rewrite (the reference upserts rows,
+    * storage/duckdb.rs:714-740): the store is hive-partitioned by
+    * `namespace` and each ContextMap owns its budget, so an update
+    * reads and dynamically overwrites ONLY the updated namespace's
+    * partition — write amplification is O(one namespace), and other
+    * namespaces' files are never opened, let alone rewritten. */
   def orientationUpdate(hits: DataFrame, namespace: String, nowUnix: Long,
       budget: Int = OrientationCache.DefaultBudget): Unit = {
     val batch = OrientationCache.distill(hits, lit(namespace), col("content"))
-    val merged = OrientationCache.upsert(orientationState(), batch, nowUnix)
-    // evict ONLY the updated namespace's map (each ContextMap owns its
-    // budget in the reference) — other namespaces pass through untouched
+    val nsState = orientationState().filter(col("namespace") === namespace)
     val kept = OrientationCache.evict(
-        merged.filter(col("namespace") === namespace), budget, nowUnix)
-      .unionByName(merged.filter(col("namespace") =!= namespace))
+      OrientationCache.upsert(nsState, batch, nowUnix), budget, nowUnix)
+    // two-phase: the merged namespace is materialized to a scratch dir
+    // first because the dynamic overwrite below replaces the very files
+    // the lazy plan would still be reading
     val tmp = orientPath + ".tmp"
     kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(orientPath)
+    spark.read.parquet(tmp)
+      .withColumn("namespace", lit(namespace))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("namespace")
+      .parquet(orientPath)
   }
 
   /** Rendered map for one namespace, key-ascending (the reference's

@@ -51,6 +51,16 @@ object Similarity extends QueryGroup {
     * O(k) broadcast contract that matters at scale. */
   private val CentroidK = 64
 
+  /** IVF probe width — the recall/cost knob every IVF index exposes.
+    * 16 of 64 cells ≈ 25% of the corpus scanned per query: wide,
+    * because the synthetic hash embeddings are only weakly clustered
+    * (QueriesSpec pins top-1 agreement with brute force > 0, which
+    * needs this width here). A production corpus with real cluster
+    * structure runs nlist ≈ √N and nprobe ≈ nlist/64; the plan shape —
+    * O(k) centroid broadcast, equi-join probe — is unchanged by the
+    * knobs. */
+  private val NProbe = 16
+
   private def centroidSeedIds(e: DataFrame): DataFrame =
     e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(CentroidK)
@@ -124,7 +134,7 @@ object Similarity extends QueryGroup {
     "v3_knn_ivf",
     (s, dir) => {
       // IVF: coarse-quantize to nearest of a FIXED k=64 hash-sampled
-      // centroids, probe the 2 nearest cells per query. Assignment is
+      // centroids, probe the NProbe nearest cells per query. Assignment is
       // one broadcast-centroid scan (O(k) broadcast, constant in corpus
       // size); the probe is an equi-join on cell id.
       val e = Tables.embeddings(s, dir)
@@ -140,7 +150,7 @@ object Similarity extends QueryGroup {
       val probes = queryVecs(e).crossJoin(broadcast(cent))
         .withColumn("qcos", VectorOps.cosineFast(col("qv"), col("cv")))
         .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= 2)
+        .filter(col("pr") <= NProbe)
         .select(col("qid"), col("qv"), col("cid"))
       val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       cells.join(broadcast(probes), Seq("cid"))
@@ -167,7 +177,7 @@ object Similarity extends QueryGroup {
           SELECT qid, qv, cid,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${cos("qv", "cv")} DESC, cid) AS pr
           FROM q CROSS JOIN cent)
-        WHERE pr <= 2),
+        WHERE pr <= $NProbe),
       cand AS (
         SELECT qid, qv, c.vec_id, c.v, c.cid
         FROM probes p JOIN cells c ON c.cid = p.cid AND c.vec_id <> p.qid)

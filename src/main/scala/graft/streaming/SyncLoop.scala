@@ -1,8 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -16,17 +18,46 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Spark-first shape: `foreachBatch` gives the streaming query a batch
   * DataFrame per trigger; the MERGE is one full-outer join of the
-  * (small) profile store with the micro-batch aggregate — additive
-  * stats only (count / decimal sum / min / max), so incremental
-  * maintenance is EXACTLY equal to a one-shot batch recompute, which
-  * is what the oracle checks. Sums ride DECIMAL, not DOUBLE, so the
-  * equality is order-independent and bit-exact.
+  * profile store with the micro-batch aggregate — additive stats only
+  * (count / decimal sum / min / max), so incremental maintenance is
+  * EXACTLY equal to a one-shot batch recompute, which is what the
+  * oracle checks. Sums ride DECIMAL, not DOUBLE, so the equality is
+  * order-independent and bit-exact.
   *
-  * Late events behind the persisted watermark are skipped by design
-  * (the reference's since-watermark contract); bound upstream lateness
-  * with `withWatermark` if the feed can reorder across triggers.
+  * Store layout — row-level MERGE, not a full rewrite (the reference
+  * upserts rows: storage/duckdb.rs:714-740): profiles are hash-bucketed
+  * by `user_id` into [[NumParts]] partitions; a batch reads and
+  * rewrites ONLY the partitions its users hash into, so write
+  * amplification per trigger is O(touched partitions), not O(store).
+  * Each batch writes its touched partitions under a fresh
+  * `data/b<batchId>/part=<k>/` directory and then commits by atomically
+  * renaming a manifest that maps every partition to its current
+  * directory, together with the batch id and watermark:
+  *
+  *  - crash BEFORE the rename: the old manifest still governs — the
+  *    half-written batch directory is invisible and the replayed batch
+  *    recomputes it (overwriting the orphan);
+  *  - replay AFTER the rename: the manifest's batch id says the batch
+  *    was applied, so the sink skips it — no double count (the
+  *    store+watermark advance is one atomic commit, closing the
+  *    crash-between-two-writes window of the previous design).
+  *
+  * Untouched partitions keep their old directories byte-for-byte
+  * (asserted in StreamingSpec). Single writer assumed, like the
+  * reference's embedded store. Late events behind the committed
+  * watermark are skipped by design (the since-watermark contract);
+  * bound upstream lateness with `withWatermark` if the feed can
+  * reorder across triggers.
   */
 object SyncLoop {
+
+  /** Hash-bucket count for the profile store. 16 keeps partitions
+    * coarse at test scale; at cluster scale raise it so a partition is
+    * O(100 MB) — the manifest and commit protocol are unchanged. */
+  val NumParts = 16
+
+  private def partOf(userCol: org.apache.spark.sql.Column) =
+    pmod(userCol, lit(NumParts)).cast("int")
 
   /** Empty profile store frame (schema anchor). */
   def emptyProfiles(spark: SparkSession): DataFrame =
@@ -60,43 +91,141 @@ object SyncLoop {
         least(col("first_us"), col("b_first")).as("first_us"),
         greatest(col("last_us"), col("b_last")).as("last_us"))
 
-  def readWatermark(path: String): Option[Long] = {
-    val p = Paths.get(path)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  // ---- manifest: the store's single atomic commit point ----
+
+  /** Current committed state: last applied foreachBatch id (scoped by
+    * the query incarnation's `epoch` — foreachBatch ids restart at 0
+    * under a fresh checkpoint, so a bare id comparison would wrongly
+    * skip a relaunched loop's first batches), high-water event time,
+    * and each hash partition's current data directory (relative to the
+    * store root). */
+  case class Manifest(batchId: Long, watermark: Long, parts: Map[Int, String],
+      epoch: String = "")
+
+  private def manifestPath(storePath: String): Path =
+    Paths.get(storePath, "manifest.properties")
+
+  def readManifest(storePath: String): Option[Manifest] = {
+    val p = manifestPath(storePath)
+    if (!Files.exists(p)) None
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      val parts = props.stringPropertyNames().asScala
+        .filter(_.startsWith("part."))
+        .map(k => k.stripPrefix("part.").toInt -> props.getProperty(k))
+        .toMap
+      Some(Manifest(props.getProperty("batch_id").toLong,
+        props.getProperty("watermark").toLong, parts,
+        props.getProperty("epoch", "")))
+    }
   }
 
-  def writeWatermark(path: String, highWater: Long): Unit =
-    Files.writeString(Paths.get(path), highWater.toString)
+  private def writeManifest(storePath: String, m: Manifest): Unit = {
+    Files.createDirectories(Paths.get(storePath))
+    val props = new java.util.Properties()
+    props.setProperty("batch_id", m.batchId.toString)
+    props.setProperty("watermark", m.watermark.toString)
+    props.setProperty("epoch", m.epoch)
+    m.parts.foreach { case (k, v) => props.setProperty(s"part.$k", v) }
+    val tmp = Paths.get(storePath, "manifest.properties.tmp")
+    val out = Files.newOutputStream(tmp)
+    try props.store(out, null) finally out.close()
+    Files.move(tmp, manifestPath(storePath),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
-  def readProfiles(spark: SparkSession, storePath: String): DataFrame = {
-    val f = new java.io.File(storePath)
-    if (f.exists() && f.list() != null && f.list().nonEmpty)
-      spark.read.parquet(storePath)
-    else emptyProfiles(spark)
+  /** Committed watermark (manifest-backed; -1 with no commits yet). */
+  def readWatermark(storePath: String): Option[Long] =
+    readManifest(storePath).map(_.watermark)
+
+  /** Read the committed store: the union of every partition's current
+    * data directory. Partition pruning happens at the path level — a
+    * caller (or [[applyBatch]]) that needs only some buckets passes
+    * `parts`, and the other directories are never opened. */
+  def readProfiles(spark: SparkSession, storePath: String,
+      parts: Option[Set[Int]] = None): DataFrame =
+    readManifest(storePath) match {
+      case None => emptyProfiles(spark)
+      case Some(m) =>
+        val dirs = m.parts
+          .filter { case (k, _) => parts.forall(_.contains(k)) }
+          .map { case (k, v) => s"$storePath/$v/part=$k" }
+          .toSeq
+        if (dirs.isEmpty) emptyProfiles(spark)
+        else spark.read.schema(
+          "user_id LONG, n_events LONG, total_value DECIMAL(38,6), " +
+            "first_us LONG, last_us LONG")
+          .parquet(dirs: _*)
+    }
+
+  /** Apply one micro-batch to the store — idempotent on `batchId`.
+    * Reads only the touched partitions, writes only the touched
+    * partitions, commits store + watermark + batch id in one atomic
+    * manifest rename. Safe to call again with the same id (no-op). */
+  def applyBatch(batch: DataFrame, storePath: String, batchId: Long,
+      epoch: String = ""): Unit = {
+    val spark = batch.sparkSession
+    val prev = readManifest(storePath)
+    // replayed batch of the SAME query incarnation: already committed
+    if (prev.exists(m => m.epoch == epoch && m.batchId >= batchId)) return
+    val fresh = prev.map(m => batch.filter(col("ts") > m.watermark)).getOrElse(batch)
+    // touched buckets + batch high-water in ONE small aggregate pass
+    val stats = fresh.groupBy(partOf(col("user_id")).as("part"))
+      .agg(max(col("ts")).as("mx")).collect()
+    if (stats.isEmpty) {
+      // nothing fresh: still commit the batch id so a replay is a no-op
+      writeManifest(storePath, prev.map(_.copy(batchId = batchId, epoch = epoch))
+        .getOrElse(Manifest(batchId, Long.MinValue, Map.empty, epoch)))
+      return
+    }
+    val touched = stats.map(_.getInt(0)).toSet
+    val highWater = stats.map(_.getLong(1)).max
+    val merged = merge(readProfiles(spark, storePath, Some(touched)), fresh)
+      .withColumn("part", partOf(col("user_id")))
+    val rel = s"data/b$batchId"
+    merged.write.mode("overwrite").partitionBy("part")
+      .parquet(s"$storePath/$rel")
+    val oldParts = prev.map(_.parts).getOrElse(Map.empty)
+    val newParts = oldParts ++ touched.map(_ -> rel)
+    writeManifest(storePath, Manifest(batchId,
+      math.max(prev.map(_.watermark).getOrElse(Long.MinValue), highWater),
+      newParts, epoch))
+    // prune batch directories no longer referenced by the manifest
+    // (single-writer store, like the reference's embedded DB)
+    val live = newParts.values.toSet
+    val dataDir = Paths.get(storePath, "data")
+    if (Files.exists(dataDir)) {
+      val ls = Files.list(dataDir)
+      try ls.iterator().asScala
+        .filter(d => !live.contains(s"data/${d.getFileName}"))
+        .toList // materialize before deleting
+        .foreach(deleteRecursively)
+      finally ls.close()
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val ls = Files.list(p)
+      try ls.iterator().asScala.toList.foreach(deleteRecursively)
+      finally ls.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   /** Attach the foreachBatch MERGE loop to a streaming event frame.
-    * Each trigger: drop rows at or below the persisted watermark,
-    * MERGE the rest into the parquet store, advance the watermark to
-    * the batch's max event time. */
-  def maintainProfiles(events: DataFrame, storePath: String, wmPath: String,
+    * The checkpoint dir doubles as the batch-id epoch: replays within
+    * one incarnation are skipped, a relaunch under a new checkpoint is
+    * a new epoch (its batches apply; the committed watermark still
+    * filters replayed EVENTS, so nothing double-counts either way). */
+  def maintainProfiles(events: DataFrame, storePath: String,
       checkpointDir: String): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fresh = readWatermark(wmPath) match {
-          case Some(w) => batch.filter(col("ts") > w)
-          case None => batch
-        }
-        val mx = fresh.agg(max(col("ts"))).collect()(0)
-        if (!mx.isNullAt(0)) {
-          val merged = merge(readProfiles(spark, storePath), fresh)
-          val tmp = storePath + ".tmp"
-          merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-          spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(storePath)
-          writeWatermark(wmPath, mx.getLong(0))
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, storePath, batchId, epoch = checkpointDir)
       }
       .start()
 }

@@ -114,13 +114,23 @@ class MnemoApiSpec extends SparkSpec {
       assert(s2(k)._1 == 2 * f1, s"freq of $k should double on identical re-distill")
       assert(s2(k)._2 == 1706832000L, "last_seen refreshes on upsert")
     }
-    // a tight budget evicts down to the highest-priority entries
+    // a tight budget evicts down to the highest-priority entries; the
+    // update must MERGE at row level — alice's partition files are not
+    // even rewritten when tight's namespace is updated
+    def aliceFiles() = {
+      val d = new java.io.File(s"${store.path}_orientation/namespace=alice")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.lastModified(), f.length())).toSet
+    }
+    val aliceBefore = aliceFiles()
     store.orientationUpdate(recallAll(), "tight", 1706745600L, budget = 16)
     val tight = store.orientationRender("tight")
       .select("key", "tokens").collect().map(r => r.getString(0) -> r.getLong(1))
     assert(tight.nonEmpty && tight.map(_._2).sum <= 16)
     // namespaces are independent: alice's map is untouched by tight's eviction
     assert(store.orientationRender("alice").count() == s2.size)
+    assert(aliceFiles() == aliceBefore,
+      "updating one namespace must not rewrite another namespace's files")
   }
 
   test("remember then recall(exact) respects agent visibility: own + public") {

@@ -90,7 +90,7 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.SyncLoop
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("syncloop").toFile.getAbsolutePath
-    val (store, wm, ckpt) = (s"$dir/profiles", s"$dir/watermark.txt", s"$dir/ckpt")
+    val (store, ckpt) = (s"$dir/profiles", s"$dir/ckpt")
     def toFeed(events: Seq[Event]) = events.map(e =>
       (e.event_id, e.user_id, e.ts.getTime * 1000L, e.value))
     val all = Seq(
@@ -101,13 +101,30 @@ class StreamingSpec extends SparkSpec {
       Event(5, ts("11:30"), 3, "click", 1.00))
     val src = MemoryStream[(Long, Long, Long, Double)]
     val q = SyncLoop.maintainProfiles(
-      src.toDF().toDF("event_id", "user_id", "ts", "value"), store, wm, ckpt)
+      src.toDF().toDF("event_id", "user_id", "ts", "value"), store, ckpt)
+    def partFiles(userId: Long): Set[(String, Long)] = {
+      val m = SyncLoop.readManifest(store).get
+      val bucket = (userId % SyncLoop.NumParts).toInt
+      m.parts.get(bucket).toSet.flatMap { (rel: String) =>
+        val d = new java.io.File(s"$store/$rel/part=$bucket")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getAbsolutePath, f.lastModified())).toSet
+      }
+    }
     try {
       src.addData(toFeed(all.take(3)): _*); q.processAllAvailable()
+      val user1FilesAfterB0 = partFiles(1)
+      // second batch touches only users 1 and 3; user 2's partition
+      // (bucket 2) must keep its exact files from batch 0
+      val user2FilesAfterB0 = partFiles(2)
       src.addData(toFeed(all.drop(3)): _*); q.processAllAvailable()
+      assert(partFiles(2) == user2FilesAfterB0,
+        "partition untouched by the batch must keep its exact data files")
+      assert(partFiles(1) != user1FilesAfterB0,
+        "partition touched by the batch must advance to the new directory")
     } finally q.stop()
-    // persisted watermark advanced to the max event time seen
-    assert(SyncLoop.readWatermark(wm).contains(ts("11:30").getTime * 1000L))
+    // committed watermark advanced to the max event time seen
+    assert(SyncLoop.readWatermark(store).contains(ts("11:30").getTime * 1000L))
     def snapshot() = SyncLoop.readProfiles(spark, store)
       .select("user_id", "n_events", "total_value", "first_us", "last_us")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
@@ -123,7 +140,7 @@ class StreamingSpec extends SparkSpec {
     // double-count — the persisted watermark filters the replay
     val src2 = MemoryStream[(Long, Long, Long, Double)]
     val q2 = SyncLoop.maintainProfiles(
-      src2.toDF().toDF("event_id", "user_id", "ts", "value"), store, wm, s"$dir/ckpt2")
+      src2.toDF().toDF("event_id", "user_id", "ts", "value"), store, s"$dir/ckpt2")
     val extra = Event(6, ts("12:00"), 2, "click", 3.00)
     try {
       src2.addData(toFeed(all.drop(2) :+ extra): _*) // replay of 3..5 + one new
@@ -136,6 +153,17 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
         r.getLong(3), r.getLong(4))).toSet,
       "replayed events below the watermark must be skipped, new ones merged")
+    // CRASH-REPLAY idempotence: store write and watermark advance are
+    // one atomic manifest commit, so re-applying an already-committed
+    // batch id (what Spark does after a crash between trigger and
+    // checkpoint) is a pure no-op — no double count
+    val lastBatch = SyncLoop.readManifest(store).get.batchId
+    val beforeReplay = snapshot()
+    SyncLoop.applyBatch(
+      toFeed(all :+ extra).toDF("event_id", "user_id", "ts", "value"),
+      store, lastBatch, epoch = s"$dir/ckpt2")
+    assert(snapshot() == beforeReplay,
+      "replaying a committed batch id must not change the store")
   }
 
   test("streaming transforms also run in batch mode (unified semantics)") {
