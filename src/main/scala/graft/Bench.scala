@@ -49,7 +49,11 @@ object Bench {
     // 3 reps: round-3 showed min-of-2 still lets one GC/scheduling
     // straggler masquerade as a per-query regression.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only subset filter (comma-separated names); unset = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }

@@ -31,6 +31,17 @@ object Mnemo {
     * (query/experience.rs:51 `EXPERIENCE_PLAN_TAG`). */
   val ExperiencePlanTag = "__experience_plan__"
 
+  /** Reserved tag carried by consolidation bundles (the reference's
+    * `SourceType::Consolidation` marker, consolidate.rs), and the tag
+    * stamped onto originals a consolidation pass absorbed (the
+    * reference's `ConsolidationState::Consolidated` flip) — tags rather
+    * than new columns, so existing stores keep their schema. */
+  val ConsolidationTag = "__consolidation__"
+  val ConsolidatedTag = "__consolidated__"
+
+  /** Result of one consolidation pass (run_consolidation's report). */
+  final case class ConsolidationResult(clustersFound: Long, newMemoriesCreated: Long)
+
   /** Deterministic hash embedding (the reference's offline embedder):
     * each token hashes to a dimension and a sign via md5 nibbles; the
     * vector is the signed token-count profile, L2-normalized. Pure
@@ -160,12 +171,20 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * from the store's tail → append. One job, no per-row probes. */
   def remember(batch: Seq[RememberRequest]): Unit = {
     import spark.implicits._
-    val in = batch.toDF()
+    appendEnriched(batch.toDF()
       .select(
         col("id"), col("agentId").as("agent_id"), col("threadId").as("thread_id"),
         col("content"), col("memoryType").as("memory_type"), col("scope"),
         col("importance"), col("tags"), col("createdAt").as("created_at"),
-        col("expiresAt").as("expires_at"), col("quarantined"))
+        col("expiresAt").as("expires_at"), col("quarantined")))
+  }
+
+  /** Enrich + chain + append a frame of request rows (snake_case
+    * request columns). Shared by [[remember]] and the DataFrame-native
+    * writers ([[consolidate]]) so bundle writes never round-trip
+    * through the driver. */
+  private def appendEnriched(reqs: DataFrame): Unit = {
+    val in = reqs
       .withColumn("embedding", hashEmbedding(col("content")))
       .withColumn("content_hash",
         HashChain.contentHash(col("content"), col("agent_id"),
@@ -238,6 +257,80 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     val tmp = path + ".tmp"
     updated.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** CONSOLIDATE (run_consolidation, consolidate.rs:1-409 — MemFail's
+    * "summarize" seam): cluster the agent's raw episodic records by
+    * shared tag, and for every cluster of at least `minClusterSize`
+    * members write ONE semantic bundle
+    * `[Consolidated from N memories] c1 | c2 | …` (members in
+    * (created_at, id) order, contents verbatim — the needle-preservation
+    * contract), tagged with the cluster topic plus
+    * [[Mnemo.ConsolidationTag]]; originals are stamped
+    * [[Mnemo.ConsolidatedTag]] (the state flip) and excluded from later
+    * passes. A record with several qualifying tags joins its
+    * lexicographically-least one, so assignment is deterministic and
+    * each record is absorbed once.
+    *
+    * Scale shape: one explode+groupBy for cluster sizes, one aggregate
+    * for the digests, bundles appended through the same enrich+chain
+    * path as [[remember]] — no driver round-trip of content. */
+  def consolidate(agentId: String, minClusterSize: Int,
+      at: Timestamp): ConsolidationResult = {
+    val active = table().filter(col("agent_id") === agentId &&
+      col("deleted_at").isNull && col("memory_type") === "episodic" &&
+      !col("quarantined") && !array_contains(col("tags"), ConsolidatedTag))
+    val tagged = active
+      .select(col("id"), col("content"), col("created_at"),
+        explode(col("tags")).as("tag"))
+      .filter(!col("tag").startsWith("__"))
+    val qualifying = tagged.groupBy("tag")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minClusterSize)
+      .select("tag")
+    val assigned = tagged.join(qualifying, "tag")
+      .groupBy("id", "content", "created_at").agg(min(col("tag")).as("tag"))
+    val clusters = assigned.groupBy("tag")
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(" | ",
+          transform(
+            array_sort(collect_list(struct(col("created_at"), col("id"),
+              col("content")))),
+            p => p.getField("content"))).as("body"),
+        collect_list(col("id")).as("member_ids"))
+      .filter(col("n_members") >= minClusterSize)
+      // eager materialization, lineage severed: the digests must be
+      // pinned BEFORE the store rewrite below invalidates their source
+      // files (a cache could silently recompute over the flipped store)
+      .localCheckpoint()
+    val nClusters = clusters.count()
+    if (nClusters > 0) {
+      // flip originals first (reads the store), then append bundles
+      val members = clusters.select(explode(col("member_ids")).as("mid"))
+      val updated = table()
+        .join(broadcast(members), col("id") === col("mid"), "left")
+        .withColumn("tags",
+          when(col("mid").isNotNull,
+            concat(col("tags"), array(lit(ConsolidatedTag))))
+            .otherwise(col("tags")))
+        .drop("mid")
+      val tmp = path + ".tmp"
+      updated.write.mode(SaveMode.Overwrite).parquet(tmp)
+      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+      appendEnriched(clusters.select(
+        concat(lit("consol-"), col("tag"), lit("-"), lit(at.getTime)).as("id"),
+        lit(agentId).as("agent_id"),
+        lit("consolidation").as("thread_id"),
+        concat(lit("[Consolidated from "), col("n_members").cast("string"),
+          lit(" memories] "), col("body")).as("content"),
+        lit("semantic").as("memory_type"),
+        lit("private").as("scope"),
+        lit(0.5f).as("importance"),
+        array(col("tag"), lit(ConsolidationTag)).as("tags"),
+        lit(at).as("created_at"),
+        lit(null).cast("timestamp").as("expires_at"),
+        lit(false).as("quarantined")))
+    }
+    ConsolidationResult(nClusters, nClusters)
   }
 
   /** RECALL: filter → lane scores → (weighted RRF if hybrid) → top-k.

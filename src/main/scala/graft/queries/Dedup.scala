@@ -352,11 +352,12 @@ object Dedup extends QueryGroup {
         .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.4)
         .select("a", "b")
       // undirected edge list + min-label propagation to fixpoint
+      val np = IterSizing.iterParts(s)
       val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-        .coalesce(4).cache()
+        .coalesce(np).cache()
       var labels = edges.select(col("a").as("node")).distinct()
         .withColumn("component", col("node"))
-        .coalesce(4).localCheckpoint()
+        .coalesce(np).localCheckpoint()
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 30) {
@@ -370,7 +371,7 @@ object Dedup extends QueryGroup {
             least(col("component"), coalesce(col("ncomp"), col("component")))
               .as("component"),
             (coalesce(col("ncomp"), col("component")) < col("component")).as("chg"))
-          .coalesce(4).localCheckpoint(false)
+          .coalesce(np).localCheckpoint(false)
         changed = next.filter(col("chg")).count()
         labels = next.drop("chg")
         iter += 1

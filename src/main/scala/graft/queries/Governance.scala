@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.api.SqlSurface
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -172,6 +173,89 @@ object Governance extends QueryGroup {
       WHERE text LIKE '%the%' AND lang = 'en'
       ORDER BY doc_id
       LIMIT 40 OFFSET 10"""))
+
+  /** F5 — pgwire hint dispatch, reconstruct leg (parser.rs:36-42,92-94):
+    * `/*+ reconstruct */` in the statement routes the hit rows through
+    * the belief-state post-processor ([[graft.api.SqlSurface]]) instead
+    * of returning them raw — the r9 output contract seeded by the SQL's
+    * own WHERE/ORDER/LIMIT selection. */
+  private val q3b = QueryDef(
+    "f6_hint_reconstruct",
+    (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("memories")
+      // 1000e0: Spark parses a bare `1000.0` literal as DECIMAL, which
+      // would ride through avg() and render '0.543400' vs the oracle's
+      // double '0.5434' — the repo-wide double-at-the-boundary rule.
+      SqlSurface.run(s, """
+        SELECT /*+ reconstruct */ doc_id, source, text,
+               round(n_chars / 1000e0, 6) AS score
+        FROM memories
+        WHERE lang = 'en' AND text LIKE '%the%'
+        ORDER BY score DESC, doc_id
+        LIMIT 5""")
+    },
+    Some("""
+      WITH seeds AS (
+        SELECT doc_id, source,
+               CASE WHEN len(fl) <= 30 THEN fl
+                    ELSE substr(fl, 1, 30) || '…' END AS ex,
+               round(n_chars / 1000.0, 6) AS score
+        FROM (SELECT doc_id, source, n_chars,
+                (list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0))[1] AS fl
+              FROM documents
+              WHERE lang = 'en' AND text LIKE '%the%')
+        ORDER BY score DESC, doc_id
+        LIMIT 5),
+      linked AS (
+        SELECT s.doc_id AS seed_id, COUNT(*) AS n_linked
+        FROM seeds s JOIN documents n
+          ON n.source = s.source AND (n.doc_id = s.doc_id + 1 OR n.doc_id = s.doc_id - 1)
+        GROUP BY s.doc_id)
+      SELECT string_agg(ex, ' | ' ORDER BY score DESC, doc_id) AS belief,
+             ROUND(AVG(score), 6) AS confidence,
+             CAST(SUM(COALESCE(n_linked, 0)) AS BIGINT) AS linked_context
+      FROM seeds LEFT JOIN linked ON doc_id = seed_id"""))
+
+  /** F5 — pgwire hint dispatch, orientation leg (parser.rs:31-35,92-93):
+    * `/*+orientation_cache*/` (no-space variant, exercising the second
+    * contains-match) attaches the per-namespace orientation line to
+    * every hit row. */
+  private val q3c = QueryDef(
+    "f7_hint_orientation",
+    (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("memories")
+      SqlSurface.run(s, """
+        SELECT /*+orientation_cache*/ doc_id, source, lang
+        FROM memories
+        WHERE doc_id % 25 = 0
+        ORDER BY doc_id
+        LIMIT 20""")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source AS namespace,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 x -> len(x) >= 3)) AS tok
+        FROM documents),
+      counts AS (
+        SELECT namespace, tok, COUNT(*) AS n
+        FROM toks
+        WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to', 'in')
+        GROUP BY namespace, tok),
+      top AS (
+        SELECT namespace, tok,
+               ROW_NUMBER() OVER (PARTITION BY namespace ORDER BY n DESC, tok) AS rn
+        FROM counts),
+      orient AS (
+        SELECT namespace, string_agg(tok, ' ' ORDER BY rn) AS orientation
+        FROM top WHERE rn <= 5 GROUP BY namespace),
+      hits AS (
+        SELECT doc_id, source, lang FROM documents
+        WHERE doc_id % 25 = 0 ORDER BY doc_id LIMIT 20)
+      SELECT doc_id, source, lang, orientation
+      FROM hits LEFT JOIN orient ON source = namespace
+      ORDER BY doc_id"""))
 
   /** replay_quarantine (§2.11): re-evaluate quarantined records against
     * the current policy — single-marker long documents are released,
@@ -460,5 +544,5 @@ object Governance extends QueryGroup {
              OR (scope = 'shared' AND granted))
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q3b, q3c, q4, q5, q6, q7, q8)
 }

@@ -74,25 +74,23 @@ object GraphOps extends QueryGroup {
   private val q2 = QueryDef(
     "g2_causality_trace",
     (s, dir) => {
-      // J5 causality: parent = previous event in the per-user stream;
-      // trace ancestors of every error event to depth 3 by iterative
-      // parent joins (the bounded-BFS shape of causality.rs)
+      // J5 causality: parent = previous event in the per-user stream,
+      // so the depth-d ancestor of an event IS lag(event_id, d) over
+      // the same window — the bounded-BFS of causality.rs collapses to
+      // ONE window pass (3 lags share one sort), zero joins, zero
+      // cache. The general iterative-join expansion over an arbitrary
+      // DAG lives in g1/g3/d6; here the data model admits the direct
+      // plan, which is the one that survives a 100× scale-up (the
+      // previous 3-join formulation shuffled the corpus three times).
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val parented = Tables.events(s, dir)
-        .withColumn("parent_id", lag(col("event_id"), 1).over(w))
-        .select("event_id", "user_id", "event_type", "parent_id")
-        .cache()
-      val base = parented.filter(col("event_type") === "error" && col("parent_id").isNotNull)
-        .select(col("event_id").as("root"), col("parent_id").as("anc"), lit(1).as("depth"))
-      val levels = Iterator.iterate(base) { frontier =>
-        frontier.join(parented.select(col("event_id").as("anc"),
-            col("parent_id").as("next_anc")), "anc")
-          .filter(col("next_anc").isNotNull)
-          .select(col("root"), col("next_anc").as("anc"),
-            (col("depth") + 1).as("depth"))
-      }.take(3).toSeq
-      levels.reduce(_ unionAll _)
-        .select(col("root").as("event_id"), col("depth"), col("anc").as("ancestor_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("ancs", array((1 to 3).map(d =>
+          lag(col("event_id"), d).over(w)): _*))
+        .filter(col("event_type") === "error" && col("ancs")(0).isNotNull)
+        .select(col("event_id"), posexplode(col("ancs")).as(Seq("pos", "ancestor_id")))
+        .filter(col("ancestor_id").isNotNull)
+        .select(col("event_id"), (col("pos") + 1).as("depth"), col("ancestor_id"))
         .orderBy("event_id", "depth")
         .limit(1000)
     },
@@ -122,10 +120,11 @@ object GraphOps extends QueryGroup {
       // iteration runs on a handful of partitions (at full scale the same
       // loop runs on the natural partitioning with periodic checkpoints
       // to truncate lineage)
-      val edges = coEdges(s, dir, 300).coalesce(4).cache()
+      val np = IterSizing.iterParts(s)
+      val edges = coEdges(s, dir, 300).coalesce(np).cache()
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("component", col("node"))
-        .coalesce(4).localCheckpoint()
+        .coalesce(np).localCheckpoint()
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 50) {
@@ -144,7 +143,7 @@ object GraphOps extends QueryGroup {
             least(col("component"), coalesce(col("ncomp"), col("component")))
               .as("component"),
             (coalesce(col("ncomp"), col("component")) < col("component")).as("chg"))
-          .coalesce(4).localCheckpoint(false) // truncate lineage each round
+          .coalesce(np).localCheckpoint(false) // truncate lineage each round
         changed = next.filter(col("chg")).count()
         labels = next.drop("chg")
         iter += 1

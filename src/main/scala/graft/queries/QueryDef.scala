@@ -18,6 +18,21 @@ final case class QueryDef(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Sizing for iterated small frames (the CC / label-propagation loops).
+  *
+  * The edge lists those loops iterate over are orders of magnitude
+  * smaller than the corpus that produced them, so running each
+  * iteration at full shuffle parallelism wastes scheduler overhead —
+  * but a hard-coded constant would serialize a real cluster. Scale
+  * with the session's shuffle parallelism instead: 1/8 of
+  * `spark.sql.shuffle.partitions`, floored at 4 (= the old local[32]
+  * behaviour at the repo's 32-partition test config).
+  */
+object IterSizing {
+  def iterParts(s: SparkSession): Int =
+    math.max(4, s.conf.get("spark.sql.shuffle.partitions", "200").toInt / 8)
+}
+
 trait QueryGroup {
   def all: Seq[QueryDef]
   final def queries: Map[String, (SparkSession, String) => DataFrame] =
