@@ -55,6 +55,16 @@ object VectorOps {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Same semantics and bit-identical result as [[squaredL2Distance]],
+    * computed by the fused codegen'd native expression
+    * [[graft.plans.SquaredL2DistanceExpr]] — one loop, no intermediate
+    * arrays; the hot-path choice for PQ encode/ADC scans. */
+  def squaredL2Fast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.SquaredL2DistanceExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Per-dimension z-score distance against a broadcast (mu, sigma^2)
     * baseline: sqrt(mean((x - mu)^2 / max(var, eps))) — the reference's
     * embedding-outlier metric (anomaly/outlier.rs:60-102). */

@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarityExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[SquaredL2DistanceExpr].getName, "squared_l2"),
+      (children: Seq[Expression]) => SquaredL2DistanceExpr(children.head, children(1))))
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,22 +44,24 @@ object Similarity extends QueryGroup {
     * O(N/m) and its broadcast grows with the corpus — the round-4
     * scale flag). One TakeOrdered pass over the corpus picks the
     * seeds; cross-engine identical because md5 hex and string sort
-    * agree. Real IVF would Lloyd-iterate from these seeds
-    * (reference builds a graph index instead:
-    * crates/mnemo-core/src/index/usearch.rs:66-360); a fixed hash
-    * sample keeps the oracle exactly mirrorable while preserving the
-    * O(k) broadcast contract that matters at scale. */
+    * agree. v3/v4 then TRAIN from these seeds with one deterministic
+    * Lloyd iteration (quantizedDimMeans keeps the means bit-identical
+    * across engines), preserving the O(k) broadcast contract that
+    * matters at scale (the reference builds a graph index instead:
+    * crates/mnemo-core/src/index/usearch.rs:66-360). */
   private val CentroidK = 64
 
   /** IVF probe width — the recall/cost knob every IVF index exposes.
-    * 16 of 64 cells ≈ 25% of the corpus scanned per query: wide,
-    * because the synthetic hash embeddings are only weakly clustered
-    * (QueriesSpec pins top-1 agreement with brute force > 0, which
-    * needs this width here). A production corpus with real cluster
-    * structure runs nlist ≈ √N and nprobe ≈ nlist/64; the plan shape —
-    * O(k) centroid broadcast, equi-join probe — is unchanged by the
-    * knobs. */
-  private val NProbe = 16
+    * 8 of 64 cells ≈ 12.5% of the corpus scanned per query. Measured on
+    * sf0.1 with the Lloyd-trained centroids: top-1 agreement with brute
+    * force is 11/21 at nprobe=8 vs 15/21 at 16 — the synthetic hash
+    * embeddings are only weakly clustered, so recall grows near-linearly
+    * with probe width instead of saturating the way a real corpus does
+    * (QueriesSpec pins agreement > 0). A production corpus with real
+    * cluster structure runs nlist ≈ √N and nprobe ≈ nlist/64 for a
+    * ~1-3% scan; the plan shape — O(k) centroid broadcast, equi-join
+    * probe — is unchanged by the knobs. */
+  private val NProbe = 8
 
   private def centroidSeedIds(e: DataFrame): DataFrame =
     e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -68,6 +70,53 @@ object Similarity extends QueryGroup {
 
   private val centroidSeedSql =
     s"SELECT vec_id AS cid FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $CentroidK"
+
+  /** Scale-safe argmin: pick each group's best id WITHOUT window-ranking
+    * the k-expanded frame. `min(struct(orderKey, id))` hash-aggregates with
+    * a map-side partial combine, so the shuffle carries one row per group
+    * instead of k — the round-5 fix for the `row_number`-over-64N-rows
+    * assignment shuffle. The struct compares lexicographically in both
+    * engines (DuckDB mirror: `min(struct_pack(...)).cid`), so ties break
+    * identically on the trailing unique id. */
+  private def argminStruct(ord: Column, id: Column): Column =
+    min(struct(ord.as("o"), id.as("cid"))).getField("cid")
+
+  /** Deterministic per-dimension mean for Lloyd's update, computed in
+    * quantized-integer space so both engines agree bit-for-bit: each
+    * component is scaled by 1e6 and rounded to a BIGINT (identical
+    * half-away-from-zero rounding of identical doubles), summed exactly
+    * (integer addition is associative — partition order cannot change the
+    * result, unlike a double SUM), then divided back down in one fixed
+    * double-division order. Group sizes shrink to one row per (keys)
+    * after the map-side combine, so the shuffle is O(k·dim), constant in
+    * corpus size. */
+  private def quantizedDimMeans(
+      assigned: DataFrame, keys: Seq[String], vecCol: String, dim: Int,
+      outCol: String): DataFrame = {
+    val sums = (0 until dim).map(i =>
+      sum(round(element_at(col(vecCol), i + 1).cast("double") * 1e6).cast("long"))
+        .as(s"_s$i"))
+    assigned.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sums: _*)
+      .select(keys.map(col) :+ array((0 until dim).map(i =>
+        col(s"_s$i").cast("double") / col("_n") / 1e6): _*).as(outCol): _*)
+  }
+
+  /** DuckDB mirror of [[quantizedDimMeans]] over an already-assigned CTE
+    * `(keys..., vec col named vecExpr)`: same 1e6 quantization, exact
+    * BIGINT sum, same division order, components reassembled in index
+    * order. */
+  private def quantizedDimMeansSql(
+      src: String, keys: Seq[String], vecExpr: String, dim: Int): String = {
+    val ks = keys.mkString(", ")
+    s"""(SELECT $ks, list(c ORDER BY i) AS cv FROM (
+          SELECT $ks, i,
+                 CAST(SUM(CAST(ROUND($vecExpr[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1000000.0 AS c
+          FROM $src, (SELECT unnest(generate_series(1, $dim)) AS i)
+          GROUP BY $ks, i)
+        GROUP BY $ks)"""
+  }
 
   private val q1 = QueryDef(
     "v1_knn_bruteforce",
@@ -133,19 +182,30 @@ object Similarity extends QueryGroup {
   private val q3 = QueryDef(
     "v3_knn_ivf",
     (s, dir) => {
-      // IVF: coarse-quantize to nearest of a FIXED k=64 hash-sampled
-      // centroids, probe the NProbe nearest cells per query. Assignment is
-      // one broadcast-centroid scan (O(k) broadcast, constant in corpus
-      // size); the probe is an equi-join on cell id.
+      // IVF with TRAINED centroids: seed k=64 cells from the fixed hash
+      // sample, run ONE deterministic Lloyd iteration (spherical k-means —
+      // the unnormalized mean is exactly equivalent for cosine assignment,
+      // since centroid norm cancels), then coarse-quantize every vector to
+      // its nearest trained centroid and probe the NProbe nearest cells per
+      // query. Every assignment is a broadcast-centroid scan folded into a
+      // hash aggregate (`argminStruct`): the shuffle carries N rows, never
+      // the 64N-expanded frame. Candidate generation is an equi-join on
+      // cell id. Centroid means are computed in quantized-integer space so
+      // the oracle reproduces them bit-for-bit (see quantizedDimMeans).
       val e = Tables.embeddings(s, dir)
-      val cent = e.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
+      val seeds = e.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
         .select(col("cid"), col("embedding").as("cv"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val a1 = e.crossJoin(broadcast(seeds))
+        .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(argminStruct(-col("ccos"), col("cid")).as("cid"),
+          first(col("embedding")).as("embedding"))
+      val cent = quantizedDimMeans(a1, Seq("cid"), "embedding", 64, "cv")
       val cells = e.crossJoin(broadcast(cent))
         .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(argminStruct(-col("ccos"), col("cid")).as("cid"),
+          first(col("embedding")).as("embedding"))
       val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
       val probes = queryVecs(e).crossJoin(broadcast(cent))
         .withColumn("qcos", VectorOps.cosineFast(col("qv"), col("cv")))
@@ -165,12 +225,18 @@ object Similarity extends QueryGroup {
     Some(s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       seed AS ($centroidSeedSql),
-      cent AS (SELECT cid, v AS cv FROM e JOIN seed ON e.vec_id = seed.cid),
+      cent0 AS (SELECT cid, v AS cv FROM e JOIN seed ON e.vec_id = seed.cid),
+      a1 AS (
+        SELECT e.vec_id,
+               min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid
+        FROM e CROSS JOIN cent0 GROUP BY e.vec_id),
+      a1v AS (SELECT a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
+      cent AS ${quantizedDimMeansSql("a1v", Seq("cid"), "v", 64)},
       assign AS (
-        SELECT vec_id, v, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cos("v", "cv")} DESC, cid) AS rn
-        FROM e CROSS JOIN cent),
-      cells AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+        SELECT e.vec_id,
+               min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid
+        FROM e CROSS JOIN cent GROUP BY e.vec_id),
+      cells AS (SELECT a.vec_id, e.v, a.cid FROM assign a JOIN e USING (vec_id)),
       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0 AND vec_id < 3104),
       probes AS (
         SELECT qid, qv, cid FROM (
@@ -347,29 +413,37 @@ object Similarity extends QueryGroup {
       // product-quantization k-NN (the memory-compression scale path): 64
       // dims split into 4 subspaces of 16; each subvector is coded as its
       // nearest sub-centroid; query distance is ADC — the sum of
-      // query-to-centroid subdistances looked up by code. Sub-centroids
-      // are the FIXED k=64 hash-sampled seed vectors' subvectors, so the
-      // codebook broadcast is O(k·4) — constant in corpus size. Encoding
-      // is a broadcast-centroid scan; ADC is an equi-join on (subspace,
-      // code). Ranking uses the 6-dp-rounded distance in BOTH engines so
-      // the order is identical across float implementations.
+      // query-to-centroid subdistances looked up by code. Sub-codebooks
+      // are TRAINED: seeded from the fixed k=64 hash sample's subvectors,
+      // then one deterministic Lloyd iteration per subspace (squared-L2
+      // assignment, quantized-integer means — see quantizedDimMeans), so
+      // the codebook broadcast stays O(k·4), constant in corpus size.
+      // Encoding folds the broadcast-codebook scan into a hash aggregate
+      // (`argminStruct`): the shuffle carries 4N coded rows, never the
+      // 64·4N-expanded frame (the round-5 fix for the row_number
+      // assignment). ADC is an equi-join on (subspace, code); ranking uses
+      // the 6-dp-rounded distance in BOTH engines so the order is
+      // identical across float implementations.
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val subs = e.select(col("vec_id"),
         posexplode(array((0 until 4).map(m =>
           slice(col("embedding"), m * 16 + 1, 16)): _*)).as(Seq("m", "sv")))
-      val cent = subs.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
+      val seeds = subs.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
         .select(col("cid"), col("m"), col("sv").as("scv"))
-      val wAssign = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("sdist"), col("cid"))
+      val a1 = subs.join(broadcast(seeds), Seq("m"))
+        .withColumn("sdist", round(VectorOps.squaredL2Fast(col("sv"), col("scv")), 6))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(argminStruct(col("sdist"), col("cid")).as("cid"),
+          first(col("sv")).as("sv"))
+      val cent = quantizedDimMeans(a1, Seq("m", "cid"), "sv", 16, "scv")
       val codes = subs.join(broadcast(cent), Seq("m"))
-        .withColumn("sdist", round(VectorOps.squaredL2Distance(col("sv"), col("scv")), 6))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("cid").as("code"))
+        .withColumn("sdist", round(VectorOps.squaredL2Fast(col("sv"), col("scv")), 6))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(argminStruct(col("sdist"), col("cid")).as("code"))
       val qsubs = subs.filter(col("vec_id") % 97 === 0 && col("vec_id") < MaxQueryId)
         .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
       val adcTable = qsubs.join(broadcast(cent), Seq("m"))
-        .withColumn("qdist", VectorOps.squaredL2Distance(col("qsv"), col("scv")))
+        .withColumn("qdist", VectorOps.squaredL2Fast(col("qsv"), col("scv")))
         .select(col("qid"), col("m"), col("cid").as("code"), col("qdist"))
       val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
       codes.join(broadcast(adcTable), Seq("m", "code"))
@@ -387,17 +461,28 @@ object Similarity extends QueryGroup {
         SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS sv
         FROM e, (SELECT unnest(generate_series(0, 3)) AS m)),
       seed AS ($centroidSeedSql),
-      cent AS (
+      cent0 AS (
         SELECT s.vec_id AS cid, s.m, s.sv AS scv
         FROM subs s JOIN seed ON s.vec_id = seed.cid),
+      a1 AS (
+        SELECT s.vec_id, s.m,
+               min(struct_pack(o := ROUND(list_sum(list_transform(
+                 list_zip(s.sv, c.scv), p -> (p[1] - p[2]) * (p[1] - p[2]))), 6),
+                 cid := c.cid)).cid AS cid
+        FROM subs s JOIN cent0 c ON s.m = c.m
+        GROUP BY s.vec_id, s.m),
+      a1v AS (
+        SELECT a1.m, a1.cid, s.sv
+        FROM a1 JOIN subs s ON a1.vec_id = s.vec_id AND a1.m = s.m),
+      cent AS (
+        SELECT m, cid, cv AS scv FROM ${quantizedDimMeansSql("a1v", Seq("m", "cid"), "sv", 16)} t),
       codes AS (
-        SELECT vec_id, m, cid AS code FROM (
-          SELECT s.vec_id, s.m, c.cid,
-                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                   ORDER BY ROUND(list_sum(list_transform(
-                     list_zip(s.sv, c.scv), p -> (p[1] - p[2]) * (p[1] - p[2]))), 6), c.cid) AS rn
-          FROM subs s JOIN cent c ON s.m = c.m)
-        WHERE rn = 1),
+        SELECT s.vec_id, s.m,
+               min(struct_pack(o := ROUND(list_sum(list_transform(
+                 list_zip(s.sv, c.scv), p -> (p[1] - p[2]) * (p[1] - p[2]))), 6),
+                 cid := c.cid)).cid AS code
+        FROM subs s JOIN cent c ON s.m = c.m
+        GROUP BY s.vec_id, s.m),
       adc AS (
         SELECT s.vec_id AS qid, s.m, c.cid AS code,
                list_sum(list_transform(

@@ -63,6 +63,18 @@ class FunctionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("squaredL2Fast (codegen expr) is bit-identical to the composed version") {
+    val e = Tables.embeddings(spark, Sf).limit(50)
+    val paired = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(e.select(col("embedding").as("other")).limit(7))
+    val diff = paired.select(
+      VectorOps.squaredL2Distance(col("embedding"), col("other")).as("slow"),
+      VectorOps.squaredL2Fast(col("embedding"), col("other")).as("fast"))
+      .filter(!(col("slow") <=> col("fast")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("cosine_sim is registered as a SQL function via GraftExtensions") {
     Tables.embeddings(spark, Sf).limit(5).createOrReplaceTempView("emb_t")
     val rows = spark.sql(
