@@ -346,6 +346,94 @@ object Relational extends QueryGroup {
       FROM m WHERE kind = 1
       ORDER BY event_id"""))
 
+  private val q13 = QueryDef(
+    "w6_delta_budget",
+    (s, dir) => {
+      // Δ-impact evidence scorer (the reference's pluggable second
+      // EvidenceScorer, query/evidence.rs:195-262): each candidate is
+      // scored by its MARGINAL NOVELTY — the fraction of its distinct
+      // tokens not already contributed by any earlier-ranked candidate —
+      // scaled by its retrieval score; the budget keeps the greedy prefix
+      // whose running score-sum is below the sufficiency threshold (first
+      // crossing row included, w3's convention), under a hard cap of 10.
+      // Because select_within_budget selects every examined candidate
+      // until it stops, "already selected" == "earlier rank", so the
+      // sequential loop relationalizes exactly: token first-appearance
+      // rank via a per-(group, token) min window, novelty via one
+      // aggregate. Scores are 6-dp-rounded then accumulated in exact
+      // decimal so the crossing point is engine-independent.
+      import graft.functions.TextOps
+      val M6 = "decimal(18,6)"
+      val wRel = Window.partitionBy(col("qgroup"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val cand = Tables.documents(s, dir)
+        .withColumn("qgroup", col("doc_id") % 8)
+        .withColumn("rn", row_number().over(wRel))
+        .filter(col("rn") <= 20)
+        .withColumn("retrieval_score",
+          round(lit(1.0) / (lit(1.0) + lit(0.25) * (col("rn") - 1)), 6))
+        .select(col("qgroup"), col("rn"), col("doc_id"), col("retrieval_score"),
+          col("text"))
+      val tok = cand.select(col("qgroup"), col("rn"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      val firstSeen = tok.withColumn("first_rn",
+        min(col("rn")).over(Window.partitionBy(col("qgroup"), col("tok"))))
+      val novelty = firstSeen.groupBy("qgroup", "rn")
+        .agg((sum(when(col("first_rn") === col("rn"), 1).otherwise(0)).cast("double")
+          / count(lit(1))).as("novelty"))
+      val scored = cand.join(novelty, Seq("qgroup", "rn"), "left")
+        .withColumn("score",
+          round(coalesce(col("novelty"), lit(0.0)) * col("retrieval_score"), 6).cast(M6))
+      val wCum = Window.partitionBy(col("qgroup")).orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      scored
+        .withColumn("cum_before", coalesce(sum(col("score")).over(wCum), lit(0).cast(M6)))
+        .filter(col("cum_before") < 1.5 && col("rn") <= 10)
+        .select(col("qgroup"), col("rn"), col("doc_id"),
+          col("score").cast("double").as("score"),
+          col("cum_before").cast("double").as("cum_before"))
+        .orderBy("qgroup", "rn")
+    },
+    Some("""
+      WITH cand0 AS (
+        SELECT doc_id, doc_id % 8 AS qgroup,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               list_distinct(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 x -> len(x) > 0)) AS toks
+        FROM documents),
+      cand AS (
+        SELECT *, ROUND(CAST(1.0 AS DOUBLE)
+          / (CAST(1.0 AS DOUBLE) + CAST(0.25 AS DOUBLE) * (rn - 1)), 6) AS retrieval_score
+        FROM cand0 WHERE rn <= 20),
+      tok AS (SELECT qgroup, rn, unnest(toks) AS tok FROM cand),
+      firstseen AS (
+        SELECT qgroup, rn, tok,
+               MIN(rn) OVER (PARTITION BY qgroup, tok) AS first_rn
+        FROM tok),
+      novelty AS (
+        SELECT qgroup, rn,
+               CAST(SUM(CASE WHEN first_rn = rn THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS novelty
+        FROM firstseen GROUP BY qgroup, rn),
+      scored AS (
+        SELECT c.qgroup, c.rn, c.doc_id,
+               CAST(ROUND(COALESCE(n.novelty, 0.0) * c.retrieval_score, 6)
+                 AS DECIMAL(18,6)) AS score
+        FROM cand c LEFT JOIN novelty n ON c.qgroup = n.qgroup AND c.rn = n.rn),
+      budget AS (
+        SELECT qgroup, rn, doc_id, score,
+               COALESCE(SUM(score) OVER (PARTITION BY qgroup ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 CAST(0 AS DECIMAL(18,6))) AS cum_before
+        FROM scored)
+      SELECT qgroup, rn, doc_id, CAST(score AS DOUBLE) AS score,
+             CAST(cum_before AS DOUBLE) AS cum_before
+      FROM budget
+      WHERE cum_before < 1.5 AND rn <= 10
+      ORDER BY qgroup, rn"""))
+
   val all: Seq[QueryDef] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13)
 }
