@@ -2,6 +2,8 @@ package graft.api
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import graft.functions.{HashChain, TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -597,21 +599,62 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     new java.io.File(attnPath).exists() && new java.io.File(attnPath).list() != null &&
       new java.io.File(attnPath).list().nonEmpty
 
+  /** Committed data directory: manifest-backed after the first
+    * [[attentionStateCompact]]; the store root itself for fresh and
+    * legacy (pre-manifest) stores. */
+  private def attnDataDir: String = ManifestIO.read(attnPath) match {
+    case Some(m) if m.contains("data") => attnPath + "/" + m("data")
+    case _ => attnPath
+  }
+
   /** PUT an opaque state blob under (agent, key) — append-only; GET
     * resolves latest-per-key (W2), so history is retained. */
   def attentionStatePut(agentId: String, key: String, blob: Array[Byte],
-      at: Timestamp): Unit = {
+      at: Timestamp): Unit =
+    attentionStatePutAll(Seq((agentId, key, blob, at)))
+
+  /** Batched PUT: one parquet append for the whole batch — the
+    * small-files-per-call fix for any real put rate; callers
+    * accumulate and flush. */
+  def attentionStatePutAll(
+      entries: Seq[(String, String, Array[Byte], Timestamp)]): Unit = {
     import spark.implicits._
-    Seq((agentId, key, blob, at))
-      .toDF("agent_id", "key", "blob", "updated_at")
-      .write.mode(SaveMode.Append).parquet(attnPath)
+    if (entries.nonEmpty)
+      entries.toDF("agent_id", "key", "blob", "updated_at")
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(attnDataDir)
+  }
+
+  /** Compact the accumulated append files into one fresh generation
+    * directory, committed with an atomic manifest rename (the same
+    * protocol as the maintained sync/orientation stores) — a crash
+    * mid-compaction leaves the previous generation fully readable.
+    * History is preserved; only the file count changes. */
+  def attentionStateCompact(): Unit = {
+    if (!attnExists) return
+    val manifest = ManifestIO.read(attnPath).getOrElse(Map.empty)
+    val gen = manifest.get("data")
+      .map(d => d.stripPrefix("g").toLong + 1).getOrElse(1L)
+    val dir = s"g$gen"
+    val snapshot = spark.read.parquet(attnDataDir)
+    snapshot.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$attnPath/$dir")
+    val committed = manifest ++ Map("version" -> "1", "data" -> dir)
+    ManifestIO.write(attnPath, committed)
+    ManifestIO.gc(attnPath, Set(dir))
+    // first compaction of a legacy root-file layout: sweep the absorbed
+    // root-level parquet files (readers already go through the manifest)
+    val root = java.nio.file.Paths.get(attnPath)
+    java.nio.file.Files.list(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith(ManifestIO.FileName))
+      .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   def attentionStateGet(agentId: String, key: String): Option[Array[Byte]] = {
     if (!attnExists) return None
     val w = Window.partitionBy(col("agent_id"), col("key"))
       .orderBy(col("updated_at").desc)
-    spark.read.parquet(attnPath)
+    spark.read.parquet(attnDataDir)
       .filter(col("agent_id") === agentId && col("key") === key)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -629,12 +672,29 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     new java.io.File(orientPath).exists() && new java.io.File(orientPath).list() != null &&
       new java.io.File(orientPath).list().nonEmpty
 
+  private def encNs(ns: String): String =
+    java.net.URLEncoder.encode(ns, "UTF-8")
+
+  private def emptyOrientFrame: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Long, Long, String, Long)]
+      .toDF("namespace", "key", "freq", "last_seen", "value", "tokens")
+  }
+
+  /** Committed orientation state. Layout v2: per-namespace generation
+    * directories published by an atomic [[ManifestIO]] commit
+    * (`ns.<enc> -> <dir>` entries). Pre-manifest stores (the v1
+    * hive-partitioned layout) read as before and are migrated wholesale
+    * by the next [[orientationUpdate]]. */
   def orientationState(): DataFrame =
-    if (orientExists) spark.read.parquet(orientPath)
-    else {
-      import spark.implicits._
-      Seq.empty[(String, String, Long, Long, String, Long)]
-        .toDF("namespace", "key", "freq", "last_seen", "value", "tokens")
+    ManifestIO.read(orientPath) match {
+      case Some(m) =>
+        val dirs = m.collect { case (k, v) if k.startsWith("ns.") =>
+          s"$orientPath/$v" }.toSeq
+        if (dirs.isEmpty) emptyOrientFrame
+        else spark.read.parquet(dirs: _*)
+      case None if orientExists => spark.read.parquet(orientPath)
+      case None => emptyOrientFrame
     }
 
   /** Distill a recall result into the namespace's context map: upsert
@@ -642,29 +702,48 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * the reference's update_and_render write half, persisted so the
     * map survives across recalls and sessions.
     *
-    * Row-level MERGE, not a store rewrite (the reference upserts rows,
-    * storage/duckdb.rs:714-740): the store is hive-partitioned by
-    * `namespace` and each ContextMap owns its budget, so an update
-    * reads and dynamically overwrites ONLY the updated namespace's
-    * partition — write amplification is O(one namespace), and other
-    * namespaces' files are never opened, let alone rewritten. */
+    * Row-level MERGE with a CRASH-ATOMIC commit: the merged namespace
+    * is written to a fresh generation directory (so the write never
+    * touches the files its own plan is reading — no scratch-dir
+    * two-phase), then published by one atomic manifest rename, the
+    * same protocol as the sync-loop store (graft.streaming.SyncLoop).
+    * A crash at any point leaves the previous generation committed and
+    * at worst an orphan directory, which the post-commit sweep
+    * removes. Write amplification stays O(one namespace): other
+    * namespaces' directories are never opened. (The reference upserts
+    * rows inside one embedded transaction, storage/duckdb.rs:714-740.) */
   def orientationUpdate(hits: DataFrame, namespace: String, nowUnix: Long,
       budget: Int = OrientationCache.DefaultBudget): Unit = {
     val batch = OrientationCache.distill(hits, lit(namespace), col("content"))
     val nsState = orientationState().filter(col("namespace") === namespace)
     val kept = OrientationCache.evict(
       OrientationCache.upsert(nsState, batch, nowUnix), budget, nowUnix)
-    // two-phase: the merged namespace is materialized to a scratch dir
-    // first because the dynamic overwrite below replaces the very files
-    // the lazy plan would still be reading
-    val tmp = orientPath + ".tmp"
-    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp)
-      .withColumn("namespace", lit(namespace))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("namespace")
-      .parquet(orientPath)
+    val manifest = ManifestIO.read(orientPath).getOrElse(Map.empty)
+    // one-time migration of a v1 hive-partitioned store: snapshot every
+    // OTHER namespace into its own g1 directory, published in the same
+    // single manifest commit below
+    val migrated: Map[String, String] =
+      if (manifest.isEmpty && orientExists) {
+        val others = spark.read.parquet(orientPath)
+          .filter(col("namespace") =!= namespace)
+        others.select("namespace").distinct().collect().map(_.getString(0))
+          .map { ns =>
+            val dir = s"${encNs(ns)}-g1"
+            others.filter(col("namespace") === ns)
+              .write.mode(SaveMode.Overwrite).parquet(s"$orientPath/$dir")
+            s"ns.${encNs(ns)}" -> dir
+          }.toMap
+      } else Map.empty
+    val key = s"ns.${encNs(namespace)}"
+    val gen = manifest.get(key)
+      .map(d => d.substring(d.lastIndexOf("-g") + 2).toLong + 1).getOrElse(1L)
+    val dir = s"${encNs(namespace)}-g$gen"
+    kept.write.mode(SaveMode.Overwrite).parquet(s"$orientPath/$dir")
+    val committed = manifest ++ migrated +
+      (key -> dir) + ("version" -> "2")
+    ManifestIO.write(orientPath, committed)
+    ManifestIO.gc(orientPath,
+      committed.collect { case (k, v) if k.startsWith("ns.") => v }.toSet)
   }
 
   /** Rendered map for one namespace, key-ascending (the reference's

@@ -102,39 +102,22 @@ object SyncLoop {
   case class Manifest(batchId: Long, watermark: Long, parts: Map[Int, String],
       epoch: String = "")
 
-  private def manifestPath(storePath: String): Path =
-    Paths.get(storePath, "manifest.properties")
-
-  def readManifest(storePath: String): Option[Manifest] = {
-    val p = manifestPath(storePath)
-    if (!Files.exists(p)) None
-    else {
-      val props = new java.util.Properties()
-      val in = Files.newInputStream(p)
-      try props.load(in) finally in.close()
-      val parts = props.stringPropertyNames().asScala
-        .filter(_.startsWith("part."))
-        .map(k => k.stripPrefix("part.").toInt -> props.getProperty(k))
-        .toMap
-      Some(Manifest(props.getProperty("batch_id").toLong,
-        props.getProperty("watermark").toLong, parts,
-        props.getProperty("epoch", "")))
+  def readManifest(storePath: String): Option[Manifest] =
+    graft.api.ManifestIO.read(storePath).map { m =>
+      Manifest(m("batch_id").toLong, m("watermark").toLong,
+        m.collect { case (k, v) if k.startsWith("part.") =>
+          k.stripPrefix("part.").toInt -> v },
+        m.getOrElse("epoch", ""))
     }
-  }
 
-  private def writeManifest(storePath: String, m: Manifest): Unit = {
-    Files.createDirectories(Paths.get(storePath))
-    val props = new java.util.Properties()
-    props.setProperty("batch_id", m.batchId.toString)
-    props.setProperty("watermark", m.watermark.toString)
-    props.setProperty("epoch", m.epoch)
-    m.parts.foreach { case (k, v) => props.setProperty(s"part.$k", v) }
-    val tmp = Paths.get(storePath, "manifest.properties.tmp")
-    val out = Files.newOutputStream(tmp)
-    try props.store(out, null) finally out.close()
-    Files.move(tmp, manifestPath(storePath),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeManifest(storePath: String, m: Manifest): Unit =
+    graft.api.ManifestIO.write(storePath,
+      Map(
+        "version" -> "1",
+        "batch_id" -> m.batchId.toString,
+        "watermark" -> m.watermark.toString,
+        "epoch" -> m.epoch) ++
+        m.parts.map { case (k, v) => s"part.$k" -> v })
 
   /** Committed watermark (manifest-backed; -1 with no commits yet). */
   def readWatermark(storePath: String): Option[Long] =

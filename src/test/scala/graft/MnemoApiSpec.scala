@@ -118,8 +118,10 @@ class MnemoApiSpec extends SparkSpec {
     // update must MERGE at row level — alice's partition files are not
     // even rewritten when tight's namespace is updated
     def aliceFiles() = {
-      val d = new java.io.File(s"${store.path}_orientation/namespace=alice")
-      d.listFiles().filter(_.getName.endsWith(".parquet"))
+      val root = s"${store.path}_orientation"
+      val dir = graft.api.ManifestIO.read(root).get("ns.alice")
+      new java.io.File(s"$root/$dir").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getAbsolutePath, f.lastModified(), f.length())).toSet
     }
     val aliceBefore = aliceFiles()
