@@ -52,13 +52,17 @@ object Mnemo {
     val toks = TextOps.tokens(text)
     // per-token: dim index from first 4 md5 hex chars, sign from the 5th
     val hx = transform(toks, t => substring(md5(t), 1, 5))
-    val raw = transform(sequence(lit(0), lit(dim - 1)), d => {
-      aggregate(hx, lit(0.0), (acc, h) => {
-        val idx = conv(substring(h, 1, 4), 16, 10).cast("long") % dim
-        val sign = when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0, 1.0)
-          .otherwise(-1.0)
-        acc + when(idx === d, sign).otherwise(0.0)
-      })
+    // ONE fold over the token array updating a dim-length accumulator:
+    // md5 is computed once per token, where a per-dimension aggregate
+    // would re-evaluate the hashed array dim times (O(dim·T) md5 calls —
+    // the lambda-argument re-evaluation trap). Per dimension the
+    // additions still occur in token order, and ±1.0 sums are exact in
+    // double, so the output is bit-identical to the per-dim fold.
+    val raw = aggregate(hx, array_repeat(lit(0.0), dim), (acc, h) => {
+      val idx = conv(substring(h, 1, 4), 16, 10).cast("long") % dim
+      val sign = when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0, 1.0)
+        .otherwise(-1.0)
+      transform(acc, (a, d) => a + when(idx === d.cast("long"), sign).otherwise(0.0))
     })
     val norm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
     when(norm > 0, transform(raw, x => (x / norm).cast("float")))
