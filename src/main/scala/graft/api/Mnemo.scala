@@ -46,9 +46,22 @@ object Mnemo {
 
   /** Deterministic hash embedding (the reference's offline embedder):
     * each token hashes to a dimension and a sign via md5 nibbles; the
-    * vector is the signed token-count profile, L2-normalized. Pure
-    * column expression — no UDF, reproducible across engines. */
+    * vector is the signed token-count profile, L2-normalized.
+    * Tokenization is Spark's own `lower`/`split`; the hash-accumulate-
+    * normalize tail runs in the fused codegen native expression
+    * [[graft.plans.HashEmbeddingExpr]] — one md5 per token, primitive
+    * accumulator, bit-identical to [[hashEmbeddingComposed]]
+    * (FunctionsSpec pins the identity). */
   def hashEmbedding(text: Column, dim: Int = EmbeddingDim): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.HashEmbeddingExpr(
+      ColumnBridge.expression(TextOps.tokens(text)), dim))
+  }
+
+  /** Same semantics as [[hashEmbedding]], composed from column
+    * expressions only — the readable reference formulation, kept as the
+    * oracle for the native expression's identity spec. */
+  def hashEmbeddingComposed(text: Column, dim: Int = EmbeddingDim): Column = {
     val toks = TextOps.tokens(text)
     // per-token: dim index from first 4 md5 hex chars, sign from the 5th
     val hx = transform(toks, t => substring(md5(t), 1, 5))

@@ -75,6 +75,26 @@ class FunctionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("hashEmbedding (codegen expr) is bit-identical to the composed version") {
+    import graft.api.Mnemo
+    val texts = Tables.documents(spark, Sf).select(col("text")).limit(60)
+      .unionAll(spark.createDataFrame(Seq(
+        Tuple1(""), Tuple1("   "), Tuple1("ONE one oNe"), Tuple1("a b c 123 !!"))
+      ).toDF("text"))
+    val diff = texts.select(
+      Mnemo.hashEmbeddingComposed(col("text")).as("slow"),
+      Mnemo.hashEmbedding(col("text")).as("fast"))
+      .filter(!(col("slow") <=> col("fast")))
+      .count()
+    assert(diff == 0)
+    val diff16 = texts.select(
+      Mnemo.hashEmbeddingComposed(col("text"), 16).as("slow"),
+      Mnemo.hashEmbedding(col("text"), 16).as("fast"))
+      .filter(!(col("slow") <=> col("fast")))
+      .count()
+    assert(diff16 == 0)
+  }
+
   test("cosine_sim is registered as a SQL function via GraftExtensions") {
     Tables.embeddings(spark, Sf).limit(5).createOrReplaceTempView("emb_t")
     val rows = spark.sql(
