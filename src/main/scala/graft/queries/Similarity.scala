@@ -200,7 +200,11 @@ object Similarity extends QueryGroup {
         .groupBy(col("vec_id"))
         .agg(argminStruct(-col("ccos"), col("cid")).as("cid"),
           first(col("embedding")).as("embedding"))
-      val cent = quantizedDimMeans(a1, Seq("cid"), "embedding", 64, "cv")
+      // The trained codebook is tiny (k rows) but its lineage is the full
+      // assignment pass — cache it so the two consumers below (cell
+      // assignment + query probes) don't each re-run training. Matches
+      // real-index semantics: the codebook is trained once, then reused.
+      val cent = quantizedDimMeans(a1, Seq("cid"), "embedding", 64, "cv").cache()
       val cells = e.crossJoin(broadcast(cent))
         .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
         .groupBy(col("vec_id"))
@@ -435,7 +439,10 @@ object Similarity extends QueryGroup {
         .groupBy(col("vec_id"), col("m"))
         .agg(argminStruct(col("sdist"), col("cid")).as("cid"),
           first(col("sv")).as("sv"))
-      val cent = quantizedDimMeans(a1, Seq("m", "cid"), "sv", 16, "scv")
+      // Cache the trained sub-codebooks (k·4 rows): both the encode pass
+      // and the ADC table consume them, and without the cache each
+      // consumer re-runs the whole seed-assignment training chain.
+      val cent = quantizedDimMeans(a1, Seq("m", "cid"), "sv", 16, "scv").cache()
       val codes = subs.join(broadcast(cent), Seq("m"))
         .withColumn("sdist", round(VectorOps.squaredL2Fast(col("sv"), col("scv")), 6))
         .groupBy(col("vec_id"), col("m"))
