@@ -164,5 +164,82 @@ object EventWindows extends QueryGroup {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
+  /** K2 — KMV (k-minimum-values) distinct-count sketch. Unlike HLL
+    * (whose register layout differs per engine, so approx_count_distinct
+    * can never hash-match an oracle), KMV is fully deterministic from a
+    * shared hash: the k-th smallest md5(user_id) estimates the distinct
+    * count as (k-1)/frac(h_k), and both engines compute the identical
+    * digest, so the SKETCH ITSELF is oracle-checked — estimate, error
+    * and all. The sketch is mergeable (min-k of a union is the min-k of
+    * the per-partition min-ks), which is what makes it the distributed
+    * path. The Spark side computes the k-th minimum in TWO phases —
+    * rank within (key, first-hex-nibble salt), keep at most k per salt
+    * cell, then re-rank the <=16k survivors per key — so no single
+    * partition ever sorts a hot key's full distinct set; the oracle is
+    * the plain unsalted rank, proving the two-phase prune is exact (the
+    * same device as k1's salted aggregation). */
+  private val q7 = QueryDef(
+    "k2_kmv_distinct",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 64
+      val hexDigits = "0123456789abcdef"
+      val du = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("h", md5(col("user_id").cast("string")))
+      val w1 = Window.partitionBy(col("event_type"), substring(col("h"), 1, 1))
+        .orderBy(col("h"))
+      val w2 = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      // frac(h) from the first 6 hex chars: uniform on [0,1) with 24-bit
+      // resolution, built digit-by-digit so the oracle mirrors the exact
+      // arithmetic (no engine-specific hex-parse builtin needed).
+      val frac = (1 to 6).map(i =>
+        (instr(lit(hexDigits), substring(col("h"), i, 1)) - 1).cast("double")
+          * math.pow(16, 6 - i)).reduce(_ + _) / math.pow(16, 6)
+      val kth = du
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= K)
+        .withColumn("r", row_number().over(w2)).filter(col("r") === K)
+        .select(col("event_type"), frac.as("fk"))
+      val exact = du.groupBy("event_type")
+        .agg(count(lit(1)).as("exact_distinct"))
+      exact.join(kth, Seq("event_type"), "left")
+        .withColumn("kmv_estimate",
+          round(coalesce(lit(K - 1.0) / col("fk"),
+            col("exact_distinct").cast("double")), 6))
+        .withColumn("rel_error",
+          round(abs(col("kmv_estimate") - col("exact_distinct"))
+            / col("exact_distinct"), 6))
+        .select("event_type", "exact_distinct", "kmv_estimate", "rel_error")
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events),
+      h AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+      ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+        FROM h),
+      kth AS (
+        SELECT event_type,
+               ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576.0
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536.0
+              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096.0
+              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256.0
+              + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16.0
+              + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) / 16777216.0 AS fk
+        FROM ranked WHERE r = 64),
+      exact AS (
+        SELECT event_type, COUNT(*) AS exact_distinct FROM du GROUP BY event_type),
+      est AS (
+        SELECT exact.event_type, exact_distinct,
+               ROUND(COALESCE(63.0 / fk, CAST(exact_distinct AS DOUBLE)), 6) AS kmv_estimate
+        FROM exact LEFT JOIN kth ON exact.event_type = kth.event_type)
+      SELECT event_type, exact_distinct, kmv_estimate,
+             ROUND(ABS(kmv_estimate - exact_distinct) / exact_distinct, 6) AS rel_error
+      FROM est
+      ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
 }

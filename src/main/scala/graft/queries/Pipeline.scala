@@ -181,5 +181,199 @@ object Pipeline extends QueryGroup {
       FROM h
       ORDER BY shard, pos"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
+  /** PII patterns shared by the Spark and DuckDB sides — plain constants
+    * so both engines compile the EXACT same regex text. Restricted to
+    * RE2-compatible syntax (no lookaround/backreferences) so Java regex
+    * (Spark) and RE2 (DuckDB) agree. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scan + redaction — the pass every training pipeline runs before
+    * export. The synthetic corpus contains no natural PII (no digits or
+    * @ at all), so the query first splices deterministic fixture PII
+    * into a doc_id-keyed subset — both engines compute the identical
+    * spliced text, so detection AND redaction are oracle-checked end to
+    * end. Scale shape: one projection pass, no shuffle until the final
+    * order — regex scans are per-row codegen'd work that parallelizes
+    * linearly. */
+  private val q5 = QueryDef(
+    "pl5_pii_redact",
+    (s, dir) => {
+      val id = col("doc_id")
+      val injected = concat(
+        col("text"),
+        when(id % 7 === 0, concat(
+          lit(" contact u"), id.cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(id % 11 === 0, concat(
+          lit(" from 10."), (id % 256).cast("string"),
+          lit(".0."), ((id * 7) % 256).cast("string")))
+          .otherwise(lit("")),
+        when(id % 13 === 0, concat(
+          lit(" call "), (lit(100) + id % 900).cast("string"),
+          lit("-"), (lit(100) + (id * 3) % 900).cast("string"),
+          lit("-"), (lit(1000) + (id * 7) % 9000).cast("string")))
+          .otherwise(lit("")))
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(injected, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+      Tables.documents(s, dir)
+        .select(
+          id,
+          size(regexp_extract_all(injected, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(injected, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+          size(regexp_extract_all(injected, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+          md5(redacted).as("redacted_fp"))
+        .filter(col("n_emails") + col("n_ips") + col("n_phones") > 0)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH spliced AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                    THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                    ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                    THEN ' call ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                         || '-' || CAST(100 + (doc_id * 3) % 900 AS VARCHAR)
+                         || '-' || CAST(1000 + (doc_id * 7) % 9000 AS VARCHAR)
+                    ELSE '' END AS injected
+        FROM documents),
+      scanned AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(injected, '$EmailRe')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(injected, '$Ipv4Re')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(injected, '$PhoneRe')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(injected, '$EmailRe', '<EMAIL>', 'g'),
+                       '$Ipv4Re', '<IP>', 'g'),
+                     '$PhoneRe', '<PHONE>', 'g')) AS redacted_fp
+        FROM spliced)
+      SELECT doc_id, n_emails, n_ips, n_phones, redacted_fp
+      FROM scanned
+      WHERE n_emails + n_ips + n_phones > 0
+      ORDER BY doc_id"""))
+
+  /** Gopher-style repetition quality rules: duplicate-token fraction and
+    * most-frequent-bigram mass, with the keep/drop gate both thresholds
+    * imply (dup <= 0.6, top-bigram <= 0.2 — both cut this corpus
+    * non-trivially). The per-doc token stats are projection-only; the
+    * top bigram is an explode + two-level hash aggregate (map-side
+    * combinable, shuffle carries one row per (doc, bigram)); the argmax
+    * is `min(struct(-count, bigram))` — the same scale-safe argmin
+    * device as the IVF assignment, never a window over the exploded
+    * frame. */
+  private val q6 = QueryDef(
+    "pl6_repetition_stats",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val base = toks.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        TextOps.shingles(col("toks"), 2).as("bgs"))
+      val top = base.select(col("doc_id"), explode(col("bgs")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(min(struct((-col("c")).as("nc"), col("bg").as("bg"))).as("t"))
+        .select(col("doc_id"), (-col("t.nc")).as("top_c"), col("t.bg").as("top_bigram"))
+      base.join(top, "doc_id")
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+            .as("dup_token_frac"),
+          col("top_bigram"),
+          round(lit(2.0) * col("top_c") / col("n_tokens"), 6).as("top_bigram_frac"))
+        .withColumn("keep",
+          (col("dup_token_frac") <= 0.6 && col("top_bigram_frac") <= 0.2)
+            .cast("int"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $toksSql,
+      base AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+        FROM toks WHERE len(toks) >= 2),
+      bg AS (SELECT doc_id, unnest(bgs) AS bg FROM base),
+      cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+      top AS (
+        SELECT doc_id,
+               -(min(struct_pack(nc := -c, bg := bg)).nc) AS top_c,
+               min(struct_pack(nc := -c, bg := bg)).bg AS top_bigram
+        FROM cnt GROUP BY doc_id),
+      joined AS (
+        SELECT base.doc_id, n_tokens,
+               ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+               top_bigram,
+               ROUND(2.0 * top_c / n_tokens, 6) AS top_bigram_frac
+        FROM base JOIN top ON base.doc_id = top.doc_id)
+      SELECT doc_id, n_tokens, dup_token_frac, top_bigram, top_bigram_frac,
+             CAST(dup_token_frac <= 0.6 AND top_bigram_frac <= 0.2 AS INT) AS keep
+      FROM joined
+      ORDER BY doc_id"""))
+
+  /** Benchmark-decontamination scan: flag corpus documents sharing word
+    * trigrams with a held-out benchmark set (the fixed doc_id % 97
+    * sample, bounded to 32 docs so the benchmark shingle set is O(1) in
+    * corpus size and always broadcastable). This is the n-gram-overlap
+    * contamination check every eval-hygiene pipeline runs before
+    * training; production uses 8-13-grams — n is a knob, trigrams give
+    * signal on this small-vocabulary synthetic corpus. Scale shape:
+    * corpus shingles stream map-side into a broadcast hash join against
+    * the benchmark set; the only shuffle is the per-doc overlap count. */
+  private val q7 = QueryDef(
+    "pl7_contamination",
+    (s, dir) => {
+      val BenchBound = 97L * 32
+      val isBench = col("doc_id") % 97 === 0 && col("doc_id") < BenchBound
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(col("toks"), 3))).as("sh"))
+      val bench = sh.filter(isBench).select("sh").distinct()
+      val corpus = sh.filter(!isBench)
+      val overlap = corpus.join(broadcast(bench), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(overlap, "doc_id")
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+            .as("contamination_frac"))
+        .orderBy(col("contamination_frac").desc, col("doc_id"))
+    },
+    Some(s"""
+      WITH $toksSql,
+      shing AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+        FROM toks WHERE len(toks) >= 3),
+      bench AS (
+        SELECT DISTINCT sh FROM shing WHERE doc_id % 97 = 0 AND doc_id < 3104),
+      corpus AS (
+        SELECT * FROM shing WHERE NOT (doc_id % 97 = 0 AND doc_id < 3104)),
+      ol AS (
+        SELECT doc_id, COUNT(*) AS n_contaminated
+        FROM corpus JOIN bench USING (sh) GROUP BY doc_id),
+      denom AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id)
+      SELECT denom.doc_id, n_shingles, n_contaminated,
+             ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination_frac
+      FROM denom JOIN ol ON denom.doc_id = ol.doc_id
+      ORDER BY contamination_frac DESC, denom.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
 }

@@ -31,6 +31,58 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("pii redaction: every flagged doc's fingerprint is free of raw PII") {
+    // the redacted text hash must differ from the hash of the spliced
+    // text (something was actually replaced), and the per-type counts
+    // must match the splice rule (one email iff doc_id % 7 == 0, etc.)
+    val rows = SparkEntry.queries("pl5_pii_redact")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") == (if (id % 7 == 0) 1L else 0L), s"doc $id emails")
+      assert(r.getAs[Long]("n_ips") == (if (id % 11 == 0) 1L else 0L), s"doc $id ips")
+      assert(r.getAs[Long]("n_phones") == (if (id % 13 == 0) 1L else 0L), s"doc $id phones")
+    }
+  }
+
+  test("repetition stats: fractions are in range and the gate splits the corpus") {
+    val rows = SparkEntry.queries("pl6_repetition_stats")(spark, Sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_token_frac")
+      val top = r.getAs[Double]("top_bigram_frac")
+      assert(dup >= 0.0 && dup < 1.0, s"dup_token_frac out of range: $dup")
+      assert(top > 0.0 && top <= 1.0, s"top_bigram_frac out of range: $top")
+    }
+    val kept = rows.count(_.getAs[Int]("keep") == 1)
+    assert(kept > 0 && kept < rows.length,
+      s"gate must split the corpus, kept $kept of ${rows.length}")
+  }
+
+  test("contamination: flagged fractions are in (0,1] and benchmark docs are excluded") {
+    val rows = SparkEntry.queries("pl7_contamination")(spark, Sf).collect()
+    assert(rows.nonEmpty, "trigram overlap must flag some docs on this corpus")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(!(id % 97 == 0 && id < 97 * 32), s"benchmark doc $id flagged itself")
+      val f = r.getAs[Double]("contamination_frac")
+      assert(f > 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_shingles"))
+    }
+  }
+
+  test("kmv sketch: estimate tracks the exact distinct count") {
+    // k=64 KMV has relative stddev ~ 1/sqrt(k-2) ~ 13%; allow 4 sigma
+    val rows = SparkEntry.queries("k2_kmv_distinct")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Double]("kmv_estimate")
+      assert(math.abs(est - exact) / exact <= 0.52,
+        s"${r.getAs[String]("event_type")}: estimate $est vs exact $exact")
+    }
+  }
+
   test("corpus mix weights sum to ~1 and allocations never exceed the budget") {
     val rows = SparkEntry.queries("pl3_corpus_mix")(spark, Sf).collect()
     val wsum = rows.map(_.getAs[Double]("weight")).sum

@@ -113,4 +113,17 @@ class PlanSpec extends SparkSpec {
       assert(!p.toLowerCase.contains("label"), s"$n: pair join keyed on bounded-cardinality label")
     }
   }
+
+  test("pl7_contamination: the bounded benchmark shingle set broadcasts onto the corpus stream") {
+    val p = plan("pl7_contamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+    assert(!p.contains("CartesianProduct"), "shingle overlap must be an equi-join")
+  }
+
+  test("pl5_pii_redact: the regex scan is one projection pass with no join") {
+    val p = plan("pl5_pii_redact")
+    assert(!p.contains("Join"), "PII scan must not join anything")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "PII scan must not shuffle before the output sort")
+  }
 }
