@@ -375,5 +375,57 @@ object Pipeline extends QueryGroup {
       FROM denom JOIN ol ON denom.doc_id = ol.doc_id
       ORDER BY contamination_frac DESC, denom.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
+  /** Sequence packing — the last step before the trainer: concatenate
+    * documents in a deterministic pseudo-random order and chunk the
+    * stream into fixed 2048-token training sequences (docs span chunk
+    * boundaries; each doc is attributed to the sequence where it
+    * starts). The running offset is a window sum PER SHARD (the pl4
+    * md5-shard permutation), so no global single-partition window
+    * exists — at 100 TB each shard packs independently and in
+    * parallel, and the (shard, seq) id is stable across engines and
+    * re-runs. The per-sequence digest pins the exact doc membership. */
+  private val q8 = QueryDef(
+    "pl8_sequence_pack",
+    (s, dir) => {
+      val SeqLen = 2048L
+      val NShards = 8
+      val h = md5(col("doc_id").cast("string"))
+      val shard = ((instr(lit(HexDigits), substring(col("h"), 1, 1)) - 1) % NShards).cast("int")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.estTokens(col("text")).as("est_tokens"), h.as("h"))
+        .withColumn("shard", shard)
+        .withColumn("cum", sum(col("est_tokens")).over(w))
+        .withColumn("seq", floor((col("cum") - col("est_tokens")) / SeqLen).cast("long"))
+        .groupBy("shard", "seq")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("est_tokens")).as("seq_tokens"),
+          md5(concat_ws(",",
+            transform(
+              array_sort(collect_list(struct(col("h"),
+                col("doc_id").cast("string").as("doc_id")))),
+              p => p.getField("doc_id")))).as("doc_digest"))
+        .orderBy("shard", "seq")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(CEIL(len(text) / 4.0) AS BIGINT) AS est_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS INT) AS shard
+        FROM documents),
+      packed AS (
+        SELECT shard, doc_id, est_tokens, h,
+               CAST(FLOOR((SUM(est_tokens) OVER (PARTITION BY shard ORDER BY h)
+                           - est_tokens) / 2048.0) AS BIGINT) AS seq
+        FROM d)
+      SELECT shard, seq, COUNT(*) AS n_docs,
+             CAST(SUM(est_tokens) AS BIGINT) AS seq_tokens,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h)) AS doc_digest
+      FROM packed
+      GROUP BY shard, seq
+      ORDER BY shard, seq"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
 }

@@ -83,6 +83,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: every doc lands in exactly one sequence and seq ids are contiguous") {
+    val rows = SparkEntry.queries("pl8_sequence_pack")(spark, Sf).collect()
+    val totalDocs = Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs,
+      "every document must be packed exactly once")
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rs) =>
+      val seqs = rs.map(_.getAs[Long]("seq")).sorted
+      assert(seqs.head == 0L && seqs.last == seqs.length - 1,
+        s"shard $shard: sequence ids must be contiguous from 0, got ${seqs.mkString(",")}")
+    }
+    assert(rows.map(_.getAs[String]("doc_digest")).distinct.length == rows.length,
+      "per-sequence membership digests must be unique")
+  }
+
   test("corpus mix weights sum to ~1 and allocations never exceed the budget") {
     val rows = SparkEntry.queries("pl3_corpus_mix")(spark, Sf).collect()
     val wsum = rows.map(_.getAs[Double]("weight")).sum
