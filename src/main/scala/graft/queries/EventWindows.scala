@@ -241,5 +241,71 @@ object EventWindows extends QueryGroup {
       FROM est
       ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
+  /** K3 — count-min heavy hitters. The second mergeable-sketch family
+    * (after k2's KMV): d=4 hash rows x w=64 counters, each cell a plain
+    * SUM — so the sketch builds as one map-side-combinable aggregate
+    * (the shuffle carries at most d*w rows per partition) and merges
+    * across partitions/streams by cell-wise addition. Estimates are
+    * min over the d cells and can only OVERcount (the spec asserts
+    * estimate >= exact). All hashes are md5-derived, so both engines
+    * build the identical sketch — estimate and inflation are
+    * hash-checked, which no engine-native approx aggregate allows. */
+  private val q8 = QueryDef(
+    "k3_heavy_hitters",
+    (s, dir) => {
+      import graft.functions.TextOps
+      import org.apache.spark.sql.Column
+      val D = 4
+      val W = 64
+      val TopK = 20
+      val hexDigits = "0123456789abcdef"
+      def cell(tok: Column, r: Int): Column = {
+        val h = md5(concat(lit(r.toString), lit(":"), tok))
+        ((1 to 4).map(i =>
+          (instr(lit(hexDigits), substring(h, i, 1)) - 1) * math.pow(16, 4 - i).toLong)
+          .reduce(_ + _) % W).cast("long")
+      }
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val cells = toks.select((0 until D).map(r => cell(col("tok"), r).as(s"c$r")): _*)
+        .select(posexplode(array((0 until D).map(r => col(s"c$r")): _*)).as(Seq("r", "c")))
+        .groupBy("r", "c").agg(count(lit(1)).as("n"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(TopK)
+      val probes = top.select(col("tok"), col("exact_n"),
+        posexplode(array((0 until D).map(r => cell(col("tok"), r)): _*)).as(Seq("r", "c")))
+      probes.join(cells, Seq("r", "c"))
+        .groupBy("tok").agg(
+          max(col("exact_n")).as("exact_n"),
+          min(col("n")).as("cm_estimate"))
+        .withColumn("inflation", (col("cm_estimate") - col("exact_n")).cast("long"))
+        .select("tok", "exact_n", "cm_estimate", "inflation")
+        .orderBy(col("exact_n").desc, col("tok"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> len(x) > 0)) AS tok
+        FROM documents),
+      hashed AS (
+        SELECT tok, r,
+               ((strpos('0123456789abcdef', substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(r AS VARCHAR) || ':' || tok), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(r AS VARCHAR) || ':' || tok), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(r AS VARCHAR) || ':' || tok), 4, 1)) - 1)) % 64 AS c
+        FROM toks, (SELECT unnest(generate_series(0, 3)) AS r)),
+      cells AS (SELECT r, c, COUNT(*) AS n FROM hashed GROUP BY r, c),
+      top AS (
+        SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+        ORDER BY exact_n DESC, tok LIMIT 20),
+      probes AS (
+        SELECT t.tok, t.exact_n, h.r, h.c
+        FROM top t JOIN (SELECT DISTINCT tok, r, c FROM hashed) h ON t.tok = h.tok)
+      SELECT p.tok, MAX(p.exact_n) AS exact_n, MIN(cells.n) AS cm_estimate,
+             CAST(MIN(cells.n) - MAX(p.exact_n) AS BIGINT) AS inflation
+      FROM probes p JOIN cells ON p.r = cells.r AND p.c = cells.c
+      GROUP BY p.tok
+      ORDER BY exact_n DESC, tok"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
 }

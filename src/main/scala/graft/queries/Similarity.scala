@@ -508,5 +508,58 @@ object Similarity extends QueryGroup {
       WHERE rank <= 5
       ORDER BY qid, rank"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
+  private val q8 = QueryDef(
+    "v5_kmeans_clusters",
+    (s, dir) => {
+      // k-means clustering exposed as a first-class corpus-bucketing
+      // operator (domain discovery / mixture design): the same
+      // seed -> one-Lloyd-iteration -> assign pipeline the IVF index
+      // trains with, but emitting the clustering itself — per-cluster
+      // size and mean member-to-centroid cosine (cohesion). Per-member
+      // cosines are rounded to 6 dp and summed as exact DECIMAL so the
+      // cluster mean is partition-order-independent and bit-equal across
+      // engines (repo convention for double aggregates).
+      val e = Tables.embeddings(s, dir)
+      val seeds = e.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
+        .select(col("cid"), col("embedding").as("cv"))
+      val a1 = e.crossJoin(broadcast(seeds))
+        .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(argminStruct(-col("ccos"), col("cid")).as("cid"),
+          first(col("embedding")).as("embedding"))
+      val cent = quantizedDimMeans(a1, Seq("cid"), "embedding", 64, "cv").cache()
+      val best = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("ccos")).as("o"), col("cid").as("cid"))).as("t"))
+        .select(col("vec_id"), col("t.cid").as("cid"),
+          round(-col("t.o"), 6).cast("decimal(10,6)").as("mcos"))
+      best.groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("mcos")).cast("double") / count(lit(1)), 6).as("mean_cos"))
+        .orderBy("cid")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seed AS ($centroidSeedSql),
+      cent0 AS (SELECT cid, v AS cv FROM e JOIN seed ON e.vec_id = seed.cid),
+      a1 AS (
+        SELECT e.vec_id,
+               min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid
+        FROM e CROSS JOIN cent0 GROUP BY e.vec_id),
+      a1v AS (SELECT a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
+      cent AS ${quantizedDimMeansSql("a1v", Seq("cid"), "v", 64)},
+      best AS (
+        SELECT e.vec_id,
+               min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid,
+               CAST(ROUND(-(min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).o), 6)
+                 AS DECIMAL(10,6)) AS mcos
+        FROM e CROSS JOIN cent GROUP BY e.vec_id)
+      SELECT cid, COUNT(*) AS n_members,
+             ROUND(CAST(SUM(mcos) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+      FROM best
+      GROUP BY cid
+      ORDER BY cid"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
 }

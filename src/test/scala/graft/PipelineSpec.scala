@@ -97,6 +97,34 @@ class PipelineSpec extends SparkSpec {
       "per-sequence membership digests must be unique")
   }
 
+  test("count-min sketch never undercounts and is tight on heavy hitters") {
+    val rows = SparkEntry.queries("k3_heavy_hitters")(spark, Sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cm_estimate") >= r.getAs[Long]("exact_n"),
+        s"${r.getAs[String]("tok")}: count-min undercounted")
+      assert(r.getAs[Long]("inflation") >= 0L)
+    }
+    // heavy hitters dominate their cells: min-over-4-rows inflation stays
+    // well under the per-cell collision mass (total/(w=64) per row)
+    val total = rows.map(_.getAs[Long]("exact_n")).sum
+    rows.take(5).foreach { r =>
+      assert(r.getAs[Long]("inflation") <= total,
+        s"${r.getAs[String]("tok")}: implausible inflation")
+    }
+  }
+
+  test("kmeans clustering partitions the corpus with sane cohesion") {
+    val rows = SparkEntry.queries("v5_kmeans_clusters")(spark, Sf).collect()
+    val corpus = Tables.embeddings(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpus,
+      "every vector must belong to exactly one cluster")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("mean_cos")
+      assert(c > -1.0 && c <= 1.0, s"cluster ${r.get(0)}: mean_cos $c out of range")
+    }
+  }
+
   test("corpus mix weights sum to ~1 and allocations never exceed the budget") {
     val rows = SparkEntry.queries("pl3_corpus_mix")(spark, Sf).collect()
     val wsum = rows.map(_.getAs[Double]("weight")).sum
