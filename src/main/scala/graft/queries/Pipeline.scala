@@ -275,20 +275,31 @@ object Pipeline extends QueryGroup {
   private val q6 = QueryDef(
     "pl6_repetition_stats",
     (s, dir) => {
+      // Structure note: tokens are EXPLODED once and bigrams built with a
+      // `lead` window over the narrow (doc_id, pos, tok) rows. The
+      // array-expression formulation (shingles + explode + a size>=2
+      // filter) is a trap: predicate pushdown inlines the shingle
+      // lambda into the scan filter, where every element_at re-executes
+      // the regex tokenizer — O(tokens²) regex work per document.
+      // Generate evaluates the tokenizer exactly once per row; nothing
+      // downstream can re-inline it.
+      import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-      val base = toks.select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        TextOps.shingles(col("toks"), 2).as("bgs"))
-      val top = base.select(col("doc_id"), explode(col("bgs")).as("bg"))
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      val stats = toks.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+        .filter(col("n_tokens") >= 2)
+      val top = withNext.filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(min(struct((-col("c")).as("nc"), col("bg").as("bg"))).as("t"))
         .select(col("doc_id"), (-col("t.nc")).as("top_c"), col("t.bg").as("top_bigram"))
-      base.join(top, "doc_id")
+      stats.join(top, "doc_id")
         .select(
           col("doc_id"), col("n_tokens"),
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
@@ -339,11 +350,20 @@ object Pipeline extends QueryGroup {
     (s, dir) => {
       val BenchBound = 97L * 32
       val isBench = col("doc_id") % 97 === 0 && col("doc_id") < BenchBound
+      // explode-once + lead windows, not shingles-in-an-array-lambda:
+      // see pl6's structure note (pushdown would inline the tokenizer
+      // into the scan filter at O(tokens²) regex cost per doc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
       val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),
-          explode(array_distinct(TextOps.shingles(col("toks"), 3))).as("sh"))
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("t2", lead(col("tok"), 1).over(w))
+        .withColumn("t3", lead(col("tok"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
+        .distinct()
       val bench = sh.filter(isBench).select("sh").distinct()
       val corpus = sh.filter(!isBench)
       val overlap = corpus.join(broadcast(bench), "sh")
