@@ -265,12 +265,19 @@ object EventWindows extends QueryGroup {
           (instr(lit(hexDigits), substring(h, i, 1)) - 1) * math.pow(16, 4 - i).toLong)
           .reduce(_ + _) % W).cast("long")
       }
-      val toks = Tables.documents(s, dir)
+      // one exact term-frequency pass (map-side combinable wordcount),
+      // then the sketch is built from the (token, count) pairs: cells
+      // are weighted sums, so hash work is O(vocabulary), not
+      // O(occurrences) — the same sketch, built the way a distributed
+      // ingest would (partial TFs merge cell-wise just like the cells)
+      val tf = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
-      val cells = toks.select((0 until D).map(r => cell(col("tok"), r).as(s"c$r")): _*)
-        .select(posexplode(array((0 until D).map(r => col(s"c$r")): _*)).as(Seq("r", "c")))
-        .groupBy("r", "c").agg(count(lit(1)).as("n"))
-      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .groupBy("tok").agg(count(lit(1)).as("tf"))
+      val cells = tf
+        .select(col("tf"),
+          posexplode(array((0 until D).map(r => cell(col("tok"), r)): _*)).as(Seq("r", "c")))
+        .groupBy("r", "c").agg(sum(col("tf")).as("n"))
+      val top = tf.select(col("tok"), col("tf").as("exact_n"))
         .orderBy(col("exact_n").desc, col("tok")).limit(TopK)
       val probes = top.select(col("tok"), col("exact_n"),
         posexplode(array((0 until D).map(r => cell(col("tok"), r)): _*)).as(Seq("r", "c")))
