@@ -115,4 +115,28 @@ object VectorOps {
         .mkString(" + ")
       s"(CASE WHEN ($dot) >= 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Johnson-Lindenstrauss random projection dim -> k via the fused
+    * codegen'd native expression [[graft.plans.RandomProjectionExpr]]
+    * (same splitmix coefficient family as the LSH planes). Bit-identical
+    * to [[randomProjectionSql]]. */
+  def randomProjection(vec: Column, dim: Int, k: Int, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.RandomProjectionExpr(
+      ColumnBridge.expression(vec), dim, k, seed))
+  }
+
+  /** ANSI-SQL rendering of [[randomProjection]] over a DOUBLE[] column
+    * named `vecVar` (1-indexed): identical literal coefficients, same
+    * left-to-right accumulation, same degenerate semantics (NULL on a
+    * short vector or null element). */
+  def randomProjectionSql(vecVar: String, dim: Int, k: Int, seed: Long = 42L): String = {
+    val comps = (0 until k).map { j =>
+      (0 until dim).map(i => s"$vecVar[${i + 1}] * ${planeCoef(j, i, seed)}")
+        .mkString(" + ")
+    }.mkString("[", ", ", "]")
+    s"""(CASE WHEN len($vecVar) >= $dim
+        |       AND len(list_filter($vecVar, x -> x IS NULL)) = 0
+        |  THEN $comps ELSE NULL END)""".stripMargin
+  }
 }

@@ -24,5 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("squared_l2"),
       new ExpressionInfo(classOf[SquaredL2DistanceExpr].getName, "squared_l2"),
       (children: Seq[Expression]) => SquaredL2DistanceExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("random_project"),
+      new ExpressionInfo(classOf[RandomProjectionExpr].getName, "random_project"),
+      (children: Seq[Expression]) => {
+        def lit(e: Expression): Long = e.eval(null) match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"random_project expects literal int args, got $other")
+        }
+        RandomProjectionExpr(children.head,
+          lit(children(1)).toInt, lit(children(2)).toInt,
+          if (children.length > 3) lit(children(3)) else 42L)
+      }))
   }
 }

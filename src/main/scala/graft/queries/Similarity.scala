@@ -561,5 +561,53 @@ object Similarity extends QueryGroup {
       GROUP BY cid
       ORDER BY cid"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
+  private val q9 = QueryDef(
+    "v6_random_projection",
+    (s, dir) => {
+      // Johnson-Lindenstrauss projection 64 -> 16 dims via the native
+      // codegen RandomProjectionExpr (coefficients shared with the LSH
+      // plane family), validated by its defining property: pairwise
+      // euclidean distance is preserved up to the sqrt(k*var) scale.
+      // The pair set is a bounded deterministic sample (consecutive-id
+      // pairs), so the check is O(1) in corpus size; the projection
+      // itself is a per-row map — the cheap pre-ANN reduction step at
+      // 100 TB. ratio ~ 1 with JL distortion sqrt(2/k).
+      val Scale = math.sqrt(16.0 / 3.0) // k=16 comps, Var(coef~U[-1,1)) = 1/3
+      val e = Tables.embeddings(s, dir)
+      val pa = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 1000)
+        .select(col("vec_id").as("a"), col("embedding").as("va"))
+      val pb = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      pa.join(pb, col("b") === col("a") + 1)
+        .withColumn("qa", VectorOps.randomProjection(col("va"), 64, 16))
+        .withColumn("qb", VectorOps.randomProjection(col("vb"), 64, 16))
+        .withColumn("o", sqrt(VectorOps.squaredL2Fast(col("va"), col("vb"))))
+        .withColumn("p", sqrt(VectorOps.squaredL2Fast(col("qa"), col("qb"))))
+        .filter(col("o") > 0)
+        .select(col("a"), col("b"),
+          round(col("o"), 6).as("orig_l2"),
+          round(col("p"), 6).as("proj_l2"),
+          round(col("p") / (col("o") * Scale), 6).as("ratio"))
+        .orderBy("a")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      pa AS (SELECT vec_id AS a, v AS va FROM e WHERE vec_id % 5 = 0 AND vec_id < 1000),
+      pr AS (
+        SELECT a, a + 1 AS b, va, vb,
+               ${VectorOps.randomProjectionSql("va", 64, 16)} AS qa,
+               ${VectorOps.randomProjectionSql("vb", 64, 16)} AS qb
+        FROM pa JOIN (SELECT vec_id AS b0, v AS vb FROM e) ON b0 = a + 1),
+      m AS (
+        SELECT a, b,
+               sqrt(list_sum(list_transform(list_zip(va, vb),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])))) AS o,
+               sqrt(list_sum(list_transform(list_zip(qa, qb),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])))) AS p
+        FROM pr)
+      SELECT a, b, ROUND(o, 6) AS orig_l2, ROUND(p, 6) AS proj_l2,
+             ROUND(p / (o * sqrt(16.0 / 3.0)), 6) AS ratio
+      FROM m WHERE o > 0
+      ORDER BY a"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9)
 }

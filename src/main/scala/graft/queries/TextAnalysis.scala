@@ -244,5 +244,73 @@ object TextAnalysis extends QueryGroup {
       ORDER BY doc_id, chunk_idx
       LIMIT 2000"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
+  /** Character-trigram LM outlier scoring — the perplexity-filter shape
+    * (CCNet/C4 run a KenLM; here the LM is trained ON the corpus itself,
+    * per language, so the whole pass is self-contained and exact): each
+    * document scores the average log10-probability of its character
+    * trigrams under its language's trigram distribution, and documents
+    * below their language's 5th percentile are flagged. Per-trigram
+    * log-probs are 6dp-rounded then DECIMAL-summed, so the per-doc mean
+    * is partition-order-independent and bit-equal across engines.
+    *
+    * Scale shape: chars are EXPLODED once (the Generate evaluates
+    * lower+split once per row — the substr-per-position formulation
+    * would inline lower(text) into every position at O(chars²) cost,
+    * see pl6's structure note) and trigrams come from two lead
+    * windows over narrow (doc, pos, char) rows; the model is a
+    * (lang, trigram) hash aggregate joined back by equi-join. */
+  private val q6 = QueryDef(
+    "t8_charlm_outliers",
+    (s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val tri = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(lower(col("text")), "")).as(Seq("pos", "c")))
+        .filter(length(col("c")) === 1) // guard split's empty edge elements
+        .withColumn("c2", lead(col("c"), 1).over(w))
+        .withColumn("c3", lead(col("c"), 2).over(w))
+        .filter(col("c3").isNotNull)
+        .select(col("doc_id"), col("lang"), concat(col("c"), col("c2"), col("c3")).as("tri"))
+      val model = tri.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      val totals = tri.groupBy("lang").agg(count(lit(1)).as("tot"))
+      val logp = model.join(broadcast(totals), "lang")
+        .select(col("lang"), col("tri"),
+          round(log10(col("cnt").cast("double") / col("tot")), 6)
+            .cast("decimal(12,6)").as("logp"))
+      val scored = tri.join(logp, Seq("lang", "tri"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("avg_logp"))
+      val p05 = scored.groupBy("lang")
+        .agg(round(percentile(col("avg_logp"), lit(0.05)), 6).as("p05"))
+      scored.join(broadcast(p05), "lang")
+        .select(col("doc_id"), col("lang"), col("n_trigrams"), col("avg_logp"),
+          (col("avg_logp") < col("p05")).cast("int").as("outlier"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tri AS (
+        SELECT doc_id, lang, substr(lower(text), i, 3) AS tri
+        FROM documents, LATERAL (SELECT unnest(range(1, len(text) - 1)) AS i)
+        WHERE len(text) >= 3),
+      model AS (SELECT lang, tri, COUNT(*) AS cnt FROM tri GROUP BY lang, tri),
+      totals AS (SELECT lang, COUNT(*) AS tot FROM tri GROUP BY lang),
+      logp AS (
+        SELECT model.lang, tri,
+               CAST(ROUND(log10(CAST(cnt AS DOUBLE) / tot), 6) AS DECIMAL(12,6)) AS logp
+        FROM model JOIN totals ON model.lang = totals.lang),
+      scored AS (
+        SELECT doc_id, tri.lang, COUNT(*) AS n_trigrams,
+               ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        FROM tri JOIN logp ON tri.lang = logp.lang AND tri.tri = logp.tri
+        GROUP BY doc_id, tri.lang),
+      p05 AS (
+        SELECT lang, ROUND(quantile_cont(avg_logp, 0.05), 6) AS p05
+        FROM scored GROUP BY lang)
+      SELECT doc_id, scored.lang, n_trigrams, avg_logp,
+             CAST(avg_logp < p05 AS INT) AS outlier
+      FROM scored JOIN p05 ON scored.lang = p05.lang
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
 }

@@ -95,6 +95,39 @@ class FunctionsSpec extends SparkSpec {
     assert(diff16 == 0)
   }
 
+  test("randomProjection: JL distance preservation, interpreted == codegen, null semantics") {
+    val e = Tables.embeddings(spark, Sf).limit(100)
+    // defining property: mean pairwise distance ratio ~ 1 after the
+    // sqrt(k*var) rescale (k=16, var=1/3 -> JL stddev ~ sqrt(2/16) = 0.35
+    // per pair; the mean over ~100 pairs is tight)
+    val scale = math.sqrt(16.0 / 3.0)
+    val pa = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val pb = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val ratios = pa.join(pb, col("b") === col("a") + 1)
+      .select(
+        (sqrt(VectorOps.squaredL2Fast(
+          VectorOps.randomProjection(col("va"), 64, 16),
+          VectorOps.randomProjection(col("vb"), 64, 16)))
+          / (sqrt(VectorOps.squaredL2Fast(col("va"), col("vb"))) * scale)).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.2, s"JL mean distance ratio $mean, expected ~1")
+    // degenerate semantics: short vector and null element both yield NULL
+    val deg = spark.sql(
+      """SELECT random_project(array(1.0D, 2.0D), 64, 16) AS short_v,
+         |       random_project(CAST(NULL AS ARRAY<DOUBLE>), 64, 16) AS null_v
+         |""".stripMargin).collect()(0)
+    assert(deg.isNullAt(0) && deg.isNullAt(1))
+  }
+
+  test("random_project is registered as a SQL function via GraftExtensions") {
+    Tables.embeddings(spark, Sf).limit(5).createOrReplaceTempView("emb_rp")
+    val rows = spark.sql(
+      "SELECT random_project(embedding, 64, 16) AS p FROM emb_rp").collect()
+    assert(rows.forall(r => r.getSeq[Double](0).length == 16))
+  }
+
   test("cosine_sim is registered as a SQL function via GraftExtensions") {
     Tables.embeddings(spark, Sf).limit(5).createOrReplaceTempView("emb_t")
     val rows = spark.sql(
