@@ -262,6 +262,11 @@ object TextAnalysis extends QueryGroup {
   private val q6 = QueryDef(
     "t8_charlm_outliers",
     (s, dir) => {
+      // chars explode once; trigrams from two lead windows over narrow
+      // (doc, pos, char) rows. Measured FASTER than the
+      // substr-per-position alternative (the Generate there carries the
+      // full string per position row — more memory traffic than this
+      // window's narrow exchange).
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val tri = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
@@ -271,16 +276,24 @@ object TextAnalysis extends QueryGroup {
         .withColumn("c3", lead(col("c"), 2).over(w))
         .filter(col("c3").isNotNull)
         .select(col("doc_id"), col("lang"), concat(col("c"), col("c2"), col("c3")).as("tri"))
-      val model = tri.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
-      val totals = tri.groupBy("lang").agg(count(lit(1)).as("tot"))
+      // one explode+window pass total: per-doc trigram counts are the
+      // shared base (cached — at 100 TB the model side would be a
+      // materialized offline artifact); the LM model and the per-doc
+      // scores both derive from it, and the score weights each distinct
+      // (doc, trigram) by its count instead of re-joining occurrences
+      val docTri = tri.groupBy("doc_id", "lang", "tri")
+        .agg(count(lit(1)).as("n")).cache()
+      val model = docTri.groupBy("lang", "tri").agg(sum(col("n")).as("cnt"))
+      val totals = model.groupBy("lang").agg(sum(col("cnt")).as("tot"))
       val logp = model.join(broadcast(totals), "lang")
         .select(col("lang"), col("tri"),
           round(log10(col("cnt").cast("double") / col("tot")), 6)
             .cast("decimal(12,6)").as("logp"))
-      val scored = tri.join(logp, Seq("lang", "tri"))
+      val scored = docTri.join(logp, Seq("lang", "tri"))
         .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_trigrams"),
-          round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("avg_logp"))
+        .agg(sum(col("n")).as("n_trigrams"),
+          round(sum(col("logp") * col("n")).cast("double") / sum(col("n")), 6)
+            .as("avg_logp"))
       val p05 = scored.groupBy("lang")
         .agg(round(percentile(col("avg_logp"), lit(0.05)), 6).as("p05"))
       scored.join(broadcast(p05), "lang")
