@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Runtime evidence for the AQE lane of the skew strategy (SURVEY §4):
+  * k1_salted_agg demonstrates MANUAL salting for skewed aggregation;
+  * this spec demonstrates that Adaptive Query Execution's skew-join
+  * handling engages at runtime on a skewed shuffle join — the re-plan
+  * path a 100 TB job relies on when a hot key concentrates one
+  * partition. The thresholds are lowered only because the spec corpus
+  * is small; production defaults (256 MB / factor 5) engage the same
+  * mechanism.
+  */
+class SkewJoinSpec extends SparkSpec {
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the hot partition of a skewed sort-merge join at runtime") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB") {
+      // 90% of the left side lands on one key -> one hot shuffle partition
+      val left = Tables.events(spark, Sf)
+        .select(when(col("user_id") < 900, lit(0L)).otherwise(col("user_id")).as("k"),
+          col("value"))
+      val right = Tables.events(spark, Sf)
+        .select(col("user_id").as("k"), col("event_type")).distinct()
+      val joined = left.join(right, "k")
+      // run THIS DataFrame's queryExecution (count() would plan a new
+      // aggregate query and leave this one unexecuted)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew-join did not engage; final plan:\n$finalPlan")
+    }
+  }
+}
