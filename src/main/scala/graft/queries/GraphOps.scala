@@ -20,15 +20,23 @@ import org.apache.spark.sql.functions._
 object GraphOps extends QueryGroup {
 
   /** Bidirectional part co-occurrence edges over a modulo-sampled order
-    * subset: (src, dst) distinct part pairs sharing an order. */
+    * subset: (src, dst) part pairs sharing an order, possibly repeated
+    * across orders — both consumers (min-hop BFS in g1, min-label
+    * propagation in g3) are insensitive to edge multiplicity, so the
+    * full-frame distinct() the earlier formulation paid for is skipped.
+    *
+    * One lineitem scan + one shuffle (partial-aggregated collect_set per
+    * order) + a bounded double-explode (orders have ≤7 parts, so ≤42
+    * pairs each) — replaces the earlier self-join formulation, which
+    * scanned and shuffled lineitem twice before a distinct. */
   private def coEdges(s: SparkSession, dir: String, mod: Int): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % mod === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("src"))
-    val b = li.select(col("ok"), col("pk").as("dst"))
-    a.join(b, "ok").filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
   }
 
   private def coEdgesSql(mod: Int) =
@@ -41,18 +49,24 @@ object GraphOps extends QueryGroup {
     "g1_two_hop",
     (s, dir) => {
       // R5 graph lane: BFS from seeds with per-hop score decay 0.5^hop,
-      // first-seen (min-hop) dedup
+      // first-seen (min-hop) dedup. Frontiers are broadcast (5 seeds,
+      // then ≤ one hop's neighborhood) so each hop is a broadcast hash
+      // join against the partitioned edge list — the shape that holds at
+      // 100 TB as long as frontiers stay bounded. No intermediate
+      // distinct(): the final min-hop aggregate dedupes, and the h1
+      // frontier is deduped only where it feeds the h2 join.
       val edges = coEdges(s, dir, 50).cache()
       val seeds = edges.select(col("src").as("node")).distinct()
-        .orderBy("node").limit(5)
-      val h1 = edges.join(seeds.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node")).distinct()
+        .orderBy("node").limit(5).cache()
+      val h1 = edges.join(broadcast(seeds.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"))
         .withColumn("hop", lit(1))
-      val h2 = edges.join(h1.select(col("node").as("src")), "src")
-        .select(col("dst").as("node")).distinct()
+      val frontier = h1.select(col("node").as("src")).distinct()
+      val h2 = edges.join(broadcast(frontier), "src")
+        .select(col("dst").as("node"))
         .withColumn("hop", lit(2))
       h1.unionAll(h2)
-        .join(seeds, Seq("node"), "left_anti")
+        .join(broadcast(seeds), Seq("node"), "left_anti")
         .groupBy("node").agg(min(col("hop")).as("hop"))
         .withColumn("score", round(pow(0.5, col("hop")), 6))
         .orderBy("node")
