@@ -51,24 +51,38 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // dev-only subset filter (comma-separated names); unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    // a query that throws must surface as an error, not as a fast "time
+    // to fail" masquerading as a valid min — Left(message) vs Right(sec)
+    val results: Seq[(String, Either[String, Double])] = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val outcomes = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        val err = try { force(fn(spark, sfDir)); None }
+          catch { case e: Throwable => Some(e.toString.take(200)) }
         spark.catalog.clearCache() // no cross-query cache effects
-        (System.nanoTime() - t0) / 1e9
+        (err, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      val firstErr = outcomes.flatMap(_._1).headOption
+      name -> firstErr.toLeft(outcomes.map(_._2).min)
+    }.toSeq
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_)) => s"\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(m)) => s"\"${k}\":\"${esc(m)}\"" }
+    val errsJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
     // methodology is IN the emitted line so rounds are compared
     // like-for-like: warm JIT, min-of-N reps, checksum-forced outputs
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":true,"timed_action":"checksum_agg"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":true,"timed_action":"checksum_agg"$errsJson}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
