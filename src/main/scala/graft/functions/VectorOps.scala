@@ -129,14 +129,15 @@ object VectorOps {
   /** ANSI-SQL rendering of [[randomProjection]] over a DOUBLE[] column
     * named `vecVar` (1-indexed): identical literal coefficients, same
     * left-to-right accumulation, same degenerate semantics (NULL on a
-    * short vector or null element). */
+    * short vector or a null element among the first `dim` — elements
+    * past `dim` are never inspected, matching the native expression). */
   def randomProjectionSql(vecVar: String, dim: Int, k: Int, seed: Long = 42L): String = {
     val comps = (0 until k).map { j =>
       (0 until dim).map(i => s"$vecVar[${i + 1}] * ${planeCoef(j, i, seed)}")
         .mkString(" + ")
     }.mkString("[", ", ", "]")
     s"""(CASE WHEN len($vecVar) >= $dim
-        |       AND len(list_filter($vecVar, x -> x IS NULL)) = 0
+        |       AND len(list_filter($vecVar[1:$dim], x -> x IS NULL)) = 0
         |  THEN $comps ELSE NULL END)""".stripMargin
   }
 }

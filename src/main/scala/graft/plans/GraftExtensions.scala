@@ -28,10 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("random_project"),
       new ExpressionInfo(classOf[RandomProjectionExpr].getName, "random_project"),
       (children: Seq[Expression]) => {
-        def lit(e: Expression): Long = e.eval(null) match {
-          case n: Number => n.longValue()
-          case other => throw new IllegalArgumentException(
-            s"random_project expects literal int args, got $other")
+        // foldability gate BEFORE eval: an attribute reference would
+        // otherwise throw an unbound-reference internal error instead of
+        // this usage message (and a NULL literal folds to null, which is
+        // equally unusable as a dimension)
+        def lit(e: Expression): Long = {
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"random_project expects literal int args, got non-literal $e")
+          e.eval(null) match {
+            case n: Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"random_project expects literal int args, got $other")
+          }
         }
         RandomProjectionExpr(children.head,
           lit(children(1)).toInt, lit(children(2)).toInt,

@@ -203,8 +203,13 @@ object EventWindows extends QueryGroup {
       val exact = du.groupBy("event_type")
         .agg(count(lit(1)).as("exact_distinct"))
       exact.join(kth, Seq("event_type"), "left")
+        // fk is guarded > 0 explicitly: Spark's Divide yields NULL on /0
+        // but DuckDB's IEEE division yields Infinity, so without the
+        // guard a 64th-smallest hash of exactly 000000 (p ~ 2^-24 per
+        // group) would break bit-equality; both engines now fall back to
+        // the exact count on that degenerate draw.
         .withColumn("kmv_estimate",
-          round(coalesce(lit(K - 1.0) / col("fk"),
+          round(coalesce(when(col("fk") > 0, lit(K - 1.0) / col("fk")),
             col("exact_distinct").cast("double")), 6))
         .withColumn("rel_error",
           round(abs(col("kmv_estimate") - col("exact_distinct"))
@@ -234,7 +239,7 @@ object EventWindows extends QueryGroup {
         SELECT event_type, COUNT(*) AS exact_distinct FROM du GROUP BY event_type),
       est AS (
         SELECT exact.event_type, exact_distinct,
-               ROUND(COALESCE(63.0 / fk, CAST(exact_distinct AS DOUBLE)), 6) AS kmv_estimate
+               ROUND(COALESCE(63.0 / NULLIF(fk, 0), CAST(exact_distinct AS DOUBLE)), 6) AS kmv_estimate
         FROM exact LEFT JOIN kth ON exact.event_type = kth.event_type)
       SELECT event_type, exact_distinct, kmv_estimate,
              ROUND(ABS(kmv_estimate - exact_distinct) / exact_distinct, 6) AS rel_error

@@ -305,7 +305,11 @@ object Pipeline extends QueryGroup {
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
             .as("dup_token_frac"),
           col("top_bigram"),
-          round(lit(2.0) * col("top_c") / col("n_tokens"), 6).as("top_bigram_frac"))
+          // normalized by the bigram count (n_tokens - 1), not by
+          // 2*top_c/n_tokens: overlapping repeats ("a a a") push the
+          // latter past 1.0, and a fraction should stay a fraction
+          round(col("top_c").cast("double") / (col("n_tokens") - 1), 6)
+            .as("top_bigram_frac"))
         .withColumn("keep",
           (col("dup_token_frac") <= 0.6 && col("top_bigram_frac") <= 0.2)
             .cast("int"))
@@ -329,7 +333,7 @@ object Pipeline extends QueryGroup {
         SELECT base.doc_id, n_tokens,
                ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
                top_bigram,
-               ROUND(2.0 * top_c / n_tokens, 6) AS top_bigram_frac
+               ROUND(CAST(top_c AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_frac
         FROM base JOIN top ON base.doc_id = top.doc_id)
       SELECT doc_id, n_tokens, dup_token_frac, top_bigram, top_bigram_frac,
              CAST(dup_token_frac <= 0.6 AND top_bigram_frac <= 0.2 AS INT) AS keep

@@ -44,24 +44,26 @@ object Similarity extends QueryGroup {
     * O(N/m) and its broadcast grows with the corpus — the round-4
     * scale flag). One TakeOrdered pass over the corpus picks the
     * seeds; cross-engine identical because md5 hex and string sort
-    * agree. v3/v4 then TRAIN from these seeds with one deterministic
-    * Lloyd iteration (quantizedDimMeans keeps the means bit-identical
+    * agree. v3/v4/v5 then TRAIN from these seeds with deterministic
+    * Lloyd iterations (quantizedDimMeans keeps the means bit-identical
     * across engines), preserving the O(k) broadcast contract that
     * matters at scale (the reference builds a graph index instead:
     * crates/mnemo-core/src/index/usearch.rs:66-360). */
   private val CentroidK = 64
 
   /** IVF probe width — the recall/cost knob every IVF index exposes.
-    * 8 of 64 cells ≈ 12.5% of the corpus scanned per query. Measured on
-    * sf0.1 with the Lloyd-trained centroids: top-1 agreement with brute
-    * force is 11/21 at nprobe=8 vs 15/21 at 16 — the synthetic hash
-    * embeddings are only weakly clustered, so recall grows near-linearly
-    * with probe width instead of saturating the way a real corpus does
-    * (QueriesSpec pins agreement > 0). A production corpus with real
-    * cluster structure runs nlist ≈ √N and nprobe ≈ nlist/64 for a
-    * ~1-3% scan; the plan shape — O(k) centroid broadcast, equi-join
-    * probe — is unchanged by the knobs. */
-  private val NProbe = 8
+    * 16 of 64 cells ≈ 25% of the corpus scanned per query. Measured on
+    * sf0.1 with the 2-round Lloyd codebook: top-1 agreement with brute
+    * force is 13/21 at nprobe=8 and 16/21 at 16 (one Lloyd round gives
+    * 11/21 and 15/21; a third round REGRESSES to 11/21 — the synthetic
+    * hash embeddings are only weakly clustered, so Lloyd saturates after
+    * two rounds and recall grows near-linearly with probe width instead
+    * of plateauing the way a real corpus does). QueriesSpec pins top-1
+    * agreement ≥ 2/3. A production corpus with real cluster structure
+    * runs nlist ≈ √N and nprobe ≈ nlist/64 for a ~1-3% scan; the plan
+    * shape — O(k) centroid broadcast, equi-join probe — is unchanged by
+    * the knobs. */
+  private val NProbe = 16
 
   private def centroidSeedIds(e: DataFrame): DataFrame =
     e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -117,6 +119,64 @@ object Similarity extends QueryGroup {
           GROUP BY $ks, i)
         GROUP BY $ks)"""
   }
+
+  /** Eagerly materialize a tiny trained artifact (a codebook: O(k) rows)
+    * as a local relation: computed once at plan-build time, naturally
+    * broadcastable, and — unlike cache() — it leaves no storage entry
+    * behind after the query completes (round-6 advice: per-invocation
+    * codebook caches accumulate over a long session). Only ever called
+    * on O(CentroidK)-bounded frames. */
+  private def materializeLocal(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** `iters` deterministic Lloyd rounds from the fixed hash-sample
+    * seeds: assign every vector to its nearest current centroid (cosine,
+    * broadcast codebook, argmin as a hash aggregate), then recompute
+    * per-cell means in quantized-integer space. Each round's codebook is
+    * materialized locally, so the lineage stays O(1) deep and the next
+    * round's broadcast is a local table. Cells that win no members
+    * simply drop out of the codebook (both engines agree). */
+  private def lloydCentroids(e: DataFrame, iters: Int): DataFrame = {
+    var cent = e.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
+      .select(col("cid"), col("embedding").as("cv"))
+    for (_ <- 1 to iters) {
+      val a = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(argminStruct(-col("ccos"), col("cid")).as("cid"),
+          first(col("embedding")).as("embedding"))
+      cent = materializeLocal(
+        quantizedDimMeans(a, Seq("cid"), "embedding", 64, "cv"))
+    }
+    cent
+  }
+
+  /** DuckDB mirror of [[lloydCentroids]]: chained CTEs `cent0..cent`,
+    * one assignment + one quantized-mean round per iteration, the final
+    * round named `cent`. Assumes an `e(vec_id, v)` CTE in scope. */
+  private def lloydCentSql(iters: Int): String = {
+    val parts = new StringBuilder
+    parts.append(s"seed AS ($centroidSeedSql),\n")
+    parts.append("      cent0 AS (SELECT cid, v AS cv FROM e JOIN seed ON e.vec_id = seed.cid)")
+    for (i <- 1 to iters) {
+      val name = if (i == iters) "cent" else s"cent$i"
+      parts.append(s""",
+      a$i AS (
+        SELECT e.vec_id,
+               min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid
+        FROM e CROSS JOIN cent${i - 1} GROUP BY e.vec_id),
+      a${i}v AS (SELECT a$i.cid, e.v FROM a$i JOIN e USING (vec_id)),
+      $name AS ${quantizedDimMeansSql(s"a${i}v", Seq("cid"), "v", 64)}""")
+    }
+    parts.toString
+  }
+
+  /** Lloyd rounds for the IVF codebook (v3). Two rounds instead of one:
+    * measured at sf0.1 this lifts top-1 brute-force agreement at
+    * NProbe=8 (see the NProbe note above) while keeping the same O(k)
+    * broadcast contract — training cost is one extra assignment pass. */
+  private val LloydIters = 2
 
   private val q1 = QueryDef(
     "v1_knn_bruteforce",
@@ -183,28 +243,20 @@ object Similarity extends QueryGroup {
     "v3_knn_ivf",
     (s, dir) => {
       // IVF with TRAINED centroids: seed k=64 cells from the fixed hash
-      // sample, run ONE deterministic Lloyd iteration (spherical k-means —
-      // the unnormalized mean is exactly equivalent for cosine assignment,
-      // since centroid norm cancels), then coarse-quantize every vector to
-      // its nearest trained centroid and probe the NProbe nearest cells per
-      // query. Every assignment is a broadcast-centroid scan folded into a
-      // hash aggregate (`argminStruct`): the shuffle carries N rows, never
-      // the 64N-expanded frame. Candidate generation is an equi-join on
-      // cell id. Centroid means are computed in quantized-integer space so
-      // the oracle reproduces them bit-for-bit (see quantizedDimMeans).
+      // sample, run LloydIters deterministic Lloyd iterations (spherical
+      // k-means — the unnormalized mean is exactly equivalent for cosine
+      // assignment, since centroid norm cancels), then coarse-quantize
+      // every vector to its nearest trained centroid and probe the NProbe
+      // nearest cells per query. Every assignment is a broadcast-centroid
+      // scan folded into a hash aggregate (`argminStruct`): the shuffle
+      // carries N rows, never the 64N-expanded frame. Candidate
+      // generation is an equi-join on cell id. Centroid means are
+      // computed in quantized-integer space so the oracle reproduces
+      // them bit-for-bit (see quantizedDimMeans); the trained codebook
+      // is materialized as a local relation — trained once, reused by
+      // the assignment and probe passes, no lingering cache entry.
       val e = Tables.embeddings(s, dir)
-      val seeds = e.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
-        .select(col("cid"), col("embedding").as("cv"))
-      val a1 = e.crossJoin(broadcast(seeds))
-        .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(argminStruct(-col("ccos"), col("cid")).as("cid"),
-          first(col("embedding")).as("embedding"))
-      // The trained codebook is tiny (k rows) but its lineage is the full
-      // assignment pass — cache it so the two consumers below (cell
-      // assignment + query probes) don't each re-run training. Matches
-      // real-index semantics: the codebook is trained once, then reused.
-      val cent = quantizedDimMeans(a1, Seq("cid"), "embedding", 64, "cv").cache()
+      val cent = lloydCentroids(e, LloydIters)
       val cells = e.crossJoin(broadcast(cent))
         .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
         .groupBy(col("vec_id"))
@@ -228,14 +280,7 @@ object Similarity extends QueryGroup {
     },
     Some(s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      seed AS ($centroidSeedSql),
-      cent0 AS (SELECT cid, v AS cv FROM e JOIN seed ON e.vec_id = seed.cid),
-      a1 AS (
-        SELECT e.vec_id,
-               min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid
-        FROM e CROSS JOIN cent0 GROUP BY e.vec_id),
-      a1v AS (SELECT a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
-      cent AS ${quantizedDimMeansSql("a1v", Seq("cid"), "v", 64)},
+      ${lloydCentSql(LloydIters)},
       assign AS (
         SELECT e.vec_id,
                min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid
@@ -439,10 +484,12 @@ object Similarity extends QueryGroup {
         .groupBy(col("vec_id"), col("m"))
         .agg(argminStruct(col("sdist"), col("cid")).as("cid"),
           first(col("sv")).as("sv"))
-      // Cache the trained sub-codebooks (k·4 rows): both the encode pass
-      // and the ADC table consume them, and without the cache each
-      // consumer re-runs the whole seed-assignment training chain.
-      val cent = quantizedDimMeans(a1, Seq("m", "cid"), "sv", 16, "scv").cache()
+      // Materialize the trained sub-codebooks (k·4 rows) locally: both
+      // the encode pass and the ADC table consume them, and without it
+      // each consumer re-runs the whole seed-assignment training chain
+      // (a cache() would too, but leaves a storage entry behind).
+      val cent = materializeLocal(
+        quantizedDimMeans(a1, Seq("m", "cid"), "sv", 16, "scv"))
       val codes = subs.join(broadcast(cent), Seq("m"))
         .withColumn("sdist", round(VectorOps.squaredL2Fast(col("sv"), col("scv")), 6))
         .groupBy(col("vec_id"), col("m"))
@@ -520,14 +567,7 @@ object Similarity extends QueryGroup {
       // cluster mean is partition-order-independent and bit-equal across
       // engines (repo convention for double aggregates).
       val e = Tables.embeddings(s, dir)
-      val seeds = e.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
-        .select(col("cid"), col("embedding").as("cv"))
-      val a1 = e.crossJoin(broadcast(seeds))
-        .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(argminStruct(-col("ccos"), col("cid")).as("cid"),
-          first(col("embedding")).as("embedding"))
-      val cent = quantizedDimMeans(a1, Seq("cid"), "embedding", 64, "cv").cache()
+      val cent = lloydCentroids(e, 1)
       val best = e.crossJoin(broadcast(cent))
         .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
         .groupBy(col("vec_id"))
@@ -541,14 +581,7 @@ object Similarity extends QueryGroup {
     },
     Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      seed AS ($centroidSeedSql),
-      cent0 AS (SELECT cid, v AS cv FROM e JOIN seed ON e.vec_id = seed.cid),
-      a1 AS (
-        SELECT e.vec_id,
-               min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid
-        FROM e CROSS JOIN cent0 GROUP BY e.vec_id),
-      a1v AS (SELECT a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
-      cent AS ${quantizedDimMeansSql("a1v", Seq("cid"), "v", 64)},
+      ${lloydCentSql(1)},
       best AS (
         SELECT e.vec_id,
                min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid,

@@ -60,8 +60,9 @@ class QueriesSpec extends SparkSpec {
 
   test("IVF knn: correctly ranked, and every hit lives in one of the query's probed cells") {
     assertRankedDescending("v3_knn_ivf")
-    // agreement with brute force is partial by design (2 probes); top-1
-    // agreement must be strictly positive on this data
+    // agreement with brute force is partial by design (bounded probes);
+    // the 2-round Lloyd codebook at NProbe=16 measures 16/21 at sf0.1
+    // and 6/6 here — pin a deterministic ≥ 2/3 floor
     val brute = SparkEntry.queries("v1_knn_bruteforce")(spark, Sf)
       .filter(col("rank") === 1)
       .select("qid", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -69,7 +70,8 @@ class QueriesSpec extends SparkSpec {
       .filter(col("rank") === 1)
       .select("qid", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agree = ivf.count { case (q, v) => brute.get(q).contains(v) }
-    assert(agree > 0, "IVF found none of the brute-force top-1s")
+    assert(agree * 3 >= ivf.size * 2,
+      s"IVF top-1 agreement $agree/${ivf.size} below the 2/3 floor")
   }
 
   test("dedup: d1 groups are genuine duplicates (same token bag)") {
