@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.{Mnemo, MnemoStore}
+import graft.api.Mnemo.{RecallRequest, RememberRequest}
+
+/** Write-path throughput bench mirroring the reference's criterion
+  * suite (crates/mnemo-core/benches/engine_bench.rs:19-447):
+  * remember/forget/checkpoint-restore/verify-chain/recall/concurrent-
+  * agents over the Mnemo API, emitted as ONE JSON line (same shape
+  * convention as [[Bench]]) and written to BENCH_WRITES.json.
+  *
+  * Methodology notes vs criterion:
+  *  - The reference `iter()`s one remember() per sample against an
+  *    in-memory DuckDB. This store is a batch-append engine — a
+  *    single-row loop would measure Spark job-launch overhead, not the
+  *    write path — so throughput ops run BATCHES (the intended unit of
+  *    work at scale: the chain enrichment, tail join, and append cost
+  *    amortize over the batch exactly as they would on a cluster) and
+  *    report rows/sec alongside sec/op.
+  *  - Latency ops (recall, checkpoint+restore, verify) time one full
+  *    action per rep, min-of-reps like Bench (JIT-warmed).
+  *  - concurrent_agents runs one store per agent on parallel threads —
+  *    the store's manifest commit is per-path, matching the reference's
+  *    per-engine isolation in concurrent_agents_throughput.
+  */
+object BenchWrites {
+
+  private def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+
+  private def req(agent: String, i: Int): RememberRequest = RememberRequest(
+    id = f"$agent-m$i%06d",
+    agentId = agent,
+    threadId = s"t${i % 8}",
+    content = s"Benchmark memory content number $i about various topics for throughput testing",
+    importance = 0.5f,
+    tags = Seq("bench"),
+    createdAt = ts(i * 1000L))
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_bw_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/store"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val batch = 1000
+    val batches = 5
+
+    def time[A](body: => A): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // one throwaway pass to pay JIT/codegen before any measurement
+    {
+      val w = new MnemoStore(spark, freshDir("warm"))
+      w.remember((0 until 200).map(req("warm", _)))
+      w.recallVisible("warm", RecallRequest(query = "topics", strategy = "hybrid"), ts(0)).count()
+      w.verifyChains().count()
+    }
+
+    // -- remember_throughput: fresh store, `batches` sequential appends
+    //    (each pays the tail-hash join against the growing store)
+    val rememberSecs = (1 to reps).map { r =>
+      val st = new MnemoStore(spark, freshDir(s"rem$r"))
+      time((0 until batches).foreach(b =>
+        st.remember((0 until batch).map(i => req("bench-agent", b * batch + i)))))
+    }
+    val rememberSec = rememberSecs.min
+    val rememberRows = batches * batch
+
+    // seeded store shared by the read-side latency ops
+    val seeded = new MnemoStore(spark, freshDir("seed"))
+    (0 until 2).foreach(b =>
+      seeded.remember((0 until batch).map(i => req("bench-agent", b * batch + i))))
+
+    // -- recall_latency / hybrid_recall_latency (engine_bench.rs:80,190)
+    def recallOnce(strategy: String): Double = time(
+      seeded.recallVisible("bench-agent",
+        RecallRequest(query = "various topics", strategy = strategy, limit = 10),
+        ts(batches * batch * 1000L)).collect())
+    val recallSec = (1 to reps).map(_ => recallOnce("lexical")).min
+    val hybridSec = (1 to reps).map(_ => recallOnce("hybrid")).min
+
+    // -- verify_chain (engine_bench.rs:143 runs 100 rows; same pass
+    //    here over the 2k-row seeded store — one window scan)
+    val verifySec = (1 to reps).map(_ =>
+      time(assert(seeded.verifyChains().filter("NOT chain_valid").count() == 0L))).min
+
+    // -- checkpoint_restore_latency: snapshot refs + replay join
+    val ckptSec = (1 to reps).map { r =>
+      time {
+        seeded.checkpoint(s"ck$r", "bench-agent", ts(batches * batch * 1000L))
+        seeded.replay(s"ck$r").count()
+      }
+    }.min
+
+    // -- forget_throughput: tombstone 100 ids per op (full-store
+    //    conditional rewrite — the batch analogue of the reference's
+    //    soft-delete loop at engine_bench.rs:386-447)
+    val forgetIdsPerOp = 100
+    val forgetSecs = (1 to reps).map { r =>
+      val ids = (0 until forgetIdsPerOp).map(i => f"bench-agent-m${r * 200 + i}%06d")
+      time(seeded.forget("bench-agent", ids, ts(batches * batch * 1000L + r)))
+    }
+    val forgetSec = forgetSecs.min
+
+    // -- concurrent_agents_throughput: 4 agents, 4 threads, own stores
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val agents = 4
+    val concSec = (1 to reps).map { r =>
+      val stores = (0 until agents).map(a => new MnemoStore(spark, freshDir(s"c$r$a")))
+      time(Await.result(
+        Future.sequence(stores.zipWithIndex.map { case (st, a) => Future {
+          (0 until 2).foreach(b =>
+            st.remember((0 until batch).map(i => req(s"agent-$a", b * batch + i))))
+        } }), Duration.Inf))
+    }.min
+    val concRows = agents * 2 * batch
+
+    def op(sec: Double, rows: Long): String =
+      f"""{"sec":$sec%.4f,"rows_per_sec":${rows / sec}%.1f}"""
+    def lat(sec: Double): String = f"""{"sec":$sec%.4f}"""
+    val ops = Seq(
+      "remember_throughput" -> op(rememberSec, rememberRows),
+      "forget_throughput" -> op(forgetSec, forgetIdsPerOp),
+      "checkpoint_restore_latency" -> lat(ckptSec),
+      "verify_chain" -> lat(verifySec),
+      "recall_latency" -> lat(recallSec),
+      "hybrid_recall_latency" -> lat(hybridSec),
+      "concurrent_agents_throughput" -> op(concSec, concRows)
+    ).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val total = rememberSec + forgetSec + ckptSec + verifySec + recallSec +
+      hybridSec + concSec
+    val line =
+      f"""{"metric":"writes_total","value":$total%.4f,"unit":"sec","ops":$ops,"reps":$reps,"batch":$batch,"warmup":true}"""
+    println(line)
+    try Files.writeString(Paths.get("BENCH_WRITES.json"), line + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}
