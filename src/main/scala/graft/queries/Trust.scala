@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextOps
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,5 +125,103 @@ object Trust extends QueryGroup {
       WHERE rn = 1
       ORDER BY query_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2)
+  /** x15: agent-on-agent deal ledger with dispute detection — the
+    * reference's chained-HMAC deal log (mnemo-deal/src/lib.rs:1-30,
+    * envelope.rs:19-27, dispute.rs:23-42) as one window-chain pass.
+    * Deals are signed into per-ledger hash chains (content hash over
+    * the canonical field concatenation, keyed; linkage + row MAC as in
+    * [[graft.functions.HashChain]]); a deterministic subset of stored
+    * terms is then tampered post-signing, and the verify walk reports
+    * each ledger's first divergence as (offset, expected, actual) —
+    * the DisputeReport shape. The real HMAC-SHA256 lives in
+    * functions/CryptoOps (P8, spec-covered); this query uses the
+    * keyed-sha canonical form both engines compute bit-identically.
+    * Scale: one window over ledger partitions + one hash aggregate —
+    * no joins, no driver state. */
+  private val q3 = QueryDef(
+    "x15_deal_ledger",
+    (s, dir) => {
+      import graft.functions.HashChain
+      val key = "deal-ledger-key"
+      val w = Window.partitionBy(col("ledger_id")).orderBy(col("signed_at"), col("deal_id"))
+      def canonical(terms: Column) = sha2(concat_ws(HashChain.Sep, lit(key),
+        col("deal_id").cast("string"), col("buyer"), col("seller"),
+        terms.cast("string"), col("signed_at").cast("string")), 256)
+      val signed = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(
+          col("o_orderkey").as("deal_id"),
+          (col("o_custkey") % 16).as("ledger_id"),
+          concat(lit("agent-"), col("o_custkey")).as("buyer"),
+          concat(lit("agent-"), col("o_orderkey") % 997).as("seller"),
+          col("o_totalprice").cast("decimal(12,2)").as("terms"),
+          col("o_orderdate").cast("date").as("signed_at"))
+        .withColumn("content_hash", canonical(col("terms")))
+        .withColumn("deal_offset", (row_number().over(w) - 1).cast("bigint"))
+        .withColumn("prev_hash", coalesce(lag(col("content_hash"), 1).over(w), lit("")))
+        .withColumn("mac", sha2(concat(col("content_hash"), col("prev_hash")), 256))
+        // post-signing tamper: a hostile party edits the stored terms
+        .withColumn("observed_terms",
+          when(col("deal_id") % 29 === 0, col("terms") + lit(0.01))
+            .otherwise(col("terms")).cast("decimal(12,2)"))
+      val verified = signed
+        .withColumn("recomputed", canonical(col("observed_terms")))
+        .withColumn("row_valid",
+          col("recomputed") === col("content_hash") &&
+            col("mac") === sha2(concat(col("content_hash"), col("prev_hash")), 256))
+      verified.groupBy("ledger_id")
+        .agg(
+          count(lit(1)).as("n_deals"),
+          count(when(!col("row_valid"), 1)).as("n_invalid"),
+          min(when(!col("row_valid"), struct(
+            col("deal_offset").as("o"), col("content_hash").as("e"),
+            col("recomputed").as("a")))).as("d"))
+        .select(col("ledger_id"), col("n_deals"), col("n_invalid"),
+          (col("n_invalid") === 0).as("chain_valid"),
+          col("d.o").as("divergent_offset"),
+          col("d.e").as("expected_hash"),
+          col("d.a").as("actual_hash"))
+        .orderBy("ledger_id")
+    },
+    Some("""
+      WITH deals AS (
+        SELECT o_orderkey AS deal_id,
+               o_custkey % 16 AS ledger_id,
+               'agent-' || CAST(o_custkey AS VARCHAR) AS buyer,
+               'agent-' || CAST(o_orderkey % 997 AS VARCHAR) AS seller,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS terms,
+               CAST(o_orderdate AS DATE) AS signed_at
+        FROM orders WHERE o_orderkey % 13 = 0),
+      signed AS (
+        SELECT *,
+               sha256('deal-ledger-key' || chr(1) || CAST(deal_id AS VARCHAR) || chr(1) || buyer
+                 || chr(1) || seller || chr(1) || CAST(terms AS VARCHAR)
+                 || chr(1) || CAST(signed_at AS VARCHAR)) AS content_hash,
+               CAST(ROW_NUMBER() OVER (PARTITION BY ledger_id ORDER BY signed_at, deal_id) - 1 AS BIGINT) AS deal_offset,
+               COALESCE(LAG(sha256('deal-ledger-key' || chr(1) || CAST(deal_id AS VARCHAR) || chr(1) || buyer
+                 || chr(1) || seller || chr(1) || CAST(terms AS VARCHAR)
+                 || chr(1) || CAST(signed_at AS VARCHAR)))
+                 OVER (PARTITION BY ledger_id ORDER BY signed_at, deal_id), '') AS prev_hash,
+               CAST(CASE WHEN deal_id % 29 = 0 THEN terms + 0.01 ELSE terms END AS DECIMAL(12,2)) AS observed_terms
+        FROM deals),
+      verified AS (
+        SELECT *,
+               sha256('deal-ledger-key' || chr(1) || CAST(deal_id AS VARCHAR) || chr(1) || buyer
+                 || chr(1) || seller || chr(1) || CAST(observed_terms AS VARCHAR)
+                 || chr(1) || CAST(signed_at AS VARCHAR)) AS recomputed
+        FROM signed)
+      SELECT ledger_id, COUNT(*) AS n_deals,
+             COUNT(CASE WHEN recomputed <> content_hash THEN 1 END) AS n_invalid,
+             COUNT(CASE WHEN recomputed <> content_hash THEN 1 END) = 0 AS chain_valid,
+             min(CASE WHEN recomputed <> content_hash
+                 THEN struct_pack(o := deal_offset, e := content_hash, a := recomputed) END).o AS divergent_offset,
+             min(CASE WHEN recomputed <> content_hash
+                 THEN struct_pack(o := deal_offset, e := content_hash, a := recomputed) END).e AS expected_hash,
+             min(CASE WHEN recomputed <> content_hash
+                 THEN struct_pack(o := deal_offset, e := content_hash, a := recomputed) END).a AS actual_hash
+      FROM verified
+      GROUP BY ledger_id
+      ORDER BY ledger_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3)
 }
