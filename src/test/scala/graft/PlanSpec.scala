@@ -81,14 +81,16 @@ class PlanSpec extends SparkSpec {
 
   test("v3/v4 centroid side is constant-bounded (fixed-k limit), never O(corpus)") {
     // round-4 flag: `vec_id % m == 0` centroids grow with the corpus and
-    // are broadcast; the fix picks a FIXED k=64 hash-ordered sample, so
-    // the plan must carry a limit-64 (TakeOrdered/GlobalLimit) on the
-    // centroid branch feeding the broadcast.
+    // are broadcast. Since round 7 the trained codebook is materialized
+    // as a LOCAL relation (lloydCentroids: the k=64 seed pick + Lloyd
+    // rounds run at plan-build time), so the final plan's centroid
+    // branch must be a LocalTableScan feeding a broadcast — trivially
+    // constant-bounded, with no corpus-sized branch anywhere near it.
     Seq("v3_knn_ivf", "v4_pq_knn").foreach { n =>
       val p = plan(n)
-      assert(p.contains("TakeOrderedAndProject") || p.contains("limit=64") ||
-        p.contains("GlobalLimit"),
-        s"$n: centroid seed pick lost its constant bound")
+      assert(p.contains("LocalTableScan") || p.contains("TakeOrderedAndProject") ||
+        p.contains("limit=64") || p.contains("GlobalLimit"),
+        s"$n: centroid codebook lost its constant bound")
       assert(p.contains("BroadcastHashJoin"), s"$n: centroid assignment must broadcast")
     }
   }
