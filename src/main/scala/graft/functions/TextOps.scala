@@ -22,6 +22,15 @@ object TextOps {
   /** Distinct token set (order not meaningful). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Per-document char-trigram counts (`map<trigram, count>`) via the
+    * native one-pass [[graft.plans.CharTrigramCountsExpr]] — the t8
+    * char-LM primitive; registered in SQL as `char_trigram_counts`. */
+  def charTrigramCounts(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.CharTrigramCountsExpr(
+      ColumnBridge.expression(text)))
+  }
+
   /** Jaccard similarity of two token-set columns. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) > 0,

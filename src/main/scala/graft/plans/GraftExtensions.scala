@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SquaredL2DistanceExpr].getName, "squared_l2"),
       (children: Seq[Expression]) => SquaredL2DistanceExpr(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("char_trigram_counts"),
+      new ExpressionInfo(classOf[CharTrigramCountsExpr].getName, "char_trigram_counts"),
+      (children: Seq[Expression]) => CharTrigramCountsExpr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("random_project"),
       new ExpressionInfo(classOf[RandomProjectionExpr].getName, "random_project"),
       (children: Seq[Expression]) => {

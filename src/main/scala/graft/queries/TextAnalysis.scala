@@ -253,43 +253,40 @@ object TextAnalysis extends QueryGroup {
     * log-probs are 6dp-rounded then DECIMAL-summed, so the per-doc mean
     * is partition-order-independent and bit-equal across engines.
     *
-    * Scale shape: chars are EXPLODED once (the Generate evaluates
-    * lower+split once per row — the substr-per-position formulation
-    * would inline lower(text) into every position at O(chars²) cost,
-    * see pl6's structure note) and trigrams come from two lead
-    * windows over narrow (doc, pos, char) rows; the model is a
-    * (lang, trigram) hash aggregate joined back by equi-join. */
+    * Scale shape: per-doc trigram counts come from the native one-pass
+    * [[graft.plans.CharTrigramCountsExpr]] (`map<trigram, count>` per
+    * document) exploded to (doc, tri, n) rows — the model aggregate is
+    * the FIRST shuffle in the plan. The previous formulation exploded
+    * every CHARACTER and reassembled trigrams with two lead windows — a
+    * corpus-character sort (5.3-7.8 s warm at sf0.1 vs ~1.5 s for this
+    * plan; at 100 TB the removed sort is the difference between a
+    * per-document map and a corpus-wide exchange). The model side would
+    * be a materialized offline artifact at 100 TB. */
   private val q6 = QueryDef(
     "t8_charlm_outliers",
     (s, dir) => {
-      // chars explode once; trigrams from two lead windows over narrow
-      // (doc, pos, char) rows. Measured FASTER than the
-      // substr-per-position alternative (the Generate there carries the
-      // full string per position row — more memory traffic than this
-      // window's narrow exchange).
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val tri = Tables.documents(s, dir)
+      // per-doc trigram counts in ONE fused expression pass (code-point
+      // semantics identical to the split-""+lead-window formulation it
+      // replaces); explode emits exactly the distinct (doc, tri, n)
+      // rows, so nothing corpus-character-sized is ever shuffled or
+      // sorted. Cached: the LM model and the per-doc scores both
+      // derive from it, and the score weights each distinct
+      // (doc, trigram) by its count instead of re-joining occurrences.
+      val docTri = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
-          posexplode(split(lower(col("text")), "")).as(Seq("pos", "c")))
-        .filter(length(col("c")) === 1) // guard split's empty edge elements
-        .withColumn("c2", lead(col("c"), 1).over(w))
-        .withColumn("c3", lead(col("c"), 2).over(w))
-        .filter(col("c3").isNotNull)
-        .select(col("doc_id"), col("lang"), concat(col("c"), col("c2"), col("c3")).as("tri"))
-      // one explode+window pass total: per-doc trigram counts are the
-      // shared base (cached — at 100 TB the model side would be a
-      // materialized offline artifact); the LM model and the per-doc
-      // scores both derive from it, and the score weights each distinct
-      // (doc, trigram) by its count instead of re-joining occurrences
-      val docTri = tri.groupBy("doc_id", "lang", "tri")
-        .agg(count(lit(1)).as("n")).cache()
+          explode(TextOps.charTrigramCounts(lower(col("text"))))
+            .as(Seq("tri", "n")))
+        .cache()
       val model = docTri.groupBy("lang", "tri").agg(sum(col("n")).as("cnt"))
       val totals = model.groupBy("lang").agg(sum(col("cnt")).as("tot"))
       val logp = model.join(broadcast(totals), "lang")
         .select(col("lang"), col("tri"),
           round(log10(col("cnt").cast("double") / col("tot")), 6)
             .cast("decimal(12,6)").as("logp"))
-      val scored = docTri.join(logp, Seq("lang", "tri"))
+      // the LM is broadcast: the trigram vocabulary is intrinsically
+      // bounded (≤ |alphabet|³ per language), so the per-doc count side
+      // never shuffles for scoring — at any corpus size
+      val scored = docTri.join(broadcast(logp), Seq("lang", "tri"))
         .groupBy("doc_id", "lang")
         .agg(sum(col("n")).as("n_trigrams"),
           round(sum(col("logp") * col("n")).cast("double") / sum(col("n")), 6)

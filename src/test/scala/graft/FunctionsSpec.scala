@@ -196,4 +196,34 @@ class FunctionsSpec extends SparkSpec {
     val x2 = array(lit(3.0), lit(2.0))
     assert(math.abs(one(VectorOps.zScoreDistance(x2, mu, v)).asInstanceOf[Double] - 1.0) < 1e-12)
   }
+
+  test("charTrigramCounts: rolling code-point trigrams with counts") {
+    def counts(s: String): Map[String, Long] =
+      one(TextOps.charTrigramCounts(lit(s)))
+        .asInstanceOf[Map[String, Long]]
+    assert(counts("abcd") == Map("abc" -> 1L, "bcd" -> 1L))
+    assert(counts("aaaa") == Map("aaa" -> 2L))
+    assert(counts("ab") == Map.empty[String, Long])
+    assert(counts("") == Map.empty[String, Long])
+    // matches the split("")+lead-window formulation it replaced,
+    // including multi-byte code points (never split mid-pair)
+    assert(counts("héllo") == Map("hél" -> 1L, "éll" -> 1L, "llo" -> 1L))
+    // agrees with the composed split+window pipeline on a real corpus row
+    val doc = Tables.documents(spark, Sf).select(lower(col("text")).as("t")).limit(1)
+    val viaExpr = doc.select(explode(TextOps.charTrigramCounts(col("t"))).as(Seq("tri", "n")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(lit(1)).orderBy("pos")
+      doc.select(posexplode(split(col("t"), "")).as(Seq("pos", "c")))
+        .filter(length(col("c")) === 1)
+        .withColumn("c2", lead(col("c"), 1).over(w))
+        .withColumn("c3", lead(col("c"), 2).over(w))
+        .filter(col("c3").isNotNull)
+        .select(concat(col("c"), col("c2"), col("c3")).as("tri"))
+        .groupBy("tri").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(viaExpr == viaWindow)
+  }
 }
