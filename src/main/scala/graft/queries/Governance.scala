@@ -544,5 +544,98 @@ object Governance extends QueryGroup {
              OR (scope = 'shared' AND granted))
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q3b, q3c, q4, q5, q6, q7, q8)
+  /** c2: CMA audit-sidecar reconciliation — the audit.jsonl bridge
+    * (mnemo-cma/src/audit_bridge.rs:1-60): markdown-tree write ops are
+    * hashed into the provenance chain (`bridge_hash = sha256(source ||
+    * path || op || bytes || prev)`, pairwise-lag linkage as in
+    * [[graft.functions.HashChain]]), while the CMA sidecar keeps its
+    * own audit.jsonl copy of the same rows. Reconciliation replays
+    * BOTH chains per path (the sidecar having deterministically lost a
+    * subset of rows) and reports, per path: op counts, the missing-row
+    * count, whether the replayed chain heads still agree, and the
+    * offset of the first op absent from the sidecar. One window pass
+    * per chain + one join on the bounded path set — no driver state. */
+  private val q9 = QueryDef(
+    "c2_audit_bridge",
+    (s, dir) => {
+      import graft.functions.HashChain
+      val ops = Tables.events(s, dir)
+        .filter(col("event_id") % 7 === 0)
+        .select(
+          col("event_id"), col("ts"),
+          concat(lit("mem/"), col("user_id") % 50, lit(".md")).as("cma_path"),
+          when(col("event_id") % 3 === 0, lit("cma_import"))
+            .otherwise(lit("cma_beta")).as("source"),
+          element_at(array(lit("write"), lit("append"), lit("delete")),
+            (col("user_id") % 3 + 1).cast("int")).as("cma_op"),
+          abs(col("value") * 100).cast("bigint").as("bytes"),
+          // the sidecar's audit.jsonl lost these rows (crash between
+          // store write and sidecar append — the reconciliation target)
+          (col("event_id") % 101 === 0).as("lost"))
+      def chained(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("cma_path")).orderBy(col("ts"), col("event_id"))
+        df.withColumn("content_hash", sha2(concat_ws(HashChain.Sep,
+            col("source"), col("cma_path"), col("cma_op"),
+            col("bytes").cast("string")), 256))
+          .withColumn("off", (row_number().over(w) - 1).cast("bigint"))
+          .withColumn("chain_hash", sha2(concat(col("content_hash"),
+            coalesce(lag(col("content_hash"), 1).over(w), lit(""))), 256))
+      }
+      def head = min(struct((-col("off")).as("no"), col("chain_hash").as("h")))
+        .getField("h")
+      val bridge = chained(ops).groupBy("cma_path").agg(
+        count(lit(1)).as("n_bridge_ops"),
+        head.as("bridge_head"),
+        min(when(col("lost"), col("off"))).as("first_missing_offset"))
+      val sidecar = chained(ops.filter(!col("lost"))).groupBy("cma_path").agg(
+        count(lit(1)).as("n_sidecar_ops"),
+        head.as("sidecar_head"))
+      bridge.join(sidecar, Seq("cma_path"), "left")
+        .select(col("cma_path"), col("n_bridge_ops"),
+          coalesce(col("n_sidecar_ops"), lit(0L)).as("n_sidecar_ops"),
+          (col("n_bridge_ops") - coalesce(col("n_sidecar_ops"), lit(0L)))
+            .as("n_missing"),
+          (col("bridge_head") === coalesce(col("sidecar_head"), lit("")))
+            .as("heads_match"),
+          col("first_missing_offset"))
+        .orderBy("cma_path")
+    },
+    Some("""
+      WITH ops AS (
+        SELECT event_id, ts,
+               'mem/' || CAST(user_id % 50 AS VARCHAR) || '.md' AS cma_path,
+               CASE WHEN event_id % 3 = 0 THEN 'cma_import' ELSE 'cma_beta' END AS source,
+               (['write', 'append', 'delete'])[CAST(user_id % 3 + 1 AS INT)] AS cma_op,
+               CAST(abs(value * 100) AS BIGINT) AS bytes,
+               event_id % 101 = 0 AS lost
+        FROM events WHERE event_id % 7 = 0),
+      bridge_chain AS (
+        SELECT *, sha256(source || chr(1) || cma_path || chr(1) || cma_op || chr(1) || CAST(bytes AS VARCHAR)) AS content_hash,
+               CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS off,
+               sha256(sha256(source || chr(1) || cma_path || chr(1) || cma_op || chr(1) || CAST(bytes AS VARCHAR))
+                 || COALESCE(LAG(sha256(source || chr(1) || cma_path || chr(1) || cma_op || chr(1) || CAST(bytes AS VARCHAR))) OVER w, '')) AS chain_hash
+        FROM ops WINDOW w AS (PARTITION BY cma_path ORDER BY ts, event_id)),
+      sidecar_chain AS (
+        SELECT *, CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS off,
+               sha256(sha256(source || chr(1) || cma_path || chr(1) || cma_op || chr(1) || CAST(bytes AS VARCHAR))
+                 || COALESCE(LAG(sha256(source || chr(1) || cma_path || chr(1) || cma_op || chr(1) || CAST(bytes AS VARCHAR))) OVER w, '')) AS chain_hash
+        FROM ops WHERE NOT lost WINDOW w AS (PARTITION BY cma_path ORDER BY ts, event_id)),
+      bridge AS (
+        SELECT cma_path, COUNT(*) AS n_bridge_ops,
+               min(struct_pack(no := -off, h := chain_hash)).h AS bridge_head,
+               min(CASE WHEN lost THEN off END) AS first_missing_offset
+        FROM bridge_chain GROUP BY cma_path),
+      sidecar AS (
+        SELECT cma_path, COUNT(*) AS n_sidecar_ops,
+               min(struct_pack(no := -off, h := chain_hash)).h AS sidecar_head
+        FROM sidecar_chain GROUP BY cma_path)
+      SELECT bridge.cma_path, n_bridge_ops,
+             COALESCE(n_sidecar_ops, 0) AS n_sidecar_ops,
+             n_bridge_ops - COALESCE(n_sidecar_ops, 0) AS n_missing,
+             bridge_head = COALESCE(sidecar_head, '') AS heads_match,
+             first_missing_offset
+      FROM bridge LEFT JOIN sidecar ON bridge.cma_path = sidecar.cma_path
+      ORDER BY bridge.cma_path"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q3b, q3c, q4, q5, q6, q7, q8, q9)
 }

@@ -223,5 +223,79 @@ object Trust extends QueryGroup {
       GROUP BY ledger_id
       ORDER BY ledger_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3)
+  /** x16: advisory reputation score over the x15 deal frame — the
+    * reference's `compute_reputation` (mnemo-deal/src/reputation.rs:
+    * 54-101): every envelope an agent participates in (buyer OR
+    * seller) counts as completed with a 90-day-half-life decay weight;
+    * each dispute (a tampered deal the agent touches, per x15's verify
+    * walk) applies a 10% penalty of the weighted-completed mass; score
+    * clamps to [0,1] with the near-zero-weight → neutral-0.5 fallback.
+    * Weights are 6dp-rounded DECIMAL sums (repo convention) so the
+    * aggregate is partition-order-independent; the as-of instant is a
+    * pinned literal (no now(), repo convention). Scale: explode to
+    * (agent, deal) participation rows, then ONE hash aggregate per
+    * agent — no joins, no windows. */
+  private val q4 = QueryDef(
+    "x16_deal_reputation",
+    (s, dir) => {
+      val halfLifeDays = 90.0
+      val asOf = lit("1998-12-31").cast("date")
+      val parts = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(
+          col("o_orderkey").as("deal_id"),
+          concat(lit("agent-"), col("o_custkey")).as("buyer"),
+          concat(lit("agent-"), col("o_orderkey") % 997).as("seller"),
+          col("o_orderdate").cast("date").as("signed_at"),
+          (col("o_orderkey") % 29 === 0).as("disputed"))
+        .select(explode(array(col("buyer"), col("seller"))).as("agent"),
+          col("signed_at"), col("disputed"))
+        .withColumn("age_days", datediff(asOf, col("signed_at")).cast("double"))
+        .withColumn("w",
+          round(pow(lit(0.5), col("age_days") / halfLifeDays), 6)
+            .cast("decimal(12,6)"))
+      val rep = parts.groupBy("agent").agg(
+        count(lit(1)).as("completed"),
+        count(when(col("disputed"), 1)).as("disputed"),
+        sum(col("w")).as("wt"),
+        sum((col("age_days") * 86400000L).cast("long")).as("settle_ms_total"))
+      rep.select(
+        col("agent"), col("completed"), col("disputed"),
+        floor(col("settle_ms_total") / col("completed")).cast("bigint")
+          .as("mean_settlement_ms"),
+        round(when(col("wt").cast("double") < 1e-6, 0.5)
+          .otherwise(least(lit(1.0), greatest(lit(0.0),
+            (col("wt") - lit(0.1) * col("disputed") * col("wt")).cast("double")
+              / col("wt").cast("double")))), 6).as("score"))
+        .orderBy("agent")
+    },
+    Some("""
+      WITH parts AS (
+        SELECT unnest(['agent-' || CAST(o_custkey AS VARCHAR),
+                       'agent-' || CAST(o_orderkey % 997 AS VARCHAR)]) AS agent,
+               CAST(o_orderdate AS DATE) AS signed_at,
+               o_orderkey % 29 = 0 AS disputed
+        FROM orders WHERE o_orderkey % 13 = 0),
+      weighted AS (
+        SELECT agent, disputed,
+               CAST(datediff('day', signed_at, DATE '1998-12-31') AS DOUBLE) AS age_days,
+               CAST(ROUND(POW(0.5, CAST(datediff('day', signed_at, DATE '1998-12-31') AS DOUBLE) / 90.0), 6)
+                 AS DECIMAL(12,6)) AS w
+        FROM parts),
+      rep AS (
+        SELECT agent, COUNT(*) AS completed,
+               COUNT(CASE WHEN disputed THEN 1 END) AS disputed,
+               SUM(w) AS wt,
+               SUM(CAST(age_days * 86400000 AS BIGINT)) AS settle_ms_total
+        FROM weighted GROUP BY agent)
+      SELECT agent, completed, disputed,
+             CAST(FLOOR(settle_ms_total / completed) AS BIGINT) AS mean_settlement_ms,
+             ROUND(CASE WHEN CAST(wt AS DOUBLE) < 0.000001 THEN 0.5
+                   ELSE LEAST(1.0, GREATEST(0.0,
+                     CAST(wt - 0.1 * disputed * wt AS DOUBLE) / CAST(wt AS DOUBLE)))
+                   END, 6) AS score
+      FROM rep
+      ORDER BY agent"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
 }
