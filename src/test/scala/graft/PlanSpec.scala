@@ -128,4 +128,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       "PII scan must not shuffle before the output sort")
   }
+
+  test("t8: trigram counting is one expression pass — no corpus-character sort, LM broadcast") {
+    val p = plan("t8_charlm_outliers")
+    assert(p.contains("char_trigram_counts"),
+      "trigram counts must come from the native one-pass expression")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window ("),
+      "no window pass may remain — the old formulation sorted the char frame")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded-vocabulary LM must broadcast onto the per-doc counts")
+  }
+
+  test("x15/c2: chain build+verify stays window passes over the partition key, no self-join") {
+    Seq("x15_deal_ledger", "c2_audit_bridge").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("Window"), s"$n: chain linkage must be a lag window")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$n: no non-equi join anywhere in a chain replay")
+    }
+  }
 }
