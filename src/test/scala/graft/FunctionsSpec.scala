@@ -128,6 +128,12 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.forall(r => r.getSeq[Double](0).length == 16))
   }
 
+  test("char_trigram_counts is registered as a SQL function via GraftExtensions") {
+    val row = spark.sql(
+      "SELECT char_trigram_counts('abcab') AS m").collect()(0)
+    assert(row.getMap[String, Long](0).toMap == Map("abc" -> 1L, "bca" -> 1L, "cab" -> 1L))
+  }
+
   test("cosine_sim is registered as a SQL function via GraftExtensions") {
     Tables.embeddings(spark, Sf).limit(5).createOrReplaceTempView("emb_t")
     val rows = spark.sql(
