@@ -451,5 +451,50 @@ object Pipeline extends QueryGroup {
       GROUP BY shard, seq
       ORDER BY shard, seq"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
+  /** pl9: vocabulary coverage curve — the tokenizer-design pass: rank
+    * the corpus vocabulary by term frequency and report, for the top
+    * 100 terms, the cumulative fraction of all token occurrences they
+    * cover (the curve that picks a vocab size / byte-fallback
+    * threshold before BPE training).
+    *
+    * Scale shape: the TF aggregate is map-side combined and
+    * vocabulary-bounded (NOT corpus-bounded); the ranking window is a
+    * single global ordering over that bounded vocab frame — the one
+    * place a global window is correct, because its input can never
+    * exceed |vocabulary| rows regardless of corpus size. The total is
+    * a 1-row broadcast. */
+  private val q9 = QueryDef(
+    "pl9_vocab_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tf"))
+      val total = tf.agg(sum(col("tf")).as("total"))
+      val w = Window.orderBy(col("tf").desc, col("tok"))
+      tf.withColumn("rank", row_number().over(w).cast("bigint"))
+        .withColumn("cum_tf",
+          sum(col("tf")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank") <= 100)
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("tok"), col("tf"),
+          round(col("cum_tf").cast("double") / col("total"), 6).as("cum_coverage"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH $toksSql,
+      occ AS (SELECT unnest(toks) AS tok FROM toks),
+      tf AS (SELECT tok, COUNT(*) AS tf FROM occ GROUP BY tok),
+      ranked AS (
+        SELECT tok, tf,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rank,
+               SUM(tf) OVER (ORDER BY tf DESC, tok ROWS UNBOUNDED PRECEDING) AS cum_tf
+        FROM tf)
+      SELECT rank, tok, tf,
+             ROUND(CAST(cum_tf AS DOUBLE) / (SELECT SUM(tf) FROM tf), 6) AS cum_coverage
+      FROM ranked
+      WHERE rank <= 100
+      ORDER BY rank"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9)
 }
