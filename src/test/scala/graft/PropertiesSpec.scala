@@ -162,4 +162,27 @@ class PropertiesSpec extends SparkSpec {
     assert(codegen(1) == 0L)  // short vector → bucket 0
     assert(codegen(2) == 0L)  // null element → bucket 0
   }
+
+  test("char_trigram_counts matches a naive code-point slide on random unicode (40 docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // alphabet mixes ASCII, 2-byte, 3-byte, and astral (surrogate-pair)
+    // code points — the semantics the expression must preserve
+    val alphabet = "abc xyz09éüñ世界😀💩".codePoints()
+      .toArray.map(cp => new String(Character.toChars(cp)))
+    val docs = Seq.fill(40)(
+      Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    def naive(s: String): Map[String, Long] = {
+      val cps = s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      cps.sliding(3).filter(_.length == 3).map(_.mkString)
+        .toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }
+    val got = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select(col("id"), TextOps.charTrigramCounts(col("text")).as("m"))
+      .orderBy("id").collect()
+      .map(r => r.getMap[String, Long](1).toMap)
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g == naive(d), s"mismatch on ${d.take(40)}")
+    }
+  }
 }
