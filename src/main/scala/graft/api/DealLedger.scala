@@ -1,0 +1,143 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashChain
+
+/** Append-only agent-commerce deal ledger — the reference's
+  * `DealLedger` trait + disk-backed shape (mnemo-deal/src/ledger.rs:
+  * 26-49, envelope.rs:19-27) as a parquet store with window-chained
+  * envelopes:
+  *
+  *  - `append` chains a BATCH of envelopes off the current per-ledger
+  *    head in one job (content hash over the keyed canonical field
+  *    concatenation; pairwise lag linkage + row MAC — the
+  *    [[graft.functions.HashChain]] convention shared with the memory
+  *    store's remember path, so audit-log export emits one continuous
+  *    ledger family). Offsets are stable: appending at offset N never
+  *    reshuffles earlier offsets (ledger.rs:11-13).
+  *  - `replay(from, until)` returns the envelope rows of an offset
+  *    range, chain columns included.
+  *  - `verify()` is the dispute walk (dispute.rs:23-42): recompute
+  *    every content hash + linkage and report each ledger's FIRST
+  *    divergence as (offset, expected, actual) — the DisputeReport.
+  *  - `headHash`/`length` mirror the trait's introspection surface.
+  *
+  * Scale: append and verify are one window pass partitioned by
+  * ledger_id; the tail lookup is a broadcast of one row per ledger.
+  * The analytics twin of this API is the registered `x15_deal_ledger`
+  * query (same canonical form, DuckDB-oracle-checked).
+  */
+final class DealLedger(val spark: SparkSession, val path: String,
+    key: String = "deal-ledger-key") {
+
+  import DealLedger.Envelope
+
+  private def exists: Boolean =
+    new java.io.File(path).exists() && new java.io.File(path).list() != null &&
+      new java.io.File(path).list().nonEmpty
+
+  /** All envelope rows with chain columns (empty frame if never written). */
+  def table(): DataFrame =
+    if (exists) spark.read.parquet(path)
+    else spark.emptyDataFrame
+
+  private def canonical(terms: org.apache.spark.sql.Column) =
+    sha2(concat_ws(HashChain.Sep, lit(key),
+      col("deal_id"), col("buyer"), col("seller"),
+      terms.cast("string"), col("signed_at").cast("string")), 256)
+
+  /** Append a batch: chain each ledger's new envelopes off its stored
+    * head (offset and hash), one job, no per-row probes. */
+  def append(batch: Seq[Envelope]): Unit = {
+    import spark.implicits._
+    val in = batch.toDF()
+      .select(col("dealId").as("deal_id"), col("ledgerId").as("ledger_id"),
+        col("buyer"), col("seller"), col("terms"),
+        col("signedAt").as("signed_at"))
+      .withColumn("content_hash", canonical(col("terms")))
+    val tails =
+      if (exists)
+        table().groupBy("ledger_id").agg(
+          max_by(struct(col("deal_offset"), col("content_hash")),
+            col("deal_offset")).as("t"))
+          .select(col("ledger_id"), col("t.deal_offset").as("tail_offset"),
+            col("t.content_hash").as("tail_hash"))
+      else
+        spark.emptyDataFrame
+          .withColumn("ledger_id", lit("")).withColumn("tail_offset", lit(0L))
+          .withColumn("tail_hash", lit("")).limit(0)
+    val w = Window.partitionBy(col("ledger_id"))
+      .orderBy(col("signed_at"), col("deal_id"))
+    val chained = in
+      .join(broadcast(tails), Seq("ledger_id"), "left")
+      .withColumn("deal_offset",
+        coalesce(col("tail_offset"), lit(-1L)) + row_number().over(w))
+      .withColumn("prev_hash",
+        coalesce(lag(col("content_hash"), 1).over(w), col("tail_hash"), lit("")))
+      .withColumn("mac",
+        sha2(concat(col("content_hash"), col("prev_hash")), 256))
+      .drop("tail_offset", "tail_hash")
+    chained.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Envelopes of `[from, until)` per ledger, offset-ordered. */
+  def replay(from: Long, until: Long): DataFrame =
+    table().filter(col("deal_offset") >= from && col("deal_offset") < until)
+      .orderBy("ledger_id", "deal_offset")
+
+  /** The dispute walk: per ledger, n_deals / n_invalid / the first
+    * divergent (offset, expected, actual) — NULL columns when intact. */
+  def verify(): DataFrame = {
+    val w = Window.partitionBy(col("ledger_id"))
+      .orderBy(col("deal_offset"))
+    val checked = table()
+      .withColumn("recomputed", canonical(col("terms")))
+      .withColumn("expect_prev",
+        coalesce(lag(col("content_hash"), 1).over(w), col("prev_hash"), lit("")))
+      .withColumn("row_valid",
+        col("recomputed") === col("content_hash") &&
+          coalesce(col("prev_hash"), lit("")) === col("expect_prev") &&
+          col("mac") === sha2(concat(col("content_hash"), col("prev_hash")), 256))
+    checked.groupBy("ledger_id").agg(
+      count(lit(1)).as("n_deals"),
+      count(when(!col("row_valid"), 1)).as("n_invalid"),
+      min(when(!col("row_valid"), struct(
+        col("deal_offset").as("o"), col("content_hash").as("e"),
+        col("recomputed").as("a")))).as("d"))
+      .select(col("ledger_id"), col("n_deals"), col("n_invalid"),
+        (col("n_invalid") === 0).as("chain_valid"),
+        col("d.o").as("divergent_offset"),
+        col("d.e").as("expected_hash"), col("d.a").as("actual_hash"))
+      .orderBy("ledger_id")
+  }
+
+  /** Current head hash per ledger (ledger.rs `head_hash`, per chain). */
+  def headHashes(): DataFrame =
+    if (!exists) table()
+    else table().groupBy("ledger_id")
+      .agg(max_by(col("content_hash"), col("deal_offset")).as("head_hash"))
+      .orderBy("ledger_id")
+
+  /** Total envelope count (ledger.rs `len`). */
+  def length: Long = if (exists) table().count() else 0L
+}
+
+object DealLedger {
+  /** One contract row — the reference's envelope shape
+    * (envelope.rs:19-27) minus the wire-format concerns. */
+  final case class Envelope(
+      dealId: String,
+      ledgerId: String,
+      buyer: String,
+      seller: String,
+      terms: String,
+      signedAt: Timestamp)
+
+  def open(spark: SparkSession, path: String): DealLedger =
+    new DealLedger(spark, path)
+}

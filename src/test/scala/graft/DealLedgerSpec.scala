@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.api.DealLedger
+import graft.api.DealLedger.Envelope
+
+/** The DealLedger API contract (mnemo-deal ledger.rs trait semantics):
+  * stable offsets across appends, range replay, per-ledger heads, and
+  * the dispute walk pinpointing the exact tampered offset. */
+class DealLedgerSpec extends SparkSpec {
+
+  private def ts(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+
+  private def env(l: String, i: Int): Envelope =
+    Envelope(f"d$i%04d", l, s"buyer-${i % 3}", s"seller-${i % 5}",
+      s"""{"task":"t$i","price":${i * 10}}""", ts(i))
+
+  private def fresh(tag: String): DealLedger = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_dl_$tag").toFile
+    d.deleteOnExit()
+    DealLedger.open(spark, d.getAbsolutePath + "/ledger")
+  }
+
+  test("append assigns stable per-ledger offsets across batches; replay slices by offset") {
+    val dl = fresh("ofs")
+    dl.append((0 until 6).map(env("A", _)) ++ (0 until 4).map(i => env("B", i + 100)))
+    val before = dl.table().filter(col("ledger_id") === "A")
+      .select("deal_offset", "deal_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    dl.append((6 until 9).map(env("A", _)))
+    val after = dl.table().filter(col("ledger_id") === "A")
+      .select("deal_offset", "deal_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // earlier offsets unchanged by the second append (ledger.rs:11-13)
+    before.foreach { case (o, id) => assert(after(o) == id) }
+    assert(after.keySet == (0L until 9L).toSet)
+    assert(dl.length == 13L)
+    val sliced = dl.replay(2, 5).filter(col("ledger_id") === "A")
+      .select("deal_id").collect().map(_.getString(0)).toSeq
+    assert(sliced == Seq("d0002", "d0003", "d0004"))
+  }
+
+  test("verify: intact chains are all-valid; cross-batch linkage holds") {
+    val dl = fresh("ok")
+    dl.append((0 until 5).map(env("A", _)))
+    dl.append((5 until 8).map(env("A", _))) // second batch chains off the tail
+    val v = dl.verify().collect()
+    assert(v.length == 1 && v(0).getAs[Boolean]("chain_valid"))
+    assert(v(0).getAs[Long]("n_deals") == 8L && v(0).getAs[Long]("n_invalid") == 0L)
+    assert(dl.headHashes().collect().length == 1)
+  }
+
+  test("verify pinpoints the exact offset of a post-signing tamper") {
+    val dl = fresh("tam")
+    dl.append((0 until 7).map(env("A", _)) ++ (0 until 3).map(i => env("B", i + 50)))
+    // hostile edit: rewrite the stored terms at A/offset 4 (the signed
+    // hashes stay — exactly the dispute.rs tampered_terms scenario)
+    val tampered = dl.table().withColumn("terms",
+      when(col("ledger_id") === "A" && col("deal_offset") === 4L,
+        lit("""{"task":"t4","price":999999}""")).otherwise(col("terms")))
+    val tmp = dl.path + ".tmp"
+    tampered.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dl.path)
+    val v = dl.verify().collect().map(r => r.getString(0) -> r).toMap
+    assert(!v("A").getAs[Boolean]("chain_valid"))
+    assert(v("A").getAs[Long]("divergent_offset") == 4L)
+    assert(v("A").getAs[Long]("n_invalid") == 1L)
+    assert(v("A").getAs[String]("expected_hash") != v("A").getAs[String]("actual_hash"))
+    assert(v("B").getAs[Boolean]("chain_valid"))
+  }
+}
