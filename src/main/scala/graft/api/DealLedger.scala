@@ -55,10 +55,22 @@ final class DealLedger(val spark: SparkSession, val path: String,
     * head (offset and hash), one job, no per-row probes. */
   def append(batch: Seq[Envelope]): Unit = {
     import spark.implicits._
-    val in = batch.toDF()
+    append(batch.toDF()
       .select(col("dealId").as("deal_id"), col("ledgerId").as("ledger_id"),
         col("buyer"), col("seller"), col("terms"),
-        col("signedAt").as("signed_at"))
+        col("signedAt").as("signed_at")))
+  }
+
+  /** Frame-native append (snake_case request columns `deal_id,
+    * ledger_id, buyer, seller, terms, signed_at`) — the path a
+    * Structured Streaming `foreachBatch` sink calls with each
+    * micro-batch, so envelopes never round-trip through the driver;
+    * per-ledger chains stay valid across batches because each append
+    * re-seeds from the stored tails. */
+  def append(reqs: DataFrame): Unit = {
+    val in = reqs
+      .select(col("deal_id"), col("ledger_id"), col("buyer"), col("seller"),
+        col("terms"), col("signed_at"))
       .withColumn("content_hash", canonical(col("terms")))
     val tails =
       if (exists)

@@ -72,4 +72,36 @@ class DealLedgerSpec extends SparkSpec {
     assert(v("A").getAs[String]("expected_hash") != v("A").getAs[String]("actual_hash"))
     assert(v("B").getAs[Boolean]("chain_valid"))
   }
+
+  test("streaming appends via foreachBatch keep every chain valid across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dl = fresh("stream")
+    val src = MemoryStream[(String, String, String, String, String, Long)]
+    val q = src.toDF()
+      .toDF("deal_id", "ledger_id", "buyer", "seller", "terms", "at_ms")
+      .withColumn("signed_at", (col("at_ms") / 1000).cast("timestamp"))
+      .drop("at_ms")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        dl.append(batch)
+      }
+      .start()
+    def feed(l: String, is: Range) = is.map { i =>
+      val e = env(l, i)
+      (e.dealId, e.ledgerId, e.buyer, e.seller, e.terms, e.signedAt.getTime)
+    }
+    try {
+      src.addData(feed("A", 0 until 4) ++ feed("B", 100 until 102): _*)
+      q.processAllAvailable()
+      src.addData(feed("A", 4 until 7): _*) // chains off A's stored tail
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = dl.verify().collect().map(r => r.getString(0) -> r).toMap
+    assert(v.size == 2 && v.values.forall(_.getAs[Boolean]("chain_valid")))
+    val offsA = dl.table().filter(col("ledger_id") === "A")
+      .select("deal_offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(offsA == (0L until 7L), "offsets must stay contiguous across micro-batches")
+  }
 }
