@@ -28,24 +28,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_trigram_counts"),
       new ExpressionInfo(classOf[CharTrigramCountsExpr].getName, "char_trigram_counts"),
       (children: Seq[Expression]) => CharTrigramCountsExpr(children.head)))
+    // foldability gate BEFORE eval: an attribute reference would
+    // otherwise throw an unbound-reference internal error instead of
+    // the usage message (and a NULL literal folds to null, which is
+    // equally unusable as a dimension)
+    def litArg(fn: String)(e: Expression): Long = {
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$fn expects literal int args, got non-literal $e")
+      e.eval(null) match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"$fn expects literal int args, got $other")
+      }
+    }
     ext.injectFunction((
       FunctionIdentifier("random_project"),
       new ExpressionInfo(classOf[RandomProjectionExpr].getName, "random_project"),
       (children: Seq[Expression]) => {
-        // foldability gate BEFORE eval: an attribute reference would
-        // otherwise throw an unbound-reference internal error instead of
-        // this usage message (and a NULL literal folds to null, which is
-        // equally unusable as a dimension)
-        def lit(e: Expression): Long = {
-          if (!e.foldable) throw new IllegalArgumentException(
-            s"random_project expects literal int args, got non-literal $e")
-          e.eval(null) match {
-            case n: Number => n.longValue()
-            case other => throw new IllegalArgumentException(
-              s"random_project expects literal int args, got $other")
-          }
-        }
+        val lit = litArg("random_project") _
         RandomProjectionExpr(children.head,
+          lit(children(1)).toInt, lit(children(2)).toInt,
+          if (children.length > 3) lit(children(3)) else 42L)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hash_embedding"),
+      new ExpressionInfo(classOf[HashEmbeddingExpr].getName, "hash_embedding"),
+      (children: Seq[Expression]) => {
+        val lit = litArg("hash_embedding") _
+        HashEmbeddingExpr(children.head,
+          if (children.length > 1) lit(children(1)).toInt else 64)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "hyperplane_bucket"),
+      (children: Seq[Expression]) => {
+        val lit = litArg("hyperplane_bucket") _
+        HyperplaneBucketExpr(children.head,
           lit(children(1)).toInt, lit(children(2)).toInt,
           if (children.length > 3) lit(children(3)) else 42L)
       }))

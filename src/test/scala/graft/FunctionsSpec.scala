@@ -134,6 +134,22 @@ class FunctionsSpec extends SparkSpec {
     assert(row.getMap[String, Long](0).toMap == Map("abc" -> 1L, "bca" -> 1L, "cab" -> 1L))
   }
 
+  test("hash_embedding and hyperplane_bucket are registered as SQL functions") {
+    val r = spark.sql(
+      "SELECT hash_embedding(array('hello','world'), 64) AS e, " +
+        "hyperplane_bucket(cast(array(1.0, -1.0) as array<float>), 2, 4) AS b").collect()(0)
+    val e = r.getSeq[Float](0)
+    assert(e.length == 64 && math.abs(e.map(x => x * x).sum - 1.0) < 1e-5)
+    assert(r.getLong(1) >= 0L)
+    // must agree with the Column-API path
+    val viaCol = spark.range(1)
+      .select(graft.api.Mnemo.hashEmbedding(lit("hello world")).as("e"))
+      .collect()(0).getSeq[Float](0)
+    val viaSql = spark.sql(
+      "SELECT hash_embedding(array('hello','world'), 64) AS e").collect()(0).getSeq[Float](0)
+    assert(viaCol == viaSql)
+  }
+
   test("cosine_sim is registered as a SQL function via GraftExtensions") {
     Tables.embeddings(spark, Sf).limit(5).createOrReplaceTempView("emb_t")
     val rows = spark.sql(
