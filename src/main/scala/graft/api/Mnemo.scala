@@ -27,6 +27,10 @@ object Mnemo {
 
   val EmbeddingDim = 64
 
+  /** The AMP / memorywire memory-type vocabulary (mnemo-amp wire.rs). */
+  val AmpMemoryTypes: Set[String] =
+    Set("episodic", "semantic", "procedural", "working")
+
   /** Reserved tag of experience-tier plan records (R11): never surfaced
     * by ordinary recall — only when the caller explicitly requests the
     * tag. Same wire value as the reference
@@ -794,4 +798,51 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
 
   def memForget(agentId: String, ids: Seq[String], at: Timestamp): Unit =
     forget(agentId, ids, at)
+
+  // ---- AMP / memorywire façade (mnemo-amp/src/lib.rs:1-38): the 5-op
+  //      surface (remember/recall/forget/merge/expire) over the 4
+  //      memory types, as thin compositions over the native ops — the
+  //      wire/transport binding is out of scope (§3.3), the op surface
+  //      is what an AMP-speaking client drives ----
+
+  /** AMP remember: native remember, with the memory type pinned to the
+    * AMP vocabulary. */
+  def ampRemember(r: RememberRequest): Unit = {
+    require(Mnemo.AmpMemoryTypes.contains(r.memoryType),
+      s"AMP memory type must be one of ${Mnemo.AmpMemoryTypes.mkString("/")}, " +
+        s"got ${r.memoryType}")
+    remember(Seq(r))
+  }
+
+  /** AMP recall: top-k (AMP default 5) scoped to the calling agent. */
+  def ampRecall(agentId: String, query: String, now: Timestamp,
+      topK: Int = 5): DataFrame =
+    recall(RecallRequest(query = query, agentId = Some(agentId), limit = topK), now)
+
+  def ampForget(agentId: String, ids: Seq[String], at: Timestamp): Unit =
+    forget(agentId, ids, at)
+
+  /** AMP merge: write the consolidated record, tombstone the sources —
+    * the thin composition the adapter documents (NOT the
+    * checkpoint-timeline [[mergeCheckpoints]]). Source lineage rides in
+    * `merged:<id>` tags so the consolidation is auditable. */
+  def ampMerge(consolidated: RememberRequest, sourceIds: Seq[String],
+      at: Timestamp): Unit = {
+    remember(Seq(consolidated.copy(
+      tags = consolidated.tags ++ sourceIds.map(i => s"merged:$i"))))
+    forget(consolidated.agentId, sourceIds, at)
+  }
+
+  /** AMP expire: stamp `expires_at` on the targeted rows (there is no
+    * native expire — same composition as the reference adapter); the
+    * TTL sweep (T4/S12 semantics) and the recall predicate's expiry leg
+    * take it from there. */
+  def ampExpire(agentId: String, ids: Seq[String], expiresAt: Timestamp): Unit = {
+    val updated = table().withColumn("expires_at",
+      when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*),
+        lit(expiresAt)).otherwise(col("expires_at")))
+    val tmp = path + ".tmp"
+    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

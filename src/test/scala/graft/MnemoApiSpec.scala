@@ -375,4 +375,39 @@ class MnemoApiSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("m1") == 2 && counts("m3") == 1 && counts("m2") == 0)
   }
+
+  test("AMP facade: 5-op surface composes over native ops; expire flows into the recall predicate") {
+    val store = freshStore()
+    seed(store)
+    val now = ts("2024-01-10 10:00:00")
+    // remember rejects non-AMP memory types, accepts the vocabulary
+    intercept[IllegalArgumentException] {
+      store.ampRemember(RememberRequest("x1", "alice", "t1", "bad",
+        memoryType = "imaginary", createdAt = now))
+    }
+    store.ampRemember(RememberRequest("m6", "alice", "t1",
+      "spark streaming watermark notes", memoryType = "working", createdAt = now))
+    // recall: top-k scoped to the agent, finds the new record
+    val hits = store.ampRecall("alice", "spark watermark streaming", now, topK = 5)
+      .select("id").collect().map(_.getString(0))
+    assert(hits.contains("m6"))
+    // merge: consolidated record written with lineage tags, sources tombstoned
+    store.ampMerge(
+      RememberRequest("mc", "alice", "t1", "consolidated spark notes",
+        memoryType = "semantic", createdAt = ts("2024-01-11 10:00:00")),
+      Seq("m1", "m6"), ts("2024-01-11 10:00:00"))
+    val t = store.table()
+    assert(t.filter(col("id").isin("m1", "m6") && col("deleted_at").isNotNull).count() == 2)
+    val mcTags = t.filter(col("id") === "mc").select("tags")
+      .collect()(0).getSeq[String](0)
+    assert(mcTags.contains("merged:m1") && mcTags.contains("merged:m6"))
+    // expire: stamped expires_at excludes the row from recall after the deadline
+    store.ampExpire("alice", Seq("m2"), ts("2024-01-12 00:00:00"))
+    val afterExpiry = store.ampRecall("alice", "deploy failed tuesday",
+      ts("2024-01-13 10:00:00")).select("id").collect().map(_.getString(0))
+    assert(!afterExpiry.contains("m2"), "expired row must not recall past its deadline")
+    val beforeExpiry = store.ampRecall("alice", "deploy failed tuesday",
+      ts("2024-01-11 12:00:00")).select("id").collect().map(_.getString(0))
+    assert(beforeExpiry.contains("m2"), "row still recalls before its expiry")
+  }
 }
