@@ -637,5 +637,71 @@ object Governance extends QueryGroup {
       FROM bridge LEFT JOIN sidecar ON bridge.cma_path = sidecar.cma_path
       ORDER BY bridge.cma_path"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q3b, q3c, q4, q5, q6, q7, q8, q9)
+  /** c3: processing-log retention-floor verification — the compliance
+    * crate's RetentionProfile check (mnemo-compliance/src/lib.rs:19-27,
+    * retention.rs): given BEFORE and AFTER snapshots of the event log
+    * around a deletion/compaction/cold-tier pass, verify that no row
+    * whose timestamp falls inside an obligation's retention floor was
+    * dropped. Floors carry the reference's real obligations (DPDP Rules
+    * 2025 → 365 d, EU AI Act Art.19/26(6) → 180 d, HIPAA §164.312(b) →
+    * 6 y) plus a short internal profile that legitimises the simulated
+    * cold-tier compaction of old rows while still catching the
+    * simulated in-floor bug drop. Shape: ONE id-only left join (before
+    * vs after ids) + a 4-row broadcast obligation table + a hash
+    * aggregate — the before side streams once. */
+  private val q10 = QueryDef(
+    "c3_retention_floor",
+    (s, dir) => {
+      import s.implicits._
+      val coldCutoffUs = 1704412800000000L // 2024-01-05T00:00:00Z
+      val before = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id")) // ts = micros
+      // the deletion pass under audit: a legitimate cold-tier
+      // compaction of old even-user rows, plus a buggy modulo drop
+      val after = before.filter(!(col("event_id") % 151 === 0 ||
+        (col("ts") < coldCutoffUs && col("user_id") % 2 === 0)))
+      val obligations = Seq(
+        ("dpdp_rules_2025", 365L), ("eu_ai_act_art19", 180L),
+        ("hipaa_164_312b", 2190L), ("internal_debug", 21L))
+        .toDF("obligation", "floor_days")
+      before
+        .join(after.select(col("event_id"), lit(true).as("present")),
+          Seq("event_id"), "left")
+        .crossJoin(broadcast(obligations))
+        .filter(col("ts") >= lit(NowMicros) - col("floor_days") * 86400000000L)
+        .groupBy("obligation", "floor_days")
+        .agg(count(lit(1)).as("n_scoped"),
+          count(when(col("present").isNull, 1)).as("n_violations"),
+          min(when(col("present").isNull, col("event_id"))).as("first_violation_id"))
+        .withColumn("ok", col("n_violations") === 0)
+        .select("obligation", "floor_days", "n_scoped", "n_violations",
+          "first_violation_id", "ok")
+        .orderBy("obligation")
+    },
+    Some("""
+      WITH before_log AS (SELECT event_id, epoch_us(ts) AS tsu, user_id FROM events),
+      after_log AS (
+        SELECT event_id FROM before_log
+        WHERE NOT (event_id % 151 = 0
+          OR (tsu < 1704412800000000 AND user_id % 2 = 0))),
+      obligations AS (
+        SELECT * FROM (VALUES
+          ('dpdp_rules_2025', CAST(365 AS BIGINT)),
+          ('eu_ai_act_art19', 180),
+          ('hipaa_164_312b', 2190),
+          ('internal_debug', 21)) AS t(obligation, floor_days)),
+      checked AS (
+        SELECT b.event_id, b.tsu, a.event_id IS NOT NULL AS present
+        FROM before_log b LEFT JOIN after_log a ON b.event_id = a.event_id)
+      SELECT obligation, floor_days,
+             COUNT(*) AS n_scoped,
+             COUNT(CASE WHEN NOT present THEN 1 END) AS n_violations,
+             min(CASE WHEN NOT present THEN event_id END) AS first_violation_id,
+             COUNT(CASE WHEN NOT present THEN 1 END) = 0 AS ok
+      FROM checked CROSS JOIN obligations
+      WHERE checked.tsu >= 1706745600000000 - floor_days * 86400000000
+      GROUP BY obligation, floor_days
+      ORDER BY obligation"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q3b, q3c, q4, q5, q6, q7, q8, q9, q10)
 }
