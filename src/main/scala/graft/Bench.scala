@@ -46,9 +46,11 @@ object Bench {
     }
     // criterion samples each bench many times and reports a statistic;
     // min-of-N is the cheap robust analogue (drops GC/straggler noise).
-    // 3 reps: round-3 showed min-of-2 still lets one GC/scheduling
-    // straggler masquerade as a per-query regression.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // 3 reps (round 3) stopped min-of-2's single-straggler artifacts;
+    // 5 reps (round 7) damps the ±50% ambient whole-suite swings this
+    // box shows (isolated re-measures of every "regressed" query in
+    // rounds 5-7 landed back in band — the suite mins were the noise).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     // dev-only subset filter (comma-separated names); unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // a query that throws must surface as an error, not as a fast "time
