@@ -703,5 +703,97 @@ object Governance extends QueryGroup {
       GROUP BY obligation, floor_days
       ORDER BY obligation"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q3b, q3c, q4, q5, q6, q7, q8, q9, q10)
+  /** c4: GEM-aligned trajectory-correctness audit — the compliance
+    * crate's four trajectory-level failure modes over the event log
+    * (mnemo-compliance/src/trajectory.rs:1-24), which per-record chain
+    * verification (w4/c2) cannot catch. Event-type mapping for the
+    * synthetic log, stated once: read=view, write=purchase|signup,
+    * delete=click, redact=error; a delete's forget strategy is derived
+    * from its props key (k % 7 → the five named strategies; 5-6 =
+    * out-of-policy).
+    *
+    *  - unregulated_growth: net live rows (writes − deletes) above the
+    *    policy ceiling (24 ≈ the observed p95).
+    *  - missing_semantic_revision: a fact key written ≥ 2 times with
+    *    no delete for that key — stale coexists with current.
+    *  - capacity_driven_forgetting: deletes outside the five named
+    *    strategies.
+    *  - read_only_retrieval: scopes that only ever read.
+    *
+    * Shape: two per-user hash aggregates + one per-(user, key)
+    * aggregate with a left join — everything partitions by user;
+    * the 4-row output is a union of count aggregates. */
+  private val q11 = QueryDef(
+    "c4_gem_trajectory",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val perUser = ev.groupBy("user_id").agg(
+        count(when(col("event_type") === "view", 1)).as("n_read"),
+        count(when(col("event_type").isin("purchase", "signup"), 1)).as("n_write"),
+        count(when(col("event_type") === "click", 1)).as("n_delete"),
+        count(when(col("event_type") === "error", 1)).as("n_redact"),
+        count(when(col("event_type") === "click" && col("k") % 7 >= 5, 1))
+          .as("n_unlabeled"))
+      val stale = ev.filter(col("event_type").isin("purchase", "signup"))
+        .groupBy("user_id", "k").agg(count(lit(1)).as("n_w"))
+        .join(ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "k").agg(count(lit(1)).as("n_d")),
+          Seq("user_id", "k"), "left")
+        .filter(col("n_w") >= 2 && coalesce(col("n_d"), lit(0L)) === 0)
+        .select("user_id").distinct()
+      def mode(name: String, flagged: org.apache.spark.sql.DataFrame) =
+        flagged.agg(count(lit(1)).as("n_flagged"),
+          min(col("user_id")).as("first_flagged_user"))
+          .withColumn("failure_mode", lit(name))
+      mode("capacity_driven_forgetting",
+          perUser.filter(col("n_unlabeled") > 0).select("user_id"))
+        .unionAll(mode("missing_semantic_revision", stale))
+        .unionAll(mode("read_only_retrieval",
+          perUser.filter(col("n_read") > 0 &&
+            col("n_write") + col("n_delete") + col("n_redact") === 0)
+            .select("user_id")))
+        .unionAll(mode("unregulated_growth",
+          perUser.filter(col("n_write") - col("n_delete") > 24).select("user_id")))
+        .select("failure_mode", "n_flagged", "first_flagged_user")
+        .orderBy("failure_mode")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events),
+      per_user AS (
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_read,
+               COUNT(CASE WHEN event_type IN ('purchase', 'signup') THEN 1 END) AS n_write,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_delete,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_redact,
+               COUNT(CASE WHEN event_type = 'click' AND k % 7 >= 5 THEN 1 END) AS n_unlabeled
+        FROM e GROUP BY user_id),
+      stale AS (
+        SELECT DISTINCT w.user_id
+        FROM (SELECT user_id, k, COUNT(*) AS n_w FROM e
+              WHERE event_type IN ('purchase', 'signup') GROUP BY user_id, k) w
+        LEFT JOIN (SELECT user_id, k, COUNT(*) AS n_d FROM e
+                   WHERE event_type = 'click' GROUP BY user_id, k) d
+          ON w.user_id = d.user_id AND w.k = d.k
+        WHERE w.n_w >= 2 AND COALESCE(d.n_d, 0) = 0),
+      modes AS (
+        SELECT 'capacity_driven_forgetting' AS failure_mode,
+               COUNT(*) AS n_flagged, min(user_id) AS first_flagged_user
+        FROM per_user WHERE n_unlabeled > 0
+        UNION ALL
+        SELECT 'missing_semantic_revision', COUNT(*), min(user_id) FROM stale
+        UNION ALL
+        SELECT 'read_only_retrieval', COUNT(*), min(user_id)
+        FROM per_user WHERE n_read > 0 AND n_write + n_delete + n_redact = 0
+        UNION ALL
+        SELECT 'unregulated_growth', COUNT(*), min(user_id)
+        FROM per_user WHERE n_write - n_delete > 24)
+      SELECT failure_mode, n_flagged, first_flagged_user
+      FROM modes
+      ORDER BY failure_mode"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q3b, q3c, q4, q5, q6, q7, q8, q9, q10, q11)
 }
