@@ -133,9 +133,13 @@ object BenchWrites {
     }.min
     val concRows = agents * 2 * batch
 
+    // Locale.ROOT explicitly: the f-interpolator is locale-sensitive
+    // and a comma-decimal default locale would emit invalid JSON
+    def num(fmt: String, d: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(d))
     def op(sec: Double, rows: Long): String =
-      f"""{"sec":$sec%.4f,"rows_per_sec":${rows / sec}%.1f}"""
-    def lat(sec: Double): String = f"""{"sec":$sec%.4f}"""
+      s"""{"sec":${num("%.4f", sec)},"rows_per_sec":${num("%.1f", rows / sec)}}"""
+    def lat(sec: Double): String = s"""{"sec":${num("%.4f", sec)}}"""
     val ops = Seq(
       "remember_throughput" -> op(rememberSec, rememberRows),
       "forget_throughput" -> op(forgetSec, forgetIdsPerOp),
@@ -148,7 +152,7 @@ object BenchWrites {
     val total = rememberSec + forgetSec + ckptSec + verifySec + recallSec +
       hybridSec + concSec
     val line =
-      f"""{"metric":"writes_total","value":$total%.4f,"unit":"sec","ops":$ops,"reps":$reps,"batch":$batch,"warmup":true}"""
+      s"""{"metric":"writes_total","value":${num("%.4f", total)},"unit":"sec","ops":$ops,"reps":$reps,"batch":$batch,"warmup":true}"""
     println(line)
     try Files.writeString(Paths.get("BENCH_WRITES.json"), line + "\n")
     catch { case _: Throwable => () }

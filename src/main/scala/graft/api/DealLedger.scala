@@ -41,10 +41,16 @@ final class DealLedger(val spark: SparkSession, val path: String,
     new java.io.File(path).exists() && new java.io.File(path).list() != null &&
       new java.io.File(path).list().nonEmpty
 
-  /** All envelope rows with chain columns (empty frame if never written). */
+  /** All envelope rows with chain columns. A never-written ledger
+    * returns an EMPTY frame carrying the chained-envelope schema — not
+    * a schemaless emptyDataFrame — so verify()/replay()/headHashes()
+    * resolve their columns and return empty results instead of
+    * throwing UNRESOLVED_COLUMN. */
   def table(): DataFrame =
     if (exists) spark.read.parquet(path)
-    else spark.emptyDataFrame
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      DealLedger.ChainSchema)
 
   private def canonical(terms: org.apache.spark.sql.Column) =
     sha2(concat_ws(HashChain.Sep, lit(key),
@@ -72,17 +78,11 @@ final class DealLedger(val spark: SparkSession, val path: String,
       .select(col("deal_id"), col("ledger_id"), col("buyer"), col("seller"),
         col("terms"), col("signed_at"))
       .withColumn("content_hash", canonical(col("terms")))
-    val tails =
-      if (exists)
-        table().groupBy("ledger_id").agg(
-          max_by(struct(col("deal_offset"), col("content_hash")),
-            col("deal_offset")).as("t"))
-          .select(col("ledger_id"), col("t.deal_offset").as("tail_offset"),
-            col("t.content_hash").as("tail_hash"))
-      else
-        spark.emptyDataFrame
-          .withColumn("ledger_id", lit("")).withColumn("tail_offset", lit(0L))
-          .withColumn("tail_hash", lit("")).limit(0)
+    val tails = table().groupBy("ledger_id").agg(
+        max_by(struct(col("deal_offset"), col("content_hash")),
+          col("deal_offset")).as("t"))
+      .select(col("ledger_id"), col("t.deal_offset").as("tail_offset"),
+        col("t.content_hash").as("tail_hash"))
     val w = Window.partitionBy(col("ledger_id"))
       .orderBy(col("signed_at"), col("deal_id"))
     val chained = in
@@ -128,10 +128,11 @@ final class DealLedger(val spark: SparkSession, val path: String,
       .orderBy("ledger_id")
   }
 
-  /** Current head hash per ledger (ledger.rs `head_hash`, per chain). */
+  /** Current head hash per ledger (ledger.rs `head_hash`, per chain);
+    * empty frame with the (ledger_id, head_hash) schema when the
+    * ledger has never been written. */
   def headHashes(): DataFrame =
-    if (!exists) table()
-    else table().groupBy("ledger_id")
+    table().groupBy("ledger_id")
       .agg(max_by(col("content_hash"), col("deal_offset")).as("head_hash"))
       .orderBy("ledger_id")
 
@@ -140,6 +141,23 @@ final class DealLedger(val spark: SparkSession, val path: String,
 }
 
 object DealLedger {
+
+  import org.apache.spark.sql.types._
+
+  /** Schema of the stored chained envelopes (request fields + the
+    * chain columns append() derives). */
+  val ChainSchema: StructType = StructType(Seq(
+    StructField("deal_id", StringType),
+    StructField("ledger_id", StringType),
+    StructField("buyer", StringType),
+    StructField("seller", StringType),
+    StructField("terms", StringType),
+    StructField("signed_at", TimestampType),
+    StructField("content_hash", StringType),
+    StructField("deal_offset", LongType),
+    StructField("prev_hash", StringType),
+    StructField("mac", StringType)))
+
   /** One contract row — the reference's envelope shape
     * (envelope.rs:19-27) minus the wire-format concerns. */
   final case class Envelope(

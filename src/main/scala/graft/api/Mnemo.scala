@@ -243,14 +243,22 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
 
   /** FORGET: soft delete (tombstone) — never physically removes, so
     * as-of recall and audits keep working (T1/S4). */
-  def forget(agentId: String, ids: Seq[String], at: Timestamp): Unit = {
-    val updated = table().withColumn("deleted_at",
-      when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*) &&
-        col("deleted_at").isNull, lit(at)).otherwise(col("deleted_at")))
+  /** In-place conditional rewrite: materialize the updated frame to a
+    * scratch dir FIRST (you cannot overwrite the parquet you are
+    * reading), then rewrite the live path from the scratch copy and
+    * delete the scratch. Shared by every whole-store mutation
+    * (forget/touch/forgetSubject/consolidate/ampExpire). */
+  private def rewriteInPlace(updated: org.apache.spark.sql.DataFrame): Unit = {
     val tmp = path + ".tmp"
     updated.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    ManifestIO.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
+
+  def forget(agentId: String, ids: Seq[String], at: Timestamp): Unit =
+    rewriteInPlace(table().withColumn("deleted_at",
+      when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*) &&
+        col("deleted_at").isNull, lit(at)).otherwise(col("deleted_at"))))
 
   /** TOUCH (S7/P3): batched access bump for a set of recalled ids —
     * the reference's per-hit `access_count += 1` re-expressed as ONE
@@ -258,11 +266,8 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * touch-set MERGE of SURVEY S7). */
   def touch(ids: Seq[String]): Unit = {
     val hit = col("id").isin(ids.map(lit): _*)
-    val updated = table().withColumn("access_count",
-      when(hit, col("access_count") + 1).otherwise(col("access_count")))
-    val tmp = path + ".tmp"
-    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    rewriteInPlace(table().withColumn("access_count",
+      when(hit, col("access_count") + 1).otherwise(col("access_count"))))
   }
 
   /** FORGET-SUBJECT (GDPR/DPDPA redaction, forget.rs:392-430): every
@@ -277,9 +282,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
       .withColumn("deleted_at", when(hit && col("deleted_at").isNull, lit(at))
         .otherwise(col("deleted_at")))
       .withColumn("redacted", when(hit, lit(true)).otherwise(col("redacted")))
-    val tmp = path + ".tmp"
-    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    rewriteInPlace(updated)
   }
 
   /** CONSOLIDATE (run_consolidation, consolidate.rs:1-409 — MemFail's
@@ -336,9 +339,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
             concat(col("tags"), array(lit(ConsolidatedTag))))
             .otherwise(col("tags")))
         .drop("mid")
-      val tmp = path + ".tmp"
-      updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+      rewriteInPlace(updated)
       appendEnriched(clusters.select(
         concat(lit("consol-"), col("tag"), lit("-"), lit(at.getTime)).as("id"),
         lit(agentId).as("agent_id"),
@@ -828,6 +829,11 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * `merged:<id>` tags so the consolidation is auditable. */
   def ampMerge(consolidated: RememberRequest, sourceIds: Seq[String],
       at: Timestamp): Unit = {
+    // same vocabulary gate as ampRemember — the facade's invariant
+    // must hold through every op that writes
+    require(Mnemo.AmpMemoryTypes.contains(consolidated.memoryType),
+      s"AMP memory type must be one of ${Mnemo.AmpMemoryTypes.mkString("/")}, " +
+        s"got ${consolidated.memoryType}")
     remember(Seq(consolidated.copy(
       tags = consolidated.tags ++ sourceIds.map(i => s"merged:$i"))))
     forget(consolidated.agentId, sourceIds, at)
@@ -837,12 +843,8 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * native expire — same composition as the reference adapter); the
     * TTL sweep (T4/S12 semantics) and the recall predicate's expiry leg
     * take it from there. */
-  def ampExpire(agentId: String, ids: Seq[String], expiresAt: Timestamp): Unit = {
-    val updated = table().withColumn("expires_at",
+  def ampExpire(agentId: String, ids: Seq[String], expiresAt: Timestamp): Unit =
+    rewriteInPlace(table().withColumn("expires_at",
       when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*),
-        lit(expiresAt)).otherwise(col("expires_at")))
-    val tmp = path + ".tmp"
-    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
-  }
+        lit(expiresAt)).otherwise(col("expires_at"))))
 }

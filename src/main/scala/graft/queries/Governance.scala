@@ -568,7 +568,10 @@ object Governance extends QueryGroup {
             .otherwise(lit("cma_beta")).as("source"),
           element_at(array(lit("write"), lit("append"), lit("delete")),
             (col("user_id") % 3 + 1).cast("int")).as("cma_op"),
-          abs(col("value") * 100).cast("bigint").as("bytes"),
+          // floor() EXPLICITLY: Spark's double→bigint cast truncates
+          // while DuckDB's rounds, and bytes feeds the chain hashes —
+          // an implicit cast silently diverges the two replays
+          floor(abs(col("value") * 100)).cast("bigint").as("bytes"),
           // the sidecar's audit.jsonl lost these rows (crash between
           // store write and sidecar append — the reconciliation target)
           (col("event_id") % 101 === 0).as("lost"))
@@ -606,7 +609,7 @@ object Governance extends QueryGroup {
                'mem/' || CAST(user_id % 50 AS VARCHAR) || '.md' AS cma_path,
                CASE WHEN event_id % 3 = 0 THEN 'cma_import' ELSE 'cma_beta' END AS source,
                (['write', 'append', 'delete'])[CAST(user_id % 3 + 1 AS INT)] AS cma_op,
-               CAST(abs(value * 100) AS BIGINT) AS bytes,
+               CAST(FLOOR(abs(value * 100)) AS BIGINT) AS bytes,
                event_id % 101 = 0 AS lost
         FROM events WHERE event_id % 7 = 0),
       bridge_chain AS (

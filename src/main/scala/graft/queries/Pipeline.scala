@@ -470,13 +470,16 @@ object Pipeline extends QueryGroup {
       val tf = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("tf"))
-      val total = tf.agg(sum(col("tf")).as("total"))
       val w = Window.orderBy(col("tf").desc, col("tok"))
+      // total as an unpartitioned window over the SAME vocab-bounded
+      // frame the ranking sorts — one TF pass feeds rank, cum, and
+      // total (a separate agg subtree would re-scan and re-tokenize
+      // the whole corpus a second time)
       tf.withColumn("rank", row_number().over(w).cast("bigint"))
         .withColumn("cum_tf",
           sum(col("tf")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("tf")).over(Window.partitionBy()))
         .filter(col("rank") <= 100)
-        .crossJoin(broadcast(total))
         .select(col("rank"), col("tok"), col("tf"),
           round(col("cum_tf").cast("double") / col("total"), 6).as("cum_coverage"))
         .orderBy("rank")
@@ -488,10 +491,11 @@ object Pipeline extends QueryGroup {
       ranked AS (
         SELECT tok, tf,
                CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rank,
-               SUM(tf) OVER (ORDER BY tf DESC, tok ROWS UNBOUNDED PRECEDING) AS cum_tf
+               SUM(tf) OVER (ORDER BY tf DESC, tok ROWS UNBOUNDED PRECEDING) AS cum_tf,
+               SUM(tf) OVER () AS total
         FROM tf)
       SELECT rank, tok, tf,
-             ROUND(CAST(cum_tf AS DOUBLE) / (SELECT SUM(tf) FROM tf), 6) AS cum_coverage
+             ROUND(CAST(cum_tf AS DOUBLE) / total, 6) AS cum_coverage
       FROM ranked
       WHERE rank <= 100
       ORDER BY rank"""))

@@ -11,16 +11,6 @@ import org.apache.spark.sql.functions._
   * broadcast hints on every derived frame. */
 class AqeBroadcastSpec extends SparkSpec {
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-      body
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
 
   test("AQE converts a statically-planned sort-merge join to broadcast at runtime") {
     withConf(

@@ -25,6 +25,15 @@ class DealLedgerSpec extends SparkSpec {
     DealLedger.open(spark, d.getAbsolutePath + "/ledger")
   }
 
+  test("never-written ledger: verify/replay/headHashes return empty typed frames, not errors") {
+    val dl = fresh("empty")
+    assert(dl.length == 0L)
+    assert(dl.verify().collect().isEmpty)
+    assert(dl.replay(0, 10).collect().isEmpty)
+    val hh = dl.headHashes()
+    assert(hh.collect().isEmpty && hh.columns.toSeq == Seq("ledger_id", "head_hash"))
+  }
+
   test("append assigns stable per-ledger offsets across batches; replay slices by offset") {
     val dl = fresh("ofs")
     dl.append((0 until 6).map(env("A", _)) ++ (0 until 4).map(i => env("B", i + 100)))

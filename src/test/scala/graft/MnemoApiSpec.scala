@@ -391,6 +391,11 @@ class MnemoApiSpec extends SparkSpec {
     val hits = store.ampRecall("alice", "spark watermark streaming", now, topK = 5)
       .select("id").collect().map(_.getString(0))
     assert(hits.contains("m6"))
+    // merge enforces the same vocabulary gate as remember
+    intercept[IllegalArgumentException] {
+      store.ampMerge(RememberRequest("xm", "alice", "t1", "bad",
+        memoryType = "imaginary", createdAt = now), Seq("m1"), now)
+    }
     // merge: consolidated record written with lineage tags, sources tombstoned
     store.ampMerge(
       RememberRequest("mc", "alice", "t1", "consolidated spark notes",
