@@ -137,7 +137,7 @@ final class DealLedger(val spark: SparkSession, val path: String,
       .orderBy("ledger_id")
 
   /** Total envelope count (ledger.rs `len`). */
-  def length: Long = if (exists) table().count() else 0L
+  def length: Long = table().count()
 }
 
 object DealLedger {
@@ -145,10 +145,12 @@ object DealLedger {
   import org.apache.spark.sql.types._
 
   /** Schema of the stored chained envelopes (request fields + the
-    * chain columns append() derives). */
+    * chain columns append() derives), in the exact column order
+    * append() persists — its using-join hoists ledger_id first, and the
+    * never-written empty frame must match positionally. */
   val ChainSchema: StructType = StructType(Seq(
-    StructField("deal_id", StringType),
     StructField("ledger_id", StringType),
+    StructField("deal_id", StringType),
     StructField("buyer", StringType),
     StructField("seller", StringType),
     StructField("terms", StringType),

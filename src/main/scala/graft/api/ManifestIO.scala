@@ -56,15 +56,25 @@ object ManifestIO {
   def gc(storePath: String, live: Set[String]): Unit = {
     val root = Paths.get(storePath)
     if (!Files.isDirectory(root)) return
-    Files.list(root).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .filterNot(d => live.contains(d.getFileName.toString))
-      .foreach(deleteRecursively)
+    val ls = Files.list(root)
+    val orphans =
+      try ls.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .filterNot(d => live.contains(d.getFileName.toString))
+        .toList
+      finally ls.close()
+    orphans.foreach(deleteRecursively)
   }
 
   def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      // close the directory stream explicitly — a bare Files.list leaks
+      // one fd per deleted dir until GC, and whole-store rewrites call
+      // this on every mutation
+      val ls = Files.list(p)
+      try ls.iterator().asScala.toList.foreach(deleteRecursively)
+      finally ls.close()
+    }
     Files.deleteIfExists(p)
   }
 }

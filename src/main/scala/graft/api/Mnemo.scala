@@ -31,6 +31,33 @@ object Mnemo {
   val AmpMemoryTypes: Set[String] =
     Set("episodic", "semantic", "procedural", "working")
 
+  /** Schema of the persisted memory store, in the exact column order
+    * `appendEnriched` writes (the using-join hoists the chain keys
+    * first). Backs the typed empty frame a never-written store returns;
+    * MnemoApiSpec pins it against a written store so it cannot drift. */
+  val StoreSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("agent_id", StringType),
+      StructField("thread_id", StringType),
+      StructField("id", StringType),
+      StructField("content", StringType),
+      StructField("memory_type", StringType),
+      StructField("scope", StringType),
+      StructField("importance", FloatType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("created_at", TimestampType),
+      StructField("expires_at", TimestampType),
+      StructField("quarantined", BooleanType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("content_hash", StringType),
+      StructField("deleted_at", TimestampType),
+      StructField("redacted", BooleanType),
+      StructField("access_count", LongType),
+      StructField("prev_hash", StringType),
+      StructField("chain_hash", StringType)))
+  }
+
   /** Reserved tag of experience-tier plan records (R11): never surfaced
     * by ordinary recall — only when the caller explicitly requests the
     * tag. Same wire value as the reference
@@ -181,14 +208,35 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
 
   import Mnemo._
 
-  private def exists: Boolean =
+  private def exists: Boolean = {
+    recover()
     new java.io.File(path).exists() && new java.io.File(path).list() != null &&
       new java.io.File(path).list().nonEmpty
+  }
 
-  /** Current table including tombstones (empty frame if never written). */
+  /** Crash recovery for [[rewriteInPlace]]: if the live dir is missing
+    * but a complete scratch copy exists (crash between the delete and
+    * the rename), promote the scratch. Idempotent and cheap (two
+    * stats); called from every `exists` probe. */
+  private def recover(): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val t = java.nio.file.Paths.get(path + ".tmp")
+    if (!java.nio.file.Files.exists(p) && java.nio.file.Files.exists(t) &&
+        java.nio.file.Files.exists(t.resolve("_SUCCESS")))
+      java.nio.file.Files.move(t, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Current table including tombstones. A never-written store returns
+    * an EMPTY frame carrying the full enriched schema (see
+    * [[Mnemo.StoreSchema]]) so conditional mutations
+    * (forget/touch/ampExpire) and reads resolve their columns instead
+    * of failing analysis on a schemaless frame. */
   def table(): DataFrame =
     if (exists) spark.read.parquet(path)
-    else spark.emptyDataFrame
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      Mnemo.StoreSchema)
 
   /** REMEMBER a batch: enrich → chain per (agent, thread) continuing
     * from the store's tail → append. One job, no per-row probes. */
@@ -217,16 +265,10 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
       .withColumn("access_count", lit(0L))
 
     // seed: tail content_hash per (agent, thread) already in the store
-    val tails =
-      if (exists)
-        table().groupBy("agent_id", "thread_id")
-          .agg(max_by(col("content_hash"),
-            struct(col("created_at"), col("id"))).as("tail_hash"))
-      else
-        spark.emptyDataFrame
-          .withColumn("agent_id", lit("")).withColumn("thread_id", lit(""))
-          .withColumn("tail_hash", lit(""))
-          .limit(0)
+    // (table() is typed even when never written, so one branch suffices)
+    val tails = table().groupBy("agent_id", "thread_id")
+      .agg(max_by(col("content_hash"),
+        struct(col("created_at"), col("id"))).as("tail_hash"))
 
     val w = Window.partitionBy(col("agent_id"), col("thread_id"))
       .orderBy(col("created_at"), col("id"))
@@ -241,20 +283,27 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     chained.write.mode(SaveMode.Append).parquet(path)
   }
 
-  /** FORGET: soft delete (tombstone) — never physically removes, so
-    * as-of recall and audits keep working (T1/S4). */
   /** In-place conditional rewrite: materialize the updated frame to a
-    * scratch dir FIRST (you cannot overwrite the parquet you are
-    * reading), then rewrite the live path from the scratch copy and
-    * delete the scratch. Shared by every whole-store mutation
+    * scratch dir (you cannot overwrite the parquet you are reading),
+    * then RENAME it over the live path — one parquet job plus an atomic
+    * same-filesystem move, instead of the previous double parquet write
+    * whose second job could crash mid-overwrite and lose the store.
+    * Every crash point leaves a complete copy on disk: during the
+    * scratch write the live dir is untouched; between the delete and
+    * the move, [[recover]] promotes the finished scratch on next open.
+    * Shared by every whole-store mutation
     * (forget/touch/forgetSubject/consolidate/ampExpire). */
   private def rewriteInPlace(updated: org.apache.spark.sql.DataFrame): Unit = {
     val tmp = path + ".tmp"
     updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
-    ManifestIO.deleteRecursively(java.nio.file.Paths.get(tmp))
+    ManifestIO.deleteRecursively(java.nio.file.Paths.get(path))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** FORGET: soft delete (tombstone) — never physically removes, so
+    * as-of recall and audits keep working (T1/S4). */
   def forget(agentId: String, ids: Seq[String], at: Timestamp): Unit =
     rewriteInPlace(table().withColumn("deleted_at",
       when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*) &&

@@ -189,14 +189,8 @@ object SyncLoop {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val ls = Files.list(p)
-      try ls.iterator().asScala.toList.foreach(deleteRecursively)
-      finally ls.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: Path): Unit =
+    graft.api.ManifestIO.deleteRecursively(p)
 
   /** Attach the foreachBatch MERGE loop to a streaming event frame.
     * The checkpoint dir doubles as the batch-id epoch: replays within

@@ -32,6 +32,12 @@ class DealLedgerSpec extends SparkSpec {
     assert(dl.replay(0, 10).collect().isEmpty)
     val hh = dl.headHashes()
     assert(hh.collect().isEmpty && hh.columns.toSeq == Seq("ledger_id", "head_hash"))
+    // ChainSchema cannot drift from the persisted layout (names+order+types)
+    val emptySig = dl.table().schema.map(f => f.name -> f.dataType)
+    dl.append(Seq(env("A", 0)))
+    val writtenSig = dl.table().schema.map(f => f.name -> f.dataType)
+    assert(emptySig == writtenSig,
+      s"ChainSchema drifted from the persisted layout:\n$emptySig\nvs\n$writtenSig")
   }
 
   test("append assigns stable per-ledger offsets across batches; replay slices by offset") {

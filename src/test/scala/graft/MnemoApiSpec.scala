@@ -376,6 +376,23 @@ class MnemoApiSpec extends SparkSpec {
     assert(counts("m1") == 2 && counts("m3") == 1 && counts("m2") == 0)
   }
 
+  test("never-written store: typed empty table, mutations are no-ops, schema cannot drift") {
+    val store = freshStore()
+    // conditional mutations on an empty store resolve their columns
+    // and no-op instead of failing analysis
+    store.forget("alice", Seq("nope"), ts("2024-01-01 10:00:00"))
+    store.touch(Seq("nope"))
+    store.ampExpire("alice", Seq("nope"), ts("2024-01-01 10:00:00"))
+    assert(store.table().count() == 0)
+    // the pinned StoreSchema matches what a real write persists —
+    // names, order, and types (nullability differs per parquet writer)
+    val emptySig = store.table().schema.map(f => f.name -> f.dataType)
+    seed(store)
+    val writtenSig = store.table().schema.map(f => f.name -> f.dataType)
+    assert(emptySig == writtenSig,
+      s"StoreSchema drifted from the persisted layout:\n$emptySig\nvs\n$writtenSig")
+  }
+
   test("AMP facade: 5-op surface composes over native ops; expire flows into the recall predicate") {
     val store = freshStore()
     seed(store)
