@@ -28,6 +28,10 @@ object EmbeddingBaselineAggregator {
         Buffer(0L, new Array[Double](dim), new Array[Double](dim))
 
       override def reduce(b: Buffer, v: Array[Float]): Buffer = {
+        // null vector = skipped row (not counted, not an executor NPE):
+        // one corrupt upstream record must not abort the aggregation
+        // or deflate the baseline
+        if (v == null) return b
         var i = 0
         while (i < dim && i < v.length) {
           val x = v(i).toDouble

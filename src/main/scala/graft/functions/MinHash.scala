@@ -33,12 +33,7 @@ object MinHash {
     * the identical expression without wraparound concerns. */
   val Prime = 2147483629L
 
-  private def splitmix(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def splitmix(seed: Long): Long = VectorOps.splitmix64(seed)
 
   /** Deterministic (aᵢ, bᵢ) of the Carter-Wegman family, aᵢ ∈ [1, P-1],
     * bᵢ ∈ [0, P-1] — embedded as literals in both the Column expression

@@ -49,9 +49,13 @@ object TextOps {
   /** The reference's token estimator: ceil(chars / 4). */
   def estTokens(text: Column): Column = ceil(length(text) / lit(4.0)).cast("long")
 
-  /** First line, char-safe truncated with ellipsis (recall.rs:1096-1106). */
+  /** First line, char-safe truncated with ellipsis (recall.rs:1096-1106).
+    * `get()` (0-indexed, null on missing) rather than `element_at`:
+    * under Spark 4's default ANSI mode the latter THROWS on an empty
+    * array, so an empty/whitespace-only document would fail the whole
+    * query instead of excerpting to null. */
   def excerpt(text: Column, maxChars: Int = 120): Column = {
-    val firstLine = element_at(filter(split(text, "\n"), l => length(trim(l)) > 0), 1)
+    val firstLine = get(filter(split(text, "\n"), l => length(trim(l)) > 0), lit(0))
     when(length(firstLine) <= maxChars, firstLine)
       .otherwise(concat(substring(firstLine, 1, maxChars), lit("…")))
   }

@@ -73,7 +73,10 @@ object VectorOps {
       zip_with(x, mu, (a, b) => a.cast("double") - b.cast("double")),
       varDiag,
       (d, v) => d * d / greatest(v.cast("double"), lit(eps)))
-    sqrt(aggregate(terms, lit(0.0), (acc, t) => acc + t) / size(x))
+    // size guard: ANSI mode (Spark 4 default) turns the empty-vector
+    // division into a DIVIDE_BY_ZERO error instead of null
+    when(size(x) > 0,
+      sqrt(aggregate(terms, lit(0.0), (acc, t) => acc + t) / size(x)))
   }
 
   /** Deterministic random-hyperplane bucket id for LSH-style ANN
@@ -81,15 +84,25 @@ object VectorOps {
     * pseudo-random unit-free hyperplanes derived from a seed. The planes
     * are generated per-dimension with a splitmix-style integer hash, so
     * the bucketing is reproducible with zero data movement. */
-  /** splitmix64 finalizer over (seed, plane, dim index) -> [-1, 1).
-    * Driver-side and pure, so the exact same literal coefficients can be
-    * embedded in an external SQL oracle (see [[hyperplaneBucketSql]]). */
-  def planeCoef(p: Int, i: Int, seed: Long = 42L): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * 131071L + i.toLong + 1L)
+  /** The splitmix64 finalizer (public-domain constants) — THE one
+    * implementation; [[planeCoef]] and [[MinHash]] both derive from it
+    * so the mix constants can never desynchronize. */
+  private[functions] def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z.toDouble / Long.MaxValue.toDouble)
+    z ^ (z >>> 31)
+  }
+
+  /** splitmix64 finalizer over (seed, plane, dim index) -> [-1, 1).
+    * Driver-side and pure, so the exact same literal coefficients can be
+    * embedded in an external SQL oracle (see [[hyperplaneBucketSql]]).
+    * (Arithmetically identical to the pre-refactor inline form: the
+    * finalizer adds one golden-ratio increment, so the `+ 1L` moved out
+    * of the multiplier.) */
+  def planeCoef(p: Int, i: Int, seed: Long = 42L): Double = {
+    val z = splitmix64(seed + 0x9e3779b97f4a7c15L * (p.toLong * 131071L + i.toLong))
+    z.toDouble / Long.MaxValue.toDouble
   }
 
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {

@@ -55,23 +55,26 @@ object CharTrigramCountsExpr {
 
   /** One pass: code-point starts, then a rolling 3-point substring into
     * a count map. Insertion-ordered map so the emitted MapData is
-    * deterministic for a given input (first-occurrence order). */
+    * deterministic for a given input (first-occurrence order). Offsets
+    * ride in a primitive int[] — this runs once per document over the
+    * whole corpus, and boxing every offset would be pure GC pressure. */
   def counts(input: UTF8String): MapData = {
     val s = input.toString
     val n = s.length
     // code-point start offsets (starts(k) .. starts(k+3) spans trigram k)
-    val starts = new java.util.ArrayList[Integer](n + 1)
+    val starts = new Array[Int](n + 1)
+    var cp = 0
     var i = 0
     while (i < n) {
-      starts.add(i)
+      starts(cp) = i
+      cp += 1
       i += Character.charCount(s.codePointAt(i))
     }
-    starts.add(n)
-    val cp = starts.size() - 1
+    starts(cp) = n
     val m = new java.util.LinkedHashMap[String, java.lang.Long]()
     var k = 0
     while (k + 3 <= cp) {
-      val t = s.substring(starts.get(k), starts.get(k + 3))
+      val t = s.substring(starts(k), starts(k + 3))
       val prev = m.get(t)
       m.put(t, if (prev == null) 1L else prev + 1L)
       k += 1

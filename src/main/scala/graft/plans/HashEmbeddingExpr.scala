@@ -74,14 +74,20 @@ object HashEmbeddingExpr {
     val n = toks.numElements()
     var i = 0
     while (i < n) {
+      // null token = no-op, matching the composed version (md5(null)
+      // is null there, contributing nothing) — not an executor NPE
+      val t = toks.getUTF8String(i)
+      if (t == null) { i += 1 }
+      else {
       md.reset()
-      val d = md.digest(toks.getUTF8String(i).getBytes)
+      val d = md.digest(t.getBytes)
       // first 4 hex chars = first 2 digest bytes; 5th hex char = high
       // nibble of byte 2 — matches conv(substring(md5hex, ...), 16, 10)
       val idx = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % dim
       val sign = if (((d(2) >>> 4) & 1) == 0) 1.0 else -1.0
       acc(idx) += sign
       i += 1
+      }
     }
     acc
   }

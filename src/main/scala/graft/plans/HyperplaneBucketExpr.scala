@@ -34,6 +34,11 @@ import org.apache.spark.sql.types._
 case class HyperplaneBucketExpr(child: Expression, dim: Int, nPlanes: Int, seed: Long)
     extends UnaryExpression {
 
+  // the bucket id is one sign bit per plane in a 64-bit long; plane 64
+  // would be `1L << 64 == 1L`, silently XOR-colliding with plane 0
+  require(nPlanes >= 1 && nPlanes <= 63,
+    s"hyperplane_bucket supports 1..63 planes (long bucket id), got $nPlanes")
+
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 

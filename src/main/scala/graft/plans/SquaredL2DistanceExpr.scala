@@ -19,13 +19,15 @@ import org.apache.spark.sql.types._
   * to DuckDB's `list_sum(list_transform(list_zip(a, b), ...))`, so
   * swapping it into an oracle-checked query changes no hashes.
   *
-  * Null semantics: null if either array is null; array elements are
-  * assumed non-null (embeddings are dense).
+  * Null semantics: null if either array is null or the lengths differ
+  * (matching the composed zip_with form); array elements are assumed
+  * non-null (embeddings are dense).
   */
 case class SquaredL2DistanceExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -44,7 +46,10 @@ case class SquaredL2DistanceExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    // length mismatch → NULL (matches the composed zip_with form and
+    // DuckDB list_zip; a prefix-only distance is silently wrong)
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     val leftIsFloat = elemType(left) == FloatType
     val rightIsFloat = elemType(right) == FloatType
     var acc = 0.0
@@ -68,14 +73,19 @@ case class SquaredL2DistanceExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double d = ${getter(left, a, i)} - ${getter(right, b, i)};
-         |  $acc += d * d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${getter(left, a, i)} - ${getter(right, b, i)};
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }
