@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.api.SqlSurface
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -745,20 +746,34 @@ object Governance extends QueryGroup {
           Seq("user_id", "k"), "left")
         .filter(col("n_w") >= 2 && coalesce(col("n_d"), lit(0L)) === 0)
         .select("user_id").distinct()
-      def mode(name: String, flagged: org.apache.spark.sql.DataFrame) =
-        flagged.agg(count(lit(1)).as("n_flagged"),
-          min(col("user_id")).as("first_flagged_user"))
-          .withColumn("failure_mode", lit(name))
-      mode("capacity_driven_forgetting",
-          perUser.filter(col("n_unlabeled") > 0).select("user_id"))
-        .unionAll(mode("missing_semantic_revision", stale))
-        .unionAll(mode("read_only_retrieval",
-          perUser.filter(col("n_read") > 0 &&
-            col("n_write") + col("n_delete") + col("n_redact") === 0)
-            .select("user_id")))
-        .unionAll(mode("unregulated_growth",
-          perUser.filter(col("n_write") - col("n_delete") > 24).select("user_id")))
+      // the three per-user modes fold into ONE pass over perUser (a
+      // naive one-aggregate-per-mode union re-scans the event log once
+      // per mode — 4 corpus scans for a 4-row answer); the row shape
+      // comes back via an explode over mode structs
+      val cdf = col("n_unlabeled") > 0
+      val ror = col("n_read") > 0 &&
+        col("n_write") + col("n_delete") + col("n_redact") === 0
+      val ug = col("n_write") - col("n_delete") > 24
+      def flagged(p: Column) = count(when(p, 1))
+      def firstOf(p: Column) = min(when(p, col("user_id")))
+      val perUserModes = perUser.agg(
+        flagged(cdf).as("n_cdf"), firstOf(cdf).as("f_cdf"),
+        flagged(ror).as("n_ror"), firstOf(ror).as("f_ror"),
+        flagged(ug).as("n_ug"), firstOf(ug).as("f_ug"))
+        .select(explode(array(
+          struct(lit("capacity_driven_forgetting").as("failure_mode"),
+            col("n_cdf").as("n_flagged"), col("f_cdf").as("first_flagged_user")),
+          struct(lit("read_only_retrieval").as("failure_mode"),
+            col("n_ror").as("n_flagged"), col("f_ror").as("first_flagged_user")),
+          struct(lit("unregulated_growth").as("failure_mode"),
+            col("n_ug").as("n_flagged"), col("f_ug").as("first_flagged_user"))))
+          .as("m"))
+        .select("m.*")
+      val staleMode = stale.agg(count(lit(1)).as("n_flagged"),
+        min(col("user_id")).as("first_flagged_user"))
+        .withColumn("failure_mode", lit("missing_semantic_revision"))
         .select("failure_mode", "n_flagged", "first_flagged_user")
+      perUserModes.unionAll(staleMode)
         .orderBy("failure_mode")
     },
     Some("""
