@@ -108,8 +108,9 @@ object BenchWrites {
       }
     }.min
 
-    // -- forget_throughput: tombstone 100 ids per op (full-store
-    //    conditional rewrite — the batch analogue of the reference's
+    // -- forget_throughput: tombstone 100 ids per op (bucket-pruned
+    //    conditional rewrite — only the buckets the ids hash into are
+    //    read and replaced; the batch analogue of the reference's
     //    soft-delete loop at engine_bench.rs:386-447)
     val forgetIdsPerOp = 100
     val forgetSecs = (1 to reps).map { r =>

@@ -31,6 +31,13 @@ import graft.functions.HashChain
   * ledger_id; the tail lookup is a broadcast of one row per ledger.
   * The analytics twin of this API is the registered `x15_deal_ledger`
   * query (same canonical form, DuckDB-oracle-checked).
+  *
+  * SINGLE WRITER per ledger path (the reference serializes appends on
+  * one engine handle, ledger.rs:26-49): two concurrent `append`s would
+  * both chain off the same stored tail and fork the chain. The store
+  * does not lock; instead [[verify]] reports `n_dup_offsets` per
+  * ledger, so a violated single-writer assumption is detected on the
+  * next dispute walk rather than silently accepted.
   */
 final class DealLedger(val spark: SparkSession, val path: String,
     key: String = "deal-ledger-key") {
@@ -103,14 +110,22 @@ final class DealLedger(val spark: SparkSession, val path: String,
       .orderBy("ledger_id", "deal_offset")
 
   /** The dispute walk: per ledger, n_deals / n_invalid / the first
-    * divergent (offset, expected, actual) — NULL columns when intact. */
+    * divergent (offset, expected, actual) — NULL columns when intact.
+    *
+    * The genesis row's linkage is anchored at the empty string —
+    * `append` always writes "" at a ledger's true genesis — NOT at the
+    * row's own stored prev_hash, which would make the head check
+    * vacuous (a forged offset-0 prev_hash plus a recomputed mac would
+    * pass; the reference's verify_chain anchors the head at zeros,
+    * dispute.rs:23-42). `n_dup_offsets` flags a forked chain from a
+    * violated single-writer assumption; it fails `chain_valid` too. */
   def verify(): DataFrame = {
     val w = Window.partitionBy(col("ledger_id"))
       .orderBy(col("deal_offset"))
     val checked = table()
       .withColumn("recomputed", canonical(col("terms")))
       .withColumn("expect_prev",
-        coalesce(lag(col("content_hash"), 1).over(w), col("prev_hash"), lit("")))
+        coalesce(lag(col("content_hash"), 1).over(w), lit("")))
       .withColumn("row_valid",
         col("recomputed") === col("content_hash") &&
           coalesce(col("prev_hash"), lit("")) === col("expect_prev") &&
@@ -118,11 +133,13 @@ final class DealLedger(val spark: SparkSession, val path: String,
     checked.groupBy("ledger_id").agg(
       count(lit(1)).as("n_deals"),
       count(when(!col("row_valid"), 1)).as("n_invalid"),
+      (count(lit(1)) - countDistinct(col("deal_offset"))).as("n_dup_offsets"),
       min(when(!col("row_valid"), struct(
         col("deal_offset").as("o"), col("content_hash").as("e"),
         col("recomputed").as("a")))).as("d"))
       .select(col("ledger_id"), col("n_deals"), col("n_invalid"),
-        (col("n_invalid") === 0).as("chain_valid"),
+        col("n_dup_offsets"),
+        (col("n_invalid") === 0 && col("n_dup_offsets") === 0).as("chain_valid"),
         col("d.o").as("divergent_offset"),
         col("d.e").as("expected_hash"), col("d.a").as("actual_hash"))
       .orderBy("ledger_id")

@@ -27,6 +27,23 @@ object Mnemo {
 
   val EmbeddingDim = 64
 
+  /** Hash-bucket count of the maintained store layout (v3). 32 keeps
+    * buckets coarse at test scale; at cluster scale raise it so a
+    * bucket is O(100 MB–1 GB) — the manifest commit protocol is
+    * unchanged. A point op on k ids reads and rewrites at most
+    * min(k, NumBuckets) buckets instead of the whole store. */
+  val NumBuckets = 32
+
+  /** Append segments a bucket may accumulate before the next append
+    * folds it back into one segment (the LSM-ish compaction bound —
+    * keeps per-bucket file counts O(1) under sustained appends). */
+  val MaxSegments = 8
+
+  /** Bucket route of a memory id — the one hash both the writer and
+    * every point op must agree on. */
+  def bucketOf(id: Column): Column =
+    pmod(xxhash64(id), lit(NumBuckets)).cast("int")
+
   /** The AMP / memorywire memory-type vocabulary (mnemo-amp wire.rs). */
   val AmpMemoryTypes: Set[String] =
     Set("episodic", "semantic", "procedural", "working")
@@ -203,21 +220,67 @@ object Mnemo {
     source ++ target
 }
 
-/** A parquet-backed memory store with the reference's operation set. */
+/** A parquet-backed memory store with the reference's operation set.
+  *
+  * On-disk layout (v3): [[Mnemo.NumBuckets]] hash buckets of immutable
+  * segment directories published by atomic [[ManifestIO]] commits —
+  * appends cost O(new rows), id-addressed point ops cost O(touched
+  * buckets), and at no crash point is committed data unreachable.
+  * Single writer per store path (the reference's embedded-engine
+  * discipline). Pre-v3 flat stores read as-is and migrate on their
+  * first mutation. */
 final class MnemoStore(val spark: SparkSession, val path: String) {
 
   import Mnemo._
 
-  private def exists: Boolean = {
-    recover()
-    new java.io.File(path).exists() && new java.io.File(path).list() != null &&
-      new java.io.File(path).list().nonEmpty
+  // ---- store layout v3: manifest-committed hash buckets ----
+  //
+  // path/
+  //   manifest.properties          version=3, gen=<n>, bucket.<k> -> segs
+  //   g<n>/r/bucket=<k>/           replacement segment (full bucket content)
+  //   g<n>/a/bucket=<k>/           append segment (new rows only)
+  //
+  // Every mutation writes fresh segment directories and publishes them
+  // with ONE atomic manifest rename (the SyncLoop/orientation protocol,
+  // ManifestIO). Appends add an `a` segment per touched bucket (O(new
+  // rows) I/O); point ops (forget/touch/ampExpire, the consolidate tag
+  // flip) fold ONLY the buckets their ids hash into and replace them
+  // with an `r` segment — a forget of k ids rewrites ≤ min(k, NumBuckets)
+  // buckets, not the store (the reference's per-row UPDATE shape,
+  // storage/duckdb.rs:190-244, re-expressed as bucket-pruned rewrites).
+  // A crash at any point leaves the previous manifest governing complete
+  // data; orphans are swept by the next commit's gc. Single writer per
+  // store path, like the reference's embedded engine.
+
+  /** Parsed manifest: global generation counter + committed segment
+    * dirs (relative to the store root) per bucket. */
+  private case class StoreManifest(gen: Long, buckets: Map[Int, Seq[String]])
+
+  private def readStoreManifest(): Option[StoreManifest] =
+    ManifestIO.read(path).map { m =>
+      StoreManifest(m.getOrElse("gen", "0").toLong,
+        m.collect { case (k, v) if k.startsWith("bucket.") =>
+          k.stripPrefix("bucket.").toInt ->
+            v.split(",").filter(_.nonEmpty).toSeq })
+    }
+
+  /** Legacy (pre-v3) flat parquet dir: files at the store root, no
+    * manifest. */
+  private def legacyExists: Boolean = {
+    val f = new java.io.File(path)
+    f.exists() && f.list() != null && f.list().nonEmpty
   }
 
-  /** Crash recovery for [[rewriteInPlace]]: if the live dir is missing
-    * but a complete scratch copy exists (crash between the delete and
-    * the rename), promote the scratch. Idempotent and cheap (two
-    * stats); called from every `exists` probe. */
+  private def exists: Boolean = {
+    recover()
+    ManifestIO.exists(path) || legacyExists
+  }
+
+  /** Crash recovery for the RETIRED pre-v3 whole-store rewrite: if the
+    * live dir is missing but a complete scratch copy exists (a crash of
+    * the old delete-then-rename protocol), promote the scratch. The v3
+    * layout never deletes live data before its manifest commit, so this
+    * only ever fires on stores last written by the old code. */
   private def recover(): Unit = {
     val p = java.nio.file.Paths.get(path)
     val t = java.nio.file.Paths.get(path + ".tmp")
@@ -227,34 +290,190 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Committed content of the given buckets — only their segment dirs
+    * are opened (path-level pruning, the readProfiles shape). */
+  private def readBuckets(m: StoreManifest, ks: Set[Int]): DataFrame = {
+    val dirs = m.buckets.filter { case (k, _) => ks.contains(k) }
+      .values.flatten.map(rel => s"$path/$rel").toSeq
+    if (dirs.isEmpty) emptyTable()
+    else spark.read.schema(Mnemo.StoreSchema).parquet(dirs: _*)
+  }
+
+  private def emptyTable(): DataFrame = spark.createDataFrame(
+    java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+    Mnemo.StoreSchema)
+
   /** Current table including tombstones. A never-written store returns
     * an EMPTY frame carrying the full enriched schema (see
     * [[Mnemo.StoreSchema]]) so conditional mutations
     * (forget/touch/ampExpire) and reads resolve their columns instead
-    * of failing analysis on a schemaless frame. */
-  def table(): DataFrame =
-    if (exists) spark.read.parquet(path)
-    else spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      Mnemo.StoreSchema)
+    * of failing analysis on a schemaless frame. Pre-v3 flat stores read
+    * as-is and are migrated by their first mutation. */
+  def table(): DataFrame = {
+    recover()
+    readStoreManifest() match {
+      case Some(m) => readBuckets(m, m.buckets.keySet)
+      case None if legacyExists => spark.read.parquet(path)
+      case None => emptyTable()
+    }
+  }
+
+  /** Buckets a set of ids hashes into, computed through the SAME Spark
+    * expression the writer routes with (one tiny local-relation job —
+    * no file reads). */
+  private def bucketsOf(ids: Seq[String]): Set[Int] = {
+    import spark.implicits._
+    if (ids.isEmpty) Set.empty
+    else ids.toDF("id").select(Mnemo.bucketOf(col("id")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+  }
+
+  /** Manifest to mutate against, migrating a legacy flat store first:
+    * the flat dir is re-bucketed into `g1/r/bucket=k` dirs, committed
+    * with one manifest rename, then the absorbed root files are swept
+    * (readers already go through the manifest; a crash mid-sweep just
+    * leaves ignored files for the next commit's sweep). */
+  private def migrateIfLegacy(): StoreManifest = {
+    recover()
+    readStoreManifest().getOrElse {
+      if (!legacyExists) StoreManifest(0L, Map.empty)
+      else {
+        val flat = spark.read.parquet(path)
+        flat.withColumn("bucket", Mnemo.bucketOf(col("id")))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$path/g1/r")
+        val buckets = presentBuckets(1L, "r")
+          .map(k => k -> Seq(s"g1/r/bucket=$k")).toMap
+        writeStoreManifest(StoreManifest(1L, buckets))
+        sweepLegacyFiles()
+        StoreManifest(1L, buckets)
+      }
+    }
+  }
+
+  private def writeStoreManifest(m: StoreManifest): Unit =
+    ManifestIO.write(path,
+      Map("version" -> "3", "gen" -> m.gen.toString) ++
+        m.buckets.map { case (k, v) => s"bucket.$k" -> v.mkString(",") })
+
+  /** Bucket subdirs a just-finished write actually produced (a local
+    * listing — exact, and cheaper than a count job per bucket). */
+  private def presentBuckets(gen: Long, sub: String): Set[Int] = {
+    val d = java.nio.file.Paths.get(path, s"g$gen", sub)
+    if (!java.nio.file.Files.isDirectory(d)) Set.empty
+    else {
+      val ls = java.nio.file.Files.list(d)
+      try ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt)
+        .toSet
+      finally ls.close()
+    }
+  }
+
+  /** Root-level parquet files absorbed by a legacy migration — delete
+    * whatever the manifest does not govern. Idempotent. */
+  private def sweepLegacyFiles(): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val ls = java.nio.file.Files.list(root)
+    try ls.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith(ManifestIO.FileName))
+      .toList
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally ls.close()
+  }
+
+  /** ONE atomic store commit — the only way the store advances.
+    * `replaced` carries the FULL replacement content of exactly
+    * `replaceBuckets` (the caller folded all their current segments);
+    * `appended` carries new rows only, routed to their hash buckets. A
+    * bucket may appear on both sides (replacement segment + append
+    * segment in the same generation — what makes [[ampMerge]] atomic).
+    * Data lands in `g<gen>` first; the manifest rename publishes it;
+    * gc then drops superseded generations. */
+  private def commitWrite(m: StoreManifest, replaceBuckets: Set[Int],
+      replaced: Option[DataFrame], appended: Option[DataFrame]): Unit = {
+    val gen = m.gen + 1
+    def writeSeg(df: DataFrame, sub: String): Unit =
+      df.withColumn("bucket", Mnemo.bucketOf(col("id")))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$path/g$gen/$sub")
+    replaced.foreach(writeSeg(_, "r"))
+    appended.foreach(writeSeg(_, "a"))
+    val rset = if (replaced.isDefined) presentBuckets(gen, "r") else Set.empty[Int]
+    val aset = if (appended.isDefined) presentBuckets(gen, "a") else Set.empty[Int]
+    val buckets = (m.buckets.keySet ++ rset ++ aset).map { k =>
+      val base =
+        if (replaceBuckets(k)) {
+          if (rset(k)) Seq(s"g$gen/r/bucket=$k") else Nil
+        } else m.buckets.getOrElse(k, Nil)
+      val app = if (aset(k)) Seq(s"g$gen/a/bucket=$k") else Nil
+      k -> (base ++ app)
+    }.filter(_._2.nonEmpty).toMap
+    writeStoreManifest(StoreManifest(gen, buckets))
+    val liveTops = buckets.values.flatten.map(_.takeWhile(_ != '/')).toSet
+    ManifestIO.gc(path, liveTops)
+    sweepLegacyFiles()
+  }
+
+  /** Bucket-pruned conditional rewrite: fold the touched buckets'
+    * segments, apply `f`, replace only those buckets. `touched = None`
+    * means every bucket (tag-addressed ops like [[forgetSubject]]). */
+  private def mutateBuckets(touched: Option[Set[Int]])(
+      f: DataFrame => DataFrame): Unit = {
+    val m = migrateIfLegacy()
+    val ks = touched.map(_.intersect(m.buckets.keySet))
+      .getOrElse(m.buckets.keySet)
+    if (ks.isEmpty) return // no targeted bucket holds data: nothing to do
+    commitWrite(m, ks, Some(f(readBuckets(m, ks))), None)
+  }
+
+  /** Fold any bucket that accumulated more than [[Mnemo.MaxSegments]]
+    * append segments back into one replacement segment. Called after
+    * every append; a no-op job-wise unless a bucket is over budget. */
+  private def compactOverflow(): Unit = {
+    val over = readStoreManifest()
+      .map(_.buckets.collect {
+        case (k, segs) if segs.length > Mnemo.MaxSegments => k
+      }.toSet)
+      .getOrElse(Set.empty)
+    if (over.nonEmpty) mutateBuckets(Some(over))(identity)
+  }
 
   /** REMEMBER a batch: enrich → chain per (agent, thread) continuing
     * from the store's tail → append. One job, no per-row probes. */
-  def remember(batch: Seq[RememberRequest]): Unit = {
+  def remember(batch: Seq[RememberRequest]): Unit =
+    appendEnriched(reqFrame(batch))
+
+  private def reqFrame(batch: Seq[RememberRequest]): DataFrame = {
     import spark.implicits._
-    appendEnriched(batch.toDF()
-      .select(
-        col("id"), col("agentId").as("agent_id"), col("threadId").as("thread_id"),
-        col("content"), col("memoryType").as("memory_type"), col("scope"),
-        col("importance"), col("tags"), col("createdAt").as("created_at"),
-        col("expiresAt").as("expires_at"), col("quarantined")))
+    batch.toDF().select(
+      col("id"), col("agentId").as("agent_id"), col("threadId").as("thread_id"),
+      col("content"), col("memoryType").as("memory_type"), col("scope"),
+      col("importance"), col("tags"), col("createdAt").as("created_at"),
+      col("expiresAt").as("expires_at"), col("quarantined"))
   }
 
   /** Enrich + chain + append a frame of request rows (snake_case
     * request columns). Shared by [[remember]] and the DataFrame-native
     * writers ([[consolidate]]) so bundle writes never round-trip
-    * through the driver. */
+    * through the driver. Lands as per-bucket append segments — O(new
+    * rows) I/O regardless of store size. */
   private def appendEnriched(reqs: DataFrame): Unit = {
+    val m = migrateIfLegacy()
+    commitWrite(m, Set.empty, None, Some(enrichChain(reqs)))
+    compactOverflow()
+  }
+
+  /** The enrichment half of [[appendEnriched]]: embedding, content
+    * hash, tombstone defaults, and per-(agent, thread) chain linkage
+    * continued from the store's current tails — as a plan, unwritten,
+    * so callers ([[ampMerge]]) can fold it into a single atomic
+    * commit alongside a bucket rewrite. */
+  private def enrichChain(reqs: DataFrame): DataFrame = {
     val in = reqs
       .withColumn("embedding", hashEmbedding(col("content")))
       .withColumn("content_hash",
@@ -272,50 +491,29 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
 
     val w = Window.partitionBy(col("agent_id"), col("thread_id"))
       .orderBy(col("created_at"), col("id"))
-    val chained = in
-      .join(broadcast(tails), Seq("agent_id", "thread_id"), "left")
+    in.join(broadcast(tails), Seq("agent_id", "thread_id"), "left")
       .withColumn("prev_hash",
         coalesce(lag(col("content_hash"), 1).over(w), col("tail_hash")))
       .withColumn("chain_hash",
         sha2(concat(col("content_hash"), coalesce(col("prev_hash"), lit(""))), 256))
       .drop("tail_hash")
-
-    chained.write.mode(SaveMode.Append).parquet(path)
-  }
-
-  /** In-place conditional rewrite: materialize the updated frame to a
-    * scratch dir (you cannot overwrite the parquet you are reading),
-    * then RENAME it over the live path — one parquet job plus an atomic
-    * same-filesystem move, instead of the previous double parquet write
-    * whose second job could crash mid-overwrite and lose the store.
-    * Every crash point leaves a complete copy on disk: during the
-    * scratch write the live dir is untouched; between the delete and
-    * the move, [[recover]] promotes the finished scratch on next open.
-    * Shared by every whole-store mutation
-    * (forget/touch/forgetSubject/consolidate/ampExpire). */
-  private def rewriteInPlace(updated: org.apache.spark.sql.DataFrame): Unit = {
-    val tmp = path + ".tmp"
-    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-    ManifestIO.deleteRecursively(java.nio.file.Paths.get(path))
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** FORGET: soft delete (tombstone) — never physically removes, so
-    * as-of recall and audits keep working (T1/S4). */
+    * as-of recall and audits keep working (T1/S4). Rewrites only the
+    * buckets the ids hash into. */
   def forget(agentId: String, ids: Seq[String], at: Timestamp): Unit =
-    rewriteInPlace(table().withColumn("deleted_at",
+    mutateBuckets(Some(bucketsOf(ids)))(_.withColumn("deleted_at",
       when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*) &&
         col("deleted_at").isNull, lit(at)).otherwise(col("deleted_at"))))
 
   /** TOUCH (S7/P3): batched access bump for a set of recalled ids —
     * the reference's per-hit `access_count += 1` re-expressed as ONE
-    * conditional rewrite for the whole result batch (the accumulated
-    * touch-set MERGE of SURVEY S7). */
+    * bucket-pruned conditional rewrite for the whole result batch (the
+    * accumulated touch-set MERGE of SURVEY S7). */
   def touch(ids: Seq[String]): Unit = {
     val hit = col("id").isin(ids.map(lit): _*)
-    rewriteInPlace(table().withColumn("access_count",
+    mutateBuckets(Some(bucketsOf(ids)))(_.withColumn("access_count",
       when(hit, col("access_count") + 1).otherwise(col("access_count"))))
   }
 
@@ -326,12 +524,13 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * "Redact keeps hashes" contract). */
   def forgetSubject(subjectTag: String, at: Timestamp): Unit = {
     val hit = array_contains(col("tags"), subjectTag) && !col("redacted")
-    val updated = table()
+    // tag-addressed, not id-addressed: any bucket may hold a match, so
+    // this is the one point op that legitimately rewrites every bucket
+    mutateBuckets(None)(_
       .withColumn("content", when(hit, "[REDACTED]").otherwise(col("content")))
       .withColumn("deleted_at", when(hit && col("deleted_at").isNull, lit(at))
         .otherwise(col("deleted_at")))
-      .withColumn("redacted", when(hit, lit(true)).otherwise(col("redacted")))
-    rewriteInPlace(updated)
+      .withColumn("redacted", when(hit, lit(true)).otherwise(col("redacted"))))
   }
 
   /** CONSOLIDATE (run_consolidation, consolidate.rs:1-409 — MemFail's
@@ -379,16 +578,19 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
       .localCheckpoint()
     val nClusters = clusters.count()
     if (nClusters > 0) {
-      // flip originals first (reads the store), then append bundles
+      // flip originals first (reads the store), then append bundles;
+      // the flip is id-addressed, so only the members' buckets rewrite
       val members = clusters.select(explode(col("member_ids")).as("mid"))
-      val updated = table()
+      val memberBuckets = members
+        .select(Mnemo.bucketOf(col("mid")).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      mutateBuckets(Some(memberBuckets))(_
         .join(broadcast(members), col("id") === col("mid"), "left")
         .withColumn("tags",
           when(col("mid").isNotNull,
             concat(col("tags"), array(lit(ConsolidatedTag))))
             .otherwise(col("tags")))
-        .drop("mid")
-      rewriteInPlace(updated)
+        .drop("mid"))
       appendEnriched(clusters.select(
         concat(lit("consol-"), col("tag"), lit("-"), lit(at.getTime)).as("id"),
         lit(agentId).as("agent_id"),
@@ -872,10 +1074,13 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
   def ampForget(agentId: String, ids: Seq[String], at: Timestamp): Unit =
     forget(agentId, ids, at)
 
-  /** AMP merge: write the consolidated record, tombstone the sources —
-    * the thin composition the adapter documents (NOT the
-    * checkpoint-timeline [[mergeCheckpoints]]). Source lineage rides in
-    * `merged:<id>` tags so the consolidation is auditable. */
+  /** AMP merge: write the consolidated record AND tombstone the sources
+    * in ONE atomic manifest commit (NOT the checkpoint-timeline
+    * [[mergeCheckpoints]]) — a crash leaves either the old state or the
+    * fully-merged state, never a double-counted middle where both the
+    * bundle and its un-tombstoned sources are recallable. Source
+    * lineage rides in `merged:<id>` tags so the consolidation is
+    * auditable. */
   def ampMerge(consolidated: RememberRequest, sourceIds: Seq[String],
       at: Timestamp): Unit = {
     // same vocabulary gate as ampRemember — the facade's invariant
@@ -883,9 +1088,16 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     require(Mnemo.AmpMemoryTypes.contains(consolidated.memoryType),
       s"AMP memory type must be one of ${Mnemo.AmpMemoryTypes.mkString("/")}, " +
         s"got ${consolidated.memoryType}")
-    remember(Seq(consolidated.copy(
-      tags = consolidated.tags ++ sourceIds.map(i => s"merged:$i"))))
-    forget(consolidated.agentId, sourceIds, at)
+    val chained = enrichChain(reqFrame(Seq(consolidated.copy(
+      tags = consolidated.tags ++ sourceIds.map(i => s"merged:$i")))))
+    val m = migrateIfLegacy()
+    val ks = bucketsOf(sourceIds).intersect(m.buckets.keySet)
+    val tombstoned = readBuckets(m, ks).withColumn("deleted_at",
+      when(col("agent_id") === consolidated.agentId &&
+        col("id").isin(sourceIds.map(lit): _*) && col("deleted_at").isNull,
+        lit(at)).otherwise(col("deleted_at")))
+    commitWrite(m, ks, Some(tombstoned), Some(chained))
+    compactOverflow()
   }
 
   /** AMP expire: stamp `expires_at` on the targeted rows (there is no
@@ -893,7 +1105,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * TTL sweep (T4/S12 semantics) and the recall predicate's expiry leg
     * take it from there. */
   def ampExpire(agentId: String, ids: Seq[String], expiresAt: Timestamp): Unit =
-    rewriteInPlace(table().withColumn("expires_at",
+    mutateBuckets(Some(bucketsOf(ids)))(_.withColumn("expires_at",
       when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*),
         lit(expiresAt)).otherwise(col("expires_at"))))
 }

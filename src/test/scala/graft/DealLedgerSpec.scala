@@ -88,6 +88,51 @@ class DealLedgerSpec extends SparkSpec {
     assert(v("B").getAs[Boolean]("chain_valid"))
   }
 
+  test("verify anchors the genesis at the empty string: a forged offset-0 prev_hash is caught") {
+    val dl = fresh("gen")
+    dl.append((0 until 3).map(env("A", _)))
+    // forge: replace offset 0's prev_hash with an attacker-chosen value
+    // and recompute the (unkeyed) row mac so the mac check passes — the
+    // attack the reference's zero-anchored verify_chain catches
+    val forged = dl.table().withColumn("prev_hash",
+      when(col("deal_offset") === 0L, lit("forged-anchor"))
+        .otherwise(col("prev_hash")))
+      .withColumn("mac",
+        when(col("deal_offset") === 0L,
+          sha2(concat(col("content_hash"), lit("forged-anchor")), 256))
+          .otherwise(col("mac")))
+    val tmp = dl.path + ".tmp"
+    forged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dl.path)
+    val v = dl.verify().collect()
+    assert(v.length == 1 && !v(0).getAs[Boolean]("chain_valid"))
+    assert(v(0).getAs[Long]("divergent_offset") == 0L)
+  }
+
+  test("verify reports duplicate offsets from a violated single-writer assumption") {
+    val dl = fresh("dup")
+    dl.append((0 until 3).map(env("A", _)))
+    // simulate two concurrent appends chaining off the same tail: a
+    // second copy of offset 3 with different content
+    dl.append(Seq(env("A", 3)))
+    val fork = dl.table().filter(col("deal_offset") === 3L)
+      .withColumn("deal_id", lit("d9999"))
+      .withColumn("terms", lit("""{"task":"fork","price":1}"""))
+    // forked row carries consistent hashes (the writer computed them
+    // honestly off the same tail), so only the offset collision betrays it
+    val rechained = fork
+      .withColumn("content_hash",
+        sha2(concat_ws(graft.functions.HashChain.Sep, lit("deal-ledger-key"),
+          col("deal_id"), col("buyer"), col("seller"),
+          col("terms").cast("string"), col("signed_at").cast("string")), 256))
+      .withColumn("mac", sha2(concat(col("content_hash"), col("prev_hash")), 256))
+    rechained.write.mode(SaveMode.Append).parquet(dl.path)
+    val v = dl.verify().collect()
+    assert(v.length == 1)
+    assert(v(0).getAs[Long]("n_dup_offsets") == 1L)
+    assert(!v(0).getAs[Boolean]("chain_valid"))
+  }
+
   test("streaming appends via foreachBatch keep every chain valid across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

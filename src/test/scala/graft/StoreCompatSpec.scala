@@ -140,6 +140,130 @@ class StoreCompatSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/g2").count() == 5)
   }
 
+  // ---- memories store: v3 hash-bucket layout ----
+
+  /** Every data file currently under the store root, with its size —
+    * the byte-level fingerprint untouched buckets must preserve. */
+  private def fileMap(root: String): Map[String, Long] = {
+    val base = Paths.get(root)
+    val walk = Files.walk(base)
+    try walk.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => base.relativize(p).toString -> Files.size(p))
+      .toMap
+    finally walk.close()
+  }
+
+  test("legacy flat memories store re-opens; first mutation migrates to bucketed manifest layout") {
+    // produce an enriched store the CURRENT way, then flatten it to the
+    // pre-v3 layout (parquet files at the root, no manifest)
+    val donor = freshStore()
+    seed(donor)
+    val legacyDir = Files.createTempDirectory("compat-legacy").toFile
+    legacyDir.delete()
+    val legacy = legacyDir.getAbsolutePath
+    donor.table().write.parquet(legacy)
+    assert(ManifestIO.read(legacy).isEmpty)
+
+    val store = Mnemo.open(spark, legacy)
+    // reads work against the flat layout as-is
+    assert(store.table().count() == 2)
+    // first mutation migrates: manifest v3, rows intact, root files swept
+    store.forget("alice", Seq("m1"), ts("2024-03-01 00:00:00"))
+    val m = ManifestIO.read(legacy).getOrElse(fail("manifest missing after migration"))
+    assert(m("version") == "3")
+    assert(store.table().count() == 2)
+    assert(store.table().filter("id = 'm1' AND deleted_at IS NOT NULL").count() == 1)
+    assert(Files.list(Paths.get(legacy)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .forall(_.getFileName.toString.startsWith(ManifestIO.FileName)))
+    // chains still verify end-to-end across the migration
+    assert(store.verifyChains().filter("NOT chain_valid").count() == 0)
+  }
+
+  test("point op rewrites only the buckets its ids hash into; untouched bucket files are byte-identical") {
+    val store = freshStore()
+    // spread rows over many buckets
+    store.remember((0 until 64).map(i =>
+      RememberRequest(f"id-$i%03d", "alice", "t1", s"content number $i",
+        createdAt = ts("2024-01-01 10:00:00"))))
+    val before = fileMap(store.path)
+    val manifestBefore = ManifestIO.read(store.path).get
+
+    store.forget("alice", Seq("id-000"), ts("2024-02-01 00:00:00"))
+
+    val manifestAfter = ManifestIO.read(store.path).get
+    val touched = manifestBefore.collect {
+      case (k, v) if k.startsWith("bucket.") && !manifestAfter.get(k).contains(v) => k
+    }.toSet
+    assert(touched.size == 1, s"exactly one bucket should be rewritten, got $touched")
+    // every surviving pre-op file is bit-for-bit untouched (segment dirs
+    // are immutable; only the touched bucket's segment was superseded)
+    val after = fileMap(store.path)
+    val common = before.keySet.intersect(after.keySet)
+    assert(common.nonEmpty)
+    common.foreach(f => assert(before(f) == after(f), s"file $f changed size"))
+    // the untouched buckets' committed segments are the SAME directories
+    manifestBefore.foreach { case (k, v) =>
+      if (k.startsWith("bucket.") && !touched.contains(k))
+        assert(manifestAfter(k) == v, s"untouched $k remapped")
+    }
+    assert(store.table().filter("deleted_at IS NOT NULL").count() == 1)
+  }
+
+  test("appends accumulate bucket segments; overflow compacts back to one segment without losing rows") {
+    val store = freshStore()
+    // find ids that all hash into ONE bucket, through the store's own route
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sameBucket = (0 until 4000).map(i => s"probe-$i").toDF("id")
+      .select(col("id"), Mnemo.bucketOf(col("id")).as("b"))
+      .collect().groupBy(_.getInt(1)).values
+      .find(_.length >= Mnemo.MaxSegments + 2).get
+      .map(_.getString(0)).take(Mnemo.MaxSegments + 2)
+    sameBucket.zipWithIndex.foreach { case (id, i) =>
+      store.remember(Seq(RememberRequest(id, "alice", "t1", s"row $i",
+        createdAt = ts(f"2024-01-${i + 1}%02d 10:00:00"))))
+    }
+    val m = ManifestIO.read(store.path).get
+    val segLists = m.collect { case (k, v) if k.startsWith("bucket.") =>
+      v.split(",").count(_.nonEmpty) }
+    assert(segLists.max <= Mnemo.MaxSegments + 1,
+      s"overflowed bucket was not compacted: $m")
+    assert(store.table().count().toInt == sameBucket.length)
+    assert(store.verifyChains().filter("NOT chain_valid").count() == 0)
+  }
+
+  test("ampMerge is one atomic commit: consolidated row + source tombstones land in a single generation") {
+    val store = freshStore()
+    seed(store)
+    val genBefore = ManifestIO.read(store.path).get("gen").toLong
+    store.ampMerge(
+      RememberRequest("bundle-1", "alice", "t1", "alpha and delta merged",
+        memoryType = "semantic", createdAt = ts("2024-02-01 10:00:00")),
+      Seq("m1", "m2"), ts("2024-02-01 10:00:00"))
+    val genAfter = ManifestIO.read(store.path).get("gen").toLong
+    assert(genAfter == genBefore + 1, "merge must be exactly one manifest commit")
+    val t = store.table()
+    assert(t.filter("id = 'bundle-1' AND deleted_at IS NULL").count() == 1)
+    assert(t.filter("id IN ('m1','m2') AND deleted_at IS NOT NULL").count() == 2)
+  }
+
+  test("orphan memories generation dir (crash before manifest commit) is invisible and swept") {
+    val store = freshStore()
+    seed(store)
+    val rows = store.table().count()
+    // simulate a crashed write: a generation dir the manifest never saw
+    import spark.implicits._
+    Seq(("junk", "x", "t1")).toDF("id", "content", "thread_id")
+      .write.parquet(s"${store.path}/g999/a/bucket=0")
+    assert(store.table().count() == rows)
+    store.forget("alice", Seq("m2"), ts("2024-03-01 00:00:00"))
+    assert(!Files.exists(Paths.get(store.path, "g999")))
+    assert(store.table().count() == rows)
+  }
+
   test("manifest write is an atomic replace: a reader mid-commit sees old or new, never partial") {
     val dir = Files.createTempDirectory("manifest-io").toString
     ManifestIO.write(dir, Map("version" -> "1", "data" -> "g1"))
