@@ -297,5 +297,98 @@ object Trust extends QueryGroup {
       FROM rep
       ORDER BY agent"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
+  /** w7: tail-truncation detection over the x15 deal-ledger frame —
+    * deliberately EXCEEDING reference parity: the reference documents
+    * that deleting the newest envelopes is NOT caught by its verify
+    * walk (every remaining link still verifies; BASELINE.md notes the
+    * gap, dispute.rs:23-42 only recomputes links). The cheap fix the
+    * ledger API shape already provides ([[graft.api.DealLedger
+    * .headHashes]]): register each ledger's (length, head hash) at
+    * signing time, then compare the observed chain against the
+    * registration. Here the registration is computed over the full
+    * signed frame, truncation is simulated by dropping each marked
+    * ledger's last two envelopes, and the detector reports
+    * n_missing + head mismatch per ledger.
+    * Scale: ONE window pass for offsets/registration bounds, one
+    * aggregate with conditional legs — no joins, no second scan. */
+  private val q5 = QueryDef(
+    "w7_tail_truncation",
+    (s, dir) => {
+      import graft.functions.HashChain
+      val key = "deal-ledger-key"
+      val w = Window.partitionBy(col("ledger_id")).orderBy(col("signed_at"), col("deal_id"))
+      def canonical(terms: Column) = sha2(concat_ws(HashChain.Sep, lit(key),
+        col("deal_id").cast("string"), col("buyer"), col("seller"),
+        terms.cast("string"), col("signed_at").cast("string")), 256)
+      val signed = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(
+          col("o_orderkey").as("deal_id"),
+          (col("o_custkey") % 16).as("ledger_id"),
+          concat(lit("agent-"), col("o_custkey")).as("buyer"),
+          concat(lit("agent-"), col("o_orderkey") % 997).as("seller"),
+          col("o_totalprice").cast("decimal(12,2)").as("terms"),
+          col("o_orderdate").cast("date").as("signed_at"))
+        .withColumn("content_hash", canonical(col("terms")))
+        .withColumn("deal_offset", (row_number().over(w) - 1).cast("bigint"))
+        // the signing-time registration bound, from the same window pass
+        .withColumn("reg_len",
+          (max(col("deal_offset")).over(Window.partitionBy(col("ledger_id"))) + 1))
+        // truncation attack: ledgers ≡ 0 (mod 5) lose their newest two
+        // envelopes from the OBSERVED store; the registration predates it
+        .withColumn("observed",
+          !(col("ledger_id") % 5 === 0 && col("deal_offset") >= col("reg_len") - 2))
+      signed.groupBy("ledger_id")
+        .agg(
+          max(col("deal_offset") + 1).as("registered_len"),
+          max(struct(col("deal_offset"), col("content_hash"))).as("rh"),
+          count(when(col("observed"), 1)).as("observed_len"),
+          max(when(col("observed"),
+            struct(col("deal_offset"), col("content_hash")))).as("oh"))
+        .select(col("ledger_id"), col("registered_len"), col("observed_len"),
+          (col("registered_len") - col("observed_len")).as("n_missing"),
+          col("rh.content_hash").as("registered_head"),
+          col("oh.content_hash").as("observed_head"),
+          (col("observed_len") < col("registered_len") ||
+            col("oh.content_hash") =!= col("rh.content_hash")).as("truncated"))
+        .orderBy("ledger_id")
+    },
+    Some("""
+      WITH deals AS (
+        SELECT o_orderkey AS deal_id,
+               o_custkey % 16 AS ledger_id,
+               'agent-' || CAST(o_custkey AS VARCHAR) AS buyer,
+               'agent-' || CAST(o_orderkey % 997 AS VARCHAR) AS seller,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS terms,
+               CAST(o_orderdate AS DATE) AS signed_at
+        FROM orders WHERE o_orderkey % 13 = 0),
+      signed AS (
+        SELECT *,
+               sha256('deal-ledger-key' || chr(1) || CAST(deal_id AS VARCHAR) || chr(1) || buyer
+                 || chr(1) || seller || chr(1) || CAST(terms AS VARCHAR)
+                 || chr(1) || CAST(signed_at AS VARCHAR)) AS content_hash,
+               CAST(ROW_NUMBER() OVER (PARTITION BY ledger_id ORDER BY signed_at, deal_id) - 1 AS BIGINT) AS deal_offset
+        FROM deals),
+      bounded AS (
+        SELECT *,
+               MAX(deal_offset) OVER (PARTITION BY ledger_id) + 1 AS reg_len
+        FROM signed),
+      observed AS (
+        SELECT *,
+               NOT (ledger_id % 5 = 0 AND deal_offset >= reg_len - 2) AS observed
+        FROM bounded)
+      SELECT ledger_id,
+             MAX(deal_offset + 1) AS registered_len,
+             COUNT(CASE WHEN observed THEN 1 END) AS observed_len,
+             MAX(deal_offset + 1) - COUNT(CASE WHEN observed THEN 1 END) AS n_missing,
+             MAX(struct_pack(o := deal_offset, h := content_hash)).h AS registered_head,
+             MAX(CASE WHEN observed THEN struct_pack(o := deal_offset, h := content_hash) END).h AS observed_head,
+             (COUNT(CASE WHEN observed THEN 1 END) < MAX(deal_offset + 1)
+               OR MAX(CASE WHEN observed THEN struct_pack(o := deal_offset, h := content_hash) END).h
+                  <> MAX(struct_pack(o := deal_offset, h := content_hash)).h) AS truncated
+      FROM observed
+      GROUP BY ledger_id
+      ORDER BY ledger_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
 }

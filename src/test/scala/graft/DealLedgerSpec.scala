@@ -133,6 +133,27 @@ class DealLedgerSpec extends SparkSpec {
     assert(!v(0).getAs[Boolean]("chain_valid"))
   }
 
+  test("tail truncation passes the link walk (the reference's documented gap) but a head registration catches it") {
+    val dl = fresh("trunc")
+    dl.append((0 until 6).map(env("A", _)))
+    // signing-time registration: the introspection surface a relying
+    // party snapshots (head hash + length per ledger)
+    val regHead = dl.headHashes().collect().head.getString(1)
+    val regLen = dl.length
+    // attack: drop the newest two envelopes from the stored chain
+    val truncated = dl.table().filter(col("deal_offset") < regLen - 2)
+    val tmp = dl.path + ".tmp"
+    truncated.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dl.path)
+    // every remaining link still verifies — truncation is invisible to
+    // the dispute walk alone, exactly the reference's disclosed hole
+    val v = dl.verify().collect()
+    assert(v.length == 1 && v(0).getAs[Boolean]("chain_valid"))
+    // the registration comparison flags it: shorter AND a different head
+    assert(dl.length == regLen - 2)
+    assert(dl.headHashes().collect().head.getString(1) != regHead)
+  }
+
   test("streaming appends via foreachBatch keep every chain valid across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
