@@ -53,16 +53,17 @@ object Similarity extends QueryGroup {
 
   /** IVF probe width — the recall/cost knob every IVF index exposes.
     * 16 of 64 cells ≈ 25% of the corpus scanned per query. Measured on
-    * sf0.1 with the 2-round Lloyd codebook: top-1 agreement with brute
-    * force is 13/21 at nprobe=8 and 16/21 at 16 (one Lloyd round gives
-    * 11/21 and 15/21; a third round REGRESSES to 11/21 — the synthetic
-    * hash embeddings are only weakly clustered, so Lloyd saturates after
-    * two rounds and recall grows near-linearly with probe width instead
-    * of plateauing the way a real corpus does). QueriesSpec pins top-1
-    * agreement ≥ 2/3. A production corpus with real cluster structure
-    * runs nlist ≈ √N and nprobe ≈ nlist/64 for a ~1-3% scan; the plan
-    * shape — O(k) centroid broadcast, equi-join probe — is unchanged by
-    * the knobs. */
+    * sf0.1: with the round-7 hash-sample seeds, 2 Lloyd rounds gave
+    * top-1 agreement 16/21 and a THIRD round regressed to 11/21 (bad
+    * seeds put several centroids in one dense direction; extra rounds
+    * entrench the imbalance). The round-8 direction-stratified seeding
+    * ([[stratifiedSeedIds]]) fixes the entrenchment: 2 rounds still
+    * measure 16/21, and the third round now HELPS — 18/21 — because
+    * Lloyd refines well-separated starting cells instead of fighting
+    * collapsed ones. QueriesSpec pins top-1 agreement ≥ 3/4. A
+    * production corpus with real cluster structure runs nlist ≈ √N and
+    * nprobe ≈ nlist/64 for a ~1-3% scan; the plan shape — O(k) centroid
+    * broadcast, equi-join probe — is unchanged by the knobs. */
   private val NProbe = 16
 
   private def centroidSeedIds(e: DataFrame): DataFrame =
@@ -72,6 +73,28 @@ object Similarity extends QueryGroup {
 
   private val centroidSeedSql =
     s"SELECT vec_id AS cid FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $CentroidK"
+
+  /** Direction-stratified deterministic seeding (v3's k-means++
+    * analogue): [[SeedPlanes]] hyperplanes partition the sphere into
+    * 2^SeedPlanes sign regions; the md5-least member of each occupied
+    * region becomes its seed. A pure hash sample can drop several seeds
+    * into one dense direction and leave others empty — stratifying by
+    * sign region spreads the codebook across well-separated directions
+    * (the farthest-point intuition) WITHOUT k sequential passes: one
+    * aggregate, identical in both engines, still O(CentroidK) output. */
+  private val SeedPlanes = 6 // 2^6 = CentroidK regions
+
+  private def stratifiedSeedIds(e: DataFrame): DataFrame =
+    e.withColumn("hb", VectorOps.hyperplaneBucket(col("embedding"), 64, SeedPlanes))
+      .groupBy(col("hb"))
+      .agg(min(struct(md5(col("vec_id").cast("string")).as("m"),
+        col("vec_id").as("cid"))).getField("cid").as("cid"))
+      .select("cid")
+
+  private val stratifiedSeedSql =
+    s"""SELECT min(struct_pack(m := md5(CAST(vec_id AS VARCHAR)), cid := vec_id)).cid AS cid
+        FROM (SELECT vec_id, ${VectorOps.hyperplaneBucketSql("v", 64, 6)} AS hb FROM e)
+        GROUP BY hb"""
 
   /** Scale-safe argmin: pick each group's best id WITHOUT window-ranking
     * the k-expanded frame. `min(struct(orderKey, id))` hash-aggregates with
@@ -137,8 +160,9 @@ object Similarity extends QueryGroup {
     * materialized locally, so the lineage stays O(1) deep and the next
     * round's broadcast is a local table. Cells that win no members
     * simply drop out of the codebook (both engines agree). */
-  private def lloydCentroids(e: DataFrame, iters: Int): DataFrame = {
-    var cent = e.join(broadcast(centroidSeedIds(e)), col("vec_id") === col("cid"))
+  private def lloydCentroids(e: DataFrame, iters: Int,
+      seedsOf: DataFrame => DataFrame = centroidSeedIds): DataFrame = {
+    var cent = e.join(broadcast(seedsOf(e)), col("vec_id") === col("cid"))
       .select(col("cid"), col("embedding").as("cv"))
     for (_ <- 1 to iters) {
       val a = e.crossJoin(broadcast(cent))
@@ -155,9 +179,10 @@ object Similarity extends QueryGroup {
   /** DuckDB mirror of [[lloydCentroids]]: chained CTEs `cent0..cent`,
     * one assignment + one quantized-mean round per iteration, the final
     * round named `cent`. Assumes an `e(vec_id, v)` CTE in scope. */
-  private def lloydCentSql(iters: Int): String = {
+  private def lloydCentSql(iters: Int,
+      seedSql: String = centroidSeedSql): String = {
     val parts = new StringBuilder
-    parts.append(s"seed AS ($centroidSeedSql),\n")
+    parts.append(s"seed AS ($seedSql),\n")
     parts.append("      cent0 AS (SELECT cid, v AS cv FROM e JOIN seed ON e.vec_id = seed.cid)")
     for (i <- 1 to iters) {
       val name = if (i == iters) "cent" else s"cent$i"
@@ -172,11 +197,12 @@ object Similarity extends QueryGroup {
     parts.toString
   }
 
-  /** Lloyd rounds for the IVF codebook (v3). Two rounds instead of one:
-    * measured at sf0.1 this lifts top-1 brute-force agreement at
-    * NProbe=8 (see the NProbe note above) while keeping the same O(k)
-    * broadcast contract — training cost is one extra assignment pass. */
-  private val LloydIters = 2
+  /** Lloyd rounds for the IVF codebook (v3). Three rounds over the
+    * stratified seeds: 16/21 → 18/21 top-1 agreement at sf0.1 (see the
+    * NProbe note — the third round only became profitable once seeding
+    * stopped collapsing directions). Cost is one extra broadcast-scan
+    * assignment pass; the O(k) codebook contract is unchanged. */
+  private val LloydIters = 3
 
   private val q1 = QueryDef(
     "v1_knn_bruteforce",
@@ -256,7 +282,7 @@ object Similarity extends QueryGroup {
       // is materialized as a local relation — trained once, reused by
       // the assignment and probe passes, no lingering cache entry.
       val e = Tables.embeddings(s, dir)
-      val cent = lloydCentroids(e, LloydIters)
+      val cent = lloydCentroids(e, LloydIters, stratifiedSeedIds)
       val cells = e.crossJoin(broadcast(cent))
         .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
         .groupBy(col("vec_id"))
@@ -280,7 +306,7 @@ object Similarity extends QueryGroup {
     },
     Some(s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      ${lloydCentSql(LloydIters)},
+      ${lloydCentSql(LloydIters, stratifiedSeedSql)},
       assign AS (
         SELECT e.vec_id,
                min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid

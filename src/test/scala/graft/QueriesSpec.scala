@@ -61,8 +61,8 @@ class QueriesSpec extends SparkSpec {
   test("IVF knn: correctly ranked, and every hit lives in one of the query's probed cells") {
     assertRankedDescending("v3_knn_ivf")
     // agreement with brute force is partial by design (bounded probes);
-    // the 2-round Lloyd codebook at NProbe=16 measures 16/21 at sf0.1
-    // and 6/6 here — pin a deterministic ≥ 2/3 floor
+    // the 3-round Lloyd codebook over stratified seeds at NProbe=16
+    // measures 18/21 at sf0.1 — pin a deterministic ≥ 3/4 floor
     val brute = SparkEntry.queries("v1_knn_bruteforce")(spark, Sf)
       .filter(col("rank") === 1)
       .select("qid", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -70,8 +70,8 @@ class QueriesSpec extends SparkSpec {
       .filter(col("rank") === 1)
       .select("qid", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agree = ivf.count { case (q, v) => brute.get(q).contains(v) }
-    assert(agree * 3 >= ivf.size * 2,
-      s"IVF top-1 agreement $agree/${ivf.size} below the 2/3 floor")
+    assert(agree * 4 >= ivf.size * 3,
+      s"IVF top-1 agreement $agree/${ivf.size} below the 3/4 floor")
   }
 
   test("dedup: d1 groups are genuine duplicates (same token bag)") {
