@@ -27,7 +27,16 @@ object BenchEmbeddings {
 
     val latencyTexts = LongMemFixture.records.map(_.query).take(10)
 
-    val results = EmbeddingSla.DefaultBackends.map { b =>
+    // the committed precomputed-vector fixture rides along when present
+    // (real model vectors load through the same backend — see
+    // EmbeddingSla.PrecomputedBackend)
+    val fixture = "fixtures/longmem_vectors.parquet"
+    val backends = EmbeddingSla.DefaultBackends ++
+      (if (new java.io.File(fixture).exists())
+        Seq(EmbeddingSla.PrecomputedBackend("precomputed-trigram-256", fixture))
+      else Nil)
+
+    val results = backends.map { b =>
       // one untimed warmup embed so codegen compilation is not billed
       // to the first backend's p95
       EmbeddingSla.singleEmbedSamples(spark, b, latencyTexts.take(1), 1)

@@ -34,6 +34,17 @@ object EmbeddingSla {
   case object LexicalBaseline extends Backend { val name = "lexical-baseline" }
   /** Degenerate all-zero embedder (the reference's NoopEmbedding). */
   case object NoopBackend extends Backend { val name = "noop" }
+  /** Precomputed-vector backend: vectors arrive as DATA — a parquet of
+    * (id, doc_vec, query_vec) keyed by fixture record id — so quality
+    * is scored over real model output without any model runtime in the
+    * engine. This is the path that makes BASELINE.md's real-embedder
+    * rows (recall@1 0.739 nomic-embed / 0.689 ONNX MiniLM) reproducible
+    * here: export those models' vectors to parquet, point this backend
+    * at the file. The committed fixture
+    * (`fixtures/longmem_vectors.parquet`, [[MakeVectorFixture]]) is a
+    * deterministic 256-dim trigram-hash stand-in, honestly labeled —
+    * stronger than the 64-dim hash floor, not a model-parity claim. */
+  final case class PrecomputedBackend(name: String, path: String) extends Backend
 
   val DefaultBackends: Seq[Backend] =
     Seq(HashBackend(16), HashBackend(64), HashBackend(256), LexicalBaseline, NoopBackend)
@@ -84,6 +95,9 @@ object EmbeddingSla {
     case LexicalBaseline =>
       TextOps.jaccard(TextOps.tokenSet(docText), TextOps.tokenSet(qText))
     case NoopBackend => lit(0.0)
+    case _: PrecomputedBackend =>
+      // no text-side scorer exists: vectors are data, looked up by id
+      throw new IllegalArgumentException("precomputed backend scores by id lookup")
   }
 
   /** Retrieval quality over the bundled labeled fixture
@@ -112,6 +126,10 @@ object EmbeddingSla {
           .select("id", "emb").localCheckpoint(),
           queries.withColumn("qemb", Mnemo.hashEmbedding(col("query"), dim))
             .select("qid", "qemb").localCheckpoint())
+      case PrecomputedBackend(_, path) =>
+        val v = spark.read.parquet(path)
+        (v.select(col("id"), col("doc_vec").as("emb")).localCheckpoint(),
+          v.select(col("id").as("qid"), col("query_vec").as("qemb")).localCheckpoint())
       case _ =>
         (corpus.withColumn("toks", TextOps.tokenSet(col("content")))
           .select("id", "toks").localCheckpoint(),
@@ -119,7 +137,8 @@ object EmbeddingSla {
             .select("qid", "qtoks").localCheckpoint())
     }
     val pairScore = b match {
-      case _: HashBackend => VectorOps.cosineFast(col("emb"), col("qemb"))
+      case _: HashBackend | _: PrecomputedBackend =>
+        VectorOps.cosineFast(col("emb"), col("qemb"))
       case LexicalBaseline => TextOps.jaccard(col("toks"), col("qtoks"))
       case NoopBackend => lit(0.0)
     }
@@ -142,13 +161,25 @@ object EmbeddingSla {
   def singleEmbedSamples(spark: SparkSession, b: Backend,
       texts: Seq[String], reps: Int): Seq[Double] = {
     import spark.implicits._
-    for {
-      _ <- 1 to reps
-      t <- texts
-    } yield {
-      val t0 = System.nanoTime()
-      Seq(t).toDF("text").select(scoreCol(b, col("text"), col("text")).as("s")).collect()
-      (System.nanoTime() - t0) / 1e6
+    b match {
+      case PrecomputedBackend(_, path) =>
+        // the per-call cost a precomputed backend pays is a vector
+        // LOOKUP by id, not an embed — time exactly that
+        val v = spark.read.parquet(path).select("id", "query_vec").localCheckpoint()
+        val ids = texts.map(t => graft.LongMemFixture.records
+          .find(_.query == t).map(_.id)
+          .getOrElse(graft.LongMemFixture.records.head.id))
+        for { _ <- 1 to reps; id <- ids } yield {
+          val t0 = System.nanoTime()
+          v.filter(col("id") === id).collect()
+          (System.nanoTime() - t0) / 1e6
+        }
+      case _ =>
+        for { _ <- 1 to reps; t <- texts } yield {
+          val t0 = System.nanoTime()
+          Seq(t).toDF("text").select(scoreCol(b, col("text"), col("text")).as("s")).collect()
+          (System.nanoTime() - t0) / 1e6
+        }
     }
   }
 
@@ -156,10 +187,23 @@ object EmbeddingSla {
     * job (the amortized path real ingest uses) — one representation per
     * row, forced via its size so nothing is optimized away. */
   def batchThroughput(spark: SparkSession, sfDir: String, b: Backend): Double = {
+    // precomputed vectors are loaded, not computed: throughput is the
+    // parquet vector-load path over the fixture (45 rows — the number
+    // is a load-path sanity figure, not an embed rate)
+    b match {
+      case PrecomputedBackend(_, path) =>
+        val t0 = System.nanoTime()
+        val n = spark.read.parquet(path)
+          .agg(count(col("id")), sum(size(col("doc_vec")))).collect().head.getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        return if (sec == 0.0) 0.0 else n / sec
+      case _ => ()
+    }
     val repr: Column = b match {
       case HashBackend(dim) => size(Mnemo.hashEmbedding(col("text"), dim))
       case LexicalBaseline => size(TextOps.tokenSet(col("text")))
       case NoopBackend => lit(0)
+      case _: PrecomputedBackend => lit(0) // unreachable: handled above
     }
     val d = Tables.documents(spark, sfDir).select(col("text"))
     val t0 = System.nanoTime()

@@ -108,6 +108,23 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(metrics(fusedRanks) == (0.733333, 0.955556, 0.826755))
   }
 
+  // Precomputed-vector lane: vectors as DATA (parquet fixture), the
+  // path a user with real model embeddings (nomic-embed / ONNX MiniLM —
+  // BASELINE.md's 0.739 / 0.689 recall@1 rows) plugs into. The
+  // committed fixture is a deterministic 256-dim trigram-hash stand-in
+  // (eval/MakeVectorFixture), so this row demonstrates the plumbing and
+  // a stronger-than-floor representation — NOT model parity.
+  test("precomputed-vector lane quality pinned (trigram fixture, recall@1/@5 and MRR)") {
+    val vecs = spark.read.parquet("fixtures/longmem_vectors.parquet")
+    val d = vecs.select(col("id"), col("doc_vec"))
+    val q = vecs.select(col("id").as("qid"), col("query_vec"))
+    val preRanks = ranks(d.crossJoin(broadcast(q)).withColumn("score",
+      coalesce(VectorOps.cosineFast(col("doc_vec"), col("query_vec")), lit(0.0))))
+    // beside the floor rows above: semantic hash-64 recall@1 is 0.378;
+    // the precomputed lane reaches 0.933 through the same rank protocol
+    assert(metrics(preRanks) == (0.933333, 1.0, 0.962963))
+  }
+
   test("token efficiency: lean top-5 slice vs full history (est_tokens = ceil(chars/4))") {
     val est = ceil(length(col("content")).cast("double") / 4.0)
     val full = corpus.agg(sum(est)).collect()(0).getLong(0).toDouble
