@@ -27,11 +27,18 @@ object Mnemo {
 
   val EmbeddingDim = 64
 
-  /** Hash-bucket count of the maintained store layout (v3). 32 keeps
-    * buckets coarse at test scale; at cluster scale raise it so a
+  /** Hash-bucket count NEW stores are created with (v3 layout). 32
+    * keeps buckets coarse at test scale; at cluster scale raise it so a
     * bucket is O(100 MB–1 GB) — the manifest commit protocol is
     * unchanged. A point op on k ids reads and rewrites at most
-    * min(k, NumBuckets) buckets instead of the whole store. */
+    * min(k, buckets) buckets instead of the whole store.
+    *
+    * The count is persisted in the store manifest (`buckets=` key) at
+    * creation and every routing decision reads it back from there, so a
+    * store written under one compiled default stays correctly
+    * addressable by a build with a different default — raising this
+    * constant never mis-routes point ops on existing stores
+    * (StoreCompatSpec pins that). */
   val NumBuckets = 32
 
   /** Append segments a bucket may accumulate before the next append
@@ -40,9 +47,10 @@ object Mnemo {
   val MaxSegments = 8
 
   /** Bucket route of a memory id — the one hash both the writer and
-    * every point op must agree on. */
-  def bucketOf(id: Column): Column =
-    pmod(xxhash64(id), lit(NumBuckets)).cast("int")
+    * every point op must agree on. `n` comes from the store manifest
+    * for existing stores (never the compile-time default). */
+  def bucketOf(id: Column, n: Int = NumBuckets): Column =
+    pmod(xxhash64(id), lit(n)).cast("int")
 
   /** The AMP / memorywire memory-type vocabulary (mnemo-amp wire.rs). */
   val AmpMemoryTypes: Set[String] =
@@ -229,7 +237,8 @@ object Mnemo {
   * Single writer per store path (the reference's embedded-engine
   * discipline). Pre-v3 flat stores read as-is and migrate on their
   * first mutation. */
-final class MnemoStore(val spark: SparkSession, val path: String) {
+final class MnemoStore(val spark: SparkSession, val path: String,
+    newStoreBuckets: Int = Mnemo.NumBuckets) {
 
   import Mnemo._
 
@@ -252,13 +261,20 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
   // data; orphans are swept by the next commit's gc. Single writer per
   // store path, like the reference's embedded engine.
 
-  /** Parsed manifest: global generation counter + committed segment
-    * dirs (relative to the store root) per bucket. */
-  private case class StoreManifest(gen: Long, buckets: Map[Int, Seq[String]])
+  /** Parsed manifest: global generation counter, the bucket count the
+    * store was CREATED with (every routing decision uses this, never
+    * the compile-time default — see [[Mnemo.NumBuckets]]), and the
+    * committed segment dirs (relative to the store root) per bucket. */
+  private case class StoreManifest(gen: Long, numBuckets: Int,
+      buckets: Map[Int, Seq[String]])
 
   private def readStoreManifest(): Option[StoreManifest] =
     ManifestIO.read(path).map { m =>
+      // manifests written before the buckets= key existed all came from
+      // builds whose compiled constant was 32 — that default is exact,
+      // not a guess
       StoreManifest(m.getOrElse("gen", "0").toLong,
+        m.getOrElse("buckets", "32").toInt,
         m.collect { case (k, v) if k.startsWith("bucket.") =>
           k.stripPrefix("bucket.").toInt ->
             v.split(",").filter(_.nonEmpty).toSeq })
@@ -313,53 +329,91 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     recover()
     readStoreManifest() match {
       case Some(m) => readBuckets(m, m.buckets.keySet)
-      case None if legacyExists => spark.read.parquet(path)
+      case None if legacyExists =>
+        // a crashed migration may have left staged (never-published)
+        // nested dirs beside the flat files; reading the mix would fail
+        // partition discovery — sweep first, flat files are authoritative
+        sweepUnpublished()
+        spark.read.parquet(path)
       case None => emptyTable()
     }
   }
 
   /** Buckets a set of ids hashes into, computed through the SAME Spark
     * expression the writer routes with (one tiny local-relation job —
-    * no file reads). */
-  private def bucketsOf(ids: Seq[String]): Set[Int] = {
+    * no file reads). `n` must be the manifest's bucket count. */
+  private def bucketsOf(ids: Seq[String], n: Int): Set[Int] = {
     import spark.implicits._
     if (ids.isEmpty) Set.empty
-    else ids.toDF("id").select(Mnemo.bucketOf(col("id")).as("b"))
+    else ids.toDF("id").select(Mnemo.bucketOf(col("id"), n).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
   }
 
   /** Manifest to mutate against, migrating a legacy flat store first:
-    * the flat dir is re-bucketed into `g1/r/bucket=k` dirs, committed
-    * with one manifest rename, then the absorbed root files are swept
-    * (readers already go through the manifest; a crash mid-sweep just
-    * leaves ignored files for the next commit's sweep). */
+    * the flat dir is re-bucketed under the Spark-hidden staging dir
+    * `_mig` (hidden names never confuse a concurrent flat read), then
+    * atomically renamed to `g1` immediately before the manifest commit.
+    * Any crash before the manifest write leaves the flat files
+    * authoritative and the staged dirs unpublished — the next open
+    * sweeps them ([[sweepUnpublished]]) and re-migrates; after the
+    * manifest write, readers go through the manifest and the absorbed
+    * root files are swept (idempotently re-swept by later commits if
+    * that sweep itself crashes). No crash point makes committed data
+    * unreachable. */
   private def migrateIfLegacy(): StoreManifest = {
     recover()
     readStoreManifest().getOrElse {
-      if (!legacyExists) StoreManifest(0L, Map.empty)
+      sweepUnpublished()
+      if (!legacyExists) StoreManifest(0L, newStoreBuckets, Map.empty)
       else {
+        val n = newStoreBuckets
         val flat = spark.read.parquet(path)
-        flat.withColumn("bucket", Mnemo.bucketOf(col("id")))
+        flat.withColumn("bucket", Mnemo.bucketOf(col("id"), n))
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-          .parquet(s"$path/g1/r")
-        val buckets = presentBuckets(1L, "r")
+          .parquet(s"$path/_mig/r")
+        val buckets = presentBuckets("_mig", "r")
           .map(k => k -> Seq(s"g1/r/bucket=$k")).toMap
-        writeStoreManifest(StoreManifest(1L, buckets))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(path, "_mig"),
+          java.nio.file.Paths.get(path, "g1"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val m = StoreManifest(1L, n, buckets)
+        writeStoreManifest(m)
         sweepLegacyFiles()
-        StoreManifest(1L, buckets)
+        m
       }
     }
   }
 
+  /** Delete staged/never-published nested dirs (`_mig`, `g*`) left by a
+    * migration that crashed before its manifest commit. Only ever
+    * called when NO manifest exists — with no manifest, no nested dir
+    * was ever published, so the flat root files are authoritative. */
+  private def sweepUnpublished(): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val ls = java.nio.file.Files.list(root)
+    try ls.iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .filter { d =>
+        val nm = d.getFileName.toString
+        nm == "_mig" || nm.matches("g\\d+")
+      }
+      .toList
+      .foreach(ManifestIO.deleteRecursively)
+    finally ls.close()
+  }
+
   private def writeStoreManifest(m: StoreManifest): Unit =
     ManifestIO.write(path,
-      Map("version" -> "3", "gen" -> m.gen.toString) ++
+      Map("version" -> "3", "gen" -> m.gen.toString,
+        "buckets" -> m.numBuckets.toString) ++
         m.buckets.map { case (k, v) => s"bucket.$k" -> v.mkString(",") })
 
   /** Bucket subdirs a just-finished write actually produced (a local
     * listing — exact, and cheaper than a count job per bucket). */
-  private def presentBuckets(gen: Long, sub: String): Set[Int] = {
-    val d = java.nio.file.Paths.get(path, s"g$gen", sub)
+  private def presentBuckets(top: String, sub: String): Set[Int] = {
+    val d = java.nio.file.Paths.get(path, top, sub)
     if (!java.nio.file.Files.isDirectory(d)) Set.empty
     else {
       val ls = java.nio.file.Files.list(d)
@@ -398,13 +452,13 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
       replaced: Option[DataFrame], appended: Option[DataFrame]): Unit = {
     val gen = m.gen + 1
     def writeSeg(df: DataFrame, sub: String): Unit =
-      df.withColumn("bucket", Mnemo.bucketOf(col("id")))
+      df.withColumn("bucket", Mnemo.bucketOf(col("id"), m.numBuckets))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$path/g$gen/$sub")
     replaced.foreach(writeSeg(_, "r"))
     appended.foreach(writeSeg(_, "a"))
-    val rset = if (replaced.isDefined) presentBuckets(gen, "r") else Set.empty[Int]
-    val aset = if (appended.isDefined) presentBuckets(gen, "a") else Set.empty[Int]
+    val rset = if (replaced.isDefined) presentBuckets(s"g$gen", "r") else Set.empty[Int]
+    val aset = if (appended.isDefined) presentBuckets(s"g$gen", "a") else Set.empty[Int]
     val buckets = (m.buckets.keySet ++ rset ++ aset).map { k =>
       val base =
         if (replaceBuckets(k)) {
@@ -413,19 +467,22 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
       val app = if (aset(k)) Seq(s"g$gen/a/bucket=$k") else Nil
       k -> (base ++ app)
     }.filter(_._2.nonEmpty).toMap
-    writeStoreManifest(StoreManifest(gen, buckets))
+    writeStoreManifest(StoreManifest(gen, m.numBuckets, buckets))
     val liveTops = buckets.values.flatten.map(_.takeWhile(_ != '/')).toSet
     ManifestIO.gc(path, liveTops)
     sweepLegacyFiles()
   }
 
   /** Bucket-pruned conditional rewrite: fold the touched buckets'
-    * segments, apply `f`, replace only those buckets. `touched = None`
-    * means every bucket (tag-addressed ops like [[forgetSubject]]). */
-  private def mutateBuckets(touched: Option[Set[Int]])(
+    * segments, apply `f`, replace only those buckets. `touched` is
+    * computed AGAINST the live manifest (so id→bucket routing always
+    * uses the persisted bucket count, never the compiled default);
+    * `_ => None` means every bucket (tag-addressed ops like
+    * [[forgetSubject]]). */
+  private def mutateBuckets(touched: StoreManifest => Option[Set[Int]])(
       f: DataFrame => DataFrame): Unit = {
     val m = migrateIfLegacy()
-    val ks = touched.map(_.intersect(m.buckets.keySet))
+    val ks = touched(m).map(_.intersect(m.buckets.keySet))
       .getOrElse(m.buckets.keySet)
     if (ks.isEmpty) return // no targeted bucket holds data: nothing to do
     commitWrite(m, ks, Some(f(readBuckets(m, ks))), None)
@@ -440,7 +497,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
         case (k, segs) if segs.length > Mnemo.MaxSegments => k
       }.toSet)
       .getOrElse(Set.empty)
-    if (over.nonEmpty) mutateBuckets(Some(over))(identity)
+    if (over.nonEmpty) mutateBuckets(_ => Some(over))(identity)
   }
 
   /** REMEMBER a batch: enrich → chain per (agent, thread) continuing
@@ -503,7 +560,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * as-of recall and audits keep working (T1/S4). Rewrites only the
     * buckets the ids hash into. */
   def forget(agentId: String, ids: Seq[String], at: Timestamp): Unit =
-    mutateBuckets(Some(bucketsOf(ids)))(_.withColumn("deleted_at",
+    mutateBuckets(m => Some(bucketsOf(ids, m.numBuckets)))(_.withColumn("deleted_at",
       when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*) &&
         col("deleted_at").isNull, lit(at)).otherwise(col("deleted_at"))))
 
@@ -513,7 +570,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * accumulated touch-set MERGE of SURVEY S7). */
   def touch(ids: Seq[String]): Unit = {
     val hit = col("id").isin(ids.map(lit): _*)
-    mutateBuckets(Some(bucketsOf(ids)))(_.withColumn("access_count",
+    mutateBuckets(m => Some(bucketsOf(ids, m.numBuckets)))(_.withColumn("access_count",
       when(hit, col("access_count") + 1).otherwise(col("access_count"))))
   }
 
@@ -526,7 +583,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     val hit = array_contains(col("tags"), subjectTag) && !col("redacted")
     // tag-addressed, not id-addressed: any bucket may hold a match, so
     // this is the one point op that legitimately rewrites every bucket
-    mutateBuckets(None)(_
+    mutateBuckets(_ => None)(_
       .withColumn("content", when(hit, "[REDACTED]").otherwise(col("content")))
       .withColumn("deleted_at", when(hit && col("deleted_at").isNull, lit(at))
         .otherwise(col("deleted_at")))
@@ -581,10 +638,10 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
       // flip originals first (reads the store), then append bundles;
       // the flip is id-addressed, so only the members' buckets rewrite
       val members = clusters.select(explode(col("member_ids")).as("mid"))
-      val memberBuckets = members
-        .select(Mnemo.bucketOf(col("mid")).as("b")).distinct()
+      def memberBuckets(n: Int): Set[Int] = members
+        .select(Mnemo.bucketOf(col("mid"), n).as("b")).distinct()
         .collect().map(_.getInt(0)).toSet
-      mutateBuckets(Some(memberBuckets))(_
+      mutateBuckets(m => Some(memberBuckets(m.numBuckets)))(_
         .join(broadcast(members), col("id") === col("mid"), "left")
         .withColumn("tags",
           when(col("mid").isNotNull,
@@ -1091,7 +1148,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     val chained = enrichChain(reqFrame(Seq(consolidated.copy(
       tags = consolidated.tags ++ sourceIds.map(i => s"merged:$i")))))
     val m = migrateIfLegacy()
-    val ks = bucketsOf(sourceIds).intersect(m.buckets.keySet)
+    val ks = bucketsOf(sourceIds, m.numBuckets).intersect(m.buckets.keySet)
     val tombstoned = readBuckets(m, ks).withColumn("deleted_at",
       when(col("agent_id") === consolidated.agentId &&
         col("id").isin(sourceIds.map(lit): _*) && col("deleted_at").isNull,
@@ -1105,7 +1162,7 @@ final class MnemoStore(val spark: SparkSession, val path: String) {
     * TTL sweep (T4/S12 semantics) and the recall predicate's expiry leg
     * take it from there. */
   def ampExpire(agentId: String, ids: Seq[String], expiresAt: Timestamp): Unit =
-    mutateBuckets(Some(bucketsOf(ids)))(_.withColumn("expires_at",
+    mutateBuckets(m => Some(bucketsOf(ids, m.numBuckets)))(_.withColumn("expires_at",
       when(col("agent_id") === agentId && col("id").isin(ids.map(lit): _*),
         lit(expiresAt)).otherwise(col("expires_at"))))
 }

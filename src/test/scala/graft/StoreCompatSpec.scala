@@ -264,6 +264,70 @@ class StoreCompatSpec extends SparkSpec {
     assert(store.table().count() == rows)
   }
 
+  test("store keeps its creation-time bucket count: point ops route correctly under a different compiled default") {
+    // a store created with buckets=8 (simulating an old build, or a
+    // cluster-scale deployment that raised the constant) must stay
+    // correctly addressable by a build whose default is 32 — routing
+    // reads the manifest's buckets= key, never the compiled constant
+    val dir = Files.createTempDirectory("compat-buckets").toFile
+    dir.delete()
+    val writer = new graft.api.MnemoStore(spark, dir.getAbsolutePath, newStoreBuckets = 8)
+    writer.remember((0 until 64).map(i =>
+      RememberRequest(f"id-$i%03d", "alice", "t1", s"content number $i",
+        createdAt = ts("2024-01-01 10:00:00"))))
+    val m0 = ManifestIO.read(dir.getAbsolutePath).get
+    assert(m0("buckets") == "8")
+    assert(m0.keys.count(_.startsWith("bucket.")) <= 8)
+
+    // reopen under the CURRENT compiled default (32)
+    val reader = Mnemo.open(spark, dir.getAbsolutePath)
+    assert(reader.table().count() == 64)
+    val before = fileMap(dir.getAbsolutePath)
+    reader.forget("alice", Seq("id-000"), ts("2024-02-01 00:00:00"))
+    // the tombstone LANDED — under constant-based routing with a
+    // different default this silently no-ops (the redaction-safety bug)
+    assert(reader.table().filter("id = 'id-000' AND deleted_at IS NOT NULL").count() == 1)
+    val m1 = ManifestIO.read(dir.getAbsolutePath).get
+    assert(m1("buckets") == "8", "bucket count must survive mutations")
+    // still bucket-pruned: exactly one bucket rewritten, survivors untouched
+    val touched = m0.collect {
+      case (k, v) if k.startsWith("bucket.") && !m1.get(k).contains(v) => k
+    }.toSet
+    assert(touched.size == 1, s"exactly one bucket should be rewritten, got $touched")
+    val after = fileMap(dir.getAbsolutePath)
+    before.keySet.intersect(after.keySet)
+      .foreach(f => assert(before(f) == after(f), s"file $f changed size"))
+  }
+
+  test("crashed legacy migration (staged dirs, no manifest) self-heals: flat files stay authoritative") {
+    val donor = freshStore()
+    seed(donor)
+    val legacyDir = Files.createTempDirectory("compat-crash").toFile
+    legacyDir.delete()
+    val legacy = legacyDir.getAbsolutePath
+    donor.table().write.parquet(legacy)
+
+    // crash window A: staging dir written, rename never happened
+    import spark.implicits._
+    Seq(("junk", "x")).toDF("id", "content").write.parquet(s"$legacy/_mig/r/bucket=0")
+    // crash window B: rename happened, manifest write never did
+    Seq(("junk2", "y")).toDF("id", "content").write.parquet(s"$legacy/g1/r/bucket=0")
+    assert(ManifestIO.read(legacy).isEmpty)
+
+    val store = Mnemo.open(spark, legacy)
+    // reads sweep the unpublished dirs and serve the flat files
+    assert(store.table().count() == 2)
+    assert(store.table().filter("id IN ('junk','junk2')").count() == 0)
+    assert(!Files.exists(Paths.get(legacy, "_mig")))
+    assert(!Files.exists(Paths.get(legacy, "g1")))
+    // the retried migration then completes normally
+    store.forget("alice", Seq("m1"), ts("2024-03-01 00:00:00"))
+    assert(ManifestIO.read(legacy).get("version") == "3")
+    assert(store.table().count() == 2)
+    assert(store.table().filter("id = 'm1' AND deleted_at IS NOT NULL").count() == 1)
+    assert(store.verifyChains().filter("NOT chain_valid").count() == 0)
+  }
+
   test("manifest write is an atomic replace: a reader mid-commit sees old or new, never partial") {
     val dir = Files.createTempDirectory("manifest-io").toString
     ManifestIO.write(dir, Map("version" -> "1", "data" -> "g1"))
