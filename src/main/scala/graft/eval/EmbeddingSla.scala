@@ -166,9 +166,13 @@ object EmbeddingSla {
         // the per-call cost a precomputed backend pays is a vector
         // LOOKUP by id, not an embed — time exactly that
         val v = spark.read.parquet(path).select("id", "query_vec").localCheckpoint()
+        // a text with no fixture match means the harness is miswired —
+        // fail loudly rather than silently timing a lookup for some
+        // other id (which would also mix apples into the SLO numbers)
         val ids = texts.map(t => graft.LongMemFixture.records
           .find(_.query == t).map(_.id)
-          .getOrElse(graft.LongMemFixture.records.head.id))
+          .getOrElse(throw new IllegalArgumentException(
+            s"latency text is not a fixture query: '${t.take(60)}'")))
         for { _ <- 1 to reps; id <- ids } yield {
           val t0 = System.nanoTime()
           v.filter(col("id") === id).collect()

@@ -93,7 +93,7 @@ object Similarity extends QueryGroup {
 
   private val stratifiedSeedSql =
     s"""SELECT min(struct_pack(m := md5(CAST(vec_id AS VARCHAR)), cid := vec_id)).cid AS cid
-        FROM (SELECT vec_id, ${VectorOps.hyperplaneBucketSql("v", 64, 6)} AS hb FROM e)
+        FROM (SELECT vec_id, ${VectorOps.hyperplaneBucketSql("v", 64, SeedPlanes)} AS hb FROM e)
         GROUP BY hb"""
 
   /** Scale-safe argmin: pick each group's best id WITHOUT window-ranking
