@@ -390,5 +390,173 @@ object Trust extends QueryGroup {
       GROUP BY ledger_id
       ORDER BY ledger_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
+  /** w8: payload-forge detection over the x15 deal-ledger frame — the
+    * reference's OTHER disclosed audit gap (BASELINE.md: payload-only
+    * forge not caught; dispute.rs:23-42 only recomputes links). Three
+    * attacker tiers on disjoint deal subsets, each relinking the chain
+    * downstream of its edit (the strongest version of each attacker):
+    *
+    *  - `keyless`: edits stored terms and recomputes content hash + mac
+    *    WITHOUT the signing key. The verify walk recomputes
+    *    canonical(terms) with the true key → caught row-level, because
+    *    the canonical hash is keyed (the reference's gap is only real
+    *    when envelopes are unkeyed — ours are).
+    *  - `keyed_head`: attacker HAS the key and rewrites the newest
+    *    envelope (the economically interesting forge: final terms).
+    *    Every link re-verifies, so the walk passes — caught ONLY by the
+    *    w7 signing-time registration (the head hash on record no longer
+    *    matches the observed head).
+    *  - `keyed_mid`: attacker has the key, rewrites a mid-chain
+    *    envelope and relinks the suffix. The walk passes AND the
+    *    (length, head-hash) registration passes — `n_undetected` > 0 is
+    *    this query REPORTING ITS OWN detection boundary: content
+    *    hashes cover single envelopes, so the head hash does not commit
+    *    to interior rows. Closing it needs a recursively-accumulated
+    *    chain digest (or per-envelope countersignatures) registered
+    *    out-of-band — a different trust anchor, documented here rather
+    *    than faked.
+    *
+    * Scale: one ordered window pass (offsets, relink lag) + one
+    * unordered ledger window (registration heads) + one hash aggregate;
+    * no joins. */
+  private val q6 = QueryDef(
+    "w8_payload_forge",
+    (s, dir) => {
+      import graft.functions.HashChain
+      val key = "deal-ledger-key"
+      val w = Window.partitionBy(col("ledger_id")).orderBy(col("signed_at"), col("deal_id"))
+      val wl = Window.partitionBy(col("ledger_id"))
+      def canonicalWith(k: String, terms: Column) = sha2(concat_ws(HashChain.Sep,
+        lit(k), col("deal_id").cast("string"), col("buyer"), col("seller"),
+        terms.cast("string"), col("signed_at").cast("string")), 256)
+      def canonical(terms: Column) = canonicalWith(key, terms)
+      val signed = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(
+          col("o_orderkey").as("deal_id"),
+          (col("o_custkey") % 16).as("ledger_id"),
+          concat(lit("agent-"), col("o_custkey")).as("buyer"),
+          concat(lit("agent-"), col("o_orderkey") % 997).as("seller"),
+          col("o_totalprice").cast("decimal(12,2)").as("terms"),
+          col("o_orderdate").cast("date").as("signed_at"))
+        .withColumn("content_hash", canonical(col("terms")))
+        .withColumn("deal_offset", (row_number().over(w) - 1).cast("bigint"))
+        .withColumn("reg_len",
+          max(col("deal_offset")).over(wl) + 1)
+        .withColumn("tier",
+          when(col("deal_id") % 29 === 0, "keyless")
+            .when(col("ledger_id") % 5 === 1 &&
+              col("deal_offset") === col("reg_len") - 1, "keyed_head")
+            .when(col("ledger_id") % 5 === 2 && col("deal_offset") === 1, "keyed_mid")
+            .otherwise("none"))
+        .withColumn("observed_terms",
+          when(col("tier") =!= "none", col("terms") + lit(0.01))
+            .otherwise(col("terms")).cast("decimal(12,2)"))
+        .withColumn("observed_content",
+          when(col("tier") === "keyless",
+            canonicalWith("stolen-guess", col("observed_terms")))
+            .when(col("tier").isin("keyed_head", "keyed_mid"),
+              canonical(col("observed_terms")))
+            .otherwise(col("content_hash")))
+        .withColumn("observed_prev",
+          coalesce(lag(col("observed_content"), 1).over(w), lit("")))
+        .withColumn("observed_mac",
+          sha2(concat(col("observed_content"), col("observed_prev")), 256))
+      val verified = signed
+        // the verify walk: recompute the keyed canonical over observed
+        // payloads, re-derive the mac over observed linkage (dispute.rs's
+        // two checks — the mac leg passes against a relinking attacker,
+        // which is exactly why the canonical leg must be keyed)
+        .withColumn("walk_flag",
+          canonical(col("observed_terms")) =!= col("observed_content") ||
+            col("observed_mac") =!=
+              sha2(concat(col("observed_content"), col("observed_prev")), 256))
+        // the w7 signing-time registration: head hash on record vs head
+        // hash observed (length is unchanged by a pure payload forge)
+        .withColumn("reg_head",
+          max(struct(col("deal_offset"), col("content_hash"))).over(wl)
+            .getField("content_hash"))
+        .withColumn("obs_head",
+          max(struct(col("deal_offset"), col("observed_content"))).over(wl)
+            .getField("observed_content"))
+        .withColumn("reg_caught", col("obs_head") =!= col("reg_head"))
+      verified.groupBy("ledger_id")
+        .agg(
+          count(lit(1)).as("n_deals"),
+          count(when(col("tier") =!= "none", 1)).as("n_forged"),
+          count(when(col("walk_flag"), 1)).as("n_walk_caught"),
+          min(when(col("walk_flag"), col("deal_offset"))).as("walk_first_offset"),
+          (max(when(col("reg_caught"), 1).otherwise(0)) === 1).as("registration_caught"),
+          count(when(col("tier") =!= "none" && !col("walk_flag") &&
+            !col("reg_caught"), 1)).as("n_undetected"))
+        .orderBy("ledger_id")
+    },
+    Some("""
+      WITH deals AS (
+        SELECT o_orderkey AS deal_id,
+               o_custkey % 16 AS ledger_id,
+               'agent-' || CAST(o_custkey AS VARCHAR) AS buyer,
+               'agent-' || CAST(o_orderkey % 997 AS VARCHAR) AS seller,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS terms,
+               CAST(o_orderdate AS DATE) AS signed_at
+        FROM orders WHERE o_orderkey % 13 = 0),
+      signed AS (
+        SELECT *,
+               sha256('deal-ledger-key' || chr(1) || CAST(deal_id AS VARCHAR) || chr(1) || buyer
+                 || chr(1) || seller || chr(1) || CAST(terms AS VARCHAR)
+                 || chr(1) || CAST(signed_at AS VARCHAR)) AS content_hash,
+               CAST(ROW_NUMBER() OVER (PARTITION BY ledger_id ORDER BY signed_at, deal_id) - 1 AS BIGINT) AS deal_offset
+        FROM deals),
+      bounded AS (
+        SELECT *,
+               MAX(deal_offset) OVER (PARTITION BY ledger_id) + 1 AS reg_len
+        FROM signed),
+      tiered AS (
+        SELECT *,
+               CASE WHEN deal_id % 29 = 0 THEN 'keyless'
+                    WHEN ledger_id % 5 = 1 AND deal_offset = reg_len - 1 THEN 'keyed_head'
+                    WHEN ledger_id % 5 = 2 AND deal_offset = 1 THEN 'keyed_mid'
+                    ELSE 'none' END AS tier
+        FROM bounded),
+      observed AS (
+        SELECT *,
+               CAST(CASE WHEN tier <> 'none' THEN terms + 0.01 ELSE terms END AS DECIMAL(12,2)) AS observed_terms
+        FROM tiered),
+      forged AS (
+        SELECT *,
+               CASE WHEN tier = 'keyless'
+                 THEN sha256('stolen-guess' || chr(1) || CAST(deal_id AS VARCHAR) || chr(1) || buyer
+                   || chr(1) || seller || chr(1) || CAST(observed_terms AS VARCHAR)
+                   || chr(1) || CAST(signed_at AS VARCHAR))
+                 WHEN tier IN ('keyed_head', 'keyed_mid')
+                 THEN sha256('deal-ledger-key' || chr(1) || CAST(deal_id AS VARCHAR) || chr(1) || buyer
+                   || chr(1) || seller || chr(1) || CAST(observed_terms AS VARCHAR)
+                   || chr(1) || CAST(signed_at AS VARCHAR))
+                 ELSE content_hash END AS observed_content
+        FROM observed),
+      linked AS (
+        SELECT *,
+               COALESCE(LAG(observed_content) OVER (PARTITION BY ledger_id ORDER BY signed_at, deal_id), '') AS observed_prev
+        FROM forged),
+      verified AS (
+        SELECT *,
+               sha256(observed_content || observed_prev) AS observed_mac,
+               (sha256('deal-ledger-key' || chr(1) || CAST(deal_id AS VARCHAR) || chr(1) || buyer
+                 || chr(1) || seller || chr(1) || CAST(observed_terms AS VARCHAR)
+                 || chr(1) || CAST(signed_at AS VARCHAR)) <> observed_content) AS walk_flag,
+               (MAX(struct_pack(o := deal_offset, h := content_hash)) OVER (PARTITION BY ledger_id)).h AS reg_head,
+               (MAX(struct_pack(o := deal_offset, h := observed_content)) OVER (PARTITION BY ledger_id)).h AS obs_head
+        FROM linked)
+      SELECT ledger_id,
+             COUNT(*) AS n_deals,
+             COUNT(CASE WHEN tier <> 'none' THEN 1 END) AS n_forged,
+             COUNT(CASE WHEN walk_flag THEN 1 END) AS n_walk_caught,
+             MIN(CASE WHEN walk_flag THEN deal_offset END) AS walk_first_offset,
+             MAX(CASE WHEN obs_head <> reg_head THEN 1 ELSE 0 END) = 1 AS registration_caught,
+             COUNT(CASE WHEN tier <> 'none' AND NOT walk_flag AND obs_head = reg_head THEN 1 END) AS n_undetected
+      FROM verified
+      GROUP BY ledger_id
+      ORDER BY ledger_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
 }

@@ -147,4 +147,19 @@ class PlanSpec extends SparkSpec {
         s"$n: no non-equi join anywhere in a chain replay")
     }
   }
+
+  test("w7/w8: ledger audits are window passes + one aggregate — no join of any kind") {
+    // w7 registers (length, head hash) and w8 adds forge tiers; both
+    // must stay single-scan: ordered window for offsets/relink, the
+    // unordered ledger window for registration heads, one aggregate
+    Seq("w7_tail_truncation", "w8_payload_forge").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("Window"), s"$n: offsets/registration must be window passes")
+      // struct-valued min/max buffers sort-aggregate; the shape pin is
+      // "an aggregate", not which physical aggregate Spark picks
+      assert(p.contains("Aggregate"), s"$n: per-ledger report must be one aggregate")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"$n: ledger audit must not join — the registration rides the same scan")
+    }
+  }
 }

@@ -85,6 +85,34 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("w8: keyless forges are walk-caught; keyed head forges only registration-caught; keyed mid-chain forges are the reported detection boundary") {
+    val rows = SparkEntry.queries("w8_payload_forge")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val forgedTotal = rows.map(_.getAs[Long]("n_forged")).sum
+    assert(forgedTotal > 0, "fixture produced no forges")
+    // the boundary is real AND reported: some keyed mid-chain forge
+    // evades both the walk and the (length, head-hash) registration
+    assert(rows.map(_.getAs[Long]("n_undetected")).sum > 0,
+      "expected the keyed mid-chain tier to evade detection (the documented gap)")
+    rows.foreach { r =>
+      val lid = r.getAs[Long]("ledger_id")
+      // a ledger never catches more than it was forged
+      assert(r.getAs[Long]("n_walk_caught") <= r.getAs[Long]("n_forged"), s"ledger $lid")
+      // undetected forges occur ONLY in the keyed mid-chain tier
+      // (ledger_id % 5 == 2): keyless is always walk-caught (the
+      // canonical hash is keyed), and a keyed HEAD forge always flips
+      // the registered head hash
+      if (r.getAs[Long]("n_undetected") > 0)
+        assert(lid % 5 == 2,
+          s"ledger $lid: undetected forge outside the keyed_mid tier")
+    }
+    // at least one keyed-head ledger demonstrates registration-only
+    // detection: walk missed a forge, registration caught the ledger
+    assert(rows.exists(r => r.getAs[Boolean]("registration_caught") &&
+      r.getAs[Long]("n_walk_caught") < r.getAs[Long]("n_forged")),
+      "no ledger exhibits registration-only detection of a keyed head forge")
+  }
+
   test("hash chain query: per user, exactly one chain head and each prev_hash is another row's content_hash") {
     val rows = SparkEntry.queries("w4_hash_chain")(spark, Sf).collect()
     rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
