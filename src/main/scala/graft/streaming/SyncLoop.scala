@@ -148,14 +148,28 @@ object SyncLoop {
     * partitions, commits store + watermark + batch id in one atomic
     * manifest rename. Safe to call again with the same id (no-op). */
   def applyBatch(batch: DataFrame, storePath: String, batchId: Long,
-      epoch: String = ""): Unit = {
-    val spark = batch.sparkSession
+      epoch: String = ""): Unit =
+    applyCore(batch, storePath, batchId, epoch, partOf(col("user_id")),
+      parts => readProfiles(batch.sparkSession, storePath, parts), merge)
+
+  /** The store-agnostic half of [[applyBatch]] — the watermark filter,
+    * touched-bucket discovery, bucket-pruned MERGE, and the single
+    * atomic manifest commit, shared by the profile store and the
+    * embedding-baseline store (A7). `part` must be a column expression
+    * valid over BOTH the batch rows and the merged output (the key
+    * column is present in each); `readState` reads only the requested
+    * buckets; `mergeFn(state, freshRows)` produces the replacement
+    * content of the touched buckets. */
+  private def applyCore(batch: DataFrame, storePath: String, batchId: Long,
+      epoch: String, part: org.apache.spark.sql.Column,
+      readState: Option[Set[Int]] => DataFrame,
+      mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     val prev = readManifest(storePath)
     // replayed batch of the SAME query incarnation: already committed
     if (prev.exists(m => m.epoch == epoch && m.batchId >= batchId)) return
     val fresh = prev.map(m => batch.filter(col("ts") > m.watermark)).getOrElse(batch)
     // touched buckets + batch high-water in ONE small aggregate pass
-    val stats = fresh.groupBy(partOf(col("user_id")).as("part"))
+    val stats = fresh.groupBy(part.as("part"))
       .agg(max(col("ts")).as("mx")).collect()
     if (stats.isEmpty) {
       // nothing fresh: still commit the batch id so a replay is a no-op
@@ -165,8 +179,8 @@ object SyncLoop {
     }
     val touched = stats.map(_.getInt(0)).toSet
     val highWater = stats.map(_.getLong(1)).max
-    val merged = merge(readProfiles(spark, storePath, Some(touched)), fresh)
-      .withColumn("part", partOf(col("user_id")))
+    val merged = mergeFn(readState(Some(touched)), fresh)
+      .withColumn("part", part)
     val rel = s"data/b$batchId"
     merged.write.mode("overwrite").partitionBy("part")
       .parquet(s"$storePath/$rel")
@@ -203,6 +217,111 @@ object SyncLoop {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, storePath, batchId, epoch = checkpointDir)
+      }
+      .start()
+
+  // ---- A7: incrementally-maintained embedding baseline ----
+  //
+  // The reference updates each agent's (μ, diag Σ, n) embedding profile
+  // on every write (anomaly/outlier.rs:104-251); batch graft computes it
+  // as one aggregate (EmbeddingBaselineAggregator, the l4 lane). The
+  // streaming maintenance below keeps the SAME state the aggregator's
+  // buffer holds — (n, Σx, Σx²) per (group, dimension) — in a
+  // hash-bucketed store driven by the identical manifest-commit
+  // protocol as the profile MERGE. Sums ride DECIMAL(38,12): decimal
+  // addition is exact and associative, so N micro-batches land
+  // bit-identically with a one-shot recompute over the same rows
+  // (StreamingSpec pins the equality), where double sums would drift
+  // with grouping order. Input contract per row:
+  // (group_id STRING, ts LONG epoch-micros, embedding ARRAY<FLOAT>).
+
+  def baselinePartOf(groupCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(groupCol), lit(NumParts)).cast("int")
+
+  private val BaselineSchema =
+    "group_id STRING, dim INT, n LONG, s DECIMAL(38,12), s2 DECIMAL(38,12)"
+
+  /** Empty baseline store frame (schema anchor). */
+  def emptyBaselines(spark: SparkSession): DataFrame =
+    spark.range(0).select(
+      col("id").cast("string").as("group_id"),
+      lit(0).as("dim"),
+      lit(0L).as("n"),
+      lit(null).cast("decimal(38,12)").as("s"),
+      lit(null).cast("decimal(38,12)").as("s2"))
+
+  /** Per-(group, dim) additive aggregate of one micro-batch of
+    * vectors. x² is computed per element in double (deterministic per
+    * row), then cast to decimal so the SUM is order-independent. */
+  def aggBaselineBatch(batch: DataFrame): DataFrame =
+    batch.select(col("group_id"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .groupBy("group_id", "dim")
+      .agg(
+        count(lit(1)).as("b_n"),
+        sum(col("x").cast("decimal(38,12)")).as("b_s"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("b_s2"))
+
+  /** MERGE a micro-batch of vectors into the baseline state: one
+    * full-outer join on (group, dim), additive per column — the
+    * streaming twin of [[graft.functions.EmbeddingBaselineAggregator]]'s
+    * `merge`. */
+  def mergeBaselines(state: DataFrame, batch: DataFrame): DataFrame =
+    state.join(aggBaselineBatch(batch), Seq("group_id", "dim"), "full_outer")
+      .select(col("group_id"), col("dim"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0).cast("decimal(38,12)")) +
+          coalesce(col("b_s"), lit(0).cast("decimal(38,12)")))
+          .cast("decimal(38,12)").as("s"),
+        (coalesce(col("s2"), lit(0).cast("decimal(38,12)")) +
+          coalesce(col("b_s2"), lit(0).cast("decimal(38,12)")))
+          .cast("decimal(38,12)").as("s2"))
+
+  /** Read the committed baseline state, path-pruned to `parts`. */
+  def readBaselines(spark: SparkSession, storePath: String,
+      parts: Option[Set[Int]] = None): DataFrame =
+    readManifest(storePath) match {
+      case None => emptyBaselines(spark)
+      case Some(m) =>
+        val dirs = m.parts
+          .filter { case (k, _) => parts.forall(_.contains(k)) }
+          .map { case (k, v) => s"$storePath/$v/part=$k" }
+          .toSeq
+        if (dirs.isEmpty) emptyBaselines(spark)
+        else spark.read.schema(BaselineSchema).parquet(dirs: _*)
+    }
+
+  /** The (μ, σ², n) consumer view of the baseline state — what the
+    * z-score outlier pass (X11/l4) joins against. Derived, never
+    * stored: the stored sums stay exact and re-derivable. */
+  def baselineView(spark: SparkSession, storePath: String): DataFrame = {
+    val mu = (col("s") / col("n")).cast("double")
+    readBaselines(spark, storePath)
+      .filter(col("n") > 0)
+      .select(col("group_id"), col("dim"), col("n"),
+        mu.as("mu"),
+        greatest(lit(0.0),
+          (col("s2") / col("n")).cast("double") - mu * mu).as("var"))
+  }
+
+  /** Apply one micro-batch of vectors to the baseline store — same
+    * idempotence, watermark, and atomic-commit contract as
+    * [[applyBatch]]. */
+  def applyBaselineBatch(batch: DataFrame, storePath: String, batchId: Long,
+      epoch: String = ""): Unit =
+    applyCore(batch, storePath, batchId, epoch, baselinePartOf(col("group_id")),
+      parts => readBaselines(batch.sparkSession, storePath, parts),
+      mergeBaselines)
+
+  /** Attach the foreachBatch baseline-MERGE loop to a streaming vector
+    * frame (A7's write-path maintenance). */
+  def maintainBaselines(vectors: DataFrame, storePath: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBaselineBatch(batch, storePath, batchId, epoch = checkpointDir)
       }
       .start()
 }
