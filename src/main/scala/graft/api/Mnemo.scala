@@ -339,14 +339,20 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     }
   }
 
-  /** Buckets a set of ids hashes into, computed through the SAME Spark
-    * expression the writer routes with (one tiny local-relation job —
-    * no file reads). `n` must be the manifest's bucket count. */
+  /** Buckets a set of ids hashes into, computed by evaluating the SAME
+    * Catalyst expression the writer routes with ([[Mnemo.bucketOf]] is
+    * `pmod(xxhash64(id), n)`) directly on the driver — bit-identical
+    * routing with no job launch, which matters because every point op
+    * pays this before its bucket-pruned rewrite. `n` must be the
+    * manifest's bucket count. */
   private def bucketsOf(ids: Seq[String], n: Int): Set[Int] = {
-    import spark.implicits._
-    if (ids.isEmpty) Set.empty
-    else ids.toDF("id").select(Mnemo.bucketOf(col("id"), n).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    ids.map { id =>
+      // seed 42 = the xxhash64() SQL function's default
+      val h = XxHash64(Seq(Literal.create(id,
+        org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+      (((h % n) + n) % n).toInt // pmod semantics
+    }.toSet
   }
 
   /** Manifest to mutate against, migrating a legacy flat store first:
