@@ -26,6 +26,17 @@ TOP15 = [
     "pl1_quality_gate",
 ]
 
+# round 9: every query whose suite min moved >30% vs the r7/r8
+# artifacts (the isolated numbers adjudicate suite noise vs real
+# change — the artifact's whole purpose), pinned so rounds diff cleanly
+MOVERS_R9 = [
+    "a5_cluster_maturity", "g2_causality_trace", "g3_connected_components",
+    "j9_asof_event", "l6_sessionization", "m2_media_features",
+    "p5_current_fact", "p7_orientation_cache", "pl2_stratified_sample",
+    "s22_workingset_diff",
+]
+TOP15 = TOP15 + MOVERS_R9
+
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",

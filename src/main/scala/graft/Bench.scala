@@ -2,7 +2,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 
 /** Benchmark main: times every SparkEntry query at the sf dir given by
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract); the
@@ -37,10 +37,14 @@ object Bench {
     // timed action: a checksum aggregate over every output column, so
     // column-pruning cannot skip projected expression work the way a
     // bare count() can (an envelope-string query would otherwise be
-    // timed without building its envelopes). Falls back to count() for
-    // the rare output type the hash expression rejects.
+    // timed without building its envelopes). bit_xor, NOT sum: under
+    // ANSI mode (Spark 4 default) summing 64-bit hashes overflows on
+    // most frames >2 rows, which silently demoted those queries to the
+    // count() fallback — timing a column-pruned scan while the artifact
+    // claimed checksum_agg. xor never overflows, so the fallback is
+    // reserved for output types the hash expression genuinely rejects.
     def force(df: DataFrame): Unit = {
-      try df.agg(sum(xxhash64(df.columns.map(col): _*))).collect()
+      try df.agg(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
       catch { case _: Throwable => df.count() }
     }
     // criterion samples each bench many times and reports a statistic;
@@ -93,7 +97,7 @@ object Bench {
     // "full_pass" = rounds 3-7 + 9 protocol; round 8's artifact was
     // "first_rep" and is not comparable (see header note).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"full_pass","timed_action":"checksum_agg"$errsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"full_pass","timed_action":"checksum_xor"$errsJson}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
