@@ -123,20 +123,33 @@ object BenchWrites {
     val forgetSec = forgetSecs.min
 
     // -- bucket-prune demonstration on a store big enough for I/O to
-    //    dominate job overhead: a point forget of 10 ids folds ≤ 10 of
-    //    32 buckets, while a tag-addressed forgetSubject must fold all
-    //    32 (any bucket may match — the whole-store-rewrite bound the
-    //    pre-bucketing layout paid on EVERY point op). The speedup
-    //    ratio is the bucketing win, independent of ambient box speed.
+    //    dominate job overhead: a point forget of 8 ids folds ≤ 8 of
+    //    32 buckets. Subject redaction is tag-addressed; the tag→bucket
+    //    inverted index prunes it to the buckets that ever held the
+    //    tag, so a subject confined to 8 rows folds ≤ 8 buckets
+    //    (forget_subject_pruned), while a tag on EVERY row (`bench`)
+    //    folds all 32 — the pre-index bound, kept as the denominator
+    //    the speedups are measured against. The ratios are the
+    //    bucketing/index wins, independent of ambient box speed.
     val bigStore = new MnemoStore(spark, freshDir("big"))
     (0 until 2).foreach(b =>
-      bigStore.remember((0 until 50000).map(i => req("bench-agent", b * 50000 + i))))
+      bigStore.remember((0 until 50000).map { i =>
+        val r = req("bench-agent", b * 50000 + i)
+        if (b == 0 && i < 8) r.copy(tags = r.tags :+ "subject:few") else r
+      }))
     val forgetPrunedSec = (1 to reps).map { r =>
       val ids = (0 until 8).map(i => f"bench-agent-m${r * 100 + i}%06d")
       time(bigStore.forget("bench-agent", ids, ts(300000000L + r)))
     }.min
+    // same tag every rep: the fold cost is the bucket I/O, which does
+    // not depend on how many rows still match
+    val forgetSubjectSec = (1 to reps).map { r =>
+      time(bigStore.forgetSubject("subject:few", ts(310000000L + r)))
+    }.min
+    // `bench` is on every row → the index maps it to all 32 buckets;
+    // runs LAST because its first rep redacts the whole store
     val forgetAllBucketsSec = (1 to reps).map { r =>
-      time(bigStore.forgetSubject(s"subject:none-$r", ts(40000000L + r)))
+      time(bigStore.forgetSubject("bench", ts(320000000L + r)))
     }.min
 
     // -- orientation_update_latency: distill a recall result into the
@@ -192,9 +205,12 @@ object BenchWrites {
       "remember_throughput" -> op(rememberSec, rememberRows),
       "forget_throughput" -> op(forgetSec, forgetIdsPerOp),
       "forget_pruned_latency" -> lat(forgetPrunedSec),
+      "forget_subject_pruned_latency" -> lat(forgetSubjectSec),
       "forget_all_buckets_latency" -> lat(forgetAllBucketsSec),
       "bucket_prune_speedup" ->
         s"""{"x":${num("%.2f", forgetAllBucketsSec / forgetPrunedSec)}}""",
+      "subject_prune_speedup" ->
+        s"""{"x":${num("%.2f", forgetAllBucketsSec / forgetSubjectSec)}}""",
       "checkpoint_restore_latency" -> lat(ckptSec),
       "verify_chain" -> lat(verifySec),
       "recall_latency" -> lat(recallSec),
@@ -205,7 +221,7 @@ object BenchWrites {
       "concurrent_agents_throughput" -> op(concSec, concRows)
     ).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = rememberSec + forgetSec + forgetPrunedSec +
-      forgetAllBucketsSec + ckptSec + verifySec + recallSec +
+      forgetSubjectSec + forgetAllBucketsSec + ckptSec + verifySec + recallSec +
       hybridSec + orientSec + attnPutSec + attnCompactSec + concSec
     // store_layout is part of the artifact so round-over-round readers
     // know the on-disk layout changed in round 8: a flat store pays ONE

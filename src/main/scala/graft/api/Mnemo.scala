@@ -248,6 +248,9 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   //   manifest.properties          version=3, gen=<n>, bucket.<k> -> segs
   //   g<n>/r/bucket=<k>/           replacement segment (full bucket content)
   //   g<n>/a/bucket=<k>/           append segment (new rows only)
+  //   t<n>/                        tag→bucket inverted-index segment
+  //                                (manifest `tagidx=` — prunes
+  //                                tag-addressed redactions)
   //
   // Every mutation writes fresh segment directories and publishes them
   // with ONE atomic manifest rename (the SyncLoop/orientation protocol,
@@ -263,10 +266,14 @@ final class MnemoStore(val spark: SparkSession, val path: String,
 
   /** Parsed manifest: global generation counter, the bucket count the
     * store was CREATED with (every routing decision uses this, never
-    * the compile-time default — see [[Mnemo.NumBuckets]]), and the
-    * committed segment dirs (relative to the store root) per bucket. */
+    * the compile-time default — see [[Mnemo.NumBuckets]]), the
+    * committed segment dirs (relative to the store root) per bucket,
+    * and the tag→bucket inverted-index segments (`Some` iff the index
+    * has covered every commit since creation — stores written by
+    * pre-index builds carry `None` until their first full fold
+    * backfills it, see [[commitWrite]]/[[forgetSubject]]). */
   private case class StoreManifest(gen: Long, numBuckets: Int,
-      buckets: Map[Int, Seq[String]])
+      buckets: Map[Int, Seq[String]], tagIdx: Option[Seq[String]])
 
   private def readStoreManifest(): Option[StoreManifest] =
     ManifestIO.read(path).map { m =>
@@ -277,7 +284,8 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         m.getOrElse("buckets", "32").toInt,
         m.collect { case (k, v) if k.startsWith("bucket.") =>
           k.stripPrefix("bucket.").toInt ->
-            v.split(",").filter(_.nonEmpty).toSeq })
+            v.split(",").filter(_.nonEmpty).toSeq },
+        m.get("tagidx").map(_.split(",").filter(_.nonEmpty).toSeq))
     }
 
   /** Legacy (pre-v3) flat parquet dir: files at the store root, no
@@ -370,20 +378,33 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     recover()
     readStoreManifest().getOrElse {
       sweepUnpublished()
-      if (!legacyExists) StoreManifest(0L, newStoreBuckets, Map.empty)
+      // a brand-new store starts with a complete (empty) tag index
+      if (!legacyExists) StoreManifest(0L, newStoreBuckets, Map.empty, Some(Nil))
       else {
         val n = newStoreBuckets
         val flat = spark.read.parquet(path)
         flat.withColumn("bucket", Mnemo.bucketOf(col("id"), n))
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$path/_mig/r")
+        // the migration reads every row anyway — build the tag index
+        // in the same pass-over, so migrated stores prune subject
+        // redactions from day one. Written BEFORE the g1 rename (the
+        // flat root files are still the only non-hidden content, so
+        // re-evaluating `flat` cannot trip mixed-layout discovery);
+        // unpublished until the manifest commit below — a crash
+        // leaves it swept like the staged data dirs.
+        flat.select(explode(col("tags")).as("tag"),
+            Mnemo.bucketOf(col("id"), n).as("bucket"))
+          .distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/t1")
         val buckets = presentBuckets("_mig", "r")
           .map(k => k -> Seq(s"g1/r/bucket=$k")).toMap
         java.nio.file.Files.move(
           java.nio.file.Paths.get(path, "_mig"),
           java.nio.file.Paths.get(path, "g1"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        val m = StoreManifest(1L, n, buckets)
+        val m = StoreManifest(1L, n, buckets,
+          Some(if (hasParquetFiles("t1")) Seq("t1") else Nil))
         writeStoreManifest(m)
         sweepLegacyFiles()
         m
@@ -391,10 +412,11 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     }
   }
 
-  /** Delete staged/never-published nested dirs (`_mig`, `g*`) left by a
-    * migration that crashed before its manifest commit. Only ever
-    * called when NO manifest exists — with no manifest, no nested dir
-    * was ever published, so the flat root files are authoritative. */
+  /** Delete staged/never-published nested dirs (`_mig`, `g*`, tag-index
+    * `t*`) left by a migration that crashed before its manifest commit.
+    * Only ever called when NO manifest exists — with no manifest, no
+    * nested dir was ever published, so the flat root files are
+    * authoritative. */
   private def sweepUnpublished(): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(root)) return
@@ -403,7 +425,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       .filter(java.nio.file.Files.isDirectory(_))
       .filter { d =>
         val nm = d.getFileName.toString
-        nm == "_mig" || nm.matches("g\\d+")
+        nm == "_mig" || nm.matches("[gt]\\d+")
       }
       .toList
       .foreach(ManifestIO.deleteRecursively)
@@ -414,6 +436,9 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     ManifestIO.write(path,
       Map("version" -> "3", "gen" -> m.gen.toString,
         "buckets" -> m.numBuckets.toString) ++
+        // key PRESENT (even empty) = index complete since creation;
+        // absent = pre-index store, subject ops fold every bucket
+        m.tagIdx.map(segs => "tagidx" -> segs.mkString(",")).toMap ++
         m.buckets.map { case (k, v) => s"bucket.$k" -> v.mkString(",") })
 
   /** Bucket subdirs a just-finished write actually produced (a local
@@ -453,9 +478,22 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * bucket may appear on both sides (replacement segment + append
     * segment in the same generation — what makes [[ampMerge]] atomic).
     * Data lands in `g<gen>` first; the manifest rename publishes it;
-    * gc then drops superseded generations. */
+    * gc then drops superseded generations.
+    *
+    * The commit also maintains the tag→bucket inverted index
+    * ([[forgetSubject]]'s prune): appended rows always contribute their
+    * distinct (tag, bucket) pairs; a replacement frame contributes only
+    * when the caller declares `replacedAddsTags` (conditional rewrites
+    * that never ADD tags — forget/touch/expire/compaction — skip the
+    * index job entirely, keeping point ops at their current cost). The
+    * index is a safe over-approximation: pairs are never removed, so a
+    * stale pair costs one extra folded bucket, never a missed
+    * redaction. A full fold (`replaceBuckets` covers every live bucket)
+    * on a pre-index store rebuilds the index from what it just read —
+    * the backfill path. */
   private def commitWrite(m: StoreManifest, replaceBuckets: Set[Int],
-      replaced: Option[DataFrame], appended: Option[DataFrame]): Unit = {
+      replaced: Option[DataFrame], appended: Option[DataFrame],
+      replacedAddsTags: Boolean = false): Unit = {
     val gen = m.gen + 1
     def writeSeg(df: DataFrame, sub: String): Unit =
       df.withColumn("bucket", Mnemo.bucketOf(col("id"), m.numBuckets))
@@ -473,25 +511,98 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       val app = if (aset(k)) Seq(s"g$gen/a/bucket=$k") else Nil
       k -> (base ++ app)
     }.filter(_._2.nonEmpty).toMap
-    writeStoreManifest(StoreManifest(gen, m.numBuckets, buckets))
-    val liveTops = buckets.values.flatten.map(_.takeWhile(_ != '/')).toSet
+
+    // ---- tag-index maintenance ----
+    // pairs are read back from the just-written segment dirs, NOT by
+    // re-evaluating the caller's plans (which would re-run the chain
+    // window/joins): the data is already on disk, tiny, and its
+    // `bucket` partition column IS the pair's bucket — no re-hash
+    val fullFold = m.tagIdx.isEmpty && replaced.isDefined &&
+      m.buckets.keySet.subsetOf(replaceBuckets)
+    val srcSubs: Seq[String] =
+      if (fullFold)
+        (if (rset.nonEmpty) Seq("r") else Nil) ++
+          (if (aset.nonEmpty) Seq("a") else Nil)
+      else if (m.tagIdx.isDefined)
+        (if (aset.nonEmpty) Seq("a") else Nil) ++
+          (if (replacedAddsTags && rset.nonEmpty) Seq("r") else Nil)
+      else Nil
+    val fresh: Seq[DataFrame] = srcSubs.map(sub =>
+      spark.read.parquet(s"$path/g$gen/$sub")
+        .select(explode(col("tags")).as("tag"),
+          col("bucket").cast("int").as("bucket")))
+    // fold the whole index back into one segment when the incremental
+    // segments are over budget (same LSM bound as the data buckets)
+    val compacting = m.tagIdx.exists(segs =>
+      segs.length + (if (fresh.nonEmpty) 1 else 0) > Mnemo.MaxSegments)
+    val tagIdx: Option[Seq[String]] =
+      if (fresh.isEmpty && !compacting) m.tagIdx
+      else {
+        val base = if (compacting) Seq(readTagIdx(m.tagIdx.get)) else Nil
+        (base ++ fresh).reduce(_ unionByName _).distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/t$gen")
+        val seg = if (hasParquetFiles(s"t$gen")) Seq(s"t$gen") else Nil
+        if (fullFold || compacting) Some(seg)
+        else Some(m.tagIdx.getOrElse(Nil) ++ seg)
+      }
+
+    writeStoreManifest(StoreManifest(gen, m.numBuckets, buckets, tagIdx))
+    val liveTops = buckets.values.flatten.map(_.takeWhile(_ != '/')).toSet ++
+      tagIdx.getOrElse(Nil).map(_.takeWhile(_ != '/'))
     ManifestIO.gc(path, liveTops)
     sweepLegacyFiles()
   }
+
+  /** Committed (tag, bucket) index content. Only ever called with
+    * non-empty `segs` — every referenced segment holds parquet files
+    * ([[hasParquetFiles]] gated it at commit time). */
+  private def readTagIdx(segs: Seq[String]): DataFrame =
+    spark.read.schema("tag STRING, bucket INT")
+      .parquet(segs.map(s => s"$path/$s"): _*)
+
+  /** Whether a just-written relative dir produced any parquet part
+    * files (an all-empty frame writes only _SUCCESS — referencing such
+    * a segment would break later reads). Local listing, exact. */
+  private def hasParquetFiles(rel: String): Boolean = {
+    val d = java.nio.file.Paths.get(path, rel)
+    if (!java.nio.file.Files.isDirectory(d)) false
+    else {
+      val ls = java.nio.file.Files.list(d)
+      try ls.iterator().asScala.exists { f =>
+        val nm = f.getFileName.toString
+        nm.startsWith("part-") && nm.contains(".parquet")
+      }
+      finally ls.close()
+    }
+  }
+
+  /** Buckets that ever held a row carrying `tag`, per the inverted
+    * index — `None` when the store predates the index (fold every
+    * bucket; that full fold backfills the index for next time). */
+  private def tagBuckets(m: StoreManifest, tag: String): Option[Set[Int]] =
+    m.tagIdx.map { segs =>
+      if (segs.isEmpty) Set.empty[Int]
+      else readTagIdx(segs).filter(col("tag") === tag)
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    }
 
   /** Bucket-pruned conditional rewrite: fold the touched buckets'
     * segments, apply `f`, replace only those buckets. `touched` is
     * computed AGAINST the live manifest (so id→bucket routing always
     * uses the persisted bucket count, never the compiled default);
-    * `_ => None` means every bucket (tag-addressed ops like
-    * [[forgetSubject]]). */
-  private def mutateBuckets(touched: StoreManifest => Option[Set[Int]])(
-      f: DataFrame => DataFrame): Unit = {
+    * `_ => None` means every bucket (the pre-index [[forgetSubject]]
+    * fallback). `addsTags` declares that `f` may ADD tags to rows
+    * (consolidate's state flip) so the commit indexes the replaced
+    * frame; rewrites that never add tags keep the index job off their
+    * path. */
+  private def mutateBuckets(touched: StoreManifest => Option[Set[Int]],
+      addsTags: Boolean = false)(f: DataFrame => DataFrame): Unit = {
     val m = migrateIfLegacy()
     val ks = touched(m).map(_.intersect(m.buckets.keySet))
       .getOrElse(m.buckets.keySet)
     if (ks.isEmpty) return // no targeted bucket holds data: nothing to do
-    commitWrite(m, ks, Some(f(readBuckets(m, ks))), None)
+    commitWrite(m, ks, Some(f(readBuckets(m, ks))), None,
+      replacedAddsTags = addsTags)
   }
 
   /** Fold any bucket that accumulated more than [[Mnemo.MaxSegments]]
@@ -587,9 +698,12 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * "Redact keeps hashes" contract). */
   def forgetSubject(subjectTag: String, at: Timestamp): Unit = {
     val hit = array_contains(col("tags"), subjectTag) && !col("redacted")
-    // tag-addressed, not id-addressed: any bucket may hold a match, so
-    // this is the one point op that legitimately rewrites every bucket
-    mutateBuckets(_ => None)(_
+    // tag-addressed, not id-addressed — but the tag→bucket inverted
+    // index (maintained by every commit, [[commitWrite]]) prunes the
+    // fold to the buckets that ever held the tag. A store predating
+    // the index folds every bucket ONCE; that full fold rebuilds the
+    // index in the same commit, so the next redaction prunes.
+    mutateBuckets(m => tagBuckets(m, subjectTag))(_
       .withColumn("content", when(hit, "[REDACTED]").otherwise(col("content")))
       .withColumn("deleted_at", when(hit && col("deleted_at").isNull, lit(at))
         .otherwise(col("deleted_at")))
@@ -647,7 +761,8 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       def memberBuckets(n: Int): Set[Int] = members
         .select(Mnemo.bucketOf(col("mid"), n).as("b")).distinct()
         .collect().map(_.getInt(0)).toSet
-      mutateBuckets(m => Some(memberBuckets(m.numBuckets)))(_
+      mutateBuckets(m => Some(memberBuckets(m.numBuckets)),
+        addsTags = true)(_ // the flip ADDS ConsolidatedTag → index it
         .join(broadcast(members), col("id") === col("mid"), "left")
         .withColumn("tags",
           when(col("mid").isNotNull,

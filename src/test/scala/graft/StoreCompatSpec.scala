@@ -338,6 +338,104 @@ class StoreCompatSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir, ManifestIO.FileName + ".tmp")))
   }
 
+  // ---- tag→bucket inverted index (forgetSubject's prune) ----
+
+  /** Buckets the store's own route assigns to these ids under the
+    * compiled default (what a fresh store uses). */
+  private def routeOf(ids: Seq[String]): Set[Int] = {
+    import spark.implicits._
+    ids.toDF("id").select(Mnemo.bucketOf(col("id")).as("b"))
+      .collect().map(_.getInt(0)).toSet
+  }
+
+  private def touchedBuckets(before: Map[String, String],
+      after: Map[String, String]): Set[String] =
+    before.collect {
+      case (k, v) if k.startsWith("bucket.") && !after.get(k).contains(v) => k
+    }.toSet
+
+  test("forgetSubject prunes to the tag's buckets via the inverted index") {
+    val store = freshStore()
+    val tagged = Seq("id-000", "id-037")
+    store.remember((0 until 64).map(i =>
+      RememberRequest(f"id-$i%03d", "alice", "t1", s"content number $i",
+        tags = if (tagged.contains(f"id-$i%03d")) Seq("subject:s1") else Nil,
+        createdAt = ts("2024-01-01 10:00:00"))))
+    val m0 = ManifestIO.read(store.path).get
+    assert(m0.contains("tagidx"), "new stores must carry a complete tag index")
+    val before = fileMap(store.path)
+
+    store.forgetSubject("subject:s1", ts("2024-02-01 00:00:00"))
+
+    // redaction landed in full
+    assert(store.table()
+      .filter("redacted AND content = '[REDACTED]' AND deleted_at IS NOT NULL")
+      .count() == 2)
+    // and folded ONLY the buckets the tagged ids hash into — not the store
+    val m1 = ManifestIO.read(store.path).get
+    val touched = touchedBuckets(m0, m1)
+    val expected = routeOf(tagged).map(b => s"bucket.$b")
+    assert(touched == expected,
+      s"subject fold must touch exactly the tag's buckets: $touched vs $expected")
+    val after = fileMap(store.path)
+    before.keySet.intersect(after.keySet)
+      .foreach(f => assert(before(f) == after(f), s"file $f changed size"))
+    // chains still verify (redact keeps hashes)
+    assert(store.verifyChains().filter("NOT chain_valid").count() == 0)
+  }
+
+  test("pre-index store folds every bucket ONCE, backfills the index, then prunes") {
+    val store = freshStore()
+    store.remember((0 until 64).map(i =>
+      RememberRequest(f"id-$i%03d", "alice", "t1", s"content number $i",
+        tags = if (i == 0) Seq("subject:a")
+               else if (i == 1) Seq("subject:b") else Nil,
+        createdAt = ts("2024-01-01 10:00:00"))))
+    // simulate a store written by a pre-index build: strip the tagidx
+    // key (and its segments' liveness is irrelevant — no key = unknown)
+    val m0 = ManifestIO.read(store.path).get
+    ManifestIO.write(store.path, m0 - "tagidx")
+    assert(!ManifestIO.read(store.path).get.contains("tagidx"))
+
+    // first subject redaction: cannot prune, folds everything — and the
+    // full fold rebuilds the index in the same commit
+    store.forgetSubject("subject:a", ts("2024-02-01 00:00:00"))
+    assert(store.table().filter("redacted").count() == 1)
+    val m1 = ManifestIO.read(store.path).get
+    assert(m1.contains("tagidx"), "full fold must backfill the tag index")
+
+    // second redaction prunes: only subject:b's bucket is rewritten
+    store.forgetSubject("subject:b", ts("2024-02-02 00:00:00"))
+    val m2 = ManifestIO.read(store.path).get
+    val touched = touchedBuckets(m1, m2)
+    assert(touched == routeOf(Seq("id-001")).map(b => s"bucket.$b"),
+      s"post-backfill redaction must be bucket-pruned, got $touched")
+    assert(store.table().filter("redacted").count() == 2)
+  }
+
+  test("tags added by a bucket rewrite (consolidation flip) enter the index") {
+    val store = freshStore()
+    store.remember((0 until 6).map(i =>
+      RememberRequest(s"ep-$i", "alice", "t1", s"note about topic $i",
+        tags = Seq("project-x"), createdAt = ts(f"2024-01-0${i + 1} 10:00:00"))))
+    store.consolidate("alice", minClusterSize = 2, ts("2024-02-01 00:00:00"))
+
+    // the flip stamped __consolidated__ onto the originals via a bucket
+    // REPLACEMENT — the index must still learn those (tag, bucket)
+    // pairs, or a later tag-addressed op would silently miss them
+    val m = ManifestIO.read(store.path).get
+    val segs = m("tagidx").split(",").filter(_.nonEmpty)
+    assert(segs.nonEmpty)
+    val idx = spark.read.schema("tag STRING, bucket INT")
+      .parquet(segs.map(s => s"${store.path}/$s"): _*)
+    val flipped = idx.filter(col("tag") === Mnemo.ConsolidatedTag)
+      .select("bucket").collect().map(_.getInt(0)).toSet
+    assert(routeOf((0 until 6).map(i => s"ep-$i")).subsetOf(flipped),
+      "every flipped member's bucket must be indexed under the flip tag")
+    // and the appended bundle's own tags are indexed via the append path
+    assert(idx.filter(col("tag") === Mnemo.ConsolidationTag).count() >= 1)
+  }
+
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
