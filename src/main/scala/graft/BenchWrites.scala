@@ -223,6 +223,13 @@ object BenchWrites {
     val total = rememberSec + forgetSec + forgetPrunedSec +
       forgetSubjectSec + forgetAllBucketsSec + ckptSec + verifySec + recallSec +
       hybridSec + orientSec + attnPutSec + attnCompactSec + concSec
+    // the op set grew in rounds 8-9 (100k-store prune rows, the
+    // orientation/attention stores) — value_r7_ops keeps the ROUND-7
+    // op set's sum so round-over-round diffs of the headline number
+    // compare like with like instead of reading protocol growth as a
+    // write-path regression
+    val totalR7Ops = rememberSec + forgetSec + ckptSec + verifySec +
+      recallSec + hybridSec + concSec
     // store_layout is part of the artifact so round-over-round readers
     // know the on-disk layout changed in round 8: a flat store pays ONE
     // dir of file ops per mutation (cheap at 2k rows, unusable at
@@ -231,7 +238,7 @@ object BenchWrites {
     // bucket_prune_speedup row, measured on a 100k-row store, is the
     // number that survives a scale-up.
     val line =
-      s"""{"metric":"writes_total","value":${num("%.4f", total)},"unit":"sec","ops":$ops,"reps":$reps,"batch":$batch,"warmup":true,"store_layout":"v3-bucketed-32"}"""
+      s"""{"metric":"writes_total","value":${num("%.4f", total)},"value_r7_ops":${num("%.4f", totalR7Ops)},"unit":"sec","ops":$ops,"reps":$reps,"batch":$batch,"warmup":true,"store_layout":"v3-bucketed-32"}"""
     println(line)
     try Files.writeString(Paths.get("BENCH_WRITES.json"), line + "\n")
     catch { case _: Throwable => () }

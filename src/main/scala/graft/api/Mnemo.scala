@@ -339,12 +339,30 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       case Some(m) => readBuckets(m, m.buckets.keySet)
       case None if legacyExists =>
         // a crashed migration may have left staged (never-published)
-        // nested dirs beside the flat files; reading the mix would fail
-        // partition discovery — sweep first, flat files are authoritative
-        sweepUnpublished()
-        spark.read.parquet(path)
+        // nested dirs beside the flat files, and reading the mixed root
+        // would fail partition discovery. Reads must NOT delete them —
+        // the single-writer contract covers writers, and a concurrent
+        // writer may be staging those very dirs mid-migration right
+        // now. List the flat root FILES explicitly and read only them;
+        // the write path ([[migrateIfLegacy]]) is what sweeps crashed
+        // stages before re-migrating.
+        val flatFiles = legacyRootFiles()
+        if (flatFiles.isEmpty) emptyTable()
+        else spark.read.schema(Mnemo.StoreSchema).parquet(flatFiles: _*)
       case None => emptyTable()
     }
+  }
+
+  /** The legacy flat layout's data files: parquet at the store root. */
+  private def legacyRootFiles(): Seq[String] = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val ls = java.nio.file.Files.list(root)
+    try ls.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq
+    finally ls.close()
   }
 
   /** Buckets a set of ids hashes into, computed by evaluating the SAME
@@ -386,15 +404,15 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         flat.withColumn("bucket", Mnemo.bucketOf(col("id"), n))
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$path/_mig/r")
-        // the migration reads every row anyway — build the tag index
-        // in the same pass-over, so migrated stores prune subject
-        // redactions from day one. Written BEFORE the g1 rename (the
-        // flat root files are still the only non-hidden content, so
-        // re-evaluating `flat` cannot trip mixed-layout discovery);
-        // unpublished until the manifest commit below — a crash
-        // leaves it swept like the staged data dirs.
-        flat.select(explode(col("tags")).as("tag"),
-            Mnemo.bucketOf(col("id"), n).as("bucket"))
+        // tag index for the migrated store, so subject redactions prune
+        // from day one — built by reading BACK the staged segment just
+        // written (its `bucket` partition column IS the pair; no second
+        // scan of the flat files, no re-hash — the commitWrite
+        // pattern). Unpublished until the manifest commit below; a
+        // crash leaves it swept like the staged data dirs.
+        spark.read.parquet(s"$path/_mig/r")
+          .select(explode(col("tags")).as("tag"),
+            col("bucket").cast("int").as("bucket"))
           .distinct()
           .write.mode(SaveMode.Overwrite).parquet(s"$path/t1")
         val buckets = presentBuckets("_mig", "r")

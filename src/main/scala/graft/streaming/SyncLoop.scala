@@ -30,7 +30,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * rewrites ONLY the partitions its users hash into, so write
   * amplification per trigger is O(touched partitions), not O(store).
   * Each batch writes its touched partitions under a fresh
-  * `data/b<batchId>/part=<k>/` directory and then commits by atomically
+  * `data/g<gen>/part=<k>/` directory (gen = the manifest's own commit
+  * counter, which unlike the batch id never restarts) and then commits
+  * by atomically
   * renaming a manifest that maps every partition to its current
   * directory, together with the batch id and watermark:
   *
@@ -97,17 +99,26 @@ object SyncLoop {
     * the query incarnation's `epoch` — foreachBatch ids restart at 0
     * under a fresh checkpoint, so a bare id comparison would wrongly
     * skip a relaunched loop's first batches), high-water event time,
-    * and each hash partition's current data directory (relative to the
-    * store root). */
+    * each hash partition's current data directory (relative to the
+    * store root), and a store-lineage commit counter `gen` that names
+    * the data directories. `gen` advances on every data-writing commit
+    * and NEVER restarts — unlike the batch id, which restarts at 0
+    * under a fresh checkpoint; naming dirs by batch id let a
+    * relaunched loop's batch 0 overwrite a directory the manifest
+    * still referenced for untouched partitions (state loss). */
   case class Manifest(batchId: Long, watermark: Long, parts: Map[Int, String],
-      epoch: String = "")
+      epoch: String = "", gen: Long = 0L)
 
   def readManifest(storePath: String): Option[Manifest] =
     graft.api.ManifestIO.read(storePath).map { m =>
       Manifest(m("batch_id").toLong, m("watermark").toLong,
         m.collect { case (k, v) if k.startsWith("part.") =>
           k.stripPrefix("part.").toInt -> v },
-        m.getOrElse("epoch", ""))
+        m.getOrElse("epoch", ""),
+        // pre-gen manifests named dirs data/b<id>; the g-prefixed names
+        // the counter produces can never collide with those, so 0 is a
+        // safe starting point for upgraded stores
+        m.getOrElse("gen", "0").toLong)
     }
 
   private def writeManifest(storePath: String, m: Manifest): Unit =
@@ -116,32 +127,42 @@ object SyncLoop {
         "version" -> "1",
         "batch_id" -> m.batchId.toString,
         "watermark" -> m.watermark.toString,
-        "epoch" -> m.epoch) ++
+        "epoch" -> m.epoch,
+        "gen" -> m.gen.toString) ++
         m.parts.map { case (k, v) => s"part.$k" -> v })
 
   /** Committed watermark (manifest-backed; -1 with no commits yet). */
   def readWatermark(storePath: String): Option[Long] =
     readManifest(storePath).map(_.watermark)
 
-  /** Read the committed store: the union of every partition's current
-    * data directory. Partition pruning happens at the path level — a
-    * caller (or [[applyBatch]]) that needs only some buckets passes
-    * `parts`, and the other directories are never opened. */
-  def readProfiles(spark: SparkSession, storePath: String,
-      parts: Option[Set[Int]] = None): DataFrame =
+  /** The shared committed-state read: the union of the requested
+    * partitions' current data directories. Partition pruning happens at
+    * the path level — a caller (or [[applyBatch]]) that needs only some
+    * buckets passes `parts`, and the other directories are never
+    * opened. One body for every store family on this manifest protocol
+    * (profiles, baselines), so a read-path fix lands everywhere. */
+  private def readStore(spark: SparkSession, storePath: String,
+      parts: Option[Set[Int]], schema: String,
+      empty: => DataFrame): DataFrame =
     readManifest(storePath) match {
-      case None => emptyProfiles(spark)
+      case None => empty
       case Some(m) =>
         val dirs = m.parts
           .filter { case (k, _) => parts.forall(_.contains(k)) }
           .map { case (k, v) => s"$storePath/$v/part=$k" }
           .toSeq
-        if (dirs.isEmpty) emptyProfiles(spark)
-        else spark.read.schema(
-          "user_id LONG, n_events LONG, total_value DECIMAL(38,6), " +
-            "first_us LONG, last_us LONG")
-          .parquet(dirs: _*)
+        if (dirs.isEmpty) empty
+        else spark.read.schema(schema).parquet(dirs: _*)
     }
+
+  private val ProfileSchema =
+    "user_id LONG, n_events LONG, total_value DECIMAL(38,6), " +
+      "first_us LONG, last_us LONG"
+
+  /** Read the committed profile store, path-pruned to `parts`. */
+  def readProfiles(spark: SparkSession, storePath: String,
+      parts: Option[Set[Int]] = None): DataFrame =
+    readStore(spark, storePath, parts, ProfileSchema, emptyProfiles(spark))
 
   /** Apply one micro-batch to the store — idempotent on `batchId`.
     * Reads only the touched partitions, writes only the touched
@@ -181,14 +202,20 @@ object SyncLoop {
     val highWater = stats.map(_.getLong(1)).max
     val merged = mergeFn(readState(Some(touched)), fresh)
       .withColumn("part", part)
-    val rel = s"data/b$batchId"
+    // dir named by the manifest's own commit counter, NOT the batch id:
+    // batch ids restart at 0 under a fresh checkpoint, and reusing a
+    // dir name overwrite-truncates partitions the manifest still
+    // references from the previous incarnation. A crash before the
+    // manifest rename replays the same gen and overwrites the orphan.
+    val gen = prev.map(_.gen).getOrElse(0L) + 1
+    val rel = s"data/g$gen"
     merged.write.mode("overwrite").partitionBy("part")
       .parquet(s"$storePath/$rel")
     val oldParts = prev.map(_.parts).getOrElse(Map.empty)
     val newParts = oldParts ++ touched.map(_ -> rel)
     writeManifest(storePath, Manifest(batchId,
       math.max(prev.map(_.watermark).getOrElse(Long.MinValue), highWater),
-      newParts, epoch))
+      newParts, epoch, gen))
     // prune batch directories no longer referenced by the manifest
     // (single-writer store, like the reference's embedded DB)
     val live = newParts.values.toSet
@@ -281,16 +308,7 @@ object SyncLoop {
   /** Read the committed baseline state, path-pruned to `parts`. */
   def readBaselines(spark: SparkSession, storePath: String,
       parts: Option[Set[Int]] = None): DataFrame =
-    readManifest(storePath) match {
-      case None => emptyBaselines(spark)
-      case Some(m) =>
-        val dirs = m.parts
-          .filter { case (k, _) => parts.forall(_.contains(k)) }
-          .map { case (k, v) => s"$storePath/$v/part=$k" }
-          .toSeq
-        if (dirs.isEmpty) emptyBaselines(spark)
-        else spark.read.schema(BaselineSchema).parquet(dirs: _*)
-    }
+    readStore(spark, storePath, parts, BaselineSchema, emptyBaselines(spark))
 
   /** The (μ, σ², n) consumer view of the baseline state — what the
     * z-score outlier pass (X11/l4) joins against. Derived, never

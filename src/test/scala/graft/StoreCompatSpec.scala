@@ -315,13 +315,16 @@ class StoreCompatSpec extends SparkSpec {
     assert(ManifestIO.read(legacy).isEmpty)
 
     val store = Mnemo.open(spark, legacy)
-    // reads sweep the unpublished dirs and serve the flat files
+    // reads serve the flat files and IGNORE the unpublished dirs — but
+    // never delete them (a concurrent writer could be staging them
+    // mid-migration; only the write path sweeps)
     assert(store.table().count() == 2)
     assert(store.table().filter("id IN ('junk','junk2')").count() == 0)
-    assert(!Files.exists(Paths.get(legacy, "_mig")))
-    assert(!Files.exists(Paths.get(legacy, "g1")))
-    // the retried migration then completes normally
+    assert(Files.exists(Paths.get(legacy, "_mig")),
+      "a read must not delete staged dirs")
+    // the next mutation sweeps the crashed stage and re-migrates
     store.forget("alice", Seq("m1"), ts("2024-03-01 00:00:00"))
+    assert(!Files.exists(Paths.get(legacy, "_mig")))
     assert(ManifestIO.read(legacy).get("version") == "3")
     assert(store.table().count() == 2)
     assert(store.table().filter("id = 'm1' AND deleted_at IS NOT NULL").count() == 1)

@@ -137,7 +137,13 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == expected)
     assert(snapshot().size == 3)
     // RESUME: a restarted loop re-fed overlapping input must not
-    // double-count — the persisted watermark filters the replay
+    // double-count — the persisted watermark filters the replay. Its
+    // batch ids restart at 0 (fresh checkpoint = new epoch), so this
+    // also pins that an early batch id of the new incarnation cannot
+    // clobber a data dir the manifest still references for partitions
+    // the relaunch does NOT touch (dirs are named by the manifest's
+    // own gen counter, which never restarts).
+    val user1FilesBeforeResume = partFiles(1)
     val src2 = MemoryStream[(Long, Long, Long, Double)]
     val q2 = SyncLoop.maintainProfiles(
       src2.toDF().toDF("event_id", "user_id", "ts", "value"), store, s"$dir/ckpt2")
@@ -146,6 +152,9 @@ class StreamingSpec extends SparkSpec {
       src2.addData(toFeed(all.drop(2) :+ extra): _*) // replay of 3..5 + one new
       q2.processAllAvailable()
     } finally q2.stop()
+    assert(partFiles(1) == user1FilesBeforeResume,
+      "a relaunched epoch's early batches must not truncate dirs still " +
+        "referenced for partitions they do not touch")
     val resumed = snapshot()
     assert(resumed == SyncLoop.merge(SyncLoop.emptyProfiles(spark),
       toFeed(all :+ extra).toDF("event_id", "user_id", "ts", "value"))
