@@ -558,5 +558,159 @@ object Trust extends QueryGroup {
       GROUP BY ledger_id
       ORDER BY ledger_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
+  /** w9: recursive-chain-digest registration — CLOSING the detection
+    * boundary w8 documents. w8's `keyed_mid` tier shows that a forger
+    * holding the signing key who rewrites an interior envelope and
+    * relinks the suffix beats both the verify walk AND the w7
+    * (length, head-hash) registration, because the registered head
+    * hash commits only to the head envelope's own fields. The fix the
+    * w8 scaladoc prescribes: register a recursively-accumulated digest
+    * `d_i = sha256(d_{i-1} || content_hash_i)` (fold in offset order)
+    * with the out-of-band trust anchor instead. Any edit to ANY
+    * interior envelope changes the fold's result, so:
+    *
+    *  - `keyed_head` forges: caught by the head registration AND the
+    *    digest (the digest subsumes w7's check);
+    *  - `keyed_mid` forges: head registration still passes (reported
+    *    here as head_reg_caught = false — the boundary, reproduced),
+    *    but digest_caught = true. `undetected` is identically false.
+    *
+    * The remaining trust assumption is the anchor itself: a forger who
+    * can also rewrite the registration store beats any scheme — that
+    * is the definition of the trust anchor, not a detection gap.
+    *
+    * Scale: one ordered window pass + one hash aggregate per ledger.
+    * The fold is inherently sequential WITHIN a ledger (that is what
+    * makes it tamper-evident) but independent ACROSS ledgers — the
+    * aggregate state is one array of fixed-width hashes per ledger,
+    * bounded by deals-per-ledger; at cluster scale you would fold
+    * per-segment and register intermediate digests (Merkle-style),
+    * same plan shape. No joins. */
+  private val q7 = QueryDef(
+    "w9_chain_digest",
+    (s, dir) => {
+      import graft.functions.HashChain
+      val key = "deal-ledger-key"
+      val w = Window.partitionBy(col("ledger_id")).orderBy(col("signed_at"), col("deal_id"))
+      val wl = Window.partitionBy(col("ledger_id"))
+      def canonical(terms: Column) = sha2(concat_ws(HashChain.Sep, lit(key),
+        col("deal_id").cast("string"), col("buyer"), col("seller"),
+        terms.cast("string"), col("signed_at").cast("string")), 256)
+      // the registered digest: left fold of sha256(acc || hash) over
+      // the ledger's content hashes in offset order, seeded at "" —
+      // hashes are fixed-width hex, so bare concat is unambiguous
+      def fold(hashes: Column) = aggregate(hashes, lit(""),
+        (acc, h) => sha2(concat(acc, h), 256))
+      val signed = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(
+          col("o_orderkey").as("deal_id"),
+          (col("o_custkey") % 16).as("ledger_id"),
+          concat(lit("agent-"), col("o_custkey")).as("buyer"),
+          concat(lit("agent-"), col("o_orderkey") % 997).as("seller"),
+          col("o_totalprice").cast("decimal(12,2)").as("terms"),
+          col("o_orderdate").cast("date").as("signed_at"))
+        .withColumn("content_hash", canonical(col("terms")))
+        .withColumn("deal_offset", (row_number().over(w) - 1).cast("bigint"))
+        .withColumn("reg_len", max(col("deal_offset")).over(wl) + 1)
+        .withColumn("tier",
+          when(col("ledger_id") % 5 === 1 &&
+            col("deal_offset") === col("reg_len") - 1, "keyed_head")
+            .when(col("ledger_id") % 5 === 2 && col("deal_offset") === 1,
+              "keyed_mid")
+            .otherwise("none"))
+        .withColumn("observed_terms",
+          when(col("tier") =!= "none", col("terms") + lit(0.01))
+            .otherwise(col("terms")).cast("decimal(12,2)"))
+        // the forger HAS the key in both tiers — the strongest attacker
+        // the walk and w7 cannot stop
+        .withColumn("observed_content",
+          when(col("tier") =!= "none", canonical(col("observed_terms")))
+            .otherwise(col("content_hash")))
+      signed.groupBy("ledger_id")
+        .agg(
+          count(lit(1)).as("n_deals"),
+          count(when(col("tier") =!= "none", 1)).as("n_forged"),
+          max(when(col("tier") =!= "none", col("tier"))).as("forge_tier"),
+          max(struct(col("deal_offset"), col("content_hash"))).as("rh"),
+          max(struct(col("deal_offset"), col("observed_content"))).as("oh"),
+          array_sort(collect_list(struct(col("deal_offset"), col("content_hash"))))
+            .as("ra"),
+          array_sort(collect_list(struct(col("deal_offset"), col("observed_content"))))
+            .as("oa"))
+        .select(col("ledger_id"), col("n_deals"), col("n_forged"),
+          col("forge_tier"),
+          fold(transform(col("ra"), x => x.getField("content_hash")))
+            .as("registered_digest"),
+          fold(transform(col("oa"), x => x.getField("observed_content")))
+            .as("observed_digest"),
+          (col("oh.observed_content") =!= col("rh.content_hash"))
+            .as("head_reg_caught"))
+        .withColumn("digest_caught",
+          col("observed_digest") =!= col("registered_digest"))
+        .withColumn("undetected",
+          col("n_forged") > 0 &&
+            col("observed_digest") === col("registered_digest"))
+        .orderBy("ledger_id")
+    },
+    Some("""
+      WITH deals AS (
+        SELECT o_orderkey AS deal_id,
+               o_custkey % 16 AS ledger_id,
+               'agent-' || CAST(o_custkey AS VARCHAR) AS buyer,
+               'agent-' || CAST(o_orderkey % 997 AS VARCHAR) AS seller,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS terms,
+               CAST(o_orderdate AS DATE) AS signed_at
+        FROM orders WHERE o_orderkey % 13 = 0),
+      signed AS (
+        SELECT *,
+               sha256('deal-ledger-key' || chr(1) || CAST(deal_id AS VARCHAR) || chr(1) || buyer
+                 || chr(1) || seller || chr(1) || CAST(terms AS VARCHAR)
+                 || chr(1) || CAST(signed_at AS VARCHAR)) AS content_hash,
+               CAST(ROW_NUMBER() OVER (PARTITION BY ledger_id ORDER BY signed_at, deal_id) - 1 AS BIGINT) AS deal_offset
+        FROM deals),
+      bounded AS (
+        SELECT *,
+               MAX(deal_offset) OVER (PARTITION BY ledger_id) + 1 AS reg_len
+        FROM signed),
+      tiered AS (
+        SELECT *,
+               CASE WHEN ledger_id % 5 = 1 AND deal_offset = reg_len - 1 THEN 'keyed_head'
+                    WHEN ledger_id % 5 = 2 AND deal_offset = 1 THEN 'keyed_mid'
+                    ELSE 'none' END AS tier
+        FROM bounded),
+      observed AS (
+        SELECT *,
+               CAST(CASE WHEN tier <> 'none' THEN terms + 0.01 ELSE terms END AS DECIMAL(12,2)) AS observed_terms
+        FROM tiered),
+      forged AS (
+        SELECT *,
+               CASE WHEN tier <> 'none'
+                 THEN sha256('deal-ledger-key' || chr(1) || CAST(deal_id AS VARCHAR) || chr(1) || buyer
+                   || chr(1) || seller || chr(1) || CAST(observed_terms AS VARCHAR)
+                   || chr(1) || CAST(signed_at AS VARCHAR))
+                 ELSE content_hash END AS observed_content
+        FROM observed),
+      agg AS (
+        SELECT ledger_id,
+               COUNT(*) AS n_deals,
+               COUNT(CASE WHEN tier <> 'none' THEN 1 END) AS n_forged,
+               MAX(CASE WHEN tier <> 'none' THEN tier END) AS forge_tier,
+               (MAX(struct_pack(o := deal_offset, h := content_hash))).h AS reg_head,
+               (MAX(struct_pack(o := deal_offset, h := observed_content))).h AS obs_head,
+               list_reduce(list_prepend('', list(content_hash ORDER BY deal_offset)),
+                 (acc, x) -> sha256(acc || x)) AS registered_digest,
+               list_reduce(list_prepend('', list(observed_content ORDER BY deal_offset)),
+                 (acc, x) -> sha256(acc || x)) AS observed_digest
+        FROM forged
+        GROUP BY ledger_id)
+      SELECT ledger_id, n_deals, n_forged, forge_tier,
+             registered_digest, observed_digest,
+             (obs_head <> reg_head) AS head_reg_caught,
+             (observed_digest <> registered_digest) AS digest_caught,
+             (n_forged > 0 AND observed_digest = registered_digest) AS undetected
+      FROM agg
+      ORDER BY ledger_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
 }

@@ -152,7 +152,7 @@ class PlanSpec extends SparkSpec {
     // w7 registers (length, head hash) and w8 adds forge tiers; both
     // must stay single-scan: ordered window for offsets/relink, the
     // unordered ledger window for registration heads, one aggregate
-    Seq("w7_tail_truncation", "w8_payload_forge").foreach { n =>
+    Seq("w7_tail_truncation", "w8_payload_forge", "w9_chain_digest").foreach { n =>
       val p = plan(n)
       assert(p.contains("Window"), s"$n: offsets/registration must be window passes")
       // struct-valued min/max buffers sort-aggregate; the shape pin is

@@ -113,6 +113,28 @@ class QueriesSpec extends SparkSpec {
       "no ledger exhibits registration-only detection of a keyed head forge")
   }
 
+  test("w9: the recursive chain digest closes w8's keyed mid-chain boundary — zero undetected forges") {
+    val rows = SparkEntry.queries("w9_chain_digest")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val midLedgers = rows.filter(_.getAs[String]("forge_tier") == "keyed_mid")
+    assert(midLedgers.nonEmpty, "fixture produced no keyed mid-chain forges")
+    rows.foreach { r =>
+      val lid = r.getAs[Long]("ledger_id")
+      val forged = r.getAs[Long]("n_forged") > 0
+      // the digest catches every forged ledger and ONLY forged ledgers
+      assert(r.getAs[Boolean]("digest_caught") == forged, s"ledger $lid")
+      // nothing evades: the boundary w8 reports is closed by the digest
+      assert(!r.getAs[Boolean]("undetected"), s"ledger $lid: undetected forge")
+      // the w7-style head registration still misses mid-chain forges —
+      // the digest is strictly stronger, not redundantly equal
+      if (r.getAs[String]("forge_tier") == "keyed_mid")
+        assert(!r.getAs[Boolean]("head_reg_caught"),
+          s"ledger $lid: head registration unexpectedly caught a mid forge")
+      if (r.getAs[String]("forge_tier") == "keyed_head")
+        assert(r.getAs[Boolean]("head_reg_caught"), s"ledger $lid")
+    }
+  }
+
   test("hash chain query: per user, exactly one chain head and each prev_hash is another row's content_hash") {
     val rows = SparkEntry.queries("w4_hash_chain")(spark, Sf).collect()
     rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
