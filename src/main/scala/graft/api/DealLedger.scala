@@ -153,6 +153,49 @@ final class DealLedger(val spark: SparkSession, val path: String,
       .agg(max_by(col("content_hash"), col("deal_offset")).as("head_hash"))
       .orderBy("ledger_id")
 
+  /** Per-ledger recursive chain digest — the registration snapshot a
+    * relying party stores with an out-of-band trust anchor:
+    * `d_i = sha256(d_{i-1} || content_hash_i)` folded in offset order,
+    * seeded at "". Strictly stronger than [[headHashes]]: the head
+    * hash commits only to the head envelope's own fields, so a keyed
+    * forger rewriting an INTERIOR envelope and relinking the suffix
+    * beats both [[verify]] and a head registration — but not the
+    * digest, which commits to every envelope (the w9_chain_digest
+    * query demonstrates the tiers; DealLedgerSpec pins the API).
+    * The fold is sequential within a ledger (that sequentiality IS the
+    * tamper evidence), independent across ledgers. */
+  def chainDigests(): DataFrame =
+    table().groupBy("ledger_id")
+      .agg(count(lit(1)).as("length"),
+        array_sort(collect_list(struct(col("deal_offset"), col("content_hash"))))
+          .as("a"))
+      .select(col("ledger_id"), col("length"),
+        aggregate(transform(col("a"), x => x.getField("content_hash")),
+          lit(""), (acc, h) => sha2(concat(acc, h), 256)).as("chain_digest"))
+      .orderBy("ledger_id")
+
+  /** Audit the stored chains against a registration snapshot (a frame
+    * of `ledger_id, length, chain_digest` as produced by
+    * [[chainDigests]] at signing time). Full-outer: a ledger missing
+    * from either side is NOT intact — truncation-to-empty cannot hide
+    * by vanishing from the store, and an unregistered ledger appearing
+    * in the store is flagged rather than silently trusted. The
+    * registration is one row per ledger — broadcast-sized by
+    * construction. */
+  def verifyDigests(registered: DataFrame): DataFrame =
+    chainDigests()
+      .join(broadcast(registered.select(col("ledger_id"),
+        col("length").as("registered_length"),
+        col("chain_digest").as("registered_digest"))),
+        Seq("ledger_id"), "full_outer")
+      .select(col("ledger_id"), col("length"), col("registered_length"),
+        col("chain_digest"), col("registered_digest"),
+        (coalesce(col("length"), lit(0L)) ===
+          coalesce(col("registered_length"), lit(0L)) &&
+          coalesce(col("chain_digest"), lit("∅")) ===
+            coalesce(col("registered_digest"), lit("∅"))).as("intact"))
+      .orderBy("ledger_id")
+
   /** Total envelope count (ledger.rs `len`). */
   def length: Long = table().count()
 }

@@ -154,6 +154,59 @@ class DealLedgerSpec extends SparkSpec {
     assert(dl.headHashes().collect().head.getString(1) != regHead)
   }
 
+  test("chainDigests registration catches the keyed mid-chain forge that verify and headHashes miss") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.HashChain
+    val dl = fresh("digest")
+    dl.append((0 until 6).map(env("A", _)))
+    dl.append((0 until 4).map(env("B", _)))
+    // signing-time registration snapshot, pinned before any tamper
+    val reg = dl.chainDigests().localCheckpoint()
+    val regHeadA = dl.headHashes().filter(col("ledger_id") === "A")
+      .collect().head.getString(1)
+
+    // the strongest attacker: HAS the signing key, rewrites the terms
+    // of A's interior envelope (offset 2), recomputes the keyed
+    // canonical, and relinks the whole suffix — internally consistent
+    val w = Window.partitionBy(col("ledger_id")).orderBy(col("deal_offset"))
+    val forged = dl.table()
+      .withColumn("terms",
+        when(col("ledger_id") === "A" && col("deal_offset") === 2,
+          lit("""{"task":"t2","price":999999}""")).otherwise(col("terms")))
+      .withColumn("content_hash",
+        sha2(concat_ws(HashChain.Sep, lit("deal-ledger-key"),
+          col("deal_id"), col("buyer"), col("seller"),
+          col("terms").cast("string"), col("signed_at").cast("string")), 256))
+      .withColumn("prev_hash",
+        coalesce(lag(col("content_hash"), 1).over(w), lit("")))
+      .withColumn("mac", sha2(concat(col("content_hash"), col("prev_hash")), 256))
+    val tmp = dl.path + ".tmp"
+    forged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dl.path)
+
+    // the dispute walk passes (every link re-verifies) and the head
+    // registration passes (the head envelope's own fields are
+    // untouched) — this forge beats both
+    assert(dl.verify().collect().forall(_.getAs[Boolean]("chain_valid")))
+    assert(dl.headHashes().filter(col("ledger_id") === "A")
+      .collect().head.getString(1) == regHeadA)
+    // the digest registration catches exactly the forged ledger
+    val audit = dl.verifyDigests(reg).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("intact")).toMap
+    assert(!audit("A"), "mid-chain forge must break A's registered digest")
+    assert(audit("B"), "untouched ledger must stay intact")
+
+    // truncation-to-empty cannot hide by vanishing from the store:
+    // drop ledger B entirely — the full-outer audit still reports it
+    val wiped = dl.table().filter(col("ledger_id") =!= "B")
+    wiped.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dl.path)
+    val audit2 = dl.verifyDigests(reg).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("intact")).toMap
+    assert(audit2.contains("B") && !audit2("B"),
+      "a ledger erased from the store must surface as not intact")
+  }
+
   test("streaming appends via foreachBatch keep every chain valid across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
