@@ -163,7 +163,8 @@ final class DealLedger(val spark: SparkSession, val path: String,
     * digest, which commits to every envelope (the w9_chain_digest
     * query demonstrates the tiers; DealLedgerSpec pins the API).
     * The fold is sequential within a ledger (that sequentiality IS the
-    * tamper evidence), independent across ledgers. */
+    * tamper evidence), independent across ledgers; the output is one
+    * row per ledger. */
   def chainDigests(): DataFrame =
     table().groupBy("ledger_id")
       .agg(count(lit(1)).as("length"),
@@ -179,14 +180,15 @@ final class DealLedger(val spark: SparkSession, val path: String,
     * [[chainDigests]] at signing time). Full-outer: a ledger missing
     * from either side is NOT intact — truncation-to-empty cannot hide
     * by vanishing from the store, and an unregistered ledger appearing
-    * in the store is flagged rather than silently trusted. The
-    * registration is one row per ledger — broadcast-sized by
-    * construction. */
+    * in the store is flagged rather than silently trusted. Full outer
+    * rules out BroadcastHashJoin, but both sides are per-ledger
+    * aggregates (one row per ledger), so the exchange this join pays
+    * is tiny by construction. */
   def verifyDigests(registered: DataFrame): DataFrame =
     chainDigests()
-      .join(broadcast(registered.select(col("ledger_id"),
+      .join(registered.select(col("ledger_id"),
         col("length").as("registered_length"),
-        col("chain_digest").as("registered_digest"))),
+        col("chain_digest").as("registered_digest")),
         Seq("ledger_id"), "full_outer")
       .select(col("ledger_id"), col("length"), col("registered_length"),
         col("chain_digest"), col("registered_digest"),

@@ -386,8 +386,9 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * `_mig` (hidden names never confuse a concurrent flat read), then
     * atomically renamed to `g1` immediately before the manifest commit.
     * Any crash before the manifest write leaves the flat files
-    * authoritative and the staged dirs unpublished — the next open
-    * sweeps them ([[sweepUnpublished]]) and re-migrates; after the
+    * authoritative and the staged dirs unpublished — the next MUTATION
+    * sweeps them ([[sweepUnpublished]]) and re-migrates (reads only
+    * ignore them — they never delete, see [[table]]); after the
     * manifest write, readers go through the manifest and the absorbed
     * root files are swept (idempotently re-swept by later commits if
     * that sweep itself crashes). No crash point makes committed data
@@ -396,33 +397,45 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     recover()
     readStoreManifest().getOrElse {
       sweepUnpublished()
-      // a brand-new store starts with a complete (empty) tag index
-      if (!legacyExists) StoreManifest(0L, newStoreBuckets, Map.empty, Some(Nil))
+      // a brand-new store starts with a complete (empty) tag index; a
+      // legacy root holding no data files (only _SUCCESS markers) has
+      // nothing to migrate and gets the same empty manifest
+      val flatFiles = legacyRootFiles()
+      if (!legacyExists || flatFiles.isEmpty)
+        StoreManifest(0L, newStoreBuckets, Map.empty, Some(Nil))
       else {
         val n = newStoreBuckets
-        val flat = spark.read.parquet(path)
+        // explicit file list, same as [[table]] — never a root-dir read
+        // that could trip over unswept non-hidden leftovers
+        val flat = spark.read.parquet(flatFiles: _*)
         flat.withColumn("bucket", Mnemo.bucketOf(col("id"), n))
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$path/_mig/r")
+        val stagedBuckets = presentBuckets("_mig", "r")
         // tag index for the migrated store, so subject redactions prune
         // from day one — built by reading BACK the staged segment just
         // written (its `bucket` partition column IS the pair; no second
         // scan of the flat files, no re-hash — the commitWrite
-        // pattern). Unpublished until the manifest commit below; a
-        // crash leaves it swept like the staged data dirs.
-        spark.read.parquet(s"$path/_mig/r")
-          .select(explode(col("tags")).as("tag"),
-            col("bucket").cast("int").as("bucket"))
-          .distinct()
-          .write.mode(SaveMode.Overwrite).parquet(s"$path/t1")
-        val buckets = presentBuckets("_mig", "r")
+        // pattern). Skipped when the flat store held zero rows: the
+        // staged dir then has no parquet footers and a schemaless
+        // read-back would fail inference. Unpublished until the
+        // manifest commit below; a crash leaves it swept like the
+        // staged data dirs.
+        if (stagedBuckets.nonEmpty)
+          spark.read.parquet(s"$path/_mig/r")
+            .select(explode(col("tags")).as("tag"),
+              col("bucket").cast("int").as("bucket"))
+            .distinct()
+            .write.mode(SaveMode.Overwrite).parquet(s"$path/t1")
+        val buckets = stagedBuckets
           .map(k => k -> Seq(s"g1/r/bucket=$k")).toMap
         java.nio.file.Files.move(
           java.nio.file.Paths.get(path, "_mig"),
           java.nio.file.Paths.get(path, "g1"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         val m = StoreManifest(1L, n, buckets,
-          Some(if (hasParquetFiles("t1")) Seq("t1") else Nil))
+          Some(if (stagedBuckets.nonEmpty && hasParquetFiles("t1"))
+            Seq("t1") else Nil))
         writeStoreManifest(m)
         sweepLegacyFiles()
         m

@@ -613,11 +613,14 @@ object Trust extends QueryGroup {
         .withColumn("content_hash", canonical(col("terms")))
         .withColumn("deal_offset", (row_number().over(w) - 1).cast("bigint"))
         .withColumn("reg_len", max(col("deal_offset")).over(wl) + 1)
+        // keyed_mid requires reg_len > 2, else offset 1 IS the head on a
+        // 2-deal ledger and the tier's "head registration passes"
+        // invariant would be vacuously violated (QueriesSpec pins it)
         .withColumn("tier",
           when(col("ledger_id") % 5 === 1 &&
             col("deal_offset") === col("reg_len") - 1, "keyed_head")
-            .when(col("ledger_id") % 5 === 2 && col("deal_offset") === 1,
-              "keyed_mid")
+            .when(col("ledger_id") % 5 === 2 && col("reg_len") > 2 &&
+              col("deal_offset") === 1, "keyed_mid")
             .otherwise("none"))
         .withColumn("observed_terms",
           when(col("tier") =!= "none", col("terms") + lit(0.01))
@@ -676,7 +679,7 @@ object Trust extends QueryGroup {
       tiered AS (
         SELECT *,
                CASE WHEN ledger_id % 5 = 1 AND deal_offset = reg_len - 1 THEN 'keyed_head'
-                    WHEN ledger_id % 5 = 2 AND deal_offset = 1 THEN 'keyed_mid'
+                    WHEN ledger_id % 5 = 2 AND reg_len > 2 AND deal_offset = 1 THEN 'keyed_mid'
                     ELSE 'none' END AS tier
         FROM bounded),
       observed AS (

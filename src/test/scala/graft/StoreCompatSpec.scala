@@ -341,6 +341,30 @@ class StoreCompatSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir, ManifestIO.FileName + ".tmp")))
   }
 
+  test("zero-row legacy flat store migrates without schema-inference crash and stays writable") {
+    // a legacy store whose parquet files hold 0 rows (e.g. everything
+    // hard-deleted pre-v3) — the staged migration segment then has no
+    // part files, and the tag-index read-back must not be attempted
+    val donor = freshStore()
+    val legacyDir = Files.createTempDirectory("compat-empty").toFile
+    legacyDir.delete()
+    val legacy = legacyDir.getAbsolutePath
+    donor.table().write.parquet(legacy) // empty frame, schema-bearing files
+    val store = Mnemo.open(spark, legacy)
+    assert(store.table().count() == 0)
+    // first mutation must not throw; the store then accepts writes
+    store.forget("alice", Seq("nothing"), ts("2024-03-01 00:00:00"))
+    seed(store)
+    assert(store.table().count() == 2)
+    val m = ManifestIO.read(legacy).getOrElse(fail("manifest missing"))
+    assert(m("version") == "3" && m.contains("tagidx"))
+    // and the index works on the fresh content
+    store.remember(Seq(RememberRequest("s1", "alice", "t1", "secret",
+      tags = Seq("subject:z"), createdAt = ts("2024-01-03 10:00:00"))))
+    store.forgetSubject("subject:z", ts("2024-03-02 00:00:00"))
+    assert(store.table().filter("redacted").count() == 1)
+  }
+
   // ---- tag→bucket inverted index (forgetSubject's prune) ----
 
   /** Buckets the store's own route assigns to these ids under the
