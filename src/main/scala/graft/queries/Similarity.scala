@@ -60,10 +60,16 @@ object Similarity extends QueryGroup {
     * ([[stratifiedSeedIds]]) fixes the entrenchment: 2 rounds still
     * measure 16/21, and the third round now HELPS — 18/21 — because
     * Lloyd refines well-separated starting cells instead of fighting
-    * collapsed ones. QueriesSpec pins top-1 agreement ≥ 3/4. A
-    * production corpus with real cluster structure runs nlist ≈ √N and
-    * nprobe ≈ nlist/64 for a ~1-3% scan; the plan shape — O(k) centroid
-    * broadcast, equi-join probe — is unchanged by the knobs. */
+    * collapsed ones. QueriesSpec pins top-1 agreement ≥ 3/4.
+    * Round-9 knob sweep (IvfAgree, sf0.1): NProbe 16→18/21,
+    * 24→19/21, 32→20/21 — the residual misses are probe-bounded, not
+    * codebook failures, and widening the probe toward half the corpus
+    * is just expensive brute force, so 16 stays. A FOURTH Lloyd round
+    * regresses to 14/21 (the quantized means over-fit the hash
+    * sample), so 3 stays too. A production corpus with real cluster
+    * structure runs nlist ≈ √N and nprobe ≈ nlist/64 for a ~1-3%
+    * scan; the plan shape — O(k) centroid broadcast, equi-join
+    * probe — is unchanged by the knobs. */
   private val NProbe = 16
 
   private def centroidSeedIds(e: DataFrame): DataFrame =
