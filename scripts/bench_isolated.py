@@ -35,7 +35,10 @@ MOVERS_R9 = [
     "p5_current_fact", "p7_orientation_cache", "pl2_stratified_sample",
     "s22_workingset_diff",
 ]
-TOP15 = TOP15 + MOVERS_R9
+# queries born in round 9 get their isolated baseline at birth, so the
+# first round-over-round diff has a reference
+NEW_R9 = ["w9_chain_digest"]
+TOP15 = TOP15 + MOVERS_R9 + NEW_R9
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
