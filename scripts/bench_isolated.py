@@ -9,8 +9,10 @@ timings"). Run after `sbt compile`:
 
     python3 scripts/bench_isolated.py [sfDir] [reps]
 
-Queries: the top-15 most expensive from the latest driver bench, pinned
-here so the artifact diffs cleanly round over round.
+Queries: the top-15 most expensive from the latest driver bench, plus
+per-round pinned additions (movers needing adjudication, newly-born
+queries), deduplicated — the final QUERIES list diffs cleanly round
+over round.
 """
 import json
 import re
@@ -38,7 +40,10 @@ MOVERS_R9 = [
 # queries born in round 9 get their isolated baseline at birth, so the
 # first round-over-round diff has a reference
 NEW_R9 = ["w9_chain_digest"]
-TOP15 = TOP15 + MOVERS_R9 + NEW_R9
+# dedup while preserving order: a query listed in two groups (e.g. a
+# NEW_R9 query that becomes a mover next round) must run once, not
+# silently twice with the second run overwriting the first
+QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9))
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -55,7 +60,7 @@ def main(sf_dir, reps):
     cp = "target/scala-2.13/classes:/opt/spark/jars/*"
     flags = [x for p in ADD_OPENS for x in ("--add-opens", f"{p}=ALL-UNNAMED")]
     out = {}
-    for q in TOP15:
+    for q in QUERIES:
         cmd = (["java", "-cp", cp, "-Xmx8g",
                 "-Dspark.ui.enabled=false",
                 "-Dspark.sql.session.timeZone=UTC"]

@@ -401,7 +401,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       // legacy root holding no data files (only _SUCCESS markers) has
       // nothing to migrate and gets the same empty manifest
       val flatFiles = legacyRootFiles()
-      if (!legacyExists || flatFiles.isEmpty)
+      if (flatFiles.isEmpty) // no legacy data files ⇒ nothing to migrate
         StoreManifest(0L, newStoreBuckets, Map.empty, Some(Nil))
       else {
         val n = newStoreBuckets

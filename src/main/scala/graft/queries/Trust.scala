@@ -443,11 +443,16 @@ object Trust extends QueryGroup {
         .withColumn("deal_offset", (row_number().over(w) - 1).cast("bigint"))
         .withColumn("reg_len",
           max(col("deal_offset")).over(wl) + 1)
+        // keyed_mid requires reg_len > 2 (same guard as w9): on a
+        // 2-deal ledger offset 1 IS the head, and mislabeling the head
+        // forge as mid-chain would flip the tier's documented
+        // evades-registration boundary
         .withColumn("tier",
           when(col("deal_id") % 29 === 0, "keyless")
             .when(col("ledger_id") % 5 === 1 &&
               col("deal_offset") === col("reg_len") - 1, "keyed_head")
-            .when(col("ledger_id") % 5 === 2 && col("deal_offset") === 1, "keyed_mid")
+            .when(col("ledger_id") % 5 === 2 && col("reg_len") > 2 &&
+              col("deal_offset") === 1, "keyed_mid")
             .otherwise("none"))
         .withColumn("observed_terms",
           when(col("tier") =!= "none", col("terms") + lit(0.01))
@@ -515,7 +520,7 @@ object Trust extends QueryGroup {
         SELECT *,
                CASE WHEN deal_id % 29 = 0 THEN 'keyless'
                     WHEN ledger_id % 5 = 1 AND deal_offset = reg_len - 1 THEN 'keyed_head'
-                    WHEN ledger_id % 5 = 2 AND deal_offset = 1 THEN 'keyed_mid'
+                    WHEN ledger_id % 5 = 2 AND reg_len > 2 AND deal_offset = 1 THEN 'keyed_mid'
                     ELSE 'none' END AS tier
         FROM bounded),
       observed AS (

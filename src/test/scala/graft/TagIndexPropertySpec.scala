@@ -74,8 +74,7 @@ class TagIndexPropertySpec extends SparkSpec {
             }
         }
       }
-      def forgetSubjectNow(): Unit = {
-        val tag = tagPool(rnd.nextInt(tagPool.size))
+      def forgetSubjectTag(tag: String): Unit = {
         store.forgetSubject(tag, ts(7000 + nextId))
         model = model.map { case (id, (tags, red)) =>
           id -> (tags, red || tags.contains(tag))
@@ -88,6 +87,8 @@ class TagIndexPropertySpec extends SparkSpec {
           s"round $round: forgetSubject('$tag') missed $missed live rows " +
             "— the inverted index under-approximated (redaction-safety bug)")
       }
+      def forgetSubjectNow(): Unit =
+        forgetSubjectTag(tagPool(rnd.nextInt(tagPool.size)))
 
       rememberBatch() // never start empty
       (0 until 14).foreach { _ =>
@@ -99,15 +100,10 @@ class TagIndexPropertySpec extends SparkSpec {
           case 5 => forgetSubjectNow()
         }
       }
-      // end of sequence: redact every pool tag and compare the full
-      // redaction state against the model
-      tagPool.foreach(_ => forgetSubjectNow())
-      tagPool.foreach { tag =>
-        store.forgetSubject(tag, ts(8000))
-        model = model.map { case (id, (tags, red)) =>
-          id -> (tags, red || tags.contains(tag))
-        }
-      }
+      // end of sequence: redact every pool tag (deterministically, with
+      // the invariant checked per tag) and compare the full redaction
+      // state against the model
+      tagPool.foreach(forgetSubjectTag)
       val got = store.table().select("id", "redacted").collect()
         .map(r => r.getString(0) -> r.getBoolean(1)).toMap
       val expected = model.map { case (id, (_, red)) => id -> red }
