@@ -17,19 +17,33 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries a nanosecond parquet timestamp, which Spark
-    * rejects by default (TimestampType is micros). We read it via the
-    * nanos-as-long escape hatch and expose `ts` as epoch MICROseconds
-    * (long): DuckDB also truncates this column to micros on read, so the
-    * micro-epoch long is the representation both engines agree on
-    * bit-for-bit. `ts_ts` is the same instant as a proper TimestampType
-    * column for event-time/streaming use. */
+  /** The events table's `ts` column has shipped in two physical forms:
+    * originally a NANOSECOND parquet timestamp (which Spark rejects by
+    * default — TimestampType is micros — so we read it via the
+    * nanos-as-long escape hatch and divide), and, since the testdata
+    * regeneration, a plain micros timestamp (surfaced as TIMESTAMP_NTZ by
+    * parquet NTZ inference). Either way we expose `ts` as epoch
+    * MICROseconds (long): DuckDB reads both forms as a micros timestamp,
+    * so the micro-epoch long is the representation both engines agree on
+    * bit-for-bit (oracle SQL uses `epoch_us(ts)`). `ts_ts` is the same
+    * instant as a proper TimestampType column for event-time/streaming
+    * use; the session timezone is pinned to UTC, so the NTZ cast is an
+    * identity on the underlying micros. */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumn("ts", expr("ts div 1000"))
-      .withColumn("ts_ts", timestamp_micros(col("ts")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy layout: int64 nanoseconds
+        raw
+          .withColumn("ts", expr("ts div 1000"))
+          .withColumn("ts_ts", timestamp_micros(col("ts")))
+      case _ => // current layout: timestamp[us] (NTZ or UTC-adjusted)
+        raw
+          .withColumn("ts_ts", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("ts_ts")))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
