@@ -40,6 +40,13 @@ MOVERS_R9 = [
 # queries born in round 9 get their isolated baseline at birth, so the
 # first round-over-round diff has a reference
 NEW_R9 = ["w9_chain_digest"]
+# j5_anti_join hit 2.38s min-of-5 in one full-suite run on the
+# regenerated testdata (r7: 0.20s) yet times 0.28-0.35s in ANY smaller
+# context — including a rerun of its exact suite neighborhood — and
+# 0.52s isolated-warm: cumulative-session GC/cleaner pressure, not the
+# query (its plan is a pruned scan + broadcast anti join). Pinned here
+# so the artifact adjudicates it round-over-round.
+MOVERS_R9.append("j5_anti_join")
 # dedup while preserving order: a query listed in two groups (e.g. a
 # NEW_R9 query that becomes a mover next round) must run once, not
 # silently twice with the second run overwriting the first

@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+import graft.api.{ManifestIO, Mnemo}
+import graft.api.Mnemo.RememberRequest
+import org.apache.spark.sql.functions._
+
+/** Model-based randomized check of the v3 bucketed store's FULL
+  * commit protocol, complementing [[TagIndexPropertySpec]] (which
+  * models only the tag-index safety invariant): a driver-side model of
+  * every row's (agent, tags, deleted, access_count, redacted) state is
+  * advanced alongside random interleavings of remember / forget /
+  * touch / forgetSubject / checkpoint, and after EVERY op the store
+  * must agree with the model exactly. On top of state equality, the
+  * structural invariants the layout's scaladoc promises
+  * (api/Mnemo.scala:233-265) are asserted directly against the
+  * manifest and the filesystem:
+  *
+  *  - chains verify end-to-end after any interleaving (soft deletes
+  *    keep rows, redaction keeps hashes);
+  *  - the manifest only references segment dirs that exist, and the
+  *    store root holds no unreferenced g* / t* dir (gc completeness —
+  *    a dangling reference would be data loss, an orphan a leak);
+  *  - no bucket exceeds [[Mnemo.MaxSegments]] segments (the LSM-ish
+  *    compaction bound that keeps per-bucket read fan-in O(1));
+  *  - every committed bucket dir holds only rows whose id hashes to
+  *    that bucket (writer/reader routing agreement ON DISK — a drift
+  *    here would make point ops silently miss rows);
+  *  - replay(checkpoint) returns exactly the ids that were live for
+  *    the agent when the checkpoint was cut, even after later forgets
+  *    (tombstones never unlink refs).
+  *
+  * Seeded RNG → deterministic. Ops draw ids across agents, already-
+  * deleted rows, and nonexistent ids, so the conditional rewrites'
+  * no-op paths are exercised too. */
+class StorePropertySpec extends SparkSpec {
+
+  private case class MRow(agent: String, tags: Set[String],
+      deleted: Boolean, access: Long, redacted: Boolean)
+
+  private def ts(i: Int) = new Timestamp(1700000000000L + i * 60000L)
+
+  test("randomized store interleavings: model equality + structural invariants hold after every op") {
+    val rnd = new Random(20260814L)
+    val agents = Vector("agent-a", "agent-b")
+    val tagPool = Vector("subject:p", "subject:q", "topic-m", "topic-n")
+
+    (0 until 2).foreach { round =>
+      val dir = Files.createTempDirectory(s"storeprop$round").toFile
+      dir.delete()
+      val store = Mnemo.open(spark, dir.getAbsolutePath)
+      var model = Map.empty[String, MRow]
+      var ckpts = Map.empty[String, Set[String]]
+      var nextId = 0
+      var nCk = 0
+
+      def allIds = model.keys.toSeq.sorted
+
+      def rememberBatch(): Unit = {
+        val n = 1 + rnd.nextInt(10)
+        val reqs = (0 until n).map { _ =>
+          val id = f"r$round-m$nextId%04d"; nextId += 1
+          val agent = agents(rnd.nextInt(agents.size))
+          val tags = tagPool.filter(_ => rnd.nextInt(3) == 0)
+          model += id -> MRow(agent, tags.toSet, deleted = false, 0L,
+            redacted = false)
+          RememberRequest(id, agent, s"t${rnd.nextInt(3)}",
+            s"content $id", tags = tags, createdAt = ts(nextId))
+        }
+        store.remember(reqs)
+      }
+
+      def forgetOp(): Unit = if (model.nonEmpty) {
+        val agent = agents(rnd.nextInt(agents.size))
+        // draw from ALL ids: wrong-agent and already-deleted picks must
+        // no-op, exactly as the conditional rewrite promises
+        val ids = rnd.shuffle(allIds).take(1 + rnd.nextInt(3))
+        store.forget(agent, ids, ts(9000 + nextId))
+        model = model.map { case (id, r) =>
+          id -> (if (ids.contains(id) && r.agent == agent && !r.deleted)
+            r.copy(deleted = true) else r)
+        }
+      }
+
+      def touchOp(): Unit = if (model.nonEmpty) {
+        // touch bumps by id only (no liveness/agent guard — the
+        // reference's access_count += 1 shape); unknown ids no-op
+        val ids = rnd.shuffle(allIds).take(1 + rnd.nextInt(3)) ++
+          (if (rnd.nextBoolean()) Seq(s"ghost-$nextId") else Nil)
+        store.touch(ids)
+        model = model.map { case (id, r) =>
+          id -> (if (ids.contains(id)) r.copy(access = r.access + 1) else r)
+        }
+      }
+
+      def forgetSubjectOp(): Unit = {
+        val tag = tagPool(rnd.nextInt(tagPool.size))
+        store.forgetSubject(tag, ts(7000 + nextId))
+        model = model.map { case (id, r) =>
+          id -> (if (r.tags.contains(tag) && !r.redacted)
+            r.copy(redacted = true, deleted = true) else r)
+        }
+      }
+
+      def checkpointOp(): Unit = {
+        val agent = agents(rnd.nextInt(agents.size))
+        val name = s"ck$round-$nCk"; nCk += 1
+        store.checkpoint(name, agent, ts(nextId + 1))
+        ckpts += name -> model.collect {
+          case (id, r) if r.agent == agent && !r.deleted => id
+        }.toSet
+      }
+
+      def manifest(): Map[String, String] =
+        ManifestIO.read(store.path).getOrElse(Map.empty)
+
+      def checkModelEquality(): Unit = {
+        val got = store.table()
+          .select("id", "agent_id", "deleted_at", "access_count", "redacted")
+          .collect()
+          .map(r => r.getString(0) -> ((r.getString(1), r.isNullAt(2),
+            r.getLong(3), r.getBoolean(4)))).toMap
+        assert(got.keySet == model.keySet,
+          s"round $round: id drift store-only=${got.keySet.diff(model.keySet)} " +
+            s"model-only=${model.keySet.diff(got.keySet)}")
+        model.foreach { case (id, m) =>
+          val (agent, liveNull, access, redacted) = got(id)
+          assert(agent == m.agent && liveNull == !m.deleted &&
+            access == m.access && redacted == m.redacted,
+            s"round $round: $id store=(${got(id)}) model=$m")
+        }
+      }
+
+      def checkStructure(): Unit = {
+        val m = manifest()
+        val segs = m.collect { case (k, v) if k.startsWith("bucket.") =>
+          k.stripPrefix("bucket.").toInt ->
+            v.split(",").filter(_.nonEmpty).toSeq }
+        // compaction bound
+        segs.foreach { case (k, ss) =>
+          assert(ss.length <= Mnemo.MaxSegments,
+            s"round $round: bucket $k has ${ss.length} segments (> ${Mnemo.MaxSegments})")
+        }
+        // every referenced dir exists
+        val referenced = segs.values.flatten.toSet ++
+          m.get("tagidx").toSeq.flatMap(_.split(",").filter(_.nonEmpty))
+        referenced.foreach { rel =>
+          assert(Files.isDirectory(Paths.get(store.path, rel)),
+            s"round $round: manifest references missing dir $rel")
+        }
+        // gc completeness: no unreferenced g*/t* top dir survives
+        val liveTops = referenced.map(_.takeWhile(_ != '/'))
+        val tops = Files.list(Paths.get(store.path))
+        val orphans =
+          try tops.iterator().asScala
+            .filter(Files.isDirectory(_))
+            .map(_.getFileName.toString)
+            .filter(d => (d.startsWith("g") || d.startsWith("t")) &&
+              !liveTops.contains(d))
+            .toList
+          finally tops.close()
+        assert(orphans.isEmpty,
+          s"round $round: gc left unreferenced dirs $orphans")
+      }
+
+      def checkChains(): Unit = {
+        val bad = store.verifyChains().filter(!col("chain_valid")).count()
+        assert(bad == 0L, s"round $round: $bad invalid chain rows")
+      }
+
+      rememberBatch()
+      (0 until 14).foreach { i =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => rememberBatch()
+          case 2 => forgetOp()
+          case 3 => touchOp()
+          case 4 => if (i % 2 == 0) forgetSubjectOp() else checkpointOp()
+          case 5 => checkpointOp()
+        }
+        checkModelEquality()
+        checkStructure()
+        if (i % 4 == 3) checkChains()
+      }
+      checkChains()
+
+      // on-disk routing agreement: each committed bucket dir holds only
+      // rows hashing to it (one union job over all buckets)
+      val m = manifest()
+      val n = m.getOrElse("buckets", "32").toInt
+      val perBucket = m.collect { case (k, v) if k.startsWith("bucket.") =>
+        val dirs = v.split(",").filter(_.nonEmpty).map(s => s"${store.path}/$s")
+        spark.read.schema(Mnemo.StoreSchema).parquet(dirs.toSeq: _*)
+          .select(col("id"),
+            lit(k.stripPrefix("bucket.").toInt).as("claimed"))
+      }.toSeq
+      if (perBucket.nonEmpty) {
+        val misrouted = perBucket.reduce(_ unionByName _)
+          .filter(Mnemo.bucketOf(col("id"), n) =!= col("claimed")).count()
+        assert(misrouted == 0L,
+          s"round $round: $misrouted rows in a bucket their id does not hash to")
+      }
+
+      // replay returns the checkpoint-time live set, forgets notwithstanding
+      ckpts.foreach { case (name, expected) =>
+        val got = store.replay(name).select("id").collect()
+          .map(_.getString(0)).toSet
+        assert(got == expected,
+          s"round $round: replay($name) drift got-only=${got.diff(expected)} " +
+            s"expected-only=${expected.diff(got)}")
+      }
+    }
+  }
+}
