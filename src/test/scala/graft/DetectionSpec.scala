@@ -1,0 +1,46 @@
+package graft
+
+import graft.eval.Detection
+
+/** Pins the detection-rate harness to the rates the engine claims
+  * against BASELINE.md's audit/defense table: 100% on every tamper
+  * family — INCLUDING the reference's two disclosed gaps (payload-only
+  * forge, tail truncation) — with a 0% benign false-positive floor,
+  * and the MINJA-style lexical lane at TPR 1.0 / FPR 0.0. Compact
+  * trial counts here (the committed DETECTION.json carries the
+  * full-size reference-parity counts); same seeded deterministic
+  * target selection, so rates are exact, not flaky. */
+class DetectionSpec extends SparkSpec {
+
+  test("tamper families: 100% detection, 0% benign FP (walk + length registration)") {
+    val rates = Detection.tamperRates(spark, attackTrials = 40, benignTrials = 60)
+    assert(rates("benign").detected === 0L,
+      s"benign logs flagged: ${rates("benign")}")
+    Seq("payload_forge", "delete_interior", "reorder",
+      "hash_forge_interior", "tail_truncation").foreach { fam =>
+      val r = rates(fam)
+      assert(r.detected === r.trials,
+        s"$fam: ${r.detected}/${r.trials} detected — missed tampers")
+    }
+    // the two disclosed-gap families are the headline: assert them by
+    // name so a regression names the exact capability lost
+    assert(rates("payload_forge").rate === 1.0)
+    assert(rates("tail_truncation").rate === 1.0)
+  }
+
+  test("injection lexical lane: TPR 1.0 on marker templates, FPR 0.0 on benign notes") {
+    val (tpr, fpr) = Detection.injectionRates(spark, trials = 80)
+    assert(tpr.detected === tpr.trials, s"poison missed: $tpr")
+    assert(fpr.detected === 0L, s"benign flagged: $fpr")
+  }
+
+  test("wilson interval matches the reference's published bound shape") {
+    // reference: 256/256 -> Wilson95 lower >= 0.985 (BASELINE.md single-byte row)
+    val r = Detection.FamilyRate(256, 256)
+    val (lo, hi) = r.wilson95
+    assert(lo >= 0.985 && hi === 1.0)
+    val half = Detection.FamilyRate(10, 5)
+    val (l2, h2) = half.wilson95
+    assert(l2 > 0.2 && l2 < 0.5 && h2 > 0.5 && h2 < 0.8)
+  }
+}
