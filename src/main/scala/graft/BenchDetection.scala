@@ -33,7 +33,7 @@ object BenchDetection {
       f"""{"trials":${r.trials},"detected":${r.detected},"rate":${r.rate}%.4f,"wilson95":[$lo%.4f,$hi%.4f]}"""
     }
     val famJson = Seq("benign", "payload_forge", "delete_interior",
-      "reorder", "hash_forge_interior", "tail_truncation")
+      "reorder", "hash_forge_interior", "tail_truncation", "single_byte")
       .map(f => s""""$f":${fr(tamper(f))}""").mkString(",")
     val line =
       s"""{"bench":"detection","sec":${f"$sec%.2f"},""" +

@@ -141,6 +141,18 @@ object Detection {
         f.withColumn("cut", pick("cut", 3) + 1)
           .filter(!(col("thread_id") === col("tgt_thread") &&
             col("seq") >= lit(RowsPerThread) - col("cut")))
+      case "single_byte" =>
+        // the reference's audit-conformance bench: ONE byte of one
+        // row's payload overwritten at a hash-chosen offset ('~' never
+        // occurs in the generated payloads, so the byte always changes)
+        f.withColumn("off", pmod(xxhash64(col("family"), col("trial"),
+            lit("byte")), length(col("content"))).cast("int") + 1)
+          .withColumn("content",
+            when(col("hit"), concat(
+              col("content").substr(lit(1), col("off") - 1),
+              lit("~"),
+              col("content").substr(col("off") + 1, length(col("content")))))
+              .otherwise(col("content")))
       case other => sys.error(s"unknown family $other")
     }
     mutated.select(col("family"), col("trial"), col("thread_id"),
@@ -161,7 +173,10 @@ object Detection {
       "delete_interior" -> attackTrials,
       "reorder" -> attackTrials,
       "hash_forge_interior" -> attackTrials,
-      "tail_truncation" -> attackTrials)
+      "tail_truncation" -> attackTrials,
+      // 256 = the reference's audit-conformance trial count (the row
+      // BASELINE.md pins at Wilson95 lower >= 0.985)
+      "single_byte" -> math.max(attackTrials, 256))
     val all = families.map { case (name, n) => familyFrame(base, name, n) }
       .reduce(_ unionByName _)
 

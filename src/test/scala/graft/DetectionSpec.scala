@@ -17,11 +17,16 @@ class DetectionSpec extends SparkSpec {
     assert(rates("benign").detected === 0L,
       s"benign logs flagged: ${rates("benign")}")
     Seq("payload_forge", "delete_interior", "reorder",
-      "hash_forge_interior", "tail_truncation").foreach { fam =>
+      "hash_forge_interior", "tail_truncation", "single_byte").foreach { fam =>
       val r = rates(fam)
       assert(r.detected === r.trials,
         s"$fam: ${r.detected}/${r.trials} detected — missed tampers")
     }
+    // the conformance family runs at the reference's exact trial count
+    // even when the others are compact (BASELINE.md: 256 trials,
+    // Wilson95 lower >= 0.985)
+    assert(rates("single_byte").trials === 256L)
+    assert(rates("single_byte").wilson95._1 >= 0.985)
     // the two disclosed-gap families are the headline: assert them by
     // name so a regression names the exact capability lost
     assert(rates("payload_forge").rate === 1.0)
