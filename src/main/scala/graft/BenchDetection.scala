@@ -26,6 +26,8 @@ object BenchDetection {
     val tamper = Detection.tamperRates(spark, attackTrials = 200,
       benignTrials = 300)
     val (tpr, fpr) = Detection.injectionRates(spark, trials = 300)
+    // 180 = the reference's forged-reasoning trial count
+    val asr = Detection.reasoningTrustAsr(spark, trials = 180)
     val sec = (System.nanoTime() - t0) / 1e9
 
     def fr(r: Detection.FamilyRate): String = {
@@ -40,6 +42,9 @@ object BenchDetection {
         s""""chain":{"threads":${Detection.Threads},"rows_per_thread":${Detection.RowsPerThread}},""" +
         s""""families":{$famJson},""" +
         s""""injection":{"tpr":${fr(tpr)},"fpr":${fr(fpr)}},""" +
+        s""""reasoning_forge":{"asr_defense_off":${fr(asr("asr_defense_off"))},""" +
+        s""""asr_defense_on":${fr(asr("asr_defense_on"))},""" +
+        s""""benign_fp":${fr(asr("benign_fp"))}},""" +
         """"baseline_ref":"reference: 100% delete/reorder/hash-forge (200 ea), """ +
         """0% payload-only forge + tail truncation (disclosed gaps), MINJA lexical 0% ASR / 0 FP; """ +
         """this engine: walk catches payload forgery (content-hash recompute), """ +

@@ -1,9 +1,10 @@
 package graft.eval
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashChain
+import graft.functions.{CryptoOps, HashChain}
 
 /** Randomized tamper/poisoning detection-rate harness — the engine's
   * counterpart to the reference's published audit/defense table
@@ -201,6 +202,74 @@ object Detection {
       .collect()
       .map(r => r.getString(0) -> FamilyRate(r.getLong(1), r.getLong(2)))
       .toMap
+  }
+
+  /** Forged-reasoning injection lane (reference row: ASR 100% → 0%
+    * with the opt-in reasoning_trust policy, 0/180 benign FP —
+    * BASELINE.md / `docs/benchmarks/index.md:37`). Grounded in the
+    * engine's actual receipt primitive rather than a synthetic class
+    * rule: a reasoning receipt is an HMAC-SHA256 over the reasoning
+    * text ([[CryptoOps.hmacSha256]], P8); `verified` = recomputed mac
+    * matches, `forged` = a mac is present but does not verify (the
+    * attacker does not hold the key), `unverified` = no mac. Each
+    * trial's corpus holds 30 benign memories (a third carrying keyed
+    * receipts) plus one attacker memory with an inflated salience
+    * score and a claimed-but-keyless receipt. Defense OFF ranks by raw
+    * score — the attacker lands in the top-5 every trial (that IS the
+    * attack). Defense ON quarantines `forged` and half-weights
+    * `unverified` (the f3 policy), so the attacker never reaches the
+    * result set, while no benign row is ever misclassified (the mac
+    * either verifies or is absent). Both rankings are ONE window pass
+    * over all trials. */
+  def reasoningTrustAsr(spark: SparkSession, trials: Int,
+      key: String = "graft-reasoning-key"): Map[String, FamilyRate] = {
+    val corpus = 30
+    val topK = 5
+    val benign = spark.range(trials.toLong * corpus)
+      .select((col("id") / corpus).cast("long").as("trial"),
+        (col("id") % corpus).cast("int").as("m"))
+      .withColumn("score",
+        round(pmod(xxhash64(col("trial"), col("m"), lit("s")), lit(1000)) /
+          lit(1000.0), 6))
+      .withColumn("reasoning",
+        concat(lit("step trace "), col("trial"), lit("/"), col("m")))
+      .withColumn("mac",
+        when(col("m") % 3 === 0, CryptoOps.hmacSha256(col("reasoning"), key))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("attacker", lit(false))
+    val attacker = spark.range(trials.toLong)
+      .select(col("id").as("trial"), lit(999).as("m"))
+      .withColumn("score", lit(10.0)) // salience inflation: outranks all
+      .withColumn("reasoning", concat(lit("forged trace "), col("trial")))
+      .withColumn("mac", sha2(col("reasoning"), 256)) // keyless receipt
+      .withColumn("attacker", lit(true))
+    val all = benign.unionByName(attacker)
+      .withColumn("cls",
+        when(col("mac").isNull, "unverified")
+          .when(col("mac") === CryptoOps.hmacSha256(col("reasoning"), key),
+            "verified")
+          .otherwise("forged"))
+      .localCheckpoint() // pin macs once; both rankings read the same rows
+
+    val rkOff = row_number().over(
+      Window.partitionBy("trial").orderBy(col("score").desc, col("m")))
+    val asrOff = FamilyRate(trials, all.withColumn("rk", rkOff)
+      .filter(col("attacker") && col("rk") <= topK).count())
+
+    val weighted = when(col("cls") === "unverified", col("score") * 0.5)
+      .otherwise(col("score"))
+    val rkOn = row_number().over(
+      Window.partitionBy("trial").orderBy(col("w").desc, col("m")))
+    val asrOn = FamilyRate(trials, all.filter(col("cls") =!= "forged")
+      .withColumn("w", weighted).withColumn("rk", rkOn)
+      .filter(col("attacker") && col("rk") <= topK).count())
+
+    val benignFp = FamilyRate(trials, all
+      .filter(!col("attacker") && col("cls") === "forged")
+      .select("trial").distinct().count())
+
+    Map("asr_defense_off" -> asrOff, "asr_defense_on" -> asrOn,
+      "benign_fp" -> benignFp)
   }
 
   private val PoisonTemplates = Seq(

@@ -39,6 +39,16 @@ class DetectionSpec extends SparkSpec {
     assert(fpr.detected === 0L, s"benign flagged: $fpr")
   }
 
+  test("forged-reasoning lane: ASR 1.0 undefended, 0.0 defended, 0 benign misclassifications") {
+    val asr = Detection.reasoningTrustAsr(spark, trials = 60)
+    assert(asr("asr_defense_off").rate === 1.0,
+      s"attack should land undefended: ${asr("asr_defense_off")}")
+    assert(asr("asr_defense_on").detected === 0L,
+      s"defense missed attacks: ${asr("asr_defense_on")}")
+    assert(asr("benign_fp").detected === 0L,
+      s"benign rows misclassified as forged: ${asr("benign_fp")}")
+  }
+
   test("wilson interval matches the reference's published bound shape") {
     // reference: 256/256 -> Wilson95 lower >= 0.985 (BASELINE.md single-byte row)
     val r = Detection.FamilyRate(256, 256)
