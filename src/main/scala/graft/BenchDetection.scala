@@ -28,6 +28,7 @@ object BenchDetection {
     val (tpr, fpr) = Detection.injectionRates(spark, trials = 300)
     // 180 = the reference's forged-reasoning trial count
     val asr = Detection.reasoningTrustAsr(spark, trials = 180)
+    val (zTpr, zFpr, zMed) = Detection.zScoreLane(spark, trials = 300)
     val sec = (System.nanoTime() - t0) / 1e9
 
     def fr(r: Detection.FamilyRate): String = {
@@ -45,6 +46,8 @@ object BenchDetection {
         s""""reasoning_forge":{"asr_defense_off":${fr(asr("asr_defense_off"))},""" +
         s""""asr_defense_on":${fr(asr("asr_defense_on"))},""" +
         s""""benign_fp":${fr(asr("benign_fp"))}},""" +
+        s""""zscore_lane":{"tpr":${fr(zTpr)},"fpr":${fr(zFpr)},""" +
+        f""""median_poison_z":$zMed%.3f,"gate":3.0},""" +
         """"baseline_ref":"reference: 100% delete/reorder/hash-forge (200 ea), """ +
         """0% payload-only forge + tail truncation (disclosed gaps), MINJA lexical 0% ASR / 0 FP; """ +
         """this engine: walk catches payload forgery (content-hash recompute), """ +

@@ -49,6 +49,21 @@ class DetectionSpec extends SparkSpec {
       s"benign rows misclassified as forged: ${asr("benign_fp")}")
   }
 
+  test("z-score lane reproduces the reference's PUBLISHED limitation: poison sits below the 3-sigma gate") {
+    // the reference discloses its embedding z-score lane does NOT catch
+    // MINJA poison (poison ~1.5 sigma < 3 sigma gate) — measured over
+    // our hash embeddings the same limitation holds (median poison z
+    // 1.57 at bench scale), which is WHY the lexical lane exists and
+    // is the lane pinned at TPR 1.0 above (defense-in-depth ordering)
+    val (tpr, fpr, medianZ) = Detection.zScoreLane(spark, trials = 80)
+    assert(tpr.detected === 0L,
+      s"z-gate unexpectedly caught poison (limitation no longer reproduces " +
+        s"— re-measure and update README/DETECTION.json): $tpr")
+    assert(fpr.detected === 0L, s"benign flagged by z-gate: $fpr")
+    assert(medianZ > 1.0 && medianZ < 2.5,
+      s"median poison z $medianZ left the ~1.5-sigma band the docs cite")
+  }
+
   test("wilson interval matches the reference's published bound shape") {
     // reference: 256/256 -> Wilson95 lower >= 0.985 (BASELINE.md single-byte row)
     val r = Detection.FamilyRate(256, 256)
