@@ -152,6 +152,62 @@ object BenchWrites {
       time(bigStore.forgetSubject("bench", ts(320000000L + r)))
     }.min
 
+    // -- agent-scoped recall on a multi-agent 300k store (the round-10
+    //    agent-prune win). Segments are clustered by (agent_id, id) at
+    //    commit, so the pushed agent filter skips other agents' row
+    //    groups. Parquet row groups are shrunk for this store only:
+    //    at 100 TB a bucket is O(1 GB) with many 128-MB row groups,
+    //    while a 100k-row store is one group per file unless shrunk —
+    //    small groups are the scale-honest shape for a prune bench.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val savedBlock = hc.get("parquet.block.size")
+    val savedPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    hc.setInt("parquet.page.size", 8 * 1024)
+    val maStore = new MnemoStore(spark, freshDir("multi"))
+    // ~600-byte contents (the reference's memories are prose, not
+    // 80-byte stubs) so the scan is I/O-bound, not job-overhead-bound
+    val filler = "lorem ipsum context detail recalled fact " * 14
+    (0 until 3).foreach(b =>
+      maStore.remember((0 until 100000).map { i =>
+        val a = s"agent-${i % 10}" // interleaved: worst case pre-sort
+        val r0 = req(a, b * 100000 + i)
+        r0.copy(id = f"$a-m${b * 100000 + i}%06d",
+          content = s"${r0.content} $filler$i")
+      }))
+    val agentRecallSec = (1 to reps).map(_ =>
+      time(maStore.recallVisible("agent-7",
+        RecallRequest(query = "various topics", strategy = "lexical", limit = 10),
+        ts(400000000L)).collect())).min
+
+    // -- layout A/B: the SAME 300k rows written (a) clustered by
+    //    (agent_id, id) — the store's segment layout — vs (b)
+    //    hash-interleaved (the pre-round-10 layout, where insertion
+    //    order mixes agents through every row group). Identical file
+    //    counts and row-group sizes; the only variable is clustering.
+    //    Action: agent-scoped scan + content aggregate, i.e. the I/O
+    //    shape of every agent-scoped read (recall/verify/decay).
+    val maRows = maStore.table().localCheckpoint()
+    val abDir = freshDir("ab")
+    maRows.repartition(8)
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("agent_id"),
+        org.apache.spark.sql.functions.col("id"))
+      .write.parquet(s"$abDir/sorted")
+    maRows.repartition(8)
+      .sortWithinPartitions(
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("id")))
+      .write.parquet(s"$abDir/interleaved")
+    if (savedBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", savedBlock)
+    if (savedPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", savedPage)
+    def agentScan(sub: String): Double = {
+      import org.apache.spark.sql.functions._
+      time(spark.read.parquet(s"$abDir/$sub")
+        .filter(col("agent_id") === "agent-7")
+        .agg(sum(length(col("content"))), count(lit(1))).collect())
+    }
+    val scanSortedSec = (1 to reps).map(_ => agentScan("sorted")).min
+    val scanInterleavedSec = (1 to reps).map(_ => agentScan("interleaved")).min
+
     // -- orientation_update_latency: distill a recall result into the
     //    per-namespace context map — upsert + evict + one atomic
     //    manifest commit (the reference's update_and_render write half;
@@ -211,6 +267,11 @@ object BenchWrites {
         s"""{"x":${num("%.2f", forgetAllBucketsSec / forgetPrunedSec)}}""",
       "subject_prune_speedup" ->
         s"""{"x":${num("%.2f", forgetAllBucketsSec / forgetSubjectSec)}}""",
+      "agent_recall_300k_latency" -> lat(agentRecallSec),
+      "agent_scan_sorted_latency" -> lat(scanSortedSec),
+      "agent_scan_interleaved_latency" -> lat(scanInterleavedSec),
+      "agent_prune_speedup" ->
+        s"""{"x":${num("%.2f", scanInterleavedSec / scanSortedSec)}}""",
       "checkpoint_restore_latency" -> lat(ckptSec),
       "verify_chain" -> lat(verifySec),
       "recall_latency" -> lat(recallSec),
@@ -222,7 +283,8 @@ object BenchWrites {
     ).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = rememberSec + forgetSec + forgetPrunedSec +
       forgetSubjectSec + forgetAllBucketsSec + ckptSec + verifySec + recallSec +
-      hybridSec + orientSec + attnPutSec + attnCompactSec + concSec
+      hybridSec + orientSec + attnPutSec + attnCompactSec + concSec +
+      agentRecallSec + scanSortedSec + scanInterleavedSec
     // the op set grew in rounds 8-9 (100k-store prune rows, the
     // orientation/attention stores) — value_r7_ops keeps the ROUND-7
     // op set's sum so round-over-round diffs of the headline number
@@ -238,7 +300,7 @@ object BenchWrites {
     // bucket_prune_speedup row, measured on a 100k-row store, is the
     // number that survives a scale-up.
     val line =
-      s"""{"metric":"writes_total","value":${num("%.4f", total)},"value_r7_ops":${num("%.4f", totalR7Ops)},"unit":"sec","ops":$ops,"reps":$reps,"batch":$batch,"warmup":true,"store_layout":"v3-bucketed-32"}"""
+      s"""{"metric":"writes_total","value":${num("%.4f", total)},"value_r7_ops":${num("%.4f", totalR7Ops)},"unit":"sec","ops":$ops,"reps":$reps,"batch":$batch,"warmup":true,"store_layout":"v3-bucketed-32-agentsorted"}"""
     println(line)
     try Files.writeString(Paths.get("BENCH_WRITES.json"), line + "\n")
     catch { case _: Throwable => () }

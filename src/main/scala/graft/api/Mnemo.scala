@@ -409,6 +409,9 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         // that could trip over unswept non-hidden leftovers
         val flat = spark.read.parquet(flatFiles: _*)
         flat.withColumn("bucket", Mnemo.bucketOf(col("id"), n))
+          // same (agent_id, id) clustering as commitWrite's writeSeg,
+          // so a migrated store is agent-prunable from generation 1
+          .sortWithinPartitions(col("bucket"), col("agent_id"), col("id"))
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$path/_mig/r")
         val stagedBuckets = presentBuckets("_mig", "r")
@@ -526,8 +529,21 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       replaced: Option[DataFrame], appended: Option[DataFrame],
       replacedAddsTags: Boolean = false): Unit = {
     val gen = m.gen + 1
+    // Rows land sorted by (agent_id, id) WITHIN each bucket file: the
+    // store's dominant access key is agent_id (every reference storage
+    // op filters on it, storage/duckdb.rs:262-328), but ids hash-mix
+    // agents uniformly across buckets, so without this clustering an
+    // agent-scoped read (recallVisible / chain verify / decay) scans
+    // every row group of every bucket at 100 TB. Sorted segments give
+    // tight per-row-group agent_id min/max stats, so the pushed
+    // agent filter skips the other agents' row groups at the parquet
+    // reader. sortWithinPartitions is a LOCAL sort (no shuffle), its
+    // leading `bucket` key satisfies the dynamic-partition writer's
+    // required ordering (no second sort), and file counts are
+    // unchanged — untouched buckets keep byte-identical files.
     def writeSeg(df: DataFrame, sub: String): Unit =
       df.withColumn("bucket", Mnemo.bucketOf(col("id"), m.numBuckets))
+        .sortWithinPartitions(col("bucket"), col("agent_id"), col("id"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$path/g$gen/$sub")
     replaced.foreach(writeSeg(_, "r"))
@@ -1119,7 +1135,15 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       .map(d => d.stripPrefix("g").toLong + 1).getOrElse(1L)
     val dir = s"g$gen"
     val snapshot = spark.read.parquet(attnDataDir)
-    snapshot.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$attnPath/$dir")
+    // cluster the compacted generation by (agent_id, key, updated_at):
+    // un-compacted append files are one (agent, key) each (tight file
+    // stats for free), but a compacted generation mixes every agent —
+    // the sort keeps [[attentionStateGet]]'s pushed (agent, key) filter
+    // row-group-prunable, same discipline as the memory store's
+    // bucket segments
+    snapshot.coalesce(1)
+      .sortWithinPartitions(col("agent_id"), col("key"), col("updated_at"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$attnPath/$dir")
     val committed = manifest ++ Map("version" -> "1", "data" -> dir)
     ManifestIO.write(attnPath, committed)
     ManifestIO.gc(attnPath, Set(dir))

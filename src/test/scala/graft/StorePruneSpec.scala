@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.api.Mnemo
+import graft.api.Mnemo.RememberRequest
+
+/** Agent-prunability of the maintained store's read path (SURVEY §4:
+  * the reference's dominant access key is `agent_id` — every storage op
+  * in storage/duckdb.rs:262-328 filters on it). Buckets hash on `id`,
+  * which mixes agents uniformly, so the store clusters rows by
+  * (agent_id, id) WITHIN each bucket segment at commit time: parquet
+  * row-group min/max stats on agent_id then let the pushed agent filter
+  * skip other agents' row groups. These tests pin all three legs —
+  * the on-disk sort, the filter pushdown, and the resulting row-group
+  * prunability — plus the untouched-bucket file-identity guarantee the
+  * sort must not break. */
+class StorePruneSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("prune-store").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  /** Interleaved multi-agent batch: consecutive ids round-robin the
+    * agents, so insertion order is maximally agent-mixed (the layout
+    * the sort has to fix). */
+  private def batch(n: Int, agents: Int): Seq[RememberRequest] =
+    (0 until n).map { i =>
+      val a = s"agent-${i % agents}"
+      RememberRequest(f"$a-m$i%06d", a, s"t${i % 4}",
+        s"memory $i for $a with content tokens", createdAt = ts(i * 1000L))
+    }
+
+  private def segmentFiles(root: String): Seq[Path] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) Nil
+    else Files.walk(r).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter { p =>
+        val nm = p.getFileName.toString
+        nm.startsWith("part-") && nm.endsWith(".parquet") &&
+          p.toString.contains("bucket=")
+      }
+      .toSeq
+  }
+
+  test("every bucket segment file is sorted by (agent_id, id)") {
+    val store = Mnemo.open(spark, freshDir())
+    store.remember(batch(2000, 8))
+    // a second interleaved append: its segments must be sorted too
+    store.remember((0 until 500).map { i =>
+      val a = s"agent-${(i * 3) % 8}"
+      RememberRequest(f"$a-x$i%06d", a, "t9", s"second wave $i",
+        createdAt = ts(10000000L + i * 1000L))
+    })
+    val files = segmentFiles(store.path)
+    assert(files.nonEmpty, "store wrote no bucket segment files")
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.toString)
+        .select("agent_id", "id").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"segment file not clustered by (agent_id, id): $f")
+    }
+  }
+
+  test("the agent filter on a store read is pushed to the parquet scan") {
+    val store = Mnemo.open(spark, freshDir())
+    store.remember(batch(400, 4))
+    val p = store.table().filter(col("agent_id") === "agent-1")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("EqualTo(agent_id,agent-1)"),
+      s"agent_id equality must reach the scan; got: $pushed")
+  }
+
+  test("row-group agent_id stats are tight: an agent's rows occupy few row groups") {
+    // Small parquet row groups simulate the 100-TB shape (a cluster
+    // bucket is O(1 GB) with many 128-MB row groups; a test bucket is
+    // one group unless we shrink it). With the (agent_id, id) sort, a
+    // given agent's rows must land in a contiguous minority of row
+    // groups — the prunability predicate itself, read from the footers.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val savedBlock = hc.get("parquet.block.size")
+    val savedPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 4 * 1024)
+    try {
+      val store = Mnemo.open(spark, freshDir())
+      store.remember(batch(20000, 8))
+      val files = segmentFiles(store.path)
+      var groups = 0
+      var matching = 0 // row groups whose [min,max] admits agent-3
+      files.foreach { f =>
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toString), hc)).getFooter
+        footer.getBlocks.asScala.foreach { block =>
+          val stats = block.getColumns.asScala
+            .find(_.getPath.toDotString == "agent_id").get.getStatistics
+          val min = stats.minAsString()
+          val max = stats.maxAsString()
+          groups += 1
+          if (min <= "agent-3" && "agent-3" <= max) matching += 1
+        }
+      }
+      assert(groups >= 24,
+        s"expected many small row groups under the shrunken block size, got $groups")
+      // 8 agents sorted within each of 32 buckets: agent-3 spans
+      // ~1/8 of each file's groups (+1 boundary group per file).
+      // Unsorted interleaved data would put it in EVERY group.
+      assert(matching.toDouble / groups < 0.5,
+        s"agent-3 admitted by $matching/$groups row groups — stats not tight, " +
+          "row-group pruning would be a no-op")
+    } finally {
+      if (savedBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", savedBlock)
+      if (savedPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", savedPage)
+    }
+  }
+
+  test("compacted attention-KV generation is clustered by (agent_id, key)") {
+    val store = Mnemo.open(spark, freshDir())
+    store.remember(batch(10, 2)) // store must exist for the KV side paths
+    (0 until 40).foreach { i =>
+      store.attentionStatePut(s"agent-${i % 5}", s"k${i % 7}",
+        Array.fill(64)(i.toByte), ts(i * 1000L))
+    }
+    store.attentionStateCompact()
+    val gen = Paths.get(store.path + "_attention")
+    val files = Files.walk(gen).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter(_.toString.endsWith(".parquet"))
+      .filter(_.toString.contains("/g"))
+      .toSeq
+    assert(files.nonEmpty, "compaction produced no generation files")
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.toString)
+        .select("agent_id", "key").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"compacted KV generation not clustered: $f")
+    }
+    // the read itself still resolves latest-per-key correctly
+    assert(store.attentionStateGet("agent-2", "k3").isDefined)
+  }
+
+  test("clustering does not break untouched-bucket file identity under point ops") {
+    val store = Mnemo.open(spark, freshDir())
+    store.remember(batch(2000, 8))
+    val before = segmentFiles(store.path)
+      .map(f => f.toString -> Files.size(f)).toMap
+    // a point forget of one id rewrites only its bucket
+    store.forget("agent-0", Seq("agent-0-m000000"), ts(999999999L))
+    val after = segmentFiles(store.path).map(_.toString).toSet
+    val survivors = before.keySet.intersect(after)
+    assert(survivors.nonEmpty, "point op rewrote every bucket")
+    survivors.foreach { f =>
+      assert(Files.size(Paths.get(f)) == before(f),
+        s"untouched segment file changed: $f")
+    }
+  }
+}
