@@ -47,10 +47,16 @@ NEW_R9 = ["w9_chain_digest"]
 # query (its plan is a pruned scan + broadcast anti join). Pinned here
 # so the artifact adjudicates it round-over-round.
 MOVERS_R9.append("j5_anti_join")
+# round 10: t4 moved 0.14->0.80s in r9's suite (explained as the
+# checksum-action fix finally timing its projection — this pins the
+# true warm number); w8/c3 were born in rounds 8-9 with no isolated
+# baseline yet (w9 already pinned in NEW_R9)
+MOVERS_R10 = ["t4_winnow_fingerprint", "w8_payload_forge",
+              "c3_retention_floor"]
 # dedup while preserving order: a query listed in two groups (e.g. a
 # NEW_R9 query that becomes a mover next round) must run once, not
 # silently twice with the second run overwriting the first
-QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9))
+QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10))
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
