@@ -31,6 +31,12 @@ object Tables {
     * identity on the underlying micros. */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ branch's ts = epoch-micros contract depends on a UTC
+    // session timezone (unix_micros interprets NTZ in session tz); pin
+    // it HERE, not just in the mains/build flags, so the function is
+    // self-contained and both layouts stay timezone-independent for
+    // any consumer session (round-9 advice)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = load(spark, dir, "events")

@@ -1,6 +1,6 @@
 package graft.eval
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,13 +37,24 @@ import graft.functions.{CryptoOps, HashChain}
   *    AND recomputes that row's content/chain hashes self-consistently
   *    — its own row verifies, the successor's stored prev_hash exposes
   *    it;
+  *  - `hash_forge_tail`: the same self-consistent forge aimed at a
+  *    thread's LAST row — no successor prev_hash to disagree and the
+  *    thread length is unchanged, so it evades BOTH the walk and the
+  *    length registration (the suffix-rehash evasion inherent to any
+  *    unkeyed hash chain; the reference mitigates it with a keyed
+  *    read-provenance HMAC). Caught only by the third leg: the
+  *    signing-time registered recursive digest (the w9 primitive —
+  *    left fold of sha256(acc || chain_hash) per thread);
   *  - `tail_truncation`: the last 1-3 rows of a thread dropped —
   *    walk-silent by construction (the reference's other DISCLOSED
   *    gap), caught by the signing-time length registration, the same
   *    mechanism as the deal ledger's w7 query.
   *
-  * The verdict is the combined verifier (walk OR registration), which
-  * is what a store exposes to its operator; per-family rates with
+  * Verdicts are TIERED so the boundary of each mechanism stays
+  * disclosed instead of averaged away: `walkReg` is the w7/w8-era
+  * verifier (walk OR length registration — hash_forge_tail is its
+  * measured, expected miss), `full` adds the registered-digest leg
+  * (zero undetected families). Per-family rates for both tiers with
   * Wilson-95 bounds land in DETECTION.json for round-over-round diffs.
   *
   * The injection lane mirrors the MINJA lexical/self-referential scan
@@ -51,13 +62,9 @@ import graft.functions.{CryptoOps, HashChain}
   * marker-bearing poison templates, FPR over benign notes. */
 object Detection {
 
-  /** Marker regexes, verbatim from the x9 scan (poisoning.rs parity). */
-  val InjectionMarkers: Seq[String] = Seq(
-    "ignore (all )?previous instructions",
-    "system prompt",
-    "\\bdo not tell\\b",
-    "always (respond|answer) with",
-    "exfiltrate|keylogger")
+  /** THE x9 scan's marker set — same constant, not a copy, so the
+    * published TPR/FPR always measures the shipped query's regexes. */
+  val InjectionMarkers: Seq[String] = graft.queries.Scoring.InjectionMarkers
 
   val Threads = 4
   val RowsPerThread = 50
@@ -126,18 +133,14 @@ object Detection {
             .when(col("thread_id") === col("tgt_thread") &&
               col("seq") === col("tgt") + 1, col("tgt"))
             .otherwise(col("seq")))
-      case "hash_forge_interior" =>
-        f.withColumn("content",
-          when(col("hit"), concat(col("content"), lit("F")))
-            .otherwise(col("content")))
-          .withColumn("content_hash",
-            when(col("hit"),
-              HashChain.contentHash(col("content"), col("thread_id")))
-              .otherwise(col("content_hash")))
-          .withColumn("chain_hash",
-            when(col("hit"), sha2(concat(col("content_hash"),
-              coalesce(col("prev_hash"), lit(""))), 256))
-              .otherwise(col("chain_hash")))
+      case "hash_forge_interior" => selfConsistentForge(f)
+      case "hash_forge_tail" =>
+        // re-aim the hit at the thread's LAST row: the one target where
+        // a self-consistent forge has no successor to betray it and
+        // leaves the registered length intact
+        selfConsistentForge(f.withColumn("hit",
+          col("thread_id") === col("tgt_thread") &&
+            col("seq") === lit(RowsPerThread - 1)))
       case "tail_truncation" =>
         f.withColumn("cut", pick("cut", 3) + 1)
           .filter(!(col("thread_id") === col("tgt_thread") &&
@@ -161,19 +164,56 @@ object Detection {
       col("prev_hash"), col("chain_hash"))
   }
 
+  /** The smart forger: rewrite the hit rows' content and recompute
+    * their content/chain hashes self-consistently (the attacker lacks
+    * only the signing-time registrations, never the hash function). */
+  private def selfConsistentForge(f: DataFrame): DataFrame =
+    f.withColumn("content",
+      when(col("hit"), concat(col("content"), lit("F")))
+        .otherwise(col("content")))
+      .withColumn("content_hash",
+        when(col("hit"),
+          HashChain.contentHash(col("content"), col("thread_id")))
+          .otherwise(col("content_hash")))
+      .withColumn("chain_hash",
+        when(col("hit"), sha2(concat(col("content_hash"),
+          coalesce(col("prev_hash"), lit(""))), 256))
+          .otherwise(col("chain_hash")))
+
+  /** Per-family detection rates under two verifier tiers: `walkReg` =
+    * chain walk OR length registration (the w7/w8-era verifier, whose
+    * measured boundary is `hash_forge_tail`); `full` adds the
+    * signing-time registered recursive digest (the w9 primitive). */
+  case class TamperTiers(walkReg: FamilyRate, full: FamilyRate)
+
+  /** Left fold of sha256(acc || chain_hash) over a thread's hashes in
+    * storage order — the deal ledger's w9 registered digest, applied
+    * to the audit chain. */
+  private def threadDigest(ord: Column, hash: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(ord.as("o"), hash.as("h")))),
+        x => x.getField("h")),
+      lit(""), (acc, h) => sha2(concat(acc, h), 256))
+
   /** Run every family, verify ALL trials in one chain-walk window pass
-    * plus one length-registration check, return per-family rates. */
-  def tamperRates(spark: SparkSession,
-      attackTrials: Int, benignTrials: Int): Map[String, FamilyRate] = {
+    * plus one registration check (signed length AND signed recursive
+    * digest per thread), return per-family rates for both tiers. */
+  def tamperRatesTiered(spark: SparkSession,
+      attackTrials: Int, benignTrials: Int): Map[String, TamperTiers] = {
     val base = baseLog(spark).localCheckpoint() // pin hashes; sever lineage
-    val reg = base.groupBy("thread_id") // signing-time length registration
-      .agg(count(lit(1)).as("reg_n"))
+    // signing-time registrations: thread length (w7) + recursive digest
+    // (w9) — both computed before any tamper, like the reference's
+    // signing-side bookkeeping
+    val reg = base.groupBy("thread_id")
+      .agg(count(lit(1)).as("reg_n"),
+        threadDigest(col("seq"), col("chain_hash")).as("reg_digest"))
     val families = Seq(
       "benign" -> benignTrials,
       "payload_forge" -> attackTrials,
       "delete_interior" -> attackTrials,
       "reorder" -> attackTrials,
       "hash_forge_interior" -> attackTrials,
+      "hash_forge_tail" -> attackTrials,
       "tail_truncation" -> attackTrials,
       // 256 = the reference's audit-conformance trial count (the row
       // BASELINE.md pins at Wilson95 lower >= 0.985)
@@ -182,27 +222,46 @@ object Detection {
       .reduce(_ unionByName _)
 
     // chain walk: every (family, trial, thread) is its own partition —
-    // ONE window pass over every trial of every family
+    // ONE window pass over every trial of every family; the observed
+    // digest folds in the same aggregate
     val walked = HashChain.verifyChain(all,
       hashInput = Seq(col("content"), col("thread_id")),
       partitionCols = Seq(col("family"), col("trial"), col("thread_id")),
       orderCols = Seq(col("pos")))
       .groupBy("family", "trial", "thread_id")
       .agg(max(when(!col("chain_valid"), 1).otherwise(0)).as("walk_bad"),
-        count(lit(1)).as("n_now"))
-    // registration: a thread shorter than its signed length was cut
+        count(lit(1)).as("n_now"),
+        threadDigest(col("pos"), col("chain_hash")).as("obs_digest"))
+    // registration legs: a thread shorter than its signed length was
+    // cut; a thread whose stored hashes re-digest differently was
+    // rewritten (catches what the walk can't see: suffix rehashes)
     val verdicts = walked.join(broadcast(reg), "thread_id")
       .groupBy("family", "trial")
-      .agg(greatest(
-        max(col("walk_bad")),
-        max(when(col("n_now") < col("reg_n"), 1).otherwise(0))).as("detected"))
+      .agg(
+        greatest(
+          max(col("walk_bad")),
+          max(when(col("n_now") < col("reg_n"), 1).otherwise(0)))
+          .as("det_walkreg"),
+        max(when(col("obs_digest") =!= col("reg_digest"), 1).otherwise(0))
+          .as("det_digest"))
+      .withColumn("det_full", greatest(col("det_walkreg"), col("det_digest")))
 
     verdicts.groupBy("family")
-      .agg(count(lit(1)).as("trials"), sum("detected").as("detected"))
+      .agg(count(lit(1)).as("trials"),
+        sum("det_walkreg").as("d_walkreg"), sum("det_full").as("d_full"))
       .collect()
-      .map(r => r.getString(0) -> FamilyRate(r.getLong(1), r.getLong(2)))
+      .map(r => r.getString(0) -> TamperTiers(
+        FamilyRate(r.getLong(1), r.getLong(2)),
+        FamilyRate(r.getLong(1), r.getLong(3))))
       .toMap
   }
+
+  /** Full-verifier rates (walk OR registration OR digest) — the
+    * combined verdict a store exposes to its operator. */
+  def tamperRates(spark: SparkSession,
+      attackTrials: Int, benignTrials: Int): Map[String, FamilyRate] =
+    tamperRatesTiered(spark, attackTrials, benignTrials)
+      .map { case (k, v) => k -> v.full }
 
   /** Forged-reasoning injection lane (reference row: ASR 100% → 0%
     * with the opt-in reasoning_trust policy, 0/180 benign FP —
@@ -220,7 +279,19 @@ object Detection {
     * `unverified` (the f3 policy), so the attacker never reaches the
     * result set, while no benign row is ever misclassified (the mac
     * either verifies or is absent). Both rankings are ONE window pass
-    * over all trials. */
+    * over all trials.
+    *
+    * HONESTY NOTE on `benign_fp`: for a pure provenance check this
+    * floor is BY CONSTRUCTION, not an empirical result comparable to
+    * the reference's measured 0/180 — benign macs here are either
+    * freshly computed valid HMACs or absent, so no benign row CAN
+    * classify as forged; the row guards HMAC determinism (a broken
+    * hmacSha256 would send it nonzero), nothing more. A deployment
+    * that rewrites content after receipt issuance (normalization,
+    * redaction) re-opens a real FP surface — that failure mode is the
+    * store's redaction contract ("redact keeps hashes", forgetSubject),
+    * pinned in MnemoApiSpec, not this fixture. DETECTION.json carries
+    * the same label. */
   def reasoningTrustAsr(spark: SparkSession, trials: Int,
       key: String = "graft-reasoning-key"): Map[String, FamilyRate] = {
     val corpus = 30

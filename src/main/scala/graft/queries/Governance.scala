@@ -264,10 +264,10 @@ object Governance extends QueryGroup {
   private val q4 = QueryDef(
     "q1_quarantine_replay",
     (s, dir) => {
-      val markers = Seq(
-        "ignore (all )?previous instructions",
-        "system prompt",
-        "exfiltrate|keylogger")
+      // the replay policy's high-severity subset, composed from the
+      // shared x9 constants (Scoring) so the regexes cannot drift
+      val markers = Seq(Scoring.MarkerIgnorePrevious,
+        Scoring.MarkerSystemPrompt, Scoring.MarkerExfil)
       val nHits = markers
         .map(m => when(lower(col("text")).rlike(m), 1L).otherwise(0L))
         .reduce(_ + _)
@@ -280,12 +280,12 @@ object Governance extends QueryGroup {
         .select("doc_id", "n_hits", "n_chars", "decision")
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH scanned AS (
         SELECT doc_id, n_chars,
-               CAST((CASE WHEN regexp_matches(lower(text), 'ignore (all )?previous instructions') THEN 1 ELSE 0 END)
-                  + (CASE WHEN regexp_matches(lower(text), 'system prompt') THEN 1 ELSE 0 END)
-                  + (CASE WHEN regexp_matches(lower(text), 'exfiltrate|keylogger') THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+               CAST((CASE WHEN regexp_matches(lower(text), '${Scoring.MarkerIgnorePrevious}') THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(lower(text), '${Scoring.MarkerSystemPrompt}') THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(lower(text), '${Scoring.MarkerExfil}') THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
         FROM documents)
       SELECT doc_id, n_hits, n_chars,
              CASE WHEN n_hits = 1 AND n_chars >= 200 THEN 'release'

@@ -17,6 +17,25 @@ object Scoring extends QueryGroup {
 
   private val NowMicros = 1706745600000000L // 2024-02-01T00:00:00Z
 
+  // ---- injection-marker regexes (poisoning.rs ~100-160) ----
+  // SINGLE source of truth for every consumer of the MINJA marker set:
+  // the x9 scan (Spark AND oracle SQL built from these), the q1
+  // quarantine-replay policy (its 3-marker high-severity subset), and
+  // the eval/Detection TPR/FPR harness — so an edit to the scan can
+  // never silently unmoor the published detection rates from the
+  // shipped query. Each marker is individually named so policy subsets
+  // compose from the same constants instead of re-typing regexes.
+  val MarkerIgnorePrevious = "ignore (all )?previous instructions"
+  val MarkerSystemPrompt = "system prompt"
+  val MarkerDoNotTell = "\\bdo not tell\\b"
+  val MarkerAlwaysRespond = "always (respond|answer) with"
+  val MarkerExfil = "exfiltrate|keylogger"
+
+  /** The full x9 scan set, in the scan's reporting order. */
+  val InjectionMarkers: Seq[String] = Seq(
+    MarkerIgnorePrevious, MarkerSystemPrompt, MarkerDoNotTell,
+    MarkerAlwaysRespond, MarkerExfil)
+
   private val q1 = QueryDef(
     "a4_conflict_scoring",
     (s, dir) => {
@@ -158,12 +177,7 @@ object Scoring extends QueryGroup {
       // prompt-injection marker scan (poisoning.rs ~100-160): per-marker
       // hit counts over the corpus — the write-path quarantine predicate
       // run as a batch audit
-      val markers = Seq(
-        "ignore (all )?previous instructions",
-        "system prompt",
-        "\\bdo not tell\\b",
-        "always (respond|answer) with",
-        "exfiltrate|keylogger")
+      val markers = InjectionMarkers
       val d = Tables.documents(s, dir)
       markers.map { m =>
         d.agg(lit(m).as("marker"),
@@ -173,12 +187,7 @@ object Scoring extends QueryGroup {
         .orderBy("marker")
     },
     Some {
-      val markers = Seq(
-        "ignore (all )?previous instructions",
-        "system prompt",
-        "\\bdo not tell\\b",
-        "always (respond|answer) with",
-        "exfiltrate|keylogger")
+      val markers = InjectionMarkers
       // DuckDB string literals keep backslashes as-is, so the raw marker
       // text serves both as the label and the regex
       markers.map { m =>

@@ -12,12 +12,14 @@ import graft.eval.Detection
   * target selection, so rates are exact, not flaky. */
 class DetectionSpec extends SparkSpec {
 
-  test("tamper families: 100% detection, 0% benign FP (walk + length registration)") {
-    val rates = Detection.tamperRates(spark, attackTrials = 40, benignTrials = 60)
+  test("tamper families: 100% detection, 0% benign FP (full verifier incl. w9 digest)") {
+    val tiers = Detection.tamperRatesTiered(spark, attackTrials = 40, benignTrials = 60)
+    val rates = tiers.map { case (k, v) => k -> v.full }
     assert(rates("benign").detected === 0L,
       s"benign logs flagged: ${rates("benign")}")
     Seq("payload_forge", "delete_interior", "reorder",
-      "hash_forge_interior", "tail_truncation", "single_byte").foreach { fam =>
+      "hash_forge_interior", "hash_forge_tail", "tail_truncation",
+      "single_byte").foreach { fam =>
       val r = rates(fam)
       assert(r.detected === r.trials,
         s"$fam: ${r.detected}/${r.trials} detected — missed tampers")
@@ -31,6 +33,25 @@ class DetectionSpec extends SparkSpec {
     // name so a regression names the exact capability lost
     assert(rates("payload_forge").rate === 1.0)
     assert(rates("tail_truncation").rate === 1.0)
+    // benign digests must re-fold identically (digest-leg FP floor)
+    assert(tiers("benign").walkReg.detected === 0L)
+  }
+
+  test("disclosed boundary: a self-consistent TAIL forge evades walk+registration, only the w9 digest catches it") {
+    // pinned as a MEASURED negative result (the honesty convention the
+    // reference uses for its own gaps): if walkReg ever starts catching
+    // the tail forge, the disclosure in DETECTION.json/README is stale
+    // and must be re-measured, not assumed
+    val tiers = Detection.tamperRatesTiered(spark, attackTrials = 30, benignTrials = 10)
+    val tail = tiers("hash_forge_tail")
+    assert(tail.walkReg.detected === 0L,
+      s"walk+registration unexpectedly caught tail forges (update the " +
+        s"disclosure docs): ${tail.walkReg}")
+    assert(tail.full.rate === 1.0,
+      s"registered digest missed tail forges: ${tail.full}")
+    // the interior forge stays caught WITHOUT the digest — the boundary
+    // is exactly at the tail, nowhere else
+    assert(tiers("hash_forge_interior").walkReg.rate === 1.0)
   }
 
   test("injection lexical lane: TPR 1.0 on marker templates, FPR 0.0 on benign notes") {
