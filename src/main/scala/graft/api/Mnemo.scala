@@ -46,6 +46,14 @@ object Mnemo {
     * keeps per-bucket file counts O(1) under sustained appends). */
   val MaxSegments = 8
 
+  /** Grant-count ceiling for the driver-routed grant leg of
+    * [[MnemoStore.recallVisible]]: up to this many grant ids are
+    * collected and routed to their id-hash buckets (the same
+    * driver-side routing every point op pays, [[MnemoStore.bucketsOf]]
+    * — 10k xxhash evaluations, microseconds); a principal granted more
+    * than this falls back to the full-scan broadcast semi-join. */
+  val GrantRouteMax = 10000
+
   /** Bucket route of a memory id — the one hash both the writer and
     * every point op must agree on. `n` comes from the store manifest
     * for existing stores (never the compile-time default). */
@@ -363,6 +371,21 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(_.toString).toSeq
     finally ls.close()
+  }
+
+  /** Committed rows restricted to the buckets the given ids hash into
+    * — the point-read shape every id-addressed mutation already uses,
+    * exposed to the read path (the grant leg of [[recallVisible]]).
+    * Legacy flat stores have no routing; they read whole (and migrate
+    * to the routed layout on their first mutation). */
+  private def tableForIds(ids: Seq[String]): DataFrame = {
+    recover()
+    readStoreManifest() match {
+      case Some(m) =>
+        val ks = bucketsOf(ids, m.numBuckets).intersect(m.buckets.keySet)
+        if (ks.isEmpty) emptyTable() else readBuckets(m, ks)
+      case _ => table()
+    }
   }
 
   /** Buckets a set of ids hashes into, computed by evaluating the SAME
@@ -950,17 +973,49 @@ final class MnemoStore(val spark: SparkSession, val path: String,
 
   /** RECALL with the full visibility closure (S8): own records ∪
     * public/global scope ∪ ACL grants — the grant leg is a broadcast
-    * semi-join placed BEFORE scoring. */
+    * semi-join placed BEFORE scoring.
+    *
+    * Visibility is evaluated as TWO DISJOINT scan legs, each with a
+    * scan-PUSHABLE filter. The previous single-scan OR (own ∨ public
+    * ∨ granted) referenced the grant-join output, so Catalyst could
+    * push nothing below the join and every visible recall scanned the
+    * whole store regardless of the round-10 segment clustering. Now:
+    *  - own-or-public: `agent_id = a OR scope IN (public, global)` —
+    *    both disjuncts are column-only predicates, so the OR pushes
+    *    to parquet whole; a row group is read only if its stats admit
+    *    the agent (tight under the (agent_id, id) segment sort) OR
+    *    admit a public/global scope (a group holding one agent's
+    *    private/shared run rules both out and skips). One scan, same
+    *    prune decision per group as two separate legs would make;
+    *  - granted: grant ids are a bounded per-principal set (the
+    *    reference's ACL fan-in, acl.rs), so they route to their
+    *    id-hash buckets exactly like every point op
+    *    ([[tableForIds]]) and the tiny grant list broadcast
+    *    semi-joins — I/O is O(grant buckets), never the store. A
+    *    pathological principal with more than [[Mnemo.GrantRouteMax]]
+    *    grants falls back to the full-scan semi-join (correct, just
+    *    unpruned); an ungranted principal plans NO grant leg at all.
+    * The legs are disjoint by construction (granted excludes both
+    * disjuncts), so the union re-creates the exact old row set with
+    * no dedup pass. */
   def recallVisible(agentId: String, r: RecallRequest, now: Timestamp): DataFrame = {
     val grants = acls().filter(col("principal_id") === agentId)
       .select(col("memory_id")).distinct()
-    val visible = table()
-      .join(broadcast(grants), col("id") === col("memory_id"), "left")
-      .filter(col("agent_id") === agentId ||
-        col("scope").isin("public", "global") ||
-        col("memory_id").isNotNull)
-      .drop("memory_id")
-    recallOver(visible, r.copy(agentId = None), now)
+    val ownOrPub = table().filter(col("agent_id") === agentId ||
+      col("scope").isin("public", "global"))
+    val grantIds = grants.limit(Mnemo.GrantRouteMax + 1)
+      .collect().map(_.getString(0)).toSeq
+    val granted =
+      if (grantIds.isEmpty) emptyTable()
+      else {
+        val src =
+          if (grantIds.size <= Mnemo.GrantRouteMax) tableForIds(grantIds)
+          else table()
+        src.filter(col("agent_id") =!= agentId &&
+            !col("scope").isin("public", "global"))
+          .join(broadcast(grants), col("id") === col("memory_id"), "left_semi")
+      }
+    recallOver(ownOrPub.unionByName(granted), r.copy(agentId = None), now)
   }
 
   // ---- checkpoints / branch / merge (§2.8, checkpoint.rs, merge.rs) ----

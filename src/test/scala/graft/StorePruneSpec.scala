@@ -84,6 +84,35 @@ class StorePruneSpec extends SparkSpec {
       s"agent_id equality must reach the scan; got: $pushed")
   }
 
+  test("recallVisible's own leg pushes the agent filter; grant leg routes to grant buckets") {
+    val store = Mnemo.open(spark, freshDir())
+    store.remember(batch(400, 4))
+    val p = store.recallVisible("agent-1",
+      graft.api.Mnemo.RecallRequest(query = "memory tokens", strategy = "lexical"),
+      ts(999999999L))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the own-or-public OR pushes to the scan WHOLE (both disjuncts
+    // are column-only) — the prune decision parquet makes per row
+    // group is identical to two separate legs, for one scan's I/O
+    assert(p.contains("Or(EqualTo(agent_id,agent-1)"),
+      s"visibility OR lost its pushed agent disjunct")
+    assert(p.contains("In(scope") || p.contains("EqualTo(scope"),
+      s"visibility OR lost its pushed scope disjunct")
+    // no grants exist ⇒ the grant leg must contribute an EMPTY local
+    // relation, not a second full store scan (count the formatted
+    // detail headers, one per scan node)
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"recallVisible fans out into $scans parquet scans")
+
+    // with one grant, the grant leg reads ONLY the granted id's bucket
+    store.share(Seq("agent-0-m000000"), "agent-1", ts(1L))
+    val visible = store.recallVisible("agent-1",
+      graft.api.Mnemo.RecallRequest(query = "memory", strategy = "exact", limit = 500),
+      ts(999999999L))
+    assert(visible.filter(col("id") === "agent-0-m000000").count() == 1,
+      "granted row lost by the routed grant leg")
+  }
+
   test("row-group agent_id stats are tight: an agent's rows occupy few row groups") {
     // Small parquet row groups simulate the 100-TB shape (a cluster
     // bucket is O(1 GB) with many 128-MB row groups; a test bucket is
