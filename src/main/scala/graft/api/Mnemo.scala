@@ -922,12 +922,24 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * with broken linkage localize the tamper (hash.rs:41-98 → one
     * window pass, W4). Cross-batch seams are checked via the stored
     * prev_hash, which the builder seeded from the previous batch tail. */
-  def verifyChains(): DataFrame = {
+  def verifyChains(): DataFrame = verifyChainsOver(table())
+
+  /** Agent-scoped verify: the chain window partitions by (agent,
+    * thread), so restricting the INPUT to one agent verifies exactly
+    * that agent's chains — and the equality filter pushes to the scan,
+    * where the (agent_id, id) segment clustering prunes the other
+    * agents' row groups (the reference verifies per-agent,
+    * provenance.rs; a full-store window for one agent's audit would
+    * be the 100×-scale mistake). */
+  def verifyChains(agentId: String): DataFrame =
+    verifyChainsOver(table().filter(col("agent_id") === agentId))
+
+  private def verifyChainsOver(src: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("agent_id"), col("thread_id"))
       .orderBy(col("created_at"), col("id"))
     val recomputed = HashChain.contentHash(col("content"), col("agent_id"),
       col("created_at").cast("string"))
-    table()
+    src
       .withColumn("expected_prev",
         coalesce(lag(col("content_hash"), 1).over(w), col("prev_hash")))
       .withColumn("chain_valid",

@@ -113,6 +113,22 @@ class StorePruneSpec extends SparkSpec {
       "granted row lost by the routed grant leg")
   }
 
+  test("agent-scoped chain verify pushes the agent filter and stays chain-correct") {
+    val store = Mnemo.open(spark, freshDir())
+    store.remember(batch(600, 6))
+    val p = store.verifyChains("agent-2")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("EqualTo(agent_id,agent-2)"),
+      "agent-scoped verify lost its pushed filter")
+    val v = store.verifyChains("agent-2")
+    assert(v.filter(col("agent_id") =!= "agent-2").count() == 0)
+    assert(v.filter(!col("chain_valid")).count() == 0,
+      "intact per-agent chain failed verification")
+    // scoped result == global result restricted to the agent
+    val global = store.verifyChains().filter(col("agent_id") === "agent-2")
+    assert(v.count() == global.count() && v.count() > 0)
+  }
+
   test("row-group agent_id stats are tight: an agent's rows occupy few row groups") {
     // Small parquet row groups simulate the 100-TB shape (a cluster
     // bucket is O(1 GB) with many 128-MB row groups; a test bucket is
