@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * models only the tag-index safety invariant): a driver-side model of
   * every row's (agent, tags, deleted, access_count, redacted) state is
   * advanced alongside random interleavings of remember / forget /
-  * touch / forgetSubject / checkpoint, and after EVERY op the store
-  * must agree with the model exactly. On top of state equality, the
+  * touch / forgetSubject / checkpoint / share, and after EVERY op the
+  * store must agree with the model exactly. The visibility closure
+  * (recallVisible's round-10 two-leg pruned plan: own-or-public scan ∪
+  * bucket-routed grant leg) is checked against the model's own ∪
+  * public/global ∪ granted live set, with mixed scopes and grants on
+  * own/deleted/cross-agent rows so each leg can fail independently. On top of state equality, the
   * structural invariants the layout's scaladoc promises
   * (api/Mnemo.scala:233-265) are asserted directly against the
   * manifest and the filesystem:
@@ -42,7 +46,8 @@ import org.apache.spark.sql.functions._
 class StorePropertySpec extends SparkSpec {
 
   private case class MRow(agent: String, tags: Set[String],
-      deleted: Boolean, access: Long, redacted: Boolean)
+      deleted: Boolean, access: Long, redacted: Boolean,
+      scope: String = "private")
 
   private def ts(i: Int) = new Timestamp(1700000000000L + i * 60000L)
 
@@ -57,6 +62,7 @@ class StorePropertySpec extends SparkSpec {
       val store = Mnemo.open(spark, dir.getAbsolutePath)
       var model = Map.empty[String, MRow]
       var ckpts = Map.empty[String, Set[String]]
+      var grants = Map.empty[String, Set[String]].withDefaultValue(Set.empty)
       var nextId = 0
       var nCk = 0
 
@@ -68,12 +74,50 @@ class StorePropertySpec extends SparkSpec {
           val id = f"r$round-m$nextId%04d"; nextId += 1
           val agent = agents(rnd.nextInt(agents.size))
           val tags = tagPool.filter(_ => rnd.nextInt(3) == 0)
+          // mixed scopes so the visibility closure has all three legs
+          // to get wrong (own / public-global / granted)
+          val scope = rnd.nextInt(10) match {
+            case 0 | 1 => "shared"
+            case 2 => "public"
+            case 3 => "global"
+            case _ => "private"
+          }
           model += id -> MRow(agent, tags.toSet, deleted = false, 0L,
-            redacted = false)
+            redacted = false, scope)
           RememberRequest(id, agent, s"t${rnd.nextInt(3)}",
-            s"content $id", tags = tags, createdAt = ts(nextId))
+            s"content $id", scope = scope, tags = tags, createdAt = ts(nextId))
         }
         store.remember(reqs)
+      }
+
+      def shareOp(): Unit = if (model.nonEmpty) {
+        // grants draw from ALL ids — own rows (redundant grant),
+        // deleted rows (granted-but-dead must stay invisible), and
+        // cross-agent rows (the leg that matters)
+        val principal = agents(rnd.nextInt(agents.size))
+        val ids = rnd.shuffle(allIds).take(1 + rnd.nextInt(2))
+        store.share(ids, principal, ts(8000 + nextId))
+        grants += principal -> (grants(principal) ++ ids)
+      }
+
+      /** recallVisible must surface EXACTLY the model's closure: own ∪
+        * public/global ∪ granted, live rows only — the two-leg pruned
+        * plan (round 10) must never lose or duplicate a row. */
+      def checkVisibility(): Unit = agents.foreach { a =>
+        val got = store.recallVisible(a,
+          Mnemo.RecallRequest(query = "", strategy = "exact", limit = 100000),
+          ts(1000000)).select("id").collect().map(_.getString(0)).toSeq
+        assert(got.distinct.size == got.size,
+          s"round $round: recallVisible($a) returned duplicate rows")
+        val expected = model.collect {
+          case (id, r) if !r.deleted &&
+            (r.agent == a || r.scope == "public" || r.scope == "global" ||
+              grants(a).contains(id)) => id
+        }.toSet
+        assert(got.toSet == expected,
+          s"round $round: visibility drift for $a " +
+            s"got-only=${got.toSet.diff(expected)} " +
+            s"expected-only=${expected.diff(got.toSet)}")
       }
 
       def forgetOp(): Unit = if (model.nonEmpty) {
@@ -176,18 +220,21 @@ class StorePropertySpec extends SparkSpec {
 
       rememberBatch()
       (0 until 14).foreach { i =>
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 | 1 => rememberBatch()
           case 2 => forgetOp()
           case 3 => touchOp()
           case 4 => if (i % 2 == 0) forgetSubjectOp() else checkpointOp()
           case 5 => checkpointOp()
+          case 6 => shareOp()
         }
         checkModelEquality()
         checkStructure()
         if (i % 4 == 3) checkChains()
+        if (i % 5 == 4) checkVisibility()
       }
       checkChains()
+      checkVisibility()
 
       // on-disk routing agreement: each committed bucket dir holds only
       // rows hashing to it (one union job over all buckets)
