@@ -1023,8 +1023,11 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         val src =
           if (grantIds.size <= Mnemo.GrantRouteMax) tableForIds(grantIds)
           else table()
-        src.filter(col("agent_id") =!= agentId &&
-            !col("scope").isin("public", "global"))
+        // null-safe complement: a granted row with a NULL scope must
+        // stay visible through THIS leg (the old OR-plan admitted it
+        // via the grant disjunct; a bare !isin would null it away)
+        src.filter(!coalesce(col("agent_id") === agentId, lit(false)) &&
+            !coalesce(col("scope").isin("public", "global"), lit(false)))
           .join(broadcast(grants), col("id") === col("memory_id"), "left_semi")
       }
     recallOver(ownOrPub.unionByName(granted), r.copy(agentId = None), now)

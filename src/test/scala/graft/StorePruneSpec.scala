@@ -113,6 +113,31 @@ class StorePruneSpec extends SparkSpec {
       "granted row lost by the routed grant leg")
   }
 
+  test("a granted row with a NULL scope stays visible through the grant leg") {
+    // a store written by an external/older writer may carry null
+    // scopes (the public API always sets one); the grant leg's
+    // complement filters must be null-safe — a bare !isin would null
+    // the row away, while the old OR-plan kept it. Planted via the
+    // legacy flat layout, the one surface that accepts foreign parquet.
+    val nullScoped = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("agent-9", "t0", "null-scope-row",
+          "externally written content", "episodic", null, 0.5f,
+          Seq.empty[String], ts(1L), null, false,
+          Seq.fill(64)(0.0f), "h", null, false, 0L, null, "h")),
+      Mnemo.StoreSchema)
+    val legacyDir = freshDir()
+    nullScoped.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(legacyDir)
+    val legacy = Mnemo.open(spark, legacyDir)
+    legacy.share(Seq("null-scope-row"), "agent-reader", ts(2L))
+    val visible = legacy.recallVisible("agent-reader",
+      graft.api.Mnemo.RecallRequest(query = "", strategy = "exact", limit = 100),
+      ts(999999999L))
+    assert(visible.filter(col("id") === "null-scope-row").count() == 1,
+      "granted null-scope row lost by the grant leg's complement filter")
+  }
+
   test("agent-scoped chain verify pushes the agent filter and stays chain-correct") {
     val store = Mnemo.open(spark, freshDir())
     store.remember(batch(600, 6))
