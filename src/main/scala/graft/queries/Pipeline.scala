@@ -500,5 +500,94 @@ object Pipeline extends QueryGroup {
       WHERE rank <= 100
       ORDER BY rank"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9)
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much more likely its hashed-unigram
+    * features are under a TARGET domain distribution than under the
+    * raw-corpus distribution, then keep the top-weighted docs. The
+    * target stand-in is `source = 'src0'` (the curated-domain slice);
+    * features are md5-hashed token buckets (B = 1024) with add-one
+    * smoothing, the paper's hashed-ngram estimator.
+    *
+    * Cross-engine determinism: the per-BUCKET log ratio is rounded to
+    * 6 dp once (B rows), then per-doc weights are exact DECIMAL sums
+    * of those rounded values — the t8 convention, so engine `ln`
+    * last-ulp differences can never reach the hash.
+    *
+    * Scale shape: both frequency tables are bounded by B (1024 rows —
+    * broadcast, never shuffled with the corpus); the corpus side is
+    * tokenize → bucket → two map-side-combined aggregates (target
+    * counts and per-doc sums); selection is a TakeOrderedAndProject
+    * top-k. Nothing grows with corpus size except the streaming
+    * passes themselves. */
+  private val q10 = QueryDef(
+    "pl10_dsir_importance",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 1024
+      val feat = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        .withColumn("f", conv(substring(md5(col("t")), 1, 4), 16, 10)
+          .cast("long") % B)
+        .select("doc_id", "source", "f")
+        .cache()
+      val raw = feat.groupBy("f").agg(count(lit(1)).as("cr"))
+      val tgt = feat.filter(col("source") === "src0")
+        .groupBy("f").agg(count(lit(1)).as("ct"))
+      val totals = feat.agg(
+        count(lit(1)).as("nr"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("nt"))
+      val lr = raw
+        .join(tgt, Seq("f"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("f"),
+          round(log((coalesce(col("ct"), lit(0L)) + 1.0)
+              / (col("nt") + lit(B.toDouble)))
+            - log((col("cr") + 1.0) / (col("nr") + lit(B.toDouble))), 6)
+            .cast("decimal(14,6)").as("lr"))
+      val docw = feat.join(broadcast(lr), Seq("f"))
+        .groupBy("doc_id")
+        .agg(sum(col("lr")).cast("double").as("log_weight"))
+      // top-k-then-rank (the r6 convention): the selection is a
+      // TakeOrderedAndProject over the per-doc frame, and the global
+      // rank window runs over the 50 surviving rows only
+      val top = docw.orderBy(col("log_weight").desc, col("doc_id")).limit(50)
+      val w = Window.orderBy(col("log_weight").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(w).cast("bigint"))
+        .select("rank", "doc_id", "log_weight")
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH $toksSql,
+      tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+      feat AS (
+        SELECT tok.doc_id, source,
+               ('0x' || substr(md5(t), 1, 4))::BIGINT % 1024 AS f
+        FROM tok JOIN documents USING (doc_id)),
+      raw AS (SELECT f, COUNT(*) AS cr FROM feat GROUP BY f),
+      tgt AS (SELECT f, COUNT(*) AS ct FROM feat WHERE source = 'src0' GROUP BY f),
+      totals AS (
+        SELECT COUNT(*) AS nr,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt
+        FROM feat),
+      lr AS (
+        SELECT raw.f,
+               CAST(ROUND(ln((COALESCE(ct, 0) + 1.0) / (nt + 1024.0))
+                        - ln((cr + 1.0) / (nr + 1024.0)), 6) AS DECIMAL(14,6)) AS lr
+        FROM raw LEFT JOIN tgt USING (f) CROSS JOIN totals),
+      docw AS (
+        SELECT doc_id, CAST(SUM(lr) AS DOUBLE) AS log_weight
+        FROM feat JOIN lr USING (f)
+        GROUP BY doc_id),
+      ranked AS (
+        SELECT doc_id, log_weight,
+               CAST(ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id) AS BIGINT) AS rank
+        FROM docw)
+      SELECT rank, doc_id, log_weight
+      FROM ranked
+      WHERE rank <= 50
+      ORDER BY rank"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10)
 }

@@ -698,5 +698,80 @@ object Similarity extends QueryGroup {
       FROM m WHERE o > 0
       ORDER BY a"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9)
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space, then deduplicate WITHIN clusters only — the
+    * pairwise pass that is quadratic over a corpus becomes quadratic
+    * over a cluster, which is the whole scale trick (k grows with N,
+    * cluster sizes stay bounded, and the pair join is an equi-join on
+    * the cluster id). Same one-Lloyd-round deterministic clustering as
+    * v5 (cached per session like the IVF codebook), same τ = 0.3 the
+    * d5 near-dup verify uses.
+    *
+    * Keep rule, deterministic one-pass form of the paper's
+    * keep-far-from-centroid policy: member x is removed iff some
+    * cluster-mate that OUTRANKS it (lower 6dp-rounded
+    * centroid-cosine, ties by lower vec_id) is τ-similar to it. The
+    * outranking order is total per cluster, so the survivor set is
+    * unique — no iteration-order dependence to drift cross-engine.
+    *
+    * Pair generation carries (cid, id, rank-key) only — vectors join
+    * back per side before the cosine verify, the d2/d5 shuffle
+    * discipline. */
+  private val q10 = QueryDef(
+    "d7_semdedup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = cachedTrained(s, dir, "km1")(lloydCentroids(e, 1))
+      val members = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", VectorOps.cosineFast(col("embedding"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("ccos")).as("o"), col("cid").as("cid"))).as("t"))
+        .select(col("vec_id"), col("t.cid").as("cid"),
+          round(-col("t.o"), 6).cast("decimal(10,6)").as("mcos"))
+        .cache()
+      val vecs = e.select(col("vec_id"), col("embedding"))
+      val cands = members
+        .select(col("cid"), col("vec_id").as("a"), col("mcos").as("ma"))
+        .join(members.select(col("cid"), col("vec_id").as("b"), col("mcos").as("mb")),
+          Seq("cid"))
+        .filter(col("a") =!= col("b") &&
+          (col("mb") < col("ma") ||
+            (col("mb") === col("ma") && col("b") < col("a"))))
+        .select("a", "b")
+      val removed = cands
+        .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
+        .join(vecs.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
+        .filter(VectorOps.cosineFast(col("va"), col("vb")) >= 0.3)
+        .select(col("a").as("vec_id")).distinct()
+        .withColumn("rm", lit(1))
+      members.join(removed, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          col("mcos").cast("double").as("centroid_cos"),
+          coalesce(col("rm"), lit(0)).as("removed"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${lloydCentSql(1)},
+      best AS (
+        SELECT e.vec_id,
+               min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).cid AS cid,
+               CAST(ROUND(-(min(struct_pack(o := -(${cos("e.v", "cv")}), cid := cid)).o), 6)
+                 AS DECIMAL(10,6)) AS mcos
+        FROM e CROSS JOIN cent GROUP BY e.vec_id),
+      rem AS (
+        SELECT DISTINCT a.vec_id
+        FROM best a
+        JOIN best b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+                   AND (b.mcos < a.mcos OR (b.mcos = a.mcos AND b.vec_id < a.vec_id))
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE ${cos("ea.v", "eb.v")} >= 0.3)
+      SELECT best.vec_id, cid, CAST(mcos AS DOUBLE) AS centroid_cos,
+             CASE WHEN rem.vec_id IS NULL THEN 0 ELSE 1 END AS removed
+      FROM best LEFT JOIN rem ON best.vec_id = rem.vec_id
+      ORDER BY best.vec_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10)
 }

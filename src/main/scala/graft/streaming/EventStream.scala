@@ -64,6 +64,27 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("user_id"), col("n_events"))
 
+  /** Write-path injection quarantine — the reference's ingest-time
+    * poisoning gate (poisoning.rs scans content AT WRITE and diverts
+    * marker-bearing rows to quarantine before they can ever be
+    * recalled) as a stateless streaming transform: tag each incoming
+    * row with its marker-hit count and a quarantine verdict; the
+    * caller routes the two slices to their sinks (admitted → store
+    * append, quarantined → review table). Stateless per-row, so it
+    * costs one projection at any rate — no state store, no watermark.
+    *
+    * Composes the SHARED x9 marker constants (queries/Scoring), the
+    * same set the batch scan, its oracle SQL, and the DETECTION.json
+    * TPR/FPR harness measure — so the streaming gate can never drift
+    * from the published detection rates. */
+  def quarantineGate(rows: DataFrame, contentCol: String = "content"): DataFrame = {
+    val nHits = graft.queries.Scoring.InjectionMarkers
+      .map(m => when(lower(col(contentCol)).rlike(m), 1L).otherwise(0L))
+      .reduce(_ + _)
+    rows.withColumn("n_marker_hits", nHits)
+      .withColumn("quarantined", col("n_marker_hits") > 0)
+  }
+
   /** Event-time sessionization with explicit state: 30-min-gap sessions
     * per user via flatMapGroupsWithState — the reference's per-agent
     * stateful profile update re-expressed as managed streaming state.
