@@ -406,5 +406,88 @@ object Dedup extends QueryGroup {
       FROM comp
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
+  /** Incremental ingest dedup against a historical-corpus Bloom
+    * filter — the pattern that makes exact dedup O(batch) instead of
+    * O(corpus) at 100 TB: the accumulated corpus is represented ONLY
+    * by its Bloom filter (k = 4 md5-derived positions over the d1
+    * fingerprint), which is the sole state a streaming ingest keeps
+    * between batches; each new document probes the broadcast filter.
+    * `maybe_dup = 1` means "all k positions set" (candidate for the
+    * expensive confirm path), `maybe_dup = 0` is a PROVEN-new fast
+    * path — the filter has no false negatives.
+    *
+    * The filter is SIZED TO THE CORPUS: m = 16 bits per historical
+    * element (FP ≈ (1−e^(−k·n/m))^k ≈ 0.2%), computed from the data
+    * identically in both engines — a fixed m silently saturates as
+    * history grows (the first cut of this query measured 84% FP at
+    * sf0.1 under m = 4096; linear m is the design invariant, and 16n
+    * bits is still ~10⁴× smaller than the corpus it replaces).
+    *
+    * The query also emits the exact truth (`is_dup`, a semi-join the
+    * production path skips — kept here so the false-positive behaviour
+    * of the chosen (m, k) is measured, not assumed: every is_dup = 1
+    * must have maybe_dup = 1). The filter is modeled as the sorted
+    * distinct-position set — semantically the bit array, and
+    * deterministic cross-engine. History/batch split: doc_id % 5
+    * (80 / 20), the corpus-then-delta replay convention. */
+  private val q8 = QueryDef(
+    "d8_bloom_incremental",
+    (s, dir) => {
+      val K = 4
+      def positions(fp: org.apache.spark.sql.Column,
+          m: org.apache.spark.sql.Column) =
+        (0 until K).map(i =>
+          conv(substring(md5(concat(fp, lit(s":$i"))), 1, 8), 16, 10)
+            .cast("long") % m)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(TextOps.tokens(col("text"))))))
+            .as("fp"))
+      val hist = d.filter(col("doc_id") % 5 =!= 4)
+      val batch = d.filter(col("doc_id") % 5 === 4)
+      val mrow = hist.agg((count(lit(1)) * 16).as("m"))
+      val bloom = hist.crossJoin(broadcast(mrow))
+        .select(explode(array(positions(col("fp"), col("m")): _*)).as("pos"),
+          col("m"))
+        .groupBy(col("m"))
+        .agg(array_sort(collect_set(col("pos"))).as("bloom"))
+      val probed = batch.crossJoin(broadcast(bloom))
+        .withColumn("maybe_dup",
+          positions(col("fp"), col("m")).map(p => array_contains(col("bloom"), p))
+            .reduce(_ && _).cast("int"))
+      probed
+        .join(hist.select(col("fp")).distinct().withColumn("h", lit(1)),
+          Seq("fp"), "left")
+        .select(col("doc_id"), col("maybe_dup"),
+          coalesce(col("h"), lit(0)).as("is_dup"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $toksSql,
+      fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        FROM toks),
+      hist AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 <> 4),
+      batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 4),
+      m AS (SELECT COUNT(*) * 16 AS m FROM hist),
+      pos AS (
+        SELECT DISTINCT pos FROM (
+          SELECT unnest(list_transform(generate_series(0, 3),
+            i -> ('0x' || substr(md5(fp || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % m)) AS pos
+          FROM hist CROSS JOIN m)),
+      bloom AS (SELECT list_sort(list(pos)) AS bloom FROM pos),
+      probed AS (
+        SELECT doc_id, fp,
+               CAST(len(list_filter(list_transform(generate_series(0, 3),
+                 i -> ('0x' || substr(md5(fp || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % m),
+                 p -> list_contains(bloom, p))) = 4 AS INT) AS maybe_dup
+        FROM batch CROSS JOIN bloom CROSS JOIN m)
+      SELECT probed.doc_id, maybe_dup,
+             CASE WHEN EXISTS (SELECT 1 FROM hist WHERE hist.fp = probed.fp)
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM probed
+      ORDER BY probed.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
 }

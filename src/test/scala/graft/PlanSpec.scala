@@ -162,4 +162,26 @@ class PlanSpec extends SparkSpec {
         s"$n: ledger audit must not join — the registration rides the same scan")
     }
   }
+
+  test("pl10_dsir: bounded feature tables broadcast; selection is top-k, not a global sort") {
+    val p = plan("pl10_dsir_importance")
+    // the B-bounded log-ratio table and the 1-row totals must broadcast
+    // onto the corpus stream, and the doc selection must plan as
+    // TakeOrderedAndProject over the per-doc frame (top-k-then-rank) —
+    // a global Sort of all docs would be the 100x-scale regression
+    assert(p.contains("BroadcastHashJoin"), "log-ratio side must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "selection must be top-k")
+    assert(!p.contains("CartesianProduct"), "stat sides must stay broadcast")
+  }
+
+  test("d7_semdedup: pair generation is a cid equi-join, never a corpus cross-join") {
+    val p = plan("d7_semdedup")
+    // within-cluster pairing must key on the cluster id (the SemDeDup
+    // scale contract); the only nested-loop allowed is the O(k)
+    // broadcast centroid assignment
+    assert(!p.contains("CartesianProduct"), "pair generation cross-joins the corpus")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "expected an equi-join for within-cluster pairs")
+    assert(p.contains("cid"), "pair join must key on the cluster id")
+  }
 }

@@ -146,4 +146,20 @@ class QueriesSpec extends SparkSpec {
       assert(nonEmpty.length == rs.length - 1)
     }
   }
+
+  test("d8 bloom filter has zero false negatives and a sized-to-corpus FP floor") {
+    val rows = SparkEntry.queries("d8_bloom_incremental")(spark, Sf)
+      .select("maybe_dup", "is_dup").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.nonEmpty)
+    // the Bloom contract: a true duplicate can NEVER probe negative
+    assert(rows.forall { case (mb, is) => is == 0 || mb == 1 },
+      "bloom false negative: an exact dup probed clean")
+    // non-vacuity: the split actually carries dups, and the filter
+    // clears most genuinely-new docs (sized filter, not saturated)
+    assert(rows.exists(_._2 == 1), "fixture has no cross-split dups")
+    val newDocs = rows.filter(_._2 == 0)
+    assert(newDocs.count(_._1 == 0) > newDocs.length / 2,
+      "filter saturated: most new docs probe maybe_dup")
+  }
 }
