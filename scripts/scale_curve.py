@@ -51,6 +51,9 @@ QUERIES = [
     "pl8_sequence_pack", "r2_bm25", "r6_hybrid_rrf", "l6_sessionization",
     "st1_hourly_counts", "w9_chain_digest", "j6_asof_join",
     "k2_kmv_distinct",
+    # round-10 newborns: the scaling claim covers them from birth
+    "pl10_dsir_importance", "d7_semdedup", "d8_bloom_incremental",
+    "d9_substring_dedup",
 ]
 
 ADD_OPENS = [

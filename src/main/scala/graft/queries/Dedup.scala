@@ -489,5 +489,70 @@ object Dedup extends QueryGroup {
       FROM probed
       ORDER BY probed.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
+  /** Exact substring-window dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): flag every
+    * document by how much of it consists of EXACT W-token windows
+    * that also appear in another document — the dedup-exact
+    * granularity that catches boilerplate/quotation overlap which
+    * whole-doc (d1) misses and Jaccard (d2/d3) only scores in
+    * aggregate. W = 16 tokens; windows are md5'd and DISTINCT per doc
+    * (a window repeated inside one doc is not "shared").
+    *
+    * This is the reference paper's suffix-array pass re-expressed as
+    * the Spark-native hash groupBy: the shuffle carries 16-byte window
+    * hashes (never text), the shared-window set is only the windows
+    * appearing in ≥ 2 docs (tiny vs the corpus), and the per-doc
+    * rollup is a semi-join against it. Short docs (< W tokens)
+    * legitimately have zero windows and report 0 / 0.0. */
+  private val q9 = QueryDef(
+    "d9_substring_dedup",
+    (s, dir) => {
+      val W = 16
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(when(size(col("toks")) >= W,
+            transform(sequence(lit(0), size(col("toks")) - W), i =>
+              md5(concat_ws(" ",
+                (0 until W).map(j => element_at(col("toks"), i + j + 1)): _*))))
+            .otherwise(array().cast("array<string>"))).as("ws"))
+        .cache()
+      val sh = base.select(col("doc_id"), explode(col("ws")).as("h"))
+      val dupW = sh.groupBy("h")
+        .agg(count(lit(1)).as("nd")).filter(col("nd") > 1).select("h")
+      val perDoc = sh.join(dupW, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      base.select(col("doc_id"), size(col("ws")).cast("bigint").as("n_windows"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("shared_frac", when(col("n_windows") > 0,
+          round(col("n_shared").cast("double") / col("n_windows"), 6))
+          .otherwise(lit(0.0)))
+        .select("doc_id", "n_windows", "n_shared", "shared_frac")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $toksSql,
+      ws AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 16
+                 THEN list_transform(generate_series(0, len(toks) - 16),
+                      i -> md5(array_to_string(list_slice(toks, i + 1, i + 16), ' ')))
+                 ELSE [] END) AS ws
+        FROM toks),
+      sh AS (SELECT doc_id, unnest(ws) AS h FROM ws),
+      dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+      perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM sh JOIN dup USING (h)
+        GROUP BY doc_id)
+      SELECT ws.doc_id, CAST(len(ws) AS BIGINT) AS n_windows,
+             CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+             CASE WHEN len(ws) > 0
+                  THEN ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / len(ws), 6)
+                  ELSE 0.0 END AS shared_frac
+      FROM ws LEFT JOIN perdoc USING (doc_id)
+      ORDER BY ws.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9)
 }
