@@ -509,10 +509,16 @@ object Pipeline extends QueryGroup {
     * features are md5-hashed token buckets (B = 1024) with add-one
     * smoothing, the paper's hashed-ngram estimator.
     *
+    * The per-doc weight is the PER-TOKEN mean log ratio (domain
+    * affinity), not the raw sum: under add-one smoothing with a small
+    * target the ratios skew negative, so the raw sum just ranks docs
+    * by shortness (measured: zero target-source docs in the raw-sum
+    * top-50; 10/50 — 4x base rate — under the mean).
+    *
     * Cross-engine determinism: the per-BUCKET log ratio is rounded to
-    * 6 dp once (B rows), then per-doc weights are exact DECIMAL sums
-    * of those rounded values — the t8 convention, so engine `ln`
-    * last-ulp differences can never reach the hash.
+    * 6 dp once (B rows), per-doc DECIMAL sums of those rounded values
+    * are cast to double only for the final mean (the t8 convention),
+    * so engine `ln` last-ulp differences can never reach the hash.
     *
     * Scale shape: both frequency tables are bounded by B (1024 rows —
     * broadcast, never shuffled with the corpus); the corpus side is
@@ -546,9 +552,23 @@ object Pipeline extends QueryGroup {
               / (col("nt") + lit(B.toDouble)))
             - log((col("cr") + 1.0) / (col("nr") + lit(B.toDouble))), 6)
             .cast("decimal(14,6)").as("lr"))
+      // PER-TOKEN mean, not the raw sum: with add-one smoothing and a
+      // target that is a few percent of the corpus, the per-bucket log
+      // ratios are almost all slightly negative, so an unnormalized sum
+      // is dominated by document LENGTH (measured here: the raw-sum
+      // top-50 contained ZERO target-domain docs — it selected short
+      // docs; the per-token mean puts the target source at 4x its base
+      // rate in the top-50, which is the selection DSIR is for).
+      // Honesty note: the synthetic sources are drawn from ONE shared
+      // distribution, so the only separable signal is finite-sample
+      // self-inclusion — measured enrichment 2.8x / 4x / 1.2x at
+      // sf0.001/0.01/0.1 (it fades as the sample converges). On a real
+      // corpus with true domain differences the ratio estimator is
+      // identical; only the signal grows.
       val docw = feat.join(broadcast(lr), Seq("f"))
         .groupBy("doc_id")
-        .agg(sum(col("lr")).cast("double").as("log_weight"))
+        .agg(round(sum(col("lr")).cast("double") / count(lit(1)), 6)
+          .as("log_weight"))
       // top-k-then-rank (the r6 convention): the selection is a
       // TakeOrderedAndProject over the per-doc frame, and the global
       // rank window runs over the 50 surviving rows only
@@ -577,7 +597,7 @@ object Pipeline extends QueryGroup {
                         - ln((cr + 1.0) / (nr + 1024.0)), 6) AS DECIMAL(14,6)) AS lr
         FROM raw LEFT JOIN tgt USING (f) CROSS JOIN totals),
       docw AS (
-        SELECT doc_id, CAST(SUM(lr) AS DOUBLE) AS log_weight
+        SELECT doc_id, ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS log_weight
         FROM feat JOIN lr USING (f)
         GROUP BY doc_id),
       ranked AS (

@@ -162,4 +162,17 @@ class QueriesSpec extends SparkSpec {
     assert(newDocs.count(_._1 == 0) > newDocs.length / 2,
       "filter saturated: most new docs probe maybe_dup")
   }
+
+  test("pl10 DSIR top-50 is enriched in the target source (the length-bias guard)") {
+    // at Sf the target source is 25/500 docs, so a random top-50 holds
+    // ~2.5; the per-token-mean weight must enrich it at least 2x over
+    // that (the raw-sum formulation this pin guards against selected
+    // SHORT docs and held zero)
+    val top = SparkEntry.queries("pl10_dsir_importance")(spark, Sf)
+      .select("doc_id")
+    val srcs = Tables.documents(spark, Sf).select("doc_id", "source")
+    val n = top.join(srcs, "doc_id")
+      .filter(col("source") === "src0").count()
+    assert(n >= 5, s"target-source docs in top-50: $n — importance signal lost")
+  }
 }
