@@ -692,6 +692,28 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   def remember(batch: Seq[RememberRequest]): Unit =
     appendEnriched(reqFrame(batch))
 
+  /** REMEMBER with the reference's WRITE-PATH injection scan
+    * (poisoning.rs scans content at ingest, before the row is ever
+    * recallable): each row's content runs the SHARED x9 marker set
+    * (queries/Scoring — the same constants the batch scan, the
+    * streaming gate, and the DETECTION.json rates measure) and
+    * marker-bearing rows land with `quarantined = true`, so every
+    * recall predicate excludes them from their first moment in the
+    * store while the hash chain still records them for forensics
+    * (quarantine keeps the row, never drops it — the reference's
+    * review-then-release model; the `q1_quarantine_replay` query is
+    * the batch audit of the same policy). The caller's own flag is
+    * OR'd, never overridden; the
+    * scan is a per-row projection folded into the same single append
+    * job as [[remember]]. */
+  def rememberScanned(batch: Seq[RememberRequest]): Unit = {
+    val nHits = graft.queries.Scoring.InjectionMarkers
+      .map(m => when(lower(col("content")).rlike(m), 1).otherwise(0))
+      .reduce(_ + _)
+    appendEnriched(reqFrame(batch)
+      .withColumn("quarantined", col("quarantined") || nHits > 0))
+  }
+
   private def reqFrame(batch: Seq[RememberRequest]): DataFrame = {
     import spark.implicits._
     batch.toDF().select(
