@@ -53,10 +53,10 @@ MOVERS_R9.append("j5_anti_join")
 # baseline yet (w9 already pinned in NEW_R9)
 MOVERS_R10 = ["t4_winnow_fingerprint", "w8_payload_forge",
               "c3_retention_floor"]
-# round 10 late additions: the three operators born this round get
-# their isolated baselines at birth (same convention as NEW_R9)
+# round 10 late additions: operators born this round get their
+# isolated baselines at birth (same convention as NEW_R9)
 NEW_R10 = ["pl10_dsir_importance", "d7_semdedup", "d8_bloom_incremental",
-           "d9_substring_dedup"]
+           "d9_substring_dedup", "d10_incremental_lsh"]
 MOVERS_R10 += NEW_R10
 # dedup while preserving order: a query listed in two groups (e.g. a
 # NEW_R9 query that becomes a mover next round) must run once, not

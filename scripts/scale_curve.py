@@ -53,7 +53,7 @@ QUERIES = [
     "k2_kmv_distinct",
     # round-10 newborns: the scaling claim covers them from birth
     "pl10_dsir_importance", "d7_semdedup", "d8_bloom_incremental",
-    "d9_substring_dedup",
+    "d9_substring_dedup", "d10_incremental_lsh",
 ]
 
 ADD_OPENS = [

@@ -175,4 +175,23 @@ class QueriesSpec extends SparkSpec {
       .filter(col("source") === "src0").count()
     assert(n >= 5, s"target-source docs in top-50: $n — importance signal lost")
   }
+
+  test("d10 incremental-LSH finds every true cross-split near-dup pair at Sf") {
+    import org.apache.spark.sql.DataFrame
+    val sh = Tables.documents(spark, Sf)
+      .select(col("doc_id"), graft.functions.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextOps.shingles(col("toks"), 3)).as("sh"))
+    def side(n: String, pred: DataFrame => DataFrame) =
+      pred(sh).select(col("doc_id").as(n), col("sh").as(s"sh_$n"))
+    val truth = side("a", _.filter(col("doc_id") % 5 =!= 4))
+      .crossJoin(side("b", _.filter(col("doc_id") % 5 === 4)))
+      .filter(graft.functions.TextOps.jaccard(col("sh_a"), col("sh_b")) >= 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = SparkEntry.queries("d10_incremental_lsh")(spark, Sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture has no cross-split near-dups")
+    assert(found == truth,
+      s"missed: ${truth -- found}, spurious: ${found -- truth}")
+  }
 }
