@@ -82,6 +82,19 @@ object BenchWrites {
     val rememberSec = rememberSecs.min
     val rememberRows = batches * batch
 
+    // -- remember_scanned_throughput: the same sequential-append
+    //    protocol through the write-path injection scan
+    //    (rememberScanned) — quantifies what the per-row marker
+    //    projection costs on top of plain remember (it rides the same
+    //    single append job, so the expected overhead is regex time
+    //    only, not an extra job)
+    val rememberScannedSecs = (1 to reps).map { r =>
+      val st = new MnemoStore(spark, freshDir(s"remscan$r"))
+      time((0 until batches).foreach(b =>
+        st.rememberScanned((0 until batch).map(i => req("bench-agent", b * batch + i)))))
+    }
+    val rememberScannedSec = rememberScannedSecs.min
+
     // seeded store shared by the read-side latency ops
     val seeded = new MnemoStore(spark, freshDir("seed"))
     (0 until 2).foreach(b =>
@@ -259,6 +272,9 @@ object BenchWrites {
     def lat(sec: Double): String = s"""{"sec":${num("%.4f", sec)}}"""
     val ops = Seq(
       "remember_throughput" -> op(rememberSec, rememberRows),
+      "remember_scanned_throughput" -> op(rememberScannedSec, rememberRows),
+      "write_scan_overhead" ->
+        s"""{"x":${num("%.2f", rememberScannedSec / rememberSec)}}""",
       "forget_throughput" -> op(forgetSec, forgetIdsPerOp),
       "forget_pruned_latency" -> lat(forgetPrunedSec),
       "forget_subject_pruned_latency" -> lat(forgetSubjectSec),
@@ -281,7 +297,7 @@ object BenchWrites {
       "attention_compact_latency" -> lat(attnCompactSec),
       "concurrent_agents_throughput" -> op(concSec, concRows)
     ).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val total = rememberSec + forgetSec + forgetPrunedSec +
+    val total = rememberSec + rememberScannedSec + forgetSec + forgetPrunedSec +
       forgetSubjectSec + forgetAllBucketsSec + ckptSec + verifySec + recallSec +
       hybridSec + orientSec + attnPutSec + attnCompactSec + concSec +
       agentRecallSec + scanSortedSec + scanInterleavedSec

@@ -194,4 +194,25 @@ class QueriesSpec extends SparkSpec {
     assert(found == truth,
       s"missed: ${truth -- found}, spurious: ${found -- truth}")
   }
+
+  test("d7 semdedup survivors are pairwise tau-separated within every cluster") {
+    // the keep rule's guarantee: for any tau-similar pair the outranked
+    // member is ALWAYS removed, so no two survivors in one cluster can
+    // be tau-similar (over-removal is possible by design — one-pass
+    // form — but under-removal never)
+    val out = SparkEntry.queries("d7_semdedup")(spark, Sf).cache()
+    val survivors = out.filter(col("removed") === 0)
+      .select(col("vec_id"), col("cid"))
+    val vecs = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val offending = survivors.join(vecs, "vec_id")
+      .select(col("cid"), col("vec_id").as("a"), col("embedding").as("va"))
+      .join(survivors.join(vecs, "vec_id")
+        .select(col("cid"), col("vec_id").as("b"), col("embedding").as("vb")),
+        Seq("cid"))
+      .filter(col("a") < col("b"))
+      .filter(graft.functions.VectorOps.cosineFast(col("va"), col("vb")) >= 0.3)
+      .count()
+    assert(out.filter(col("removed") === 1).count() > 0, "dedup was vacuous")
+    assert(offending == 0, s"$offending tau-similar survivor pairs remain")
+  }
 }
