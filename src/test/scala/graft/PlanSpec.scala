@@ -184,4 +184,18 @@ class PlanSpec extends SparkSpec {
       "expected an equi-join for within-cluster pairs")
     assert(p.contains("cid"), "pair join must key on the cluster id")
   }
+
+  test("incremental dedup (d8/d9/d10) never cross-joins the corpus; bloom rides a tiny broadcast") {
+    // d8's only nested loop is the 1-row bloom/size frame against the
+    // batch; d9/d10 pair generation must stay keyed equi-joins
+    Seq("d9_substring_dedup", "d10_incremental_lsh").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n: pair generation regressed to a cross join")
+    }
+    val p8 = plan("d8_bloom_incremental")
+    assert(!p8.contains("CartesianProduct"),
+      "d8: bloom side must broadcast, not cartesian")
+    assert(p8.contains("BroadcastExchange"), "d8: bloom filter must broadcast")
+  }
 }
