@@ -445,13 +445,16 @@ object Dedup extends QueryGroup {
             .as("fp"))
       val hist = d.filter(col("doc_id") % 5 =!= 4)
       val batch = d.filter(col("doc_id") % 5 === 4)
-      val mrow = hist.agg((count(lit(1)) * 16).as("m"))
+      // global aggregates, never groupBy: both frames stay exactly one
+      // row even over an EMPTY history (first ingest of a fresh
+      // corpus), where m floors at 1 and the bloom is the empty set —
+      // so every batch doc correctly probes "proven new" instead of
+      // the whole output vanishing on the empty-input edge
+      val mrow = hist.agg(greatest(count(lit(1)) * 16, lit(1L)).as("m"))
       val bloom = hist.crossJoin(broadcast(mrow))
-        .select(explode(array(positions(col("fp"), col("m")): _*)).as("pos"),
-          col("m"))
-        .groupBy(col("m"))
+        .select(explode(array(positions(col("fp"), col("m")): _*)).as("pos"))
         .agg(array_sort(collect_set(col("pos"))).as("bloom"))
-      val probed = batch.crossJoin(broadcast(bloom))
+      val probed = batch.crossJoin(broadcast(mrow)).crossJoin(broadcast(bloom))
         .withColumn("maybe_dup",
           positions(col("fp"), col("m")).map(p => array_contains(col("bloom"), p))
             .reduce(_ && _).cast("int"))
@@ -470,13 +473,13 @@ object Dedup extends QueryGroup {
         FROM toks),
       hist AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 <> 4),
       batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 4),
-      m AS (SELECT COUNT(*) * 16 AS m FROM hist),
+      m AS (SELECT GREATEST(COUNT(*) * 16, 1) AS m FROM hist),
       pos AS (
         SELECT DISTINCT pos FROM (
           SELECT unnest(list_transform(generate_series(0, 3),
             i -> ('0x' || substr(md5(fp || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % m)) AS pos
           FROM hist CROSS JOIN m)),
-      bloom AS (SELECT list_sort(list(pos)) AS bloom FROM pos),
+      bloom AS (SELECT COALESCE(list_sort(list(pos)), []) AS bloom FROM pos),
       probed AS (
         SELECT doc_id, fp,
                CAST(len(list_filter(list_transform(generate_series(0, 3),

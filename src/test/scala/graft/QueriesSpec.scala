@@ -215,4 +215,23 @@ class QueriesSpec extends SparkSpec {
     assert(out.filter(col("removed") === 1).count() > 0, "dedup was vacuous")
     assert(offending == 0, s"$offending tau-similar survivor pairs remain")
   }
+
+  test("d8 bloom on an EMPTY history: every batch doc probes proven-new, none vanish") {
+    // first ingest of a fresh corpus: all doc_ids fall in the batch
+    // split (id % 5 == 4), history is empty — the sized filter floors
+    // m at 1 and the bloom is the empty set, so the output must be
+    // every batch doc with maybe_dup = 0 (NOT an empty frame)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d8-empty").toFile.getAbsolutePath
+    Seq((4L, "alpha beta gamma", "en", "src0", 16L),
+        (9L, "delta epsilon zeta", "en", "src0", 18L),
+        (14L, "eta theta iota", "en", "src0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("d8_bloom_incremental")(spark, dir)
+      .select("doc_id", "maybe_dup", "is_dup").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(rows == Set((4L, 0, 0), (9L, 0, 0), (14L, 0, 0)),
+      s"empty-history probe wrong: $rows")
+  }
 }
