@@ -85,6 +85,64 @@ object EventStream {
       .withColumn("quarantined", col("n_marker_hits") > 0)
   }
 
+  case class BandRow(bk: String, doc_id: Long, tsMs: Long)
+  case class NearDupCandidate(a: Long, b: Long, bk: String)
+  // held docs per band: (doc_id, event-time ms), newest first
+  case class BandState(docs: List[(Long, Long)])
+
+  /** Streaming FUZZY dedup candidates — the stateful twin of the batch
+    * d10 probe: the MinHash band-key index lives as streaming state
+    * (key = band key, value = the docs recently seen in that band),
+    * and every arriving document emits a candidate pair against each
+    * held band-mate, then joins the state itself. Pairs are CANDIDATES
+    * (the LSH contract); the exact-Jaccard verify is the downstream
+    * batch join, same as d3/d10.
+    *
+    * State is bounded by `horizon × per-band arrival rate`: held
+    * entries older than `horizonMs` before the incoming doc's event
+    * time are evicted on every update (the dedup window — at 100 TB/day
+    * the index that matters is the recent one; full-corpus probes are
+    * the batch d10 pass). A pair sharing several bands is emitted once
+    * per shared band — downstream `distinct()` collapses them (same
+    * multiplicity contract as d3's band explode).
+    *
+    * Band keys are the SAME Carter-Wegman signature family as
+    * d3/d10 (8 hashes, 4 bands of 2), so a doc pair crosses the
+    * streaming and batch paths with identical candidate behaviour. */
+  def streamingNearDupCandidates(docs: DataFrame,
+      horizonMs: Long = 6L * 3600 * 1000): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.{MinHash, TextOps}
+    val banded = docs
+      .select(col("doc_id"), col("ts"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("ts"),
+        array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
+      .withColumn("fp", MinHash.shingleFingerprints(col("sh")))
+      .withColumn("sig", MinHash.signature(col("fp"), 8))
+      .select(col("doc_id"),
+        explode(MinHash.bandKeys(col("sig"), 8, 2)).as("bk"),
+        (col("ts").cast("double") * 1000).cast("long").as("tsMs"))
+      .as[BandRow]
+    banded.groupByKey(_.bk)
+      .flatMapGroupsWithState[BandState, NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bk: String, it: Iterator[BandRow], state: GroupState[BandState]) =>
+          val incoming = it.toSeq.sortBy(r => (r.tsMs, r.doc_id))
+          var held = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+          incoming.foreach { r =>
+            val floor = r.tsMs - horizonMs
+            held = held.filter(_._2 >= floor)
+            held.foreach { case (pid, _) =>
+              if (pid != r.doc_id) out += NearDupCandidate(pid, r.doc_id, bk)
+            }
+            held = (r.doc_id, r.tsMs) :: held
+          }
+          state.update(BandState(held))
+          out.iterator
+      }
+  }
+
   /** Event-time sessionization with explicit state: 30-min-gap sessions
     * per user via flatMapGroupsWithState — the reference's per-agent
     * stateful profile update re-expressed as managed streaming state.

@@ -341,4 +341,35 @@ class StreamingSpec extends SparkSpec {
         "cross-micro-batch chain seam broke")
     } finally q.stop()
   }
+
+  test("streaming near-dup candidates: band state pairs cross-batch arrivals, horizon evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.streamingNearDupCandidates(
+        src.toDF().toDF("doc_id", "text", "ts"), horizonMs = 2L * 3600 * 1000)
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      // batch 1: the original + an unrelated doc
+      src.addData(
+        (1L, text, ts("10:00")),
+        (2L, "completely different content about databases and sorting", ts("10:01")))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == 0, "no pairs expected in batch 1")
+      // batch 2: a near-identical re-post 30 min later -> cross-batch pair
+      src.addData((3L, text + " ok", ts("10:30")))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup").select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L)), s"expected the cross-batch pair, got $pairs")
+      // batch 3: the same text far past the horizon -> held entries
+      // evicted, no pair against doc 1 or 3
+      src.addData((4L, text, ts("16:00")))
+      q.processAllAvailable()
+      val later = spark.table("neardup").select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(later == Set((1L, 3L)), s"horizon eviction failed: $later")
+    } finally q.stop()
+  }
 }
