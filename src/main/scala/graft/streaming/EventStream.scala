@@ -85,7 +85,10 @@ object EventStream {
       .withColumn("quarantined", col("n_marker_hits") > 0)
   }
 
-  case class BandRow(bk: String, doc_id: Long, tsMs: Long)
+  // `ts` stays a Timestamp: the watermark tag rides the event-time
+  // column, and EventTimeTimeout requires that column to reach the
+  // stateful operator (casting it to a long strips the tag)
+  case class BandRow(bk: String, doc_id: Long, ts: Timestamp)
   case class NearDupCandidate(a: Long, b: Long, bk: String)
   // held docs per band: (doc_id, event-time ms), newest first
   case class BandState(docs: List[(Long, Long)])
@@ -98,11 +101,15 @@ object EventStream {
     * (the LSH contract); the exact-Jaccard verify is the downstream
     * batch join, same as d3/d10.
     *
-    * State is bounded by `horizon × per-band arrival rate`: held
-    * entries older than `horizonMs` before the incoming doc's event
-    * time are evicted on every update (the dedup window — at 100 TB/day
-    * the index that matters is the recent one; full-corpus probes are
-    * the batch d10 pass). A pair sharing several bands is emitted once
+    * State is bounded by `horizon × per-band arrival rate` AND by
+    * band liveness: held entries older than `horizonMs` before the
+    * incoming doc's event time are evicted on every update (the dedup
+    * window — at 100 TB/day the index that matters is the recent one;
+    * full-corpus probes are the batch d10 pass), and a band that goes
+    * IDLE is garbage-collected by an event-time timeout once the
+    * watermark passes its horizon — without it, total state would
+    * grow with bands-ever-seen instead of bands-recently-active.
+    * A pair sharing several bands is emitted once
     * per shared band — downstream `distinct()` collapses them (same
     * multiplicity contract as d3's band explode).
     *
@@ -114,6 +121,7 @@ object EventStream {
     import docs.sparkSession.implicits._
     import graft.functions.{MinHash, TextOps}
     val banded = docs
+      .withWatermark("ts", "2 hours")
       .select(col("doc_id"), col("ts"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("ts"),
         array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
@@ -121,25 +129,37 @@ object EventStream {
       .withColumn("sig", MinHash.signature(col("fp"), 8))
       .select(col("doc_id"),
         explode(MinHash.bandKeys(col("sig"), 8, 2)).as("bk"),
-        (col("ts").cast("double") * 1000).cast("long").as("tsMs"))
+        col("ts"))
       .as[BandRow]
     banded.groupByKey(_.bk)
       .flatMapGroupsWithState[BandState, NearDupCandidate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (bk: String, it: Iterator[BandRow], state: GroupState[BandState]) =>
-          val incoming = it.toSeq.sortBy(r => (r.tsMs, r.doc_id))
-          var held = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
-          incoming.foreach { r =>
-            val floor = r.tsMs - horizonMs
-            held = held.filter(_._2 >= floor)
-            held.foreach { case (pid, _) =>
-              if (pid != r.doc_id) out += NearDupCandidate(pid, r.doc_id, bk)
+          if (state.hasTimedOut) {
+            // idle band past its horizon: drop the whole entry
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = it.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var held = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+            incoming.foreach { r =>
+              val floor = r.ts.getTime - horizonMs
+              held = held.filter(_._2 >= floor)
+              held.foreach { case (pid, _) =>
+                if (pid != r.doc_id) out += NearDupCandidate(pid, r.doc_id, bk)
+              }
+              held = (r.doc_id, r.ts.getTime) :: held
             }
-            held = (r.doc_id, r.tsMs) :: held
+            state.update(BandState(held))
+            // GC this band once the watermark passes its newest doc's
+            // horizon (must stay above the current watermark or Spark
+            // rejects the timestamp)
+            state.setTimeoutTimestamp(math.max(
+              held.map(_._2).max + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(BandState(held))
-          out.iterator
       }
   }
 
