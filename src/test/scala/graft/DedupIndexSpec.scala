@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.api.{DedupIndex, ManifestIO, Mnemo}
+import org.apache.spark.sql.functions._
+
+/** The maintained incremental-dedup store: probe-then-fold semantics,
+  * crash-atomic manifest commits, append-only segment identity, the
+  * compaction bound, and persisted Bloom sizing across re-opens. */
+class DedupIndexSpec extends SparkSpec {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again tonight"
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("dedup-index").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def verdicts(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toList)).toList
+
+  test("first ingest is all-new; second flags exact and near dups vs history only") {
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000)
+    val b1 = verdicts(idx.ingest(docs(
+      1L -> base,
+      2L -> "completely different content about databases and sorting")))
+    assert(b1 == List((1L, 0, Nil), (2L, 0, Nil)), s"batch 1: $b1")
+    val b2 = verdicts(idx.ingest(docs(
+      3L -> base, // exact re-post of doc 1
+      4L -> (base + " ok"), // near-dup of doc 1 (band match, not exact)
+      5L -> "entirely novel text about sailing boats and tides")))
+    val m = b2.map(v => v._1 -> v).toMap
+    assert(m(3L)._2 == 1 && m(3L)._3.contains(1L),
+      s"exact re-post must bloom-flag AND band-match doc 1: ${m(3L)}")
+    assert(m(4L)._2 == 0 && m(4L)._3.contains(1L),
+      s"near-dup must band-match doc 1 but probe bloom-new: ${m(4L)}")
+    assert(m(5L) == ((5L, 0, Nil)), s"novel doc must be clean: ${m(5L)}")
+  }
+
+  test("ingest is append-only: prior generation files keep byte identity") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000)
+    idx.ingest(docs(1L -> base)).collect()
+    def segFiles(): Map[String, Long] = {
+      val segs = ManifestIO.read(dir).get("segs").split(",").toSeq
+      segs.flatMap { s =>
+        Seq("bloom", "bands").flatMap { sub =>
+          val d = new java.io.File(s"$dir/$s/$sub")
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getAbsolutePath -> f.lastModified())
+        }
+      }.toMap
+    }
+    val before = segFiles()
+    idx.ingest(docs(2L -> "some fresh unrelated content here")).collect()
+    val after = segFiles()
+    assert(before.toSet.subsetOf(after.toSet),
+      "a later ingest must not rewrite or touch earlier segment files")
+    assert(after.size > before.size, "the new batch must add its own segment")
+  }
+
+  test("crashed writer's orphan dir is swept by the next commit; state survives") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000)
+    idx.ingest(docs(1L -> base)).collect()
+    // simulate a writer that died after data write, before manifest
+    Files.createDirectories(Paths.get(dir, "g99", "bloom"))
+    Files.writeString(Paths.get(dir, "g99", "bloom", "junk"), "x")
+    val b2 = verdicts(idx.ingest(docs(2L -> base)))
+    assert(b2.head._2 == 1 && b2.head._3 == List(1L),
+      s"dup detection must survive the orphan: $b2")
+    assert(!Files.exists(Paths.get(dir, "g99")),
+      "commit must sweep the crashed writer's unpublished dir")
+  }
+
+  test("segments compact back to one past the bound; detection still exact across it") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000)
+    (1 to Mnemo.MaxSegments + 2).foreach { i =>
+      idx.ingest(docs(i.toLong -> s"unique document number $i about topic $i")).collect()
+    }
+    val segs = ManifestIO.read(dir).get("segs").split(",").filter(_.nonEmpty)
+    assert(segs.length <= Mnemo.MaxSegments,
+      s"segment count ${segs.length} exceeds the compaction bound")
+    // a doc first ingested BEFORE the compaction still dup-flags after it
+    val v = verdicts(idx.ingest(docs(
+      100L -> "unique document number 1 about topic 1")))
+    assert(v.head._2 == 1 && v.head._3.contains(1L),
+      s"pre-compaction history must survive compaction: $v")
+  }
+
+  test("a re-open routes with the manifest's persisted bloom sizing, not its own capacity") {
+    val dir = freshDir()
+    new DedupIndex(spark, dir, capacity = 1000).ingest(docs(1L -> base)).collect()
+    val mPersisted = ManifestIO.read(dir).get("m")
+    // a second open with a WILDLY different capacity default must keep
+    // probing with the creator's slot count — otherwise every position
+    // hashes differently and history silently stops matching
+    val reopened = new DedupIndex(spark, dir, capacity = 7L)
+    val v = verdicts(reopened.ingest(docs(2L -> base)))
+    assert(v.head._2 == 1 && v.head._3 == List(1L),
+      s"re-open lost the persisted sizing: $v")
+    assert(ManifestIO.read(dir).get("m") == mPersisted,
+      "a later commit must carry the creator's slot count forward")
+  }
+}
