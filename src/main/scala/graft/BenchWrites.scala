@@ -248,6 +248,29 @@ object BenchWrites {
       time(seeded.attentionStateCompact())
     }.min
 
+    // -- dedup_index_ingest: the maintained incremental-dedup store's
+    //    probe-then-fold batch ingest (api/DedupIndex) — `batches`
+    //    sequential 1000-doc batches against the growing persisted
+    //    bloom + band state, each a full crash-atomic commit; 10% of
+    //    each batch re-posts an earlier batch's text so the probe side
+    //    does real work
+    val dedupIngestSec = (1 to reps).map { r =>
+      val idx = new graft.api.DedupIndex(spark, freshDir(s"didx$r"),
+        capacity = (batches * batch).toLong)
+      import spark.implicits._
+      time((0 until batches).foreach { b =>
+        val docs = (0 until batch).map { i =>
+          val n = b * batch + i
+          val text = if (i % 10 == 0 && b > 0)
+            s"document number ${(b - 1) * batch + i} with shared content tail"
+          else s"document number $n with shared content tail"
+          (n.toLong, text)
+        }.toDF("doc_id", "text")
+        idx.ingest(docs).count()
+      })
+    }.min
+    val dedupIngestRows = (batches * batch).toLong
+
     // -- concurrent_agents_throughput: 4 agents, 4 threads, own stores
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -295,11 +318,13 @@ object BenchWrites {
       "orientation_update_latency" -> lat(orientSec),
       "attention_put_latency" -> lat(attnPutSec),
       "attention_compact_latency" -> lat(attnCompactSec),
+      "dedup_index_ingest" -> op(dedupIngestSec, dedupIngestRows),
       "concurrent_agents_throughput" -> op(concSec, concRows)
     ).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = rememberSec + rememberScannedSec + forgetSec + forgetPrunedSec +
       forgetSubjectSec + forgetAllBucketsSec + ckptSec + verifySec + recallSec +
       hybridSec + orientSec + attnPutSec + attnCompactSec + concSec +
+      dedupIngestSec +
       agentRecallSec + scanSortedSec + scanInterleavedSec
     // the op set grew in rounds 8-9 (100k-store prune rows, the
     // orientation/attention stores) — value_r7_ops keeps the ROUND-7
