@@ -112,4 +112,39 @@ class DedupIndexSpec extends SparkSpec {
     assert(ManifestIO.read(dir).get("m") == mPersisted,
       "a later commit must carry the creator's slot count forward")
   }
+
+  test("an empty ingest batch neither breaks the store nor loses history") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000)
+    idx.ingest(docs(1L -> base)).collect()
+    val empty = verdicts(idx.ingest(docs()))
+    assert(empty.isEmpty)
+    // the zero-row segment the empty commit published must stay
+    // readable, and history must still match through it
+    val v = verdicts(idx.ingest(docs(2L -> base)))
+    assert(v.head._2 == 1 && v.head._3 == List(1L),
+      s"history lost after an empty commit: $v")
+  }
+
+  test("streaming foreachBatch drives ingest: verdicts accumulate per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, List[Long])]
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= idx.ingest(b).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toList))
+        ()
+      }.start()
+    try {
+      src.addData(1L -> base); q.processAllAvailable()
+      src.addData(2L -> base); q.processAllAvailable()
+      assert(seen.toList == List((1L, 0, Nil), (2L, 1, List(1L))),
+        s"cross-micro-batch dedup state drifted: ${seen.toList}")
+    } finally q.stop()
+  }
 }
