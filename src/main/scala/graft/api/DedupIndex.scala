@@ -80,7 +80,12 @@ final class DedupIndex(val spark: SparkSession, val path: String,
 
   private def readSub(sub: String): Option[DataFrame] = {
     val dirs = liveSegs.map(s => s"$path/$s/$sub")
-      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    // a manifest-referenced dir that is MISSING is corruption — fail
+    // loudly rather than silently probing against partial history (a
+    // quiet skip here would admit duplicates while looking healthy)
+    dirs.find(d => !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+      .foreach(d => throw new IllegalStateException(
+        s"dedup index at $path: manifest references missing segment dir $d"))
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 

@@ -147,4 +147,17 @@ class DedupIndexSpec extends SparkSpec {
         s"cross-micro-batch dedup state drifted: ${seen.toList}")
     } finally q.stop()
   }
+
+  test("a manifest-referenced segment dir that vanished fails loudly, never probes partial history") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000)
+    idx.ingest(docs(1L -> base)).collect()
+    val seg = ManifestIO.read(dir).get("segs").split(",").head
+    ManifestIO.deleteRecursively(Paths.get(dir, seg, "bloom"))
+    val e = intercept[IllegalStateException] {
+      idx.ingest(docs(2L -> base)).collect()
+    }
+    assert(e.getMessage.contains("missing segment dir"),
+      s"expected the corruption to be loud, got: ${e.getMessage}")
+  }
 }
