@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHash, TextOps}
+import graft.functions.DedupEnrich
 
 /** Maintained incremental-dedup state store — the PRODUCTION shape of
   * the d8/d10 registered queries: instead of recomputing the history's
@@ -19,10 +19,11 @@ import graft.functions.{MinHash, TextOps}
   *  - `bands`: parquet of (`bk` string, `prior_id` long) — the
   *    MinHash band keys (8 hashes, 4 bands of 2 — the d3/d10
   *    Carter-Wegman family) of every historical document.
-  * The manifest (`segs=g1,g2,…`, `m=<slots>`, `gen=`, `version=1`)
-  * publishes which dirs are live; a crash between data write and
-  * manifest rename leaves the prior state intact and the next commit
-  * sweeps the orphan.
+  * The manifest (`segs=g1,g2,…`, `m=<slots>`, `gen=`, `version=1`,
+  * plus `batch=`/`verdict_seg=` replay bookkeeping when driven through
+  * the batchId overload) publishes which dirs are live; a crash
+  * between data write and manifest rename leaves the prior state
+  * intact and the next commit sweeps the orphan.
   *
   * The Bloom slot count `m` is fixed at CREATION from the declared
   * capacity (16 bits per expected element — FP ≈ 0.2% at capacity)
@@ -47,8 +48,6 @@ import graft.functions.{MinHash, TextOps}
 final class DedupIndex(val spark: SparkSession, val path: String,
     capacity: Long = 1000000L) {
 
-  private val K = 4
-
   private def manifest: Option[Map[String, String]] = ManifestIO.read(path)
 
   /** Slot count: the manifest's persisted value for an existing store,
@@ -61,31 +60,35 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     manifest.flatMap(_.get("segs")).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty)
 
-  private def positionsCol(fp: org.apache.spark.sql.Column, m: Long) =
-    array((0 until K).map(i =>
-      conv(substring(md5(concat(fp, lit(s":$i"))), 1, 8), 16, 10)
-        .cast("long") % m): _*)
-
+  /** The SHARED enrichment path ([[DedupEnrich]]) — the same builders
+    * the d8/d10 batch queries and the streaming candidate generator
+    * use, so index keys, query keys, and stream keys can never drift
+    * apart (DedupSurfacesSpec pins the equality). */
   private def enrich(batch: DataFrame, m: Long): DataFrame =
-    batch
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    DedupEnrich.withBandKeys(
+      DedupEnrich.withFpAndShingles(
+        batch.select(col("doc_id"), col("text")), "text"), "sh")
       .select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("fp"),
-        array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
-      .withColumn("fpr", MinHash.shingleFingerprints(col("sh")))
-      .withColumn("sig", MinHash.signature(col("fpr"), 8))
-      .select(col("doc_id"),
-        array_distinct(positionsCol(col("fp"), m)).as("positions"),
-        MinHash.bandKeys(col("sig"), 8, 2).as("bands"))
+        array_distinct(DedupEnrich.bloomPositions(col("fp"), lit(m)))
+          .as("positions"),
+        col("bands"))
 
   private def readSub(sub: String): Option[DataFrame] = {
     val dirs = liveSegs.map(s => s"$path/$s/$sub")
     // a manifest-referenced dir that is MISSING is corruption — fail
     // loudly rather than silently probing against partial history (a
-    // quiet skip here would admit duplicates while looking healthy)
-    dirs.find(d => !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
-      .foreach(d => throw new IllegalStateException(
-        s"dedup index at $path: manifest references missing segment dir $d"))
+    // quiet skip here would admit duplicates while looking healthy).
+    // Existence is checked through the Hadoop FileSystem for the
+    // path's scheme — the same filesystem Spark's data I/O resolves —
+    // so the check stays truthful when the store lives on HDFS/S3,
+    // where a driver-local java.nio probe would declare every dir
+    // missing (see ManifestIO's deployment note for the manifest leg).
+    val hconf = spark.sessionState.newHadoopConf()
+    dirs.find { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      !p.getFileSystem(hconf).isDirectory(p)
+    }.foreach(d => throw new IllegalStateException(
+      s"dedup index at $path: manifest references missing segment dir $d"))
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 
@@ -106,8 +109,49 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     * The result is pinned eagerly (localCheckpoint) BEFORE the
     * commit, so a compaction in this very commit can never invalidate
     * the frame a caller is still consuming. */
-  def ingest(batch: DataFrame): DataFrame = {
+  def ingest(batch: DataFrame): DataFrame = ingestInternal(batch, None)
+
+  /** [[ingest]] with an at-least-once replay guard — the overload a
+    * streaming `foreachBatch` driver MUST use. Spark's foreachBatch
+    * contract is at-least-once: after a failure the sink re-runs the
+    * last micro-batch with the SAME `batchId`. Without the guard a
+    * re-delivered batch probes state that already contains itself —
+    * every replayed doc flips to `maybe_dup = 1` and band-matches its
+    * own ghost — and its positions/bands fold into the state a second
+    * time. Guarded: each commit records its `batchId` AND persists the
+    * batch's verdict frame inside the committed generation dir, so a
+    * replay of the last-committed id returns the ORIGINAL verdicts
+    * verbatim and leaves the state untouched (exactly-once effective
+    * semantics). A batchId older than the last committed one is
+    * outside foreachBatch's replay window (it only re-runs the most
+    * recent batch) and throws — silence there would mean two drivers
+    * or a rewound checkpoint, both corruption in a single-writer
+    * store. Mixing this overload with the unguarded [[ingest]] on one
+    * store is a contract violation: the unguarded path clears the
+    * replay bookkeeping so a stale guard can never serve outdated
+    * verdicts. */
+  def ingest(batch: DataFrame, batchId: Long): DataFrame =
+    ingestInternal(batch, Some(batchId))
+
+  private def ingestInternal(batch: DataFrame,
+      batchId: Option[Long]): DataFrame = {
     val man = manifest
+    val lastBatch = man.flatMap(_.get("batch")).map(_.toLong)
+    (batchId, lastBatch) match {
+      case (Some(id), Some(lb)) if id == lb =>
+        // replay of the committed batch: state already contains it —
+        // return the verdicts persisted WITH that commit, fold nothing
+        val vseg = man.flatMap(_.get("verdict_seg")).getOrElse(
+          throw new IllegalStateException(
+            s"dedup index at $path: batch $id committed without a verdict dir"))
+        return spark.read.parquet(s"$path/$vseg/verdict").orderBy("doc_id")
+      case (Some(id), Some(lb)) if id < lb =>
+        throw new IllegalStateException(
+          s"dedup index at $path: batch $id replayed after $lb was committed — " +
+            "beyond foreachBatch's one-batch replay window (second writer or " +
+            "rewound checkpoint)")
+      case _ => ()
+    }
     val m = slots
     val gen = man.flatMap(_.get("gen")).map(_.toLong).getOrElse(0L) + 1
     val enriched = enrich(batch, m).cache()
@@ -152,10 +196,17 @@ final class DedupIndex(val spark: SparkSession, val path: String,
             col("doc_id").as("prior_id")))
     bloomOut.write.mode(SaveMode.Overwrite).parquet(s"$path/$newSeg/bloom")
     bandOut.write.mode(SaveMode.Overwrite).parquet(s"$path/$newSeg/bands")
+    // replay bookkeeping: the verdict frame persists INSIDE the new
+    // generation dir, published by the same manifest rename — so "which
+    // batch committed" and "what it was told" are one atomic fact
+    batchId.foreach(_ => result.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/$newSeg/verdict"))
     val segs = if (overBudget) Seq(newSeg) else liveSegs :+ newSeg
     ManifestIO.write(path, Map(
       "version" -> "1", "m" -> m.toString, "gen" -> gen.toString,
-      "segs" -> segs.mkString(",")))
+      "segs" -> segs.mkString(","))
+      ++ batchId.map(id => Map(
+        "batch" -> id.toString, "verdict_seg" -> newSeg)).getOrElse(Map.empty))
     // sweep superseded generations and any crashed writer's orphans
     ManifestIO.gc(path, segs.toSet)
     enriched.unpersist()

@@ -15,6 +15,18 @@ import scala.jdk.CollectionConverters._
   * Readers see either the old or the new committed state, never a
   * half-written mix. Single-writer per store, like the reference's
   * embedded engine (storage/duckdb.rs single connection).
+  *
+  * Deployment constraint (explicit, not accidental): the manifest
+  * protocol runs on driver-local `java.nio` and requires a filesystem
+  * with POSIX atomic rename that the single writer sees directly —
+  * local disk or an NFS-style mount. The DATA directories a manifest
+  * references are read/written through Spark and may live anywhere
+  * Spark can reach; it is only this one control file that is
+  * driver-local. Porting the store to HDFS/S3 means swapping this one
+  * seam (FileContext rename-with-overwrite on HDFS, a conditional-put
+  * or a coordination service on object stores, where no atomic rename
+  * exists) — every caller goes through these four functions, nothing
+  * else touches the manifest.
   */
 object ManifestIO {
 

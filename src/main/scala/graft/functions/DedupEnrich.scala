@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** THE shared document-enrichment path for every dedup surface: the
+  * batch queries (`d3_minhash_lsh`, `d8_bloom_incremental`,
+  * `d10_incremental_lsh`), the maintained [[graft.api.DedupIndex]]
+  * store, and the streaming candidate generator
+  * ([[graft.streaming.EventStream.streamingNearDupCandidates]]).
+  *
+  * Why one module: the tokenize → shingle → minhash → band pipeline
+  * and the fingerprint → Bloom-position mapping are JOIN KEYS across
+  * those surfaces — a batch-built index is probed by a streaming
+  * ingest, a streamed candidate is verified by a batch join. Any two
+  * surfaces that compute the family differently (another shingle
+  * width, another band count, another hash seed) silently stop
+  * matching each other's keys and admit duplicates while every
+  * per-surface test stays green. Centralizing the constants and the
+  * column builders makes that drift impossible by construction, and
+  * `DedupSurfacesSpec` pins the cross-surface equality on a shared
+  * corpus.
+  *
+  * Evaluation discipline: shingling and minhashing use higher-order
+  * lambdas, whose bodies re-evaluate non-attribute argument
+  * expressions once PER ELEMENT ACCESS — so the token array and the
+  * fingerprint array must each be bound to a named column before the
+  * next stage consumes them (the O(n²)-per-doc trap the round-4 bench
+  * caught). The multi-stage builders here are therefore DataFrame
+  * transformers that do that binding internally; the Column-level
+  * helpers are only the lambda-free pieces that are safe unbound.
+  *
+  * All builders are codegen'd column expressions (no UDFs) and have
+  * exact DuckDB mirrors (see the `d3`/`d8`/`d10` oracle SQL), so the
+  * family is cross-engine deterministic.
+  */
+object DedupEnrich {
+
+  /** Word-shingle width of the near-dup family (the d2/d3/d10 k). */
+  val ShingleK = 3
+
+  /** MinHash signature length. */
+  val NHashes = 8
+
+  /** Band width: NHashes/RowsPerBand = 4 band keys per document. */
+  val RowsPerBand = 2
+
+  /** Bloom hash count (slots probed per exact fingerprint). */
+  val BloomK = 4
+
+  /** Whole-document exact-dup fingerprint: md5 of the sorted distinct
+    * token bag (the d1/d8 normalization — case/punctuation/word-order
+    * insensitive). Lambda-free, so safe to use unbound. */
+  def exactFp(text: Column): Column = exactFpFromToks(TextOps.tokens(text))
+
+  /** [[exactFp]] over an already-bound token-array column. */
+  def exactFpFromToks(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+
+  /** Distinct word-[[ShingleK]]-shingle set over an already-bound
+    * token-array column. NEVER empty: a doc shorter than K tokens
+    * collapses to one whole-doc shingle (see [[TextOps.shingles]]), so
+    * two distinct short docs still get distinct shingle sets — not a
+    * shared degenerate key. `toks` MUST be an attribute (the shingle
+    * lambda re-evaluates it per element otherwise) — use
+    * [[withShingleSet]] when starting from raw text. */
+  def shingleSetFromToks(toks: Column): Column =
+    array_distinct(TextOps.shingles(toks, ShingleK))
+
+  /** Append the shingle-set column `out` from raw text, binding the
+    * token array to an attribute in between. */
+  def withShingleSet(df: DataFrame, textCol: String,
+      out: String = "sh"): DataFrame =
+    df.withColumn("_de_toks", TextOps.tokens(col(textCol)))
+      .withColumn(out, shingleSetFromToks(col("_de_toks")))
+      .drop("_de_toks")
+
+  /** Append BOTH the exact fingerprint and the shingle set from raw
+    * text off one token binding (the [[graft.api.DedupIndex]] shape:
+    * its Bloom leg keys on `fp`, its band leg on `sh`). */
+  def withFpAndShingles(df: DataFrame, textCol: String,
+      fpOut: String = "fp", shOut: String = "sh"): DataFrame =
+    df.withColumn("_de_toks", TextOps.tokens(col(textCol)))
+      .withColumn(fpOut, exactFpFromToks(col("_de_toks")))
+      .withColumn(shOut, shingleSetFromToks(col("_de_toks")))
+      .drop("_de_toks")
+
+  /** The [[BloomK]] Bloom slot positions of an exact fingerprint under
+    * slot count `m` — k independent md5-derived 32-bit draws reduced
+    * mod m. May contain repeats (a position occupied twice is one slot
+    * set twice); callers that count membership hits must distinct
+    * first. Lambda-free. */
+  def bloomPositions(fp: Column, m: Column): Column =
+    array((0 until BloomK).map(i =>
+      conv(substring(md5(concat(fp, lit(s":$i"))), 1, 8), 16, 10)
+        .cast("long") % m): _*)
+
+  /** Append the MinHash band-key array (`array<string>`, one md5 key
+    * per band) derived from the shingle-set column `shCol`, binding
+    * the per-shingle fingerprints and the signature to named columns
+    * between stages (see the evaluation-discipline note above).
+    *
+    * Null-signature guard: if the shingle set were ever empty or null
+    * (not producible through [[shingleSetFromToks]], but reachable if
+    * a caller hands a pre-built set), `array_min` over it is null and
+    * the band md5s would collapse to per-band CONSTANTS shared by
+    * every such doc — an ever-growing everything-matches-everything
+    * bucket in a maintained index. Guarded: those docs emit an EMPTY
+    * band array (no keys, no candidates) instead. */
+  def withBandKeys(df: DataFrame, shCol: String,
+      out: String = "bands"): DataFrame =
+    df.withColumn("_de_fpr", MinHash.shingleFingerprints(col(shCol)))
+      .withColumn("_de_sig", MinHash.signature(col("_de_fpr"), NHashes))
+      .withColumn(out,
+        when(element_at(col("_de_sig"), 1).isNotNull,
+          MinHash.bandKeys(col("_de_sig"), NHashes, RowsPerBand))
+          .otherwise(array().cast("array<string>")))
+      .drop("_de_fpr", "_de_sig")
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{MinHash, TextOps, VectorOps}
+import graft.functions.{DedupEnrich, MinHash, TextOps, VectorOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,8 +51,7 @@ object Dedup extends QueryGroup {
       // exact dedup on the normalized bag-of-words fingerprint: one
       // narrow projection + one groupBy-count; survivor = min doc_id
       val d = Tables.documents(s, dir).select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(TextOps.tokens(col("text"))))))
-          .as("fp"))
+        DedupEnrich.exactFp(col("text")).as("fp"))
       val w = Window.partitionBy(col("fp"))
       d.withColumn("group_size", count(lit(1)).over(w))
         .withColumn("canonical_id", min(col("doc_id")).over(w))
@@ -87,13 +86,8 @@ object Dedup extends QueryGroup {
       // pair generation carries ONLY ids through the blocking join —
       // the (large) shingle arrays are joined back per side afterwards,
       // so the shuffle moves 16-byte keys, not documents
-      val base = Tables.documents(s, dir)
-        // bind the token array to an attribute first: inside the shingle
-        // lambda each element access must reference a column, not
-        // re-evaluate the tokenizer expression per position
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
+      val base = DedupEnrich.withShingleSet(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
         .withColumn("bk",
           concat_ws("", slice(array_sort(transform(col("sh"), x => md5(x))), 1, 2)))
         .cache()
@@ -129,23 +123,17 @@ object Dedup extends QueryGroup {
   private val q3 = QueryDef(
     "d3_minhash_lsh",
     (s, dir) => {
-      val nHashes = 8
-      val rowsPerBand = 2
       // same id-only blocking discipline as d2: candidate pairs are
       // deduped as bare (a, b) id pairs BEFORE the shingle arrays are
-      // joined back for the exact-Jaccard verify
-      val base = Tables.documents(s, dir)
-        // bind the token array to an attribute first: inside the shingle
-        // lambda each element access must reference a column, not
-        // re-evaluate the tokenizer expression per position
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
-        // fingerprints bound to an attribute first — see
-        // MinHash.shingleFingerprints (one md5+parse per shingle total)
-        .withColumn("fp", MinHash.shingleFingerprints(col("sh")))
-        .withColumn("sig", MinHash.signature(col("fp"), nHashes))
-        .withColumn("bands", MinHash.bandKeys(col("sig"), nHashes, rowsPerBand))
+      // joined back for the exact-Jaccard verify. Enrichment is the
+      // SHARED DedupEnrich path (one binding per lambda stage), the
+      // same builders the maintained index and the streaming candidate
+      // generator key on.
+      val base = DedupEnrich.withBandKeys(
+        DedupEnrich.withShingleSet(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text"),
+        "sh")
         .cache()
       val exploded = base.select(col("doc_id"), explode(col("bands")).as("bk"))
       val pairs = exploded.select(col("doc_id").as("a"), col("bk"))
@@ -333,10 +321,8 @@ object Dedup extends QueryGroup {
       // At 100 TB the pair graph is orders of magnitude smaller than the
       // corpus (only near-dups appear), so the CC loop runs on a tiny
       // edge list; each iteration is one join + one aggregate.
-      val base = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
+      val base = DedupEnrich.withShingleSet(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
         .withColumn("bk",
           concat_ws("", slice(array_sort(transform(col("sh"), x => md5(x))), 1, 2)))
         .cache()
@@ -433,16 +419,11 @@ object Dedup extends QueryGroup {
   private val q8 = QueryDef(
     "d8_bloom_incremental",
     (s, dir) => {
-      val K = 4
-      def positions(fp: org.apache.spark.sql.Column,
-          m: org.apache.spark.sql.Column) =
-        (0 until K).map(i =>
-          conv(substring(md5(concat(fp, lit(s":$i"))), 1, 8), 16, 10)
-            .cast("long") % m)
+      // fingerprint + Bloom positions from the SHARED DedupEnrich
+      // path — the same mapping the maintained DedupIndex persists, so
+      // this query IS the oracle-checkable model of that store's state
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          md5(concat_ws(" ", array_sort(array_distinct(TextOps.tokens(col("text"))))))
-            .as("fp"))
+        .select(col("doc_id"), DedupEnrich.exactFp(col("text")).as("fp"))
       val hist = d.filter(col("doc_id") % 5 =!= 4)
       val batch = d.filter(col("doc_id") % 5 === 4)
       // global aggregates, never groupBy: both frames stay exactly one
@@ -452,12 +433,12 @@ object Dedup extends QueryGroup {
       // the whole output vanishing on the empty-input edge
       val mrow = hist.agg(greatest(count(lit(1)) * 16, lit(1L)).as("m"))
       val bloom = hist.crossJoin(broadcast(mrow))
-        .select(explode(array(positions(col("fp"), col("m")): _*)).as("pos"))
+        .select(explode(DedupEnrich.bloomPositions(col("fp"), col("m"))).as("pos"))
         .agg(array_sort(collect_set(col("pos"))).as("bloom"))
       val probed = batch.crossJoin(broadcast(mrow)).crossJoin(broadcast(bloom))
         .withColumn("maybe_dup",
-          positions(col("fp"), col("m")).map(p => array_contains(col("bloom"), p))
-            .reduce(_ && _).cast("int"))
+          forall(DedupEnrich.bloomPositions(col("fp"), col("m")),
+            p => array_contains(col("bloom"), p)).cast("int"))
       probed
         .join(hist.select(col("fp")).distinct().withColumn("h", lit(1)),
           Seq("fp"), "left")
@@ -575,15 +556,14 @@ object Dedup extends QueryGroup {
   private val q10 = QueryDef(
     "d10_incremental_lsh",
     (s, dir) => {
-      val nHashes = 8
-      val rowsPerBand = 2
-      val base = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
-        .withColumn("fp", MinHash.shingleFingerprints(col("sh")))
-        .withColumn("sig", MinHash.signature(col("fp"), nHashes))
-        .withColumn("bands", MinHash.bandKeys(col("sig"), nHashes, rowsPerBand))
+      // enrichment via the SHARED DedupEnrich path — identical band
+      // keys to the batch d3 pass, the maintained DedupIndex, and the
+      // streaming candidate generator (DedupSurfacesSpec pins this)
+      val base = DedupEnrich.withBandKeys(
+        DedupEnrich.withShingleSet(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text"),
+        "sh")
         .cache()
       val exploded = base.select(col("doc_id"), explode(col("bands")).as("bk"))
       val histIdx = exploded.filter(col("doc_id") % 5 =!= 4)

@@ -119,17 +119,18 @@ object EventStream {
   def streamingNearDupCandidates(docs: DataFrame,
       horizonMs: Long = 6L * 3600 * 1000): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
-    import graft.functions.{MinHash, TextOps}
-    val banded = docs
-      .withWatermark("ts", "2 hours")
-      .select(col("doc_id"), col("ts"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("ts"),
-        array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
-      .withColumn("fp", MinHash.shingleFingerprints(col("sh")))
-      .withColumn("sig", MinHash.signature(col("fp"), 8))
-      .select(col("doc_id"),
-        explode(MinHash.bandKeys(col("sig"), 8, 2)).as("bk"),
-        col("ts"))
+    import graft.functions.DedupEnrich
+    // enrichment via the SHARED DedupEnrich path — identical band keys
+    // to the batch d3/d10 passes and the maintained DedupIndex, so a
+    // doc pair crosses the streaming and batch surfaces with identical
+    // candidate behaviour (DedupSurfacesSpec pins the equality)
+    val banded = DedupEnrich.withBandKeys(
+      DedupEnrich.withShingleSet(
+        docs.withWatermark("ts", "2 hours")
+          .select(col("doc_id"), col("ts"), col("text")),
+        "text"),
+      "sh")
+      .select(col("doc_id"), explode(col("bands")).as("bk"), col("ts"))
       .as[BandRow]
     banded.groupByKey(_.bk)
       .flatMapGroupsWithState[BandState, NearDupCandidate](

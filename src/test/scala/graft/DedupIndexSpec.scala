@@ -135,8 +135,10 @@ class DedupIndexSpec extends SparkSpec {
     val src = MemoryStream[(Long, String)]
     val q = src.toDF().toDF("doc_id", "text").writeStream
       .outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        seen ++= idx.ingest(b).collect()
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the batchId overload IS the foreachBatch contract: it makes
+        // a replayed micro-batch idempotent (see the replay tests)
+        seen ++= idx.ingest(b, batchId).collect()
           .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toList))
         ()
       }.start()
@@ -146,6 +148,45 @@ class DedupIndexSpec extends SparkSpec {
       assert(seen.toList == List((1L, 0, Nil), (2L, 1, List(1L))),
         s"cross-micro-batch dedup state drifted: ${seen.toList}")
     } finally q.stop()
+  }
+
+  test("a replayed micro-batch returns the ORIGINAL verdicts and folds nothing (at-least-once -> exactly-once)") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000)
+    idx.ingest(docs(1L -> base), batchId = 0L).collect()
+    val original = verdicts(idx.ingest(docs(
+      2L -> base, // exact dup of doc 1
+      3L -> "fresh unrelated content about glaciers"), batchId = 1L))
+    val manBefore = ManifestIO.read(dir).get
+    // at-least-once delivery: the SAME micro-batch re-runs after a
+    // crash. Unguarded, doc 3 would now bloom-flag (its own positions
+    // are in the state) and band-match itself — wrong verdicts — and
+    // the state would double-fold.
+    val replayed = verdicts(idx.ingest(docs(
+      2L -> base,
+      3L -> "fresh unrelated content about glaciers"), batchId = 1L))
+    assert(replayed == original,
+      s"replay must return the original verdicts verbatim:\n got $replayed\n want $original")
+    assert(ManifestIO.read(dir).get == manBefore,
+      "replay must not advance the store state (no new generation, no re-fold)")
+    // the NEXT batch still sees exactly-once history: doc 3 appears
+    // once, so a re-post matches it without self-ghosts
+    val next = verdicts(idx.ingest(docs(
+      4L -> "fresh unrelated content about glaciers"), batchId = 2L))
+    assert(next.head._2 == 1 && next.head._3 == List(3L),
+      s"post-replay history must be exactly-once: $next")
+  }
+
+  test("a batchId older than the last committed one throws (outside the replay window)") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000)
+    idx.ingest(docs(1L -> base), batchId = 0L).collect()
+    idx.ingest(docs(2L -> "other content entirely"), batchId = 1L).collect()
+    val e = intercept[IllegalStateException] {
+      idx.ingest(docs(3L -> base), batchId = 0L)
+    }
+    assert(e.getMessage.contains("replay"),
+      s"stale batchId must fail loudly: ${e.getMessage}")
   }
 
   test("a manifest-referenced segment dir that vanished fails loudly, never probes partial history") {

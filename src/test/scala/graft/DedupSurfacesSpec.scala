@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.api.{DedupIndex, ManifestIO}
+import graft.functions.DedupEnrich
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Cross-surface agreement of the ONE shared dedup enrichment path
+  * ([[graft.functions.DedupEnrich]]): the batch query shape, the
+  * maintained [[DedupIndex]] store, and the streaming candidate
+  * generator must produce IDENTICAL band keys, Bloom positions, and
+  * candidate sets on the same corpus. These keys are join keys across
+  * surfaces — a silent divergence (a tokenizer tweak that reaches
+  * three call sites but not the fourth) would admit duplicates while
+  * every per-surface suite stays green. This spec makes that failure
+  * mode loud. */
+class DedupSurfacesSpec extends SparkSpec {
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog again and again tonight"
+  private val otherText =
+    "completely different content about databases and sorting algorithms"
+
+  // exact dup (3 == 1 after token normalization: order-insensitive),
+  // near dup (2), short docs (6, 7), empty docs (8, 9 — exact dups of
+  // each other), plus unrelated fillers
+  private val corpus: Seq[(Long, String)] = Seq(
+    1L -> baseText,
+    2L -> (baseText + " ok"),
+    3L -> ("tonight again and again " + baseText),
+    4L -> otherText,
+    5L -> (otherText + " indeed"),
+    6L -> "alpha beta",
+    7L -> "gamma",
+    8L -> "",
+    9L -> "",
+    10L -> "entirely novel text about sailing boats and tides this week")
+
+  private def corpusDF = {
+    import spark.implicits._
+    corpus.toDF("doc_id", "text")
+  }
+
+  /** The batch-query-shape enrichment (exactly what d3/d10 build). */
+  private def batchBands: Map[Long, Set[String]] =
+    DedupEnrich.withBandKeys(
+      DedupEnrich.withShingleSet(corpusDF, "text"), "sh")
+      .select(col("doc_id"), col("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("dedup-surfaces").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  test("maintained index persists the SAME band keys the batch query computes") {
+    val dir = freshDir()
+    new DedupIndex(spark, dir, capacity = 1000).ingest(corpusDF).collect()
+    val seg = ManifestIO.read(dir).get("segs").split(",").head
+    val indexBands = spark.read.parquet(s"$dir/$seg/bands")
+      .groupBy("prior_id").agg(collect_set(col("bk")).as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(indexBands == batchBands,
+      s"index band keys diverged from the batch path:\n index=$indexBands\n batch=$batchBands")
+  }
+
+  test("maintained index persists the SAME Bloom positions the d8 model computes") {
+    val dir = freshDir()
+    new DedupIndex(spark, dir, capacity = 1000).ingest(corpusDF).collect()
+    val man = ManifestIO.read(dir).get
+    val m = man("m").toLong
+    val seg = man("segs").split(",").head
+    val indexPos = spark.read.parquet(s"$dir/$seg/bloom")
+      .collect().map(_.getLong(0)).toSet
+    val modelPos = corpusDF
+      .select(explode(DedupEnrich.bloomPositions(
+        DedupEnrich.exactFp(col("text")), lit(m))).as("pos"))
+      .collect().map(_.getLong(0)).toSet
+    assert(indexPos == modelPos,
+      s"index Bloom positions diverged from the d8 model: index=$indexPos model=$modelPos")
+  }
+
+  test("streaming candidate pairs equal the batch band-collision pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // batch truth: distinct (a < b) pairs sharing at least one band key
+    val bandPairs = (for {
+      (a, as) <- batchBands.toSeq; (b, bs) <- batchBands.toSeq
+      if a < b && (as & bs).nonEmpty
+    } yield (a, b)).toSet
+
+    val t0 = Timestamp.valueOf("2024-02-01 10:00:00")
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.streamingNearDupCandidates(
+        src.toDF().toDF("doc_id", "text", "ts"), horizonMs = 24L * 3600 * 1000)
+      .writeStream.format("memory").queryName("surfaces_neardup")
+      .outputMode("append").start()
+    try {
+      // two micro-batches so the pairs cross the state seam too
+      val (first, second) = corpus.partition(_._1 <= 5)
+      src.addData(first.map { case (id, tx) => (id, tx, t0) }: _*)
+      q.processAllAvailable()
+      src.addData(second.map { case (id, tx) => (id, tx, t0) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("surfaces_neardup").select("a", "b")
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      assert(streamed == bandPairs,
+        s"streaming candidates diverged from batch band collisions:\n stream=$streamed\n batch=$bandPairs")
+    } finally q.stop()
+  }
+
+  test("short docs get per-doc shingles, never a shared degenerate band key") {
+    val b = batchBands
+    assert((b(6L) & b(7L)).isEmpty,
+      "two DIFFERENT short docs must not share a band key")
+    assert(b(8L) == b(9L) && b(8L).nonEmpty,
+      "two EMPTY docs are true exact dups and must share all band keys")
+    assert((b(8L) & b(6L)).isEmpty && (b(8L) & b(7L)).isEmpty,
+      "empty docs must not band-match non-empty short docs")
+  }
+
+  test("an empty or null shingle set emits NO band keys, not constant keys") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq.empty[String]),
+      (3L, Seq("real shingle here")))
+      .toDF("doc_id", "sh")
+      // null shingle set for doc 2
+      .withColumn("sh", when(col("doc_id") === 2, lit(null)).otherwise(col("sh")))
+    val bands = DedupEnrich.withBandKeys(df, "sh")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2).toSet).toMap
+    assert(bands(1L).isEmpty && bands(2L).isEmpty,
+      s"degenerate shingle sets must emit no band keys: $bands")
+    assert(bands(3L).size == DedupEnrich.NHashes / DedupEnrich.RowsPerBand,
+      s"a real shingle set must emit one key per band: $bands")
+  }
+}
