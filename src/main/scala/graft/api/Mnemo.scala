@@ -108,6 +108,34 @@ object Mnemo {
   /** Result of one consolidation pass (run_consolidation's report). */
   final case class ConsolidationResult(clustersFound: Long, newMemoriesCreated: Long)
 
+  /** Tags that mark a record as arriving through an INDIRECT ingest
+    * vector — a retrieved web page, a parsed document, third-party
+    * mail (the reference's `looks_like_indirect_ingest`,
+    * poisoning.rs:100-115). Self-referential instruction phrasing is
+    * only scored as a strong injection signal when it rode one of
+    * these paths; the same phrasing typed by the operator is
+    * legitimate. */
+  val IndirectSourceTags: Set[String] = Set(
+    "source:web", "source:document", "source:email",
+    "source:third_party", "source:retrieved")
+
+  /** Tag stamped by [[MnemoStore.ingestPipeline]] onto rows whose
+    * content the dedup index bloom-flagged as a probable re-post —
+    * kept, never dropped (a Bloom hit is a candidate: FP ≈ 0.2% at
+    * capacity; dropping on it would lose data), so downstream passes
+    * filter or confirm at their own policy. */
+  val DupCandidateTag = "__dup_candidate__"
+
+  /** Per-batch outcome of [[MnemoStore.ingestPipeline]]: the appended
+    * row count, how many rows each gate flagged, and the per-row
+    * verdict frame (id, agent_id, anomaly_score, anomaly_reasons,
+    * quarantined, maybe_dup, near_candidate_ids). */
+  final case class IngestReport(
+      appended: Long,
+      quarantined: Long,
+      dupFlagged: Long,
+      verdicts: DataFrame)
+
   /** Deterministic hash embedding (the reference's offline embedder):
     * each token hashes to a dimension and a sign via md5 nibbles; the
     * vector is the signed token-count profile, L2-normalized.
@@ -692,9 +720,16 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   def remember(batch: Seq[RememberRequest]): Unit =
     appendEnriched(reqFrame(batch))
 
-  /** REMEMBER with the reference's WRITE-PATH injection scan
-    * (poisoning.rs scans content at ingest, before the row is ever
-    * recallable): each row's content runs the SHARED x9 marker set
+  /** REMEMBER with the MARKER leg of the reference's write-path
+    * injection scan (poisoning.rs scans content at ingest, before the
+    * row is ever recallable). Scope is deliberately the lexical
+    * subset: the reference's full `check_for_anomaly` ALSO scores
+    * importance-deviation / content-length / write-burst anomalies
+    * against the agent's profile and exempts trusted sources from the
+    * self-referential check — those profile-relative legs live in
+    * [[ingestPipeline]], which composes them with this scan; use that
+    * entry point for reference-parity ingest. Each row's content runs
+    * the SHARED x9 marker set
     * (queries/Scoring — the same constants the batch scan, the
     * streaming gate, and the DETECTION.json rates measure) and
     * marker-bearing rows land with `quarantined = true`, so every
@@ -712,6 +747,131 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       .reduce(_ + _)
     appendEnriched(reqFrame(batch)
       .withColumn("quarantined", col("quarantined") || nHits > 0))
+  }
+
+  /** ONE-CALL ingest — the reference's whole remember path
+    * (remember.rs:67-270: validate → embed → chain → anomaly →
+    * quarantine → profile) composed as a single batch job plus one
+    * atomic store commit. [[remember]]/[[rememberScanned]] stay as the
+    * narrow entry points; this is the reference-parity one.
+    *
+    * Anomaly scoring mirrors `check_for_anomaly` (poisoning.rs:155-260)
+    * leg for leg, vectorized over the batch:
+    *  - importance deviating > 0.4 from the agent's store average: +0.3
+    *  - content length outside [0.1×, 5×] the agent's average:     +0.3
+    *  - a write < 1 s after the agent's previous one, once the
+    *    agent holds > 10 memories (burst):                         +0.4
+    *  - the shared x9 injection-marker set in the content:         +0.5
+    *  - those markers in a row that arrived through an INDIRECT
+    *    ingest vector ([[Mnemo.IndirectSourceTags]]) — the MINJA
+    *    self-referential case; trusted/direct rows skip this leg:  +0.6
+    * score ≥ 0.5 ⇒ quarantined (kept for forensics, excluded from
+    * recall — the same review-then-release model as
+    * [[rememberScanned]]; the caller's own flag is OR'd). The agent
+    * profile is ONE aggregate over the live store broadcast to the
+    * batch; the burst leg seeds a per-agent lag() window with the
+    * store's last write, so intra-batch bursts score too. The
+    * reference's OPTIONAL embedding z-score leg stays off here, as in
+    * its default policy — this engine measures that lane's
+    * non-generalization honestly instead (eval/Detection.zScoreLane).
+    *
+    * Dedup: with `index` given, the batch probes it FIRST (exact
+    * Bloom verdict + near-dup band candidates vs all prior pipeline
+    * batches — doc key = xxhash64(id)); bloom-flagged rows keep
+    * [[Mnemo.DupCandidateTag]] in their tags, nothing is dropped.
+    * Pass `batchId` when driving from foreachBatch — it forwards to
+    * the index's at-least-once replay guard. The store append is one
+    * commit; the index fold is one commit on ITS OWN store — two
+    * stores, one crash-atomic commit each. */
+  def ingestPipeline(batch: Seq[RememberRequest],
+      index: Option[DedupIndex] = None,
+      batchId: Option[Long] = None): Mnemo.IngestReport = {
+    import Mnemo.{DupCandidateTag, IndirectSourceTags}
+    val reqs = reqFrame(batch)
+
+    // the agent profile the reference reads per-row, as ONE broadcast
+    // aggregate: live-row count, importance/length means, last write
+    val prof = table()
+      .filter(col("deleted_at").isNull && !col("quarantined"))
+      .groupBy("agent_id").agg(
+        count(lit(1)).as("prof_n"),
+        avg(col("importance")).as("prof_imp"),
+        avg(length(col("content"))).as("prof_len"),
+        max(col("created_at")).as("prof_last"))
+
+    val markers = graft.queries.Scoring.InjectionMarkers
+      .map(m => lower(col("content")).rlike(m)).reduce(_ || _)
+    val indirect = IndirectSourceTags.toSeq.sorted
+      .map(t => array_contains(col("tags"), t)).reduce(_ || _)
+    val w = Window.partitionBy(col("agent_id"))
+      .orderBy(col("created_at"), col("id"))
+    val legs: Seq[(Column, String, Double)] = Seq(
+      (col("prof_n").isNotNull &&
+        abs(col("importance") - col("prof_imp")) > 0.4,
+        "importance_deviation", 0.3),
+      (col("prof_n").isNotNull && col("prof_len") > 0 &&
+        !(length(col("content")) / col("prof_len")).between(0.1, 5.0),
+        "content_length_outlier", 0.3),
+      (col("prof_n") > 10 &&
+        unix_micros(col("created_at")) - unix_micros(col("prev_ts")) < 1000000L,
+        "write_burst", 0.4),
+      (markers, "injection_markers", 0.5),
+      (markers && indirect, "self_referential_indirect", 0.6))
+    val scored = reqs.join(broadcast(prof), Seq("agent_id"), "left")
+      .withColumn("prev_ts",
+        coalesce(lag(col("created_at"), 1).over(w), col("prof_last")))
+      .withColumn("anomaly_reasons",
+        filter(array(legs.map { case (c, name, _) =>
+          when(coalesce(c, lit(false)), lit(name)) }: _*), r => r.isNotNull))
+      .withColumn("anomaly_score",
+        legs.map { case (c, _, pts) =>
+          when(coalesce(c, lit(false)), lit(pts)).otherwise(lit(0.0)) }
+          .reduce(_ + _))
+      .withColumn("quarantined",
+        col("quarantined") || col("anomaly_score") >= 0.5)
+
+    // dedup probe BEFORE the append, so "history" is prior batches only
+    val withDup = index match {
+      case Some(ix) =>
+        val keyed = scored.withColumn("doc_id", xxhash64(col("id")))
+        val probeBatch = keyed.select(col("doc_id"), col("content").as("text"))
+        val verdict = batchId.map(ix.ingest(probeBatch, _))
+          .getOrElse(ix.ingest(probeBatch))
+        keyed.join(verdict, Seq("doc_id"), "left")
+          .withColumn("maybe_dup", coalesce(col("maybe_dup"), lit(0)))
+          .withColumn("near_candidate_ids",
+            coalesce(col("near_candidate_ids"), array().cast("array<long>")))
+          .withColumn("tags",
+            when(col("maybe_dup") === 1,
+              array_union(col("tags"), array(lit(DupCandidateTag))))
+              .otherwise(col("tags")))
+      case None =>
+        scored.withColumn("maybe_dup", lit(0))
+          .withColumn("near_candidate_ids", array().cast("array<long>"))
+    }
+    // pin the verdicts once: the append job below re-derives its own
+    // frame, and the caller's later reads must not recompute the gates
+    // against a store that has since moved on
+    val verdicts = withDup.select(
+      col("id"), col("agent_id"), col("anomaly_score"),
+      col("anomaly_reasons"), col("quarantined"),
+      col("maybe_dup"), col("near_candidate_ids"))
+      .orderBy("id").localCheckpoint()
+
+    appendEnriched(withDup.select(
+      col("id"), col("agent_id"), col("thread_id"), col("content"),
+      col("memory_type"), col("scope"), col("importance"), col("tags"),
+      col("created_at"), col("expires_at"), col("quarantined")))
+
+    val counts = verdicts.agg(
+      count(lit(1)),
+      sum(col("quarantined").cast("long")),
+      sum(col("maybe_dup").cast("long"))).collect()(0)
+    Mnemo.IngestReport(
+      appended = counts.getLong(0),
+      quarantined = if (counts.isNullAt(1)) 0L else counts.getLong(1),
+      dupFlagged = if (counts.isNullAt(2)) 0L else counts.getLong(2),
+      verdicts = verdicts)
   }
 
   private def reqFrame(batch: Seq[RememberRequest]): DataFrame = {

@@ -30,11 +30,20 @@ object Scoring extends QueryGroup {
   val MarkerDoNotTell = "\\bdo not tell\\b"
   val MarkerAlwaysRespond = "always (respond|answer) with"
   val MarkerExfil = "exfiltrate|keylogger"
+  // the reference's remaining self-referential patterns (poisoning.rs
+  // ~138-152), previously uncovered here: instruction displacement
+  // ("disregard …", "new instructions:") and system-role spoofing
+  // (<<sys>>-style tokens, fake role headers, mode-switch phrasing)
+  val MarkerDisregardPrevious = "disregard (all prior|previous)"
+  val MarkerNewInstructions = "new instructions:"
+  val MarkerRoleSpoof =
+    "<<sys>>|\\[system\\]|```system|system: you are|you are now in"
 
   /** The full x9 scan set, in the scan's reporting order. */
   val InjectionMarkers: Seq[String] = Seq(
     MarkerIgnorePrevious, MarkerSystemPrompt, MarkerDoNotTell,
-    MarkerAlwaysRespond, MarkerExfil)
+    MarkerAlwaysRespond, MarkerExfil, MarkerDisregardPrevious,
+    MarkerNewInstructions, MarkerRoleSpoof)
 
   private val q1 = QueryDef(
     "a4_conflict_scoring",
