@@ -221,6 +221,41 @@ object BenchWrites {
     val scanSortedSec = (1 to reps).map(_ => agentScan("sorted")).min
     val scanInterleavedSec = (1 to reps).map(_ => agentScan("interleaved")).min
 
+    // -- the SAME layout A/B at 1M rows / 100 agents: at 300k the
+    //    fixed job overhead dominates and the prune factor reads
+    //    modest; here each file holds many row groups of which an
+    //    agent-scoped scan wants ~1%, so row-group-stats pruning is
+    //    the dominant term — the regime a 100 TB store lives in. Rows
+    //    are generated directly (same ~600-byte content shape): this
+    //    is a LAYOUT property, the store write path is benched above.
+    hc.setInt("parquet.block.size", 64 * 1024)
+    hc.setInt("parquet.page.size", 8 * 1024)
+    val ab1mDir = freshDir("ab1m")
+    locally {
+      import org.apache.spark.sql.functions._
+      val rows1m = spark.range(1000000L).select(
+        concat(lit("agent-"), col("id") % 100).as("agent_id"),
+        concat(lit("m"), col("id")).as("id"),
+        concat(lit("memory content "), col("id"), lit(" "),
+          lit(filler)).as("content"))
+      rows1m.repartition(8)
+        .sortWithinPartitions(col("agent_id"), col("id"))
+        .write.parquet(s"$ab1mDir/sorted")
+      rows1m.repartition(8)
+        .sortWithinPartitions(xxhash64(col("id")))
+        .write.parquet(s"$ab1mDir/interleaved")
+    }
+    if (savedBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", savedBlock)
+    if (savedPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", savedPage)
+    def agentScan1m(sub: String): Double = {
+      import org.apache.spark.sql.functions._
+      time(spark.read.parquet(s"$ab1mDir/$sub")
+        .filter(col("agent_id") === "agent-77")
+        .agg(sum(length(col("content"))), count(lit(1))).collect())
+    }
+    val scan1mSortedSec = (1 to reps).map(_ => agentScan1m("sorted")).min
+    val scan1mInterleavedSec = (1 to reps).map(_ => agentScan1m("interleaved")).min
+
     // -- orientation_update_latency: distill a recall result into the
     //    per-namespace context map — upsert + evict + one atomic
     //    manifest commit (the reference's update_and_render write half;
@@ -254,8 +289,11 @@ object BenchWrites {
     //    bloom + band state, each a full crash-atomic commit; 10% of
     //    each batch re-posts an earlier batch's text so the probe side
     //    does real work
+    var lastDedupDir: String = null
     val dedupIngestSec = (1 to reps).map { r =>
-      val idx = new graft.api.DedupIndex(spark, freshDir(s"didx$r"),
+      val dir = freshDir(s"didx$r")
+      lastDedupDir = dir
+      val idx = new graft.api.DedupIndex(spark, dir,
         capacity = (batches * batch).toLong)
       import spark.implicits._
       time((0 until batches).foreach { b =>
@@ -270,6 +308,43 @@ object BenchWrites {
       })
     }.min
     val dedupIngestRows = (batches * batch).toLong
+
+    // -- dedup_index_state: on-disk footprint of the maintained Bloom
+    //    leg after the full ingest above. The v2 packed encoding costs
+    //    m = 16n BITS of set-membership state (2 bytes/element at
+    //    capacity) where the v1 position rows cost ~8 bytes per SET
+    //    position (~32/element at k = 4) before parquet encoding —
+    //    this row keeps the measured bytes/element honest against that
+    //    design claim, round over round.
+    val dedupStateBytes = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      import graft.api.ManifestIO
+      val root = Paths.get(lastDedupDir)
+      val segs = ManifestIO.read(lastDedupDir).get("segs").split(",").toSeq
+      segs.map { s =>
+        val d = root.resolve(s).resolve("bloom")
+        val ls = Files.list(d)
+        try ls.iterator().asScala.map(Files.size(_)).sum finally ls.close()
+      }.sum
+    }
+    val dedupStateBytesPerElem = dedupStateBytes.toDouble / dedupIngestRows
+
+    // -- ingest_pipeline_throughput: the ONE-CALL reference-parity
+    //    remember path (profile-relative anomaly legs + marker scan +
+    //    dedup-index probe + chained append, Mnemo.ingestPipeline) —
+    //    what a full production ingest costs per row vs the bare
+    //    remember above. Sequential batches, so each pays the profile
+    //    aggregate and the index probe against grown state.
+    val pipelineSec = (1 to reps).map { r =>
+      val st = new MnemoStore(spark, freshDir(s"pipe$r"))
+      val idx = new graft.api.DedupIndex(spark, freshDir(s"pipeidx$r"),
+        capacity = (batches * batch).toLong)
+      time((0 until batches).foreach { b =>
+        st.ingestPipeline((0 until batch).map(i =>
+          req("bench-agent", b * batch + i)), index = Some(idx))
+      })
+    }.min
 
     // -- concurrent_agents_throughput: 4 agents, 4 threads, own stores
     import scala.concurrent.{Await, Future}
@@ -311,6 +386,10 @@ object BenchWrites {
       "agent_scan_interleaved_latency" -> lat(scanInterleavedSec),
       "agent_prune_speedup" ->
         s"""{"x":${num("%.2f", scanInterleavedSec / scanSortedSec)}}""",
+      "agent_scan_sorted_1m_latency" -> lat(scan1mSortedSec),
+      "agent_scan_interleaved_1m_latency" -> lat(scan1mInterleavedSec),
+      "agent_prune_speedup_1m" ->
+        s"""{"x":${num("%.2f", scan1mInterleavedSec / scan1mSortedSec)}}""",
       "checkpoint_restore_latency" -> lat(ckptSec),
       "verify_chain" -> lat(verifySec),
       "recall_latency" -> lat(recallSec),
@@ -319,13 +398,19 @@ object BenchWrites {
       "attention_put_latency" -> lat(attnPutSec),
       "attention_compact_latency" -> lat(attnCompactSec),
       "dedup_index_ingest" -> op(dedupIngestSec, dedupIngestRows),
+      "dedup_index_state" ->
+        s"""{"bloom_bytes":$dedupStateBytes,"bytes_per_elem":${num("%.2f", dedupStateBytesPerElem)},"encoding":"v2_packed_words"}""",
+      "ingest_pipeline_throughput" -> op(pipelineSec, rememberRows),
+      "pipeline_vs_remember" ->
+        s"""{"x":${num("%.2f", pipelineSec / rememberSec)}}""",
       "concurrent_agents_throughput" -> op(concSec, concRows)
     ).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = rememberSec + rememberScannedSec + forgetSec + forgetPrunedSec +
       forgetSubjectSec + forgetAllBucketsSec + ckptSec + verifySec + recallSec +
       hybridSec + orientSec + attnPutSec + attnCompactSec + concSec +
-      dedupIngestSec +
-      agentRecallSec + scanSortedSec + scanInterleavedSec
+      dedupIngestSec + pipelineSec +
+      agentRecallSec + scanSortedSec + scanInterleavedSec +
+      scan1mSortedSec + scan1mInterleavedSec
     // the op set grew in rounds 8-9 (100k-store prune rows, the
     // orientation/attention stores) — value_r7_ops keeps the ROUND-7
     // op set's sum so round-over-round diffs of the headline number

@@ -14,12 +14,24 @@ import graft.functions.DedupEnrich
   * store, the profile sync loop, and the orientation cache.
   *
   * State = append-only generation dirs `g<N>/{bloom,bands}`:
-  *  - `bloom`: parquet of (`pos` long) — the distinct Bloom positions
-  *    (k = 4 md5-derived slots) of every historical d1 fingerprint;
+  *  - `bloom`: the set Bloom slots (k = 4 md5-derived positions per
+  *    historical d1 fingerprint). Encoding is VERSION-GATED by the
+  *    manifest: v2 (the default for new stores) packs the bit array
+  *    as (`word_idx` long, `bits` long) rows — 64 slots per row, the
+  *    production shape: ~1 bit per slot instead of the ~64 bits a
+  *    position row costs, merged by word-wise OR on compaction, probed
+  *    by an equi-join on word_idx + a bit test. v1 (stores created
+  *    before the packing) keeps (`pos` long) distinct-position rows —
+  *    a re-opened v1 store routes v1 FOREVER (its probe and fold stay
+  *    position-rows; re-encoding is a rebuild, same policy as Bloom
+  *    re-sizing). The d8 QUERY keeps the position-set formulation
+  *    deliberately — it is the oracle-checkable model of this state,
+  *    cross-engine deterministic, and DedupSurfacesSpec pins that the
+  *    v2 words decode to exactly the model's position set;
   *  - `bands`: parquet of (`bk` string, `prior_id` long) — the
   *    MinHash band keys (8 hashes, 4 bands of 2 — the d3/d10
   *    Carter-Wegman family) of every historical document.
-  * The manifest (`segs=g1,g2,…`, `m=<slots>`, `gen=`, `version=1`,
+  * The manifest (`segs=g1,g2,…`, `m=<slots>`, `gen=`, `version=`,
   * plus `batch=`/`verdict_seg=` replay bookkeeping when driven through
   * the batchId overload) publishes which dirs are live; a crash
   * between data write and manifest rename leaves the prior state
@@ -60,6 +72,12 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     manifest.flatMap(_.get("segs")).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty)
 
+  /** Bloom state encoding: the manifest's persisted version for an
+    * existing store (a v1 store keeps position-rows for life), v2
+    * packed words for new stores. */
+  private def version: Int =
+    manifest.flatMap(_.get("version")).map(_.toInt).getOrElse(2)
+
   /** The SHARED enrichment path ([[DedupEnrich]]) — the same builders
     * the d8/d10 batch queries and the streaming candidate generator
     * use, so index keys, query keys, and stream keys can never drift
@@ -93,7 +111,20 @@ final class DedupIndex(val spark: SparkSession, val path: String,
   }
 
   private def bloomState: DataFrame =
-    readSub("bloom").getOrElse(spark.range(0).select(col("id").as("pos")))
+    readSub("bloom").getOrElse(
+      if (version == 1) spark.range(0).select(col("id").as("pos"))
+      else spark.range(0).select(col("id").as("word_idx"), col("id").as("bits")))
+
+  /** Distinct position rows → packed (word_idx, bits) words: 64 slots
+    * per long, word-wise OR. The bit index is `pos & 63`, the word
+    * `pos >> 6`; shifts on the BITS side are arithmetic but the `& 1`
+    * test masks the sign extension, so slot 63 behaves like any
+    * other. */
+  private def packWords(positions: DataFrame): DataFrame =
+    positions.distinct()
+      .select(shiftright(col("pos"), 6).as("word_idx"),
+        expr("shiftleft(1L, cast((pos & 63) as int))").as("mask"))
+      .groupBy("word_idx").agg(expr("bit_or(mask)").as("bits"))
 
   private def bandState: DataFrame =
     readSub("bands").getOrElse(
@@ -157,11 +188,23 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     val enriched = enrich(batch, m).cache()
 
     // probe: Bloom membership = every one of the doc's distinct
-    // positions present in the state
-    val posMatches = enriched
+    // positions present in the state. v2 probes the packed words: an
+    // equi-join on word_idx plus a per-position bit test (distinct on
+    // (doc_id, pos) first — overlapping segments can carry the same
+    // word, and a position must count once however many words attest
+    // it); v1 keeps the position-row semi-join.
+    val posExploded = enriched
       .select(col("doc_id"), explode(col("positions")).as("pos"))
-      .join(bloomState, Seq("pos"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val posMatches =
+      (if (version == 1)
+        posExploded.join(bloomState, Seq("pos"), "left_semi")
+      else
+        posExploded
+          .withColumn("word_idx", shiftright(col("pos"), 6))
+          .join(bloomState, Seq("word_idx"))
+          .filter(expr("(shiftright(bits, cast((pos & 63) as int)) & 1) = 1"))
+          .select("doc_id", "pos").distinct())
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     val bandMatches = enriched
       .select(col("doc_id"), explode(col("bands")).as("bk"))
       .join(bandState, Seq("bk"))
@@ -183,17 +226,28 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // the segment count is over budget
     val newSeg = s"g$gen"
     val overBudget = liveSegs.length + 1 > Mnemo.MaxSegments
-    val (bloomOut, bandOut) =
+    val batchPos = enriched.select(explode(col("positions")).as("pos"))
+    val bloomOut =
+      if (version == 1) {
+        if (overBudget) bloomState.unionByName(batchPos).distinct()
+        else batchPos.distinct()
+      } else {
+        // packed: the batch's words; on compaction every segment's
+        // words OR-merge with them (bit_or is the set union)
+        val words = packWords(batchPos)
+        if (overBudget)
+          bloomState.unionByName(words)
+            .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+        else words
+      }
+    val bandOut =
       if (overBudget)
-        (bloomState.unionByName(
-            enriched.select(explode(col("positions")).as("pos"))).distinct(),
-          bandState.unionByName(
-            enriched.select(explode(col("bands")).as("bk"),
-              col("doc_id").as("prior_id"))))
-      else
-        (enriched.select(explode(col("positions")).as("pos")).distinct(),
+        bandState.unionByName(
           enriched.select(explode(col("bands")).as("bk"),
             col("doc_id").as("prior_id")))
+      else
+        enriched.select(explode(col("bands")).as("bk"),
+          col("doc_id").as("prior_id"))
     bloomOut.write.mode(SaveMode.Overwrite).parquet(s"$path/$newSeg/bloom")
     bandOut.write.mode(SaveMode.Overwrite).parquet(s"$path/$newSeg/bands")
     // replay bookkeeping: the verdict frame persists INSIDE the new
@@ -203,8 +257,8 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       .parquet(s"$path/$newSeg/verdict"))
     val segs = if (overBudget) Seq(newSeg) else liveSegs :+ newSeg
     ManifestIO.write(path, Map(
-      "version" -> "1", "m" -> m.toString, "gen" -> gen.toString,
-      "segs" -> segs.mkString(","))
+      "version" -> version.toString, "m" -> m.toString,
+      "gen" -> gen.toString, "segs" -> segs.mkString(","))
       ++ batchId.map(id => Map(
         "batch" -> id.toString, "verdict_seg" -> newSeg)).getOrElse(Map.empty))
     // sweep superseded generations and any crashed writer's orphans

@@ -309,7 +309,34 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * pre-index builds carry `None` until their first full fold
     * backfills it, see [[commitWrite]]/[[forgetSubject]]). */
   private case class StoreManifest(gen: Long, numBuckets: Int,
-      buckets: Map[Int, Seq[String]], tagIdx: Option[Seq[String]])
+      buckets: Map[Int, Seq[String]], tagIdx: Option[Seq[String]],
+      ranges: Map[String, SegStats] = Map.empty)
+
+  /** Per-segment file statistics published in the manifest: the
+    * agent_id min/max of the segment's rows and whether any row has a
+    * public/global scope. Agent-scoped reads skip whole segment FILES
+    * whose recorded range excludes the agent (and, for visibility
+    * scans, that hold no public row) — one level coarser than the
+    * parquet row-group stats the (agent_id, id) clustering already
+    * exploits, and decisive for multi-tenant append patterns where a
+    * commit carries one agent's batch: that agent's segments carry a
+    * single-agent range, so every OTHER agent's scoped read skips the
+    * file without opening its footer. Same over-approximation
+    * discipline as the tag index: a segment with NO recorded stats
+    * (pre-range store) is always read; stats can only prune, never
+    * hide. */
+  private case class SegStats(minAgent: String, maxAgent: String,
+      hasPublic: Boolean)
+
+  /** Unsigned lexicographic UTF-8 byte order — the order parquet/Spark
+    * binary string stats use. The driver-side range test MUST compare
+    * in the same order, or an exotic (non-ASCII) agent id could fall
+    * "outside" a range that actually contains it and a file would be
+    * wrongly skipped. */
+  private def utf8Lte(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0
 
   private def readStoreManifest(): Option[StoreManifest] =
     ManifestIO.read(path).map { m =>
@@ -321,7 +348,15 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         m.collect { case (k, v) if k.startsWith("bucket.") =>
           k.stripPrefix("bucket.").toInt ->
             v.split(",").filter(_.nonEmpty).toSeq },
-        m.get("tagidx").map(_.split(",").filter(_.nonEmpty).toSeq))
+        m.get("tagidx").map(_.split(",").filter(_.nonEmpty).toSeq),
+        m.collect { case (k, mn) if k.startsWith("rangemin.") =>
+          val seg = k.stripPrefix("rangemin.")
+          // all three keys are written together; tolerate a hand-edited
+          // manifest by dropping the stat (= never skip) if one is gone
+          (seg, mn, m.get(s"rangemax.$seg"), m.get(s"rangepub.$seg"))
+        }.collect { case (seg, mn, Some(mx), Some(pub)) =>
+          seg -> SegStats(mn, mx, pub == "1")
+        }.toMap)
     }
 
   /** Legacy (pre-v3) flat parquet dir: files at the store root, no
@@ -362,6 +397,35 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   private def emptyTable(): DataFrame = spark.createDataFrame(
     java.util.Collections.emptyList[org.apache.spark.sql.Row](),
     Mnemo.StoreSchema)
+
+  /** The store narrowed for an AGENT-SCOPED read: segment files whose
+    * manifest-recorded agent range excludes `agentId` — and, when
+    * `keepPublic`, that record no public/global row — are not even
+    * opened (file-level skip, one level above the row-group stats the
+    * (agent_id, id) clustering gives). A segment without recorded
+    * stats is always read. The caller MUST still apply its own
+    * agent/scope predicate: this prunes I/O, it does not filter rows.
+    * Range tests compare in unsigned UTF-8 byte order ([[utf8Lte]])
+    * to match the order the stats were computed in. */
+  private def agentScopedTable(agentId: String,
+      keepPublic: Boolean): DataFrame = {
+    recover()
+    readStoreManifest() match {
+      case Some(m) =>
+        val dirs = m.buckets.values.flatten.toSeq.filter { rel =>
+          m.ranges.get(rel) match {
+            case Some(st) =>
+              (utf8Lte(st.minAgent, agentId) && utf8Lte(agentId, st.maxAgent)) ||
+                (keepPublic && st.hasPublic)
+            case None => true
+          }
+        }
+        if (dirs.isEmpty) emptyTable()
+        else spark.read.schema(Mnemo.StoreSchema)
+          .parquet(dirs.map(rel => s"$path/$rel"): _*)
+      case _ => table()
+    }
+  }
 
   /** Current table including tombstones. A never-written store returns
     * an EMPTY frame carrying the full enriched schema (see
@@ -524,7 +588,11 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         // key PRESENT (even empty) = index complete since creation;
         // absent = pre-index store, subject ops fold every bucket
         m.tagIdx.map(segs => "tagidx" -> segs.mkString(",")).toMap ++
-        m.buckets.map { case (k, v) => s"bucket.$k" -> v.mkString(",") })
+        m.buckets.map { case (k, v) => s"bucket.$k" -> v.mkString(",") } ++
+        m.ranges.flatMap { case (seg, st) => Seq(
+          s"rangemin.$seg" -> st.minAgent,
+          s"rangemax.$seg" -> st.maxAgent,
+          s"rangepub.$seg" -> (if (st.hasPublic) "1" else "0")) })
 
   /** Bucket subdirs a just-finished write actually produced (a local
     * listing — exact, and cheaper than a count job per bucket). */
@@ -644,7 +712,31 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         else Some(m.tagIdx.getOrElse(Nil) ++ seg)
       }
 
-    writeStoreManifest(StoreManifest(gen, m.numBuckets, buckets, tagIdx))
+    // ---- per-segment agent-range stats ----
+    // read back from the just-written dirs like the tag pairs above —
+    // a projection of (bucket, agent_id, scope) over data that is
+    // already local and columnar, so the stats job reads two small
+    // columns, not the rows. Ranges for superseded segments drop with
+    // them; segments this commit did not touch keep their stats.
+    val freshStats: Map[String, SegStats] =
+      (if (rset.nonEmpty) Seq("r") else Nil) ++
+        (if (aset.nonEmpty) Seq("a") else Nil) match {
+        case Nil => Map.empty
+        case subs => subs.flatMap { sub =>
+          spark.read.parquet(s"$path/g$gen/$sub")
+            .groupBy(col("bucket"))
+            .agg(min(col("agent_id")).as("mn"), max(col("agent_id")).as("mx"),
+              max(col("scope").isin("public", "global").cast("int")).as("pub"))
+            .collect().map(r => s"g$gen/$sub/bucket=${r.get(0)}" ->
+              SegStats(r.getString(1), r.getString(2), r.getInt(3) == 1))
+        }.toMap
+      }
+    val liveSegSet = buckets.values.flatten.toSet
+    val ranges = (m.ranges ++ freshStats).filter { case (seg, _) =>
+      liveSegSet.contains(seg) }
+
+    writeStoreManifest(StoreManifest(gen, m.numBuckets, buckets, tagIdx,
+      ranges))
     val liveTops = buckets.values.flatten.map(_.takeWhile(_ != '/')).toSet ++
       tagIdx.getOrElse(Nil).map(_.takeWhile(_ != '/'))
     ManifestIO.gc(path, liveTops)
@@ -1112,9 +1204,11 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * where the (agent_id, id) segment clustering prunes the other
     * agents' row groups (the reference verifies per-agent,
     * provenance.rs; a full-store window for one agent's audit would
-    * be the 100×-scale mistake). */
+    * be the 100×-scale mistake). Segment files whose manifest range
+    * excludes the agent are skipped outright ([[agentScopedTable]]). */
   def verifyChains(agentId: String): DataFrame =
-    verifyChainsOver(table().filter(col("agent_id") === agentId))
+    verifyChainsOver(agentScopedTable(agentId, keepPublic = false)
+      .filter(col("agent_id") === agentId))
 
   private def verifyChainsOver(src: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("agent_id"), col("thread_id"))
@@ -1195,8 +1289,12 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   def recallVisible(agentId: String, r: RecallRequest, now: Timestamp): DataFrame = {
     val grants = acls().filter(col("principal_id") === agentId)
       .select(col("memory_id")).distinct()
-    val ownOrPub = table().filter(col("agent_id") === agentId ||
-      col("scope").isin("public", "global"))
+    // file-level skip on top of the row-group prune: a segment whose
+    // recorded range excludes the agent AND that holds no public row
+    // cannot satisfy either disjunct, so it is not opened at all
+    val ownOrPub = agentScopedTable(agentId, keepPublic = true)
+      .filter(col("agent_id") === agentId ||
+        col("scope").isin("public", "global"))
     val grantIds = grants.limit(Mnemo.GrantRouteMax + 1)
       .collect().map(_.getString(0)).toSeq
     val granted =
@@ -1226,7 +1324,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   /** CHECKPOINT: snapshot the ids of an agent's live memories as a ref
     * array (one row). */
   def checkpoint(name: String, agentId: String, at: Timestamp): Unit = {
-    val refs = table()
+    val refs = agentScopedTable(agentId, keepPublic = false)
       .filter(col("agent_id") === agentId && col("deleted_at").isNull &&
         col("created_at") <= lit(at))
       .agg(sort_array(collect_list(col("id"))).as("memory_refs"))

@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import graft.api.{DedupIndex, ManifestIO}
+import graft.functions.DedupEnrich
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Randomized model-checking drive of the maintained [[DedupIndex]] —
+  * the same discipline StorePropertySpec applies to the memory store
+  * (the randomized drive is what caught the two real store bugs in
+  * rounds 8-9; chosen-case specs never would have).
+  *
+  * The driver keeps its own model of the index: the full ingest
+  * history (id → text), each doc's band-key set (computed ONCE through
+  * the same shared [[DedupEnrich]] builder — so the property pinned is
+  * that the INCREMENTALLY accumulated, compacted, re-opened state
+  * answers exactly like a fresh computation over the whole history),
+  * and a driver-side mirror of the exact-fingerprint normalization.
+  * After every random op it asserts:
+  *  - NO FALSE NEGATIVES: a batch doc whose normalized token bag
+  *    appeared in history must probe maybe_dup = 1;
+  *  - BOUNDED FALSE POSITIVES: novel docs flagging maybe_dup are
+  *    counted and must stay within the Bloom sizing's ballpark;
+  *  - CANDIDATE EQUALITY: near_candidate_ids per doc == the
+  *    band-collision set against the model's history bands, sorted;
+  *  - REPLAY IDEMPOTENCE: re-ingesting the last batchId returns the
+  *    original verdicts verbatim and advances nothing;
+  *  - MANIFEST/DISK COHERENCE: live segment dirs on disk are exactly
+  *    the manifest's, the creation slot count and encoding version
+  *    never drift, the segment count respects the compaction bound.
+  * Ops: ingest (mixing novel / exact re-post / near-dup / short /
+  * empty batches), re-open with a WRONG capacity default, replay of
+  * the last batch. */
+class DedupIndexPropertySpec extends SparkSpec {
+
+  private val basePool = Vector(
+    "the quick brown fox jumps over the lazy dog in the quiet evening",
+    "distributed query engines shuffle data between stages of a plan",
+    "sailing boats drift across the harbor when the tide turns slowly",
+    "the cache warmed up after the deploy finished without any errors",
+    "gardens need water sunlight and patient care through the seasons",
+    "metrics dashboards aggregate counters into hourly rollup windows")
+
+  private def bagOf(text: String): String =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .distinct.sorted.mkString(" ")
+
+  test("randomized ingest/re-open/replay drive: no FN, bounded FP, candidates == fresh recompute, coherent manifest") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dir = {
+      val d = Files.createTempDirectory("dedup-prop").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    var idx = new DedupIndex(spark, dir, capacity = 500)
+
+    val history = mutable.LinkedHashMap.empty[Long, String]
+    val modelBands = mutable.Map.empty[Long, Set[String]]
+    var nextDoc = 1L
+    var nextBatchId = 0L
+    var lastBatch: Option[(Long, Seq[(Long, String)], List[(Long, Int, List[Long])])] = None
+    var probes = 0
+    var fps = 0
+    var ingests = 0
+
+    def collectVerdicts(df: DataFrame): List[(Long, Int, List[Long])] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toList)).toList
+
+    def batchBands(docs: Seq[(Long, String)]): Map[Long, Set[String]] =
+      if (docs.isEmpty) Map.empty
+      else DedupEnrich.withBandKeys(
+        DedupEnrich.withShingleSet(docs.toDF("doc_id", "text"), "text"), "sh")
+        .select(col("doc_id"), col("bands"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+
+    for (op <- 1 to 55) {
+      rnd.nextInt(10) match {
+        case 0 =>
+          // re-open with a wrong capacity: the persisted m must rule
+          idx = new DedupIndex(spark, dir, capacity = rnd.nextInt(2000) + 1L)
+
+        case 1 if lastBatch.isDefined =>
+          val (bid, docs, verdicts) = lastBatch.get
+          val again = collectVerdicts(idx.ingest(docs.toDF("doc_id", "text"), bid))
+          assert(again == verdicts,
+            s"op $op: replay of batch $bid diverged:\n got $again\n want $verdicts")
+
+        case _ =>
+          ingests += 1
+          val n = rnd.nextInt(6) // 0..5 docs — empty batches included
+          val docs = (0 until n).map { _ =>
+            val id = nextDoc; nextDoc += 1
+            val text = rnd.nextInt(5) match {
+              case 0 if history.nonEmpty =>
+                history.values.toSeq(rnd.nextInt(history.size)) // exact re-post
+              case 1 if history.nonEmpty =>
+                history.values.toSeq(rnd.nextInt(history.size)) + " ok" // near-dup
+              case 2 => Seq("tiny", "two words")(rnd.nextInt(2)) // short doc
+              case _ =>
+                s"${basePool(rnd.nextInt(basePool.size))} variant ${rnd.nextInt(100000)} ${rnd.nextInt(100000)}"
+            }
+            (id, text)
+          }
+          val bid = nextBatchId; nextBatchId += 1
+          val verdicts = collectVerdicts(idx.ingest(docs.toDF("doc_id", "text"), bid))
+          val bb = batchBands(docs)
+          assert(verdicts.map(_._1) == docs.map(_._1).sorted,
+            s"op $op: verdict rows must cover the batch, ordered by doc_id")
+          val docText = docs.toMap
+          verdicts.foreach { case (id, dup, cands) =>
+            val bag = bagOf(docText(id))
+            val trueDup = history.values.exists(bagOf(_) == bag)
+            if (trueDup)
+              assert(dup == 1,
+                s"op $op: FALSE NEGATIVE — doc $id re-posts history but probed new")
+            else {
+              probes += 1
+              if (dup == 1) fps += 1
+            }
+            val expect = history.keys
+              .filter(h => (modelBands(h) & bb(id)).nonEmpty).toList.sorted
+            assert(cands == expect,
+              s"op $op: candidates for doc $id drifted from fresh recompute: got $cands want $expect")
+          }
+          // model folds AFTER the checks: batch-internal dups are the
+          // NEXT batch's history, per the ingest contract
+          docs.foreach { case (id, t) =>
+            history(id) = t; modelBands(id) = bb(id)
+          }
+          lastBatch = Some((bid, docs, verdicts))
+
+          // manifest/disk coherence after every committed op
+          val man = ManifestIO.read(dir).get
+          assert(man("m") == (16L * 500).toString,
+            s"op $op: creation slot count drifted to ${man("m")}")
+          assert(man("version") == "2", s"op $op: encoding version drifted")
+          val segs = man("segs").split(",").filter(_.nonEmpty).toSet
+          assert(segs.size <= graft.api.Mnemo.MaxSegments,
+            s"op $op: ${segs.size} segments exceed the compaction bound")
+          val onDisk = {
+            val ls = Files.list(Paths.get(dir))
+            try ls.iterator().asScala.filter(Files.isDirectory(_))
+              .map(_.getFileName.toString).toSet
+            finally ls.close()
+          }
+          assert(onDisk == segs,
+            s"op $op: disk dirs $onDisk != manifest segs $segs (orphan or missing)")
+      }
+    }
+    assert(ingests >= 30 && history.size >= 50,
+      s"drive too small to mean anything: $ingests ingests, ${history.size} docs")
+    // Bloom sizing sanity: m = 16 * 500 slots vs ~100+ elements keeps
+    // theoretical FP well under 1%; allow slack for the small sample
+    assert(probes == 0 || fps.toDouble / probes <= 0.05,
+      s"false-positive rate ${fps.toDouble / probes} out of sizing ballpark ($fps/$probes)")
+  }
+}

@@ -68,20 +68,25 @@ class DedupSurfacesSpec extends SparkSpec {
       s"index band keys diverged from the batch path:\n index=$indexBands\n batch=$batchBands")
   }
 
-  test("maintained index persists the SAME Bloom positions the d8 model computes") {
+  test("maintained index's packed Bloom words decode to the d8 model's position set") {
     val dir = freshDir()
     new DedupIndex(spark, dir, capacity = 1000).ingest(corpusDF).collect()
     val man = ManifestIO.read(dir).get
+    assert(man("version") == "2", "a fresh store must use the packed encoding")
     val m = man("m").toLong
     val seg = man("segs").split(",").head
+    // decode (word_idx, bits) -> the set positions it packs
     val indexPos = spark.read.parquet(s"$dir/$seg/bloom")
-      .collect().map(_.getLong(0)).toSet
+      .collect().flatMap { r =>
+        val (w, bits) = (r.getLong(0), r.getLong(1))
+        (0 until 64).collect { case b if (bits >> b & 1L) == 1L => w * 64 + b }
+      }.toSet
     val modelPos = corpusDF
       .select(explode(DedupEnrich.bloomPositions(
         DedupEnrich.exactFp(col("text")), lit(m))).as("pos"))
       .collect().map(_.getLong(0)).toSet
     assert(indexPos == modelPos,
-      s"index Bloom positions diverged from the d8 model: index=$indexPos model=$modelPos")
+      s"packed Bloom words diverged from the d8 model: index=$indexPos model=$modelPos")
   }
 
   test("streaming candidate pairs equal the batch band-collision pairs") {

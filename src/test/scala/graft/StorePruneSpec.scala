@@ -239,4 +239,55 @@ class StorePruneSpec extends SparkSpec {
         s"untouched segment file changed: $f")
     }
   }
+
+  test("manifest agent ranges skip whole segment FILES for agent-scoped reads") {
+    val store = Mnemo.open(spark, freshDir())
+    // multi-tenant append pattern: each commit is ONE agent's batch, so
+    // each segment's recorded agent range is a single agent
+    Seq("agent-a", "agent-b", "agent-c").foreach { a =>
+      store.remember((0 until 200).map(i =>
+        RememberRequest(f"$a-m$i%04d", a, "t1", s"note $i of $a",
+          createdAt = ts(i * 1000L))))
+    }
+    // every committed segment must carry its 3 range keys
+    val man = graft.api.ManifestIO.read(store.path).get
+    val segs = man.collect { case (k, v) if k.startsWith("bucket.") => v }
+      .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+    segs.foreach { seg =>
+      assert(man.contains(s"rangemin.$seg") && man.contains(s"rangemax.$seg")
+        && man.contains(s"rangepub.$seg"), s"segment $seg has no range stats")
+    }
+    // the agent-scoped verify must not even OPEN the other agents'
+    // segment files (inputFiles is the set of files behind the scan)
+    val opened = store.verifyChains("agent-b").inputFiles.toSeq
+    assert(opened.nonEmpty)
+    assert(opened.forall(f => man.exists { case (k, v) =>
+      k.startsWith("rangemin.") && v == "agent-b" &&
+        f.contains(k.stripPrefix("rangemin.")) }),
+      s"agent-b verify opened foreign segment files: $opened")
+    // ... while staying result-identical to the unpruned full-store scan
+    assert(store.verifyChains("agent-b").count() == 200)
+    assert(store.verifyChains("agent-b").filter(!col("chain_valid")).count() == 0)
+  }
+
+  test("range skip keeps public rows of OTHER agents visible to recallVisible") {
+    val store = Mnemo.open(spark, freshDir())
+    store.remember((0 until 50).map(i =>
+      RememberRequest(f"agent-a-m$i%04d", "agent-a", "t1", s"own note $i",
+        createdAt = ts(i * 1000L))))
+    // agent-z's batch: mostly private, ONE public row — its segments'
+    // pub flag must keep them readable for everyone's visibility scan
+    store.remember((0 until 50).map(i =>
+      RememberRequest(f"agent-z-m$i%04d", "agent-z", "t1", s"z note $i",
+        scope = if (i == 7) "public" else "private",
+        createdAt = ts((1000 + i) * 1000L))))
+    val seen = store.recallVisible("agent-a",
+      graft.api.Mnemo.RecallRequest(strategy = "exact", limit = 200),
+      ts(1e9.toLong)).select("id").collect().map(_.getString(0)).toSet
+    assert(seen.contains("agent-z-m0007"),
+      "the public row of a pruned-range agent must stay visible")
+    assert(!seen.exists(id => id.startsWith("agent-z") && id != "agent-z-m0007"),
+      "private rows of other agents leaked")
+    assert(seen.count(_.startsWith("agent-a")) == 50)
+  }
 }
