@@ -58,10 +58,17 @@ MOVERS_R10 = ["t4_winnow_fingerprint", "w8_payload_forge",
 NEW_R10 = ["pl10_dsir_importance", "d7_semdedup", "d8_bloom_incremental",
            "d9_substring_dedup", "d10_incremental_lsh"]
 MOVERS_R10 += NEW_R10
+# round 11: the dedup enrichment unification re-expressed d1/d2/d3/d6
+# through the shared DedupEnrich builder (same expressions by design —
+# these rows verify the refactor is performance-neutral; d8/d10 are
+# already pinned in NEW_R10)
+MOVERS_R11 = ["d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
+              "d6_dedup_groups"]
 # dedup while preserving order: a query listed in two groups (e.g. a
 # NEW_R9 query that becomes a mover next round) must run once, not
 # silently twice with the second run overwriting the first
-QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10))
+QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10 +
+                             MOVERS_R11))
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",

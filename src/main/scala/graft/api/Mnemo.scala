@@ -909,6 +909,9 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         "write_burst", 0.4),
       (markers, "injection_markers", 0.5),
       (markers && indirect, "self_referential_indirect", 0.6))
+    // pinned once: three downstream jobs consume this frame (the index
+    // probe, the verdict projection, the append) — without the pin each
+    // would re-run the profile aggregate + window over the store
     val scored = reqs.join(broadcast(prof), Seq("agent_id"), "left")
       .withColumn("prev_ts",
         coalesce(lag(col("created_at"), 1).over(w), col("prof_last")))
@@ -921,6 +924,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
           .reduce(_ + _))
       .withColumn("quarantined",
         col("quarantined") || col("anomaly_score") >= 0.5)
+      .localCheckpoint()
 
     // dedup probe BEFORE the append, so "history" is prior batches only
     val withDup = index match {

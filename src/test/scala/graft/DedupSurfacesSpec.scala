@@ -122,6 +122,39 @@ class DedupSurfacesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming horizon gap reconciles through the maintained index (nightly batch pass)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the streaming candidate generator is deliberately RECENT-state
+    // only (horizon-bounded); a re-post of a doc older than the
+    // horizon emits nothing. The maintained index holds the FULL
+    // corpus, so the nightly batch ingest of the day's docs closes
+    // exactly that gap — this is the worked handoff example.
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000)
+    idx.ingest(Seq(1L -> baseText).toDF("doc_id", "text")).collect()
+
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.streamingNearDupCandidates(
+        src.toDF().toDF("doc_id", "text", "ts"), horizonMs = 3600 * 1000)
+      .writeStream.format("memory").queryName("reconcile_neardup")
+      .outputMode("append").start()
+    try {
+      // doc 1 aged out long ago; the day's only arrival has no recent
+      // band-mates -> the stream sees nothing
+      src.addData((50L, baseText + " ok", Timestamp.valueOf("2024-02-02 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("reconcile_neardup").count() == 0,
+        "stream must not pair across its horizon")
+    } finally q.stop()
+
+    // nightly reconciliation: the same day's docs through the index
+    val night = idx.ingest(Seq(50L -> (baseText + " ok")).toDF("doc_id", "text"))
+      .collect()
+    assert(night.head.getSeq[Long](2).toList == List(1L),
+      s"the index must surface the cross-horizon candidate: ${night.toList}")
+  }
+
   test("short docs get per-doc shingles, never a shared degenerate band key") {
     val b = batchBands
     assert((b(6L) & b(7L)).isEmpty,
