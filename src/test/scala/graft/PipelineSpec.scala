@@ -143,4 +143,27 @@ class PipelineSpec extends SparkSpec {
           s"${r.getAs[String]("source")}: sqrt mix must upweight small sources")
     }
   }
+
+  test("gopher rules: kept is the exact conjunction, and the live rules actually split the corpus") {
+    val rows = SparkEntry.queries("pl11_gopher_rules")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = Seq("r_words", "r_word_len", "r_symbol", "r_alpha", "r_stop")
+        .map(r.getAs[Int](_))
+      assert(r.getAs[Int]("kept") == (if (flags.forall(_ == 1)) 1 else 0),
+        s"doc ${r.get(0)}: kept must be the conjunction of the rule flags")
+      // flag↔statistic coherence on the two rules with corpus variance
+      assert((r.getAs[Int]("r_words") == 1) ==
+        (r.getAs[Long]("n_words") >= 50 && r.getAs[Long]("n_words") <= 100000))
+      assert((r.getAs[Int]("r_stop") == 1) == (r.getAs[Long]("n_stop_hits") >= 2))
+    }
+    // non-vacuity: the word-count and stop-word rules must each fail
+    // SOME doc and pass SOME doc, and the conjunction must be a strict
+    // subset (a filter that keeps everything or nothing measures nothing)
+    def split(flag: String) = {
+      val kept = rows.count(_.getAs[Int](flag) == 1)
+      assert(kept > 0 && kept < rows.length, s"$flag is vacuous: $kept/${rows.length}")
+    }
+    split("r_words"); split("r_stop"); split("kept")
+  }
 }
