@@ -54,6 +54,8 @@ QUERIES = [
     # round-10 newborns: the scaling claim covers them from birth
     "pl10_dsir_importance", "d7_semdedup", "d8_bloom_incremental",
     "d9_substring_dedup", "d10_incremental_lsh",
+    # round-11 newborn
+    "pl11_gopher_rules",
 ]
 
 ADD_OPENS = [

@@ -104,7 +104,8 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     val hconf = spark.sessionState.newHadoopConf()
     dirs.find { d =>
       val p = new org.apache.hadoop.fs.Path(d)
-      !p.getFileSystem(hconf).isDirectory(p)
+      val fs = p.getFileSystem(hconf)
+      !(fs.exists(p) && fs.getFileStatus(p).isDirectory)
     }.foreach(d => throw new IllegalStateException(
       s"dedup index at $path: manifest references missing segment dir $d"))
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))

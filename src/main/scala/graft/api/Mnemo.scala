@@ -136,6 +136,21 @@ object Mnemo {
       dupFlagged: Long,
       verdicts: DataFrame)
 
+  /** Build an [[IngestReport]] from a pinned verdict frame (shared by
+    * the live pipeline path and the replay path that re-reads the
+    * persisted frame). */
+  private[api] def reportOf(verdicts: DataFrame): IngestReport = {
+    val counts = verdicts.agg(
+      count(lit(1)),
+      sum(col("quarantined").cast("long")),
+      sum(col("maybe_dup").cast("long"))).collect()(0)
+    IngestReport(
+      appended = counts.getLong(0),
+      quarantined = if (counts.isNullAt(1)) 0L else counts.getLong(1),
+      dupFlagged = if (counts.isNullAt(2)) 0L else counts.getLong(2),
+      verdicts = verdicts)
+  }
+
   /** Deterministic hash embedding (the reference's offline embedder):
     * each token hashes to a dimension and a sign via md5 nibbles; the
     * vector is the signed token-count profile, L2-normalized.
@@ -310,7 +325,12 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * backfills it, see [[commitWrite]]/[[forgetSubject]]). */
   private case class StoreManifest(gen: Long, numBuckets: Int,
       buckets: Map[Int, Seq[String]], tagIdx: Option[Seq[String]],
-      ranges: Map[String, SegStats] = Map.empty)
+      ranges: Map[String, SegStats] = Map.empty,
+      // streaming-ingest bookkeeping, carried forward verbatim by
+      // every commit: `batch` = last ingestPipeline batchId,
+      // `pverdict` = relpath of that batch's persisted verdict frame
+      // (see ingestPipeline's replay contract)
+      extra: Map[String, String] = Map.empty)
 
   /** Per-segment file statistics published in the manifest: the
     * agent_id min/max of the segment's rows and whether any row has a
@@ -356,7 +376,9 @@ final class MnemoStore(val spark: SparkSession, val path: String,
           (seg, mn, m.get(s"rangemax.$seg"), m.get(s"rangepub.$seg"))
         }.collect { case (seg, mn, Some(mx), Some(pub)) =>
           seg -> SegStats(mn, mx, pub == "1")
-        }.toMap)
+        }.toMap,
+        m.collect { case (k, v) if k == "batch" || k == "pverdict" =>
+          k -> v })
     }
 
   /** Legacy (pre-v3) flat parquet dir: files at the store root, no
@@ -592,7 +614,8 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         m.ranges.flatMap { case (seg, st) => Seq(
           s"rangemin.$seg" -> st.minAgent,
           s"rangemax.$seg" -> st.maxAgent,
-          s"rangepub.$seg" -> (if (st.hasPublic) "1" else "0")) })
+          s"rangepub.$seg" -> (if (st.hasPublic) "1" else "0")) } ++
+        m.extra)
 
   /** Bucket subdirs a just-finished write actually produced (a local
     * listing — exact, and cheaper than a count job per bucket). */
@@ -646,7 +669,8 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * the backfill path. */
   private def commitWrite(m: StoreManifest, replaceBuckets: Set[Int],
       replaced: Option[DataFrame], appended: Option[DataFrame],
-      replacedAddsTags: Boolean = false): Unit = {
+      replacedAddsTags: Boolean = false,
+      bookkeeping: Option[(Long, DataFrame)] = None): Unit = {
     val gen = m.gen + 1
     // Rows land sorted by (agent_id, id) WITHIN each bucket file: the
     // store's dominant access key is agent_id (every reference storage
@@ -735,10 +759,29 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     val ranges = (m.ranges ++ freshStats).filter { case (seg, _) =>
       liveSegSet.contains(seg) }
 
+    // ---- streaming-ingest bookkeeping (ingestPipeline's replay
+    // contract): the batch's verdict frame persists INSIDE this
+    // generation dir and the manifest records (batchId, relpath) in
+    // the SAME atomic publish — absent a new bookkeeping pair, the
+    // previous one carries forward verbatim (a replay decision is
+    // about whether batch N committed, which later unrelated commits
+    // do not change)
+    val extra = bookkeeping match {
+      case Some((bid, verdicts)) =>
+        verdicts.write.mode(SaveMode.Overwrite).parquet(s"$path/g$gen/v")
+        Map("batch" -> bid.toString, "pverdict" -> s"g$gen/v")
+      case None => m.extra
+    }
+
     writeStoreManifest(StoreManifest(gen, m.numBuckets, buckets, tagIdx,
-      ranges))
+      ranges, extra))
+    // the generation holding the live pverdict stays un-gc'd even if
+    // all its bucket segments are superseded (a few stale segment dirs
+    // ride along until the next pipeline batch moves the pointer —
+    // bounded waste, never a dangling verdict)
     val liveTops = buckets.values.flatten.map(_.takeWhile(_ != '/')).toSet ++
-      tagIdx.getOrElse(Nil).map(_.takeWhile(_ != '/'))
+      tagIdx.getOrElse(Nil).map(_.takeWhile(_ != '/')) ++
+      extra.get("pverdict").map(_.takeWhile(_ != '/'))
     ManifestIO.gc(path, liveTops)
     sweepLegacyFiles()
   }
@@ -871,14 +914,43 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * Bloom verdict + near-dup band candidates vs all prior pipeline
     * batches — doc key = xxhash64(id)); bloom-flagged rows keep
     * [[Mnemo.DupCandidateTag]] in their tags, nothing is dropped.
-    * Pass `batchId` when driving from foreachBatch — it forwards to
-    * the index's at-least-once replay guard. The store append is one
-    * commit; the index fold is one commit on ITS OWN store — two
-    * stores, one crash-atomic commit each. */
+    * Pass `batchId` when driving from foreachBatch: BOTH stores then
+    * carry at-least-once replay guards (the index persists its probe
+    * verdicts per generation; this store persists the pipeline's full
+    * verdict frame and skips the re-append), so a re-delivered
+    * micro-batch is exactly-once end to end — including a crash
+    * BETWEEN the two commits. The store append is one commit; the
+    * index fold is one commit on ITS OWN store — two stores, one
+    * crash-atomic commit each. */
   def ingestPipeline(batch: Seq[RememberRequest],
       index: Option[DedupIndex] = None,
       batchId: Option[Long] = None): Mnemo.IngestReport = {
     import Mnemo.{DupCandidateTag, IndirectSourceTags}
+
+    // at-least-once replay guard, BOTH stores: with a batchId, each
+    // pipeline commit persists its verdict frame inside the store's
+    // new generation ('pverdict' in the manifest) exactly as the
+    // dedup index persists its own — a re-delivered foreachBatch
+    // micro-batch returns the original report verbatim and neither
+    // store advances. A crash BETWEEN the index commit and the store
+    // commit replays cleanly too: the index detects its own replay
+    // (returns its persisted verdicts without re-folding) while the
+    // store, which never committed, appends normally — per-store
+    // bookkeeping makes the two-store handoff exactly-once end to end.
+    val manExtra = readStoreManifest().map(_.extra).getOrElse(Map.empty)
+    val lastBatch = manExtra.get("batch").map(_.toLong)
+    (batchId, lastBatch) match {
+      case (Some(bid), Some(lb)) if bid == lb =>
+        val v = spark.read.parquet(s"$path/${manExtra("pverdict")}")
+          .orderBy("id").localCheckpoint()
+        return Mnemo.reportOf(v)
+      case (Some(bid), Some(lb)) if bid < lb =>
+        throw new IllegalStateException(
+          s"memory store at $path: pipeline batch $bid replayed after $lb " +
+            "was committed — beyond foreachBatch's one-batch replay window " +
+            "(second writer or rewound checkpoint)")
+      case _ => ()
+    }
     val reqs = reqFrame(batch)
 
     // the agent profile the reference reads per-row, as ONE broadcast
@@ -957,17 +1029,10 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     appendEnriched(withDup.select(
       col("id"), col("agent_id"), col("thread_id"), col("content"),
       col("memory_type"), col("scope"), col("importance"), col("tags"),
-      col("created_at"), col("expires_at"), col("quarantined")))
+      col("created_at"), col("expires_at"), col("quarantined")),
+      bookkeeping = batchId.map(_ -> verdicts))
 
-    val counts = verdicts.agg(
-      count(lit(1)),
-      sum(col("quarantined").cast("long")),
-      sum(col("maybe_dup").cast("long"))).collect()(0)
-    Mnemo.IngestReport(
-      appended = counts.getLong(0),
-      quarantined = if (counts.isNullAt(1)) 0L else counts.getLong(1),
-      dupFlagged = if (counts.isNullAt(2)) 0L else counts.getLong(2),
-      verdicts = verdicts)
+    Mnemo.reportOf(verdicts)
   }
 
   private def reqFrame(batch: Seq[RememberRequest]): DataFrame = {
@@ -984,9 +1049,11 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * writers ([[consolidate]]) so bundle writes never round-trip
     * through the driver. Lands as per-bucket append segments — O(new
     * rows) I/O regardless of store size. */
-  private def appendEnriched(reqs: DataFrame): Unit = {
+  private def appendEnriched(reqs: DataFrame,
+      bookkeeping: Option[(Long, DataFrame)] = None): Unit = {
     val m = migrateIfLegacy()
-    commitWrite(m, Set.empty, None, Some(enrichChain(reqs)))
+    commitWrite(m, Set.empty, None, Some(enrichChain(reqs)),
+      bookkeeping = bookkeeping)
     compactOverflow()
   }
 
