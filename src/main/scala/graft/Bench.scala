@@ -44,7 +44,7 @@ object Bench {
     // claimed checksum_agg. xor never overflows, so the fallback is
     // reserved for output types the hash expression genuinely rejects.
     def force(df: DataFrame): Unit = {
-      try df.agg(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
+      try df.agg(bit_xor(xxhash64(df.columns.toIndexedSeq.map(col): _*))).collect()
       catch { case _: Throwable => df.count() }
     }
     // criterion samples each bench many times and reports a statistic;

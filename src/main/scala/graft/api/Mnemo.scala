@@ -430,6 +430,15 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * Range tests compare in unsigned UTF-8 byte order ([[utf8Lte]])
     * to match the order the stats were computed in. */
   private def agentScopedTable(agentId: String,
+      keepPublic: Boolean): DataFrame =
+    agentScopedTableMulti(Seq(agentId), keepPublic)
+
+  /** The multi-agent generalization: a segment survives if its range
+    * contains ANY of the agents (or, with `keepPublic`, records a
+    * public row). The [[ingestPipeline]] profile read uses this with
+    * the batch's agent set — at scale a per-batch profile must scan
+    * the WRITING agents' data, never the whole store. */
+  private def agentScopedTableMulti(agentIds: Seq[String],
       keepPublic: Boolean): DataFrame = {
     recover()
     readStoreManifest() match {
@@ -437,7 +446,8 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         val dirs = m.buckets.values.flatten.toSeq.filter { rel =>
           m.ranges.get(rel) match {
             case Some(st) =>
-              (utf8Lte(st.minAgent, agentId) && utf8Lte(agentId, st.maxAgent)) ||
+              agentIds.exists(a =>
+                utf8Lte(st.minAgent, a) && utf8Lte(a, st.maxAgent)) ||
                 (keepPublic && st.hasPublic)
             case None => true
           }
@@ -954,9 +964,17 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     val reqs = reqFrame(batch)
 
     // the agent profile the reference reads per-row, as ONE broadcast
-    // aggregate: live-row count, importance/length means, last write
-    val prof = table()
-      .filter(col("deleted_at").isNull && !col("quarantined"))
+    // aggregate — over ONLY the batch's agents: the equality IN-filter
+    // pushes to the parquet scan (row-group-pruned under the
+    // (agent_id, id) clustering) and the manifest agent ranges skip
+    // whole foreign segment files, so the per-batch profile cost
+    // scales with the WRITING agents' data, not the store (a
+    // full-store avg(length(content)) per micro-batch would be the
+    // 100×-scale mistake)
+    val batchAgents = batch.map(_.agentId).distinct
+    val prof = agentScopedTableMulti(batchAgents, keepPublic = false)
+      .filter(col("agent_id").isin(batchAgents.map(lit): _*) &&
+        col("deleted_at").isNull && !col("quarantined"))
       .groupBy("agent_id").agg(
         count(lit(1)).as("prof_n"),
         avg(col("importance")).as("prof_imp"),
