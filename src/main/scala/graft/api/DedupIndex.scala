@@ -58,7 +58,7 @@ import graft.functions.DedupEnrich
   * back to one once they exceed [[Mnemo.MaxSegments]] (the same
   * LSM-ish bound as the memory store's buckets). */
 final class DedupIndex(val spark: SparkSession, val path: String,
-    capacity: Long = 1000000L) {
+    capacity: Long = 1000000L, windowCapacity: Long = 0L) {
 
   private def manifest: Option[Map[String, String]] = ManifestIO.read(path)
 
@@ -67,6 +67,27 @@ final class DedupIndex(val spark: SparkSession, val path: String,
   private def slots: Long =
     manifest.flatMap(_.get("m")).map(_.toLong)
       .getOrElse(math.max(16L * capacity, 1L))
+
+  /** OPT-IN window-dedup leg (the maintained form of the d9 / Lee
+    * et al. exact substring pass): `windowCapacity` > 0 at CREATION
+    * declares the expected total [[DedupEnrich.WindowW]]-token window
+    * count and sizes a SECOND packed Bloom (`wbloom`, 16 bits per
+    * expected window, k = 4) over the window hashes of every
+    * historical doc. Ingest then also reports `shared_window_frac`
+    * per batch doc — the fraction of its windows probably seen in
+    * history (no false negatives; per-window FP at the doc-Bloom
+    * rate, so the frac can read slightly HIGH, never low — the safe
+    * direction for a dedup screen). Like `m`, the feature and its
+    * sizing are FIXED at creation and persisted (`mw=`): re-opening
+    * an unwindowed store with a windowCapacity does NOT enable it
+    * (history was never folded — mid-life enablement would
+    * under-report sharing against everything before the flip). */
+  private def windowSlots: Option[Long] = manifest match {
+    case Some(man) => man.get("mw").map(_.toLong)
+    case None =>
+      if (windowCapacity > 0) Some(math.max(16L * windowCapacity, 1L))
+      else None
+  }
 
   private def liveSegs: Seq[String] =
     manifest.flatMap(_.get("segs")).toSeq
@@ -82,14 +103,19 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     * the d8/d10 batch queries and the streaming candidate generator
     * use, so index keys, query keys, and stream keys can never drift
     * apart (DedupSurfacesSpec pins the equality). */
-  private def enrich(batch: DataFrame, m: Long): DataFrame =
-    DedupEnrich.withBandKeys(
+  private def enrich(batch: DataFrame, m: Long): DataFrame = {
+    val base = DedupEnrich.withBandKeys(
       DedupEnrich.withFpAndShingles(
         batch.select(col("doc_id"), col("text")), "text"), "sh")
-      .select(col("doc_id"),
-        array_distinct(DedupEnrich.bloomPositions(col("fp"), lit(m)))
-          .as("positions"),
-        col("bands"))
+    val withWs = windowSlots match {
+      case Some(_) => DedupEnrich.withWindowHashes(base, "text", "ws")
+      case None => base
+    }
+    withWs.select(Seq(col("doc_id"),
+      array_distinct(DedupEnrich.bloomPositions(col("fp"), lit(m)))
+        .as("positions"),
+      col("bands")) ++ windowSlots.map(_ => col("ws")).toSeq: _*)
+  }
 
   private def readSub(sub: String): Option[DataFrame] = {
     val dirs = liveSegs.map(s => s"$path/$s/$sub")
@@ -132,12 +158,21 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       spark.range(0).select(col("id").cast("string").as("bk"),
         col("id").as("prior_id")))
 
+  /** Window-hash Bloom state (packed words; only read on
+    * window-enabled stores, which are v2 by construction). */
+  private def wbloomState: DataFrame =
+    readSub("wbloom").getOrElse(
+      spark.range(0).select(col("id").as("word_idx"), col("id").as("bits")))
+
   /** Probe `batch` (`doc_id` long, `text` string) against the
     * accumulated history, then commit the batch INTO the history —
     * one atomic manifest publish. Returns one row per batch doc:
     * `doc_id`, `maybe_dup` (Bloom verdict vs history: 0 = proven new,
     * 1 = candidate for the exact confirm path), `near_candidate_ids`
-    * (sorted prior ids sharing a MinHash band — the d10 candidates).
+    * (sorted prior ids sharing a MinHash band — the d10 candidates),
+    * and — on window-enabled stores only — `shared_window_frac` (the
+    * fraction of the doc's W-token windows probably seen in history,
+    * the d9 granularity maintained incrementally; never reads low).
     * The result is pinned eagerly (localCheckpoint) BEFORE the
     * commit, so a compaction in this very commit can never invalidate
     * the frame a caller is still consuming. */
@@ -211,14 +246,40 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       .join(bandState, Seq("bk"))
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("prior_id"))).as("near_candidate_ids"))
-    val result = enriched
+    // window leg (opt-in): a window counts as seen iff ALL its k slot
+    // positions are set in the window Bloom; a position is set iff ANY
+    // state word attests it (overlapping segments may carry the same
+    // word) — hence the exists-then-forall aggregate ladder, which
+    // shuffles only (id, 16-byte hash, position) triples
+    val windowProbe: Option[DataFrame] = windowSlots.map { mw =>
+      enriched.select(col("doc_id"), explode(col("ws")).as("wh"))
+        .select(col("doc_id"), col("wh"),
+          explode(array_distinct(
+            DedupEnrich.bloomPositions(col("wh"), lit(mw)))).as("pos"))
+        .withColumn("word_idx", shiftright(col("pos"), 6))
+        .join(wbloomState, Seq("word_idx"), "left")
+        .withColumn("hit",
+          coalesce(expr("(shiftright(bits, cast((pos & 63) as int)) & 1) = 1"),
+            lit(false)))
+        .groupBy("doc_id", "wh", "pos").agg(max(col("hit").cast("int")).as("p"))
+        .groupBy("doc_id", "wh").agg(min(col("p")).as("w"))
+        .groupBy("doc_id").agg(sum(col("w")).as("n_shared_windows"))
+    }
+    val joined0 = enriched
       .join(posMatches, Seq("doc_id"), "left")
       .join(bandMatches, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    val joined = windowProbe.fold(joined0)(joined0.join(_, Seq("doc_id"), "left"))
+    val result = joined
+      .select(Seq(col("doc_id"),
         (coalesce(col("n_hit"), lit(0L)) === size(col("positions")))
           .cast("int").as("maybe_dup"),
         coalesce(col("near_candidate_ids"),
           array().cast("array<long>")).as("near_candidate_ids"))
+        ++ windowSlots.map(_ =>
+          when(size(col("ws")) > 0,
+            round(coalesce(col("n_shared_windows"), lit(0L)).cast("double")
+              / size(col("ws")), 6))
+            .otherwise(lit(0.0)).as("shared_window_frac")).toSeq: _*)
       .orderBy("doc_id")
       .localCheckpoint()
 
@@ -249,8 +310,20 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       else
         enriched.select(explode(col("bands")).as("bk"),
           col("doc_id").as("prior_id"))
+    val wbloomOut: Option[DataFrame] = windowSlots.map { mw =>
+      val words = packWords(enriched
+        .select(explode(col("ws")).as("wh"))
+        .select(explode(array_distinct(
+          DedupEnrich.bloomPositions(col("wh"), lit(mw)))).as("pos")))
+      if (overBudget)
+        wbloomState.unionByName(words)
+          .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+      else words
+    }
     bloomOut.write.mode(SaveMode.Overwrite).parquet(s"$path/$newSeg/bloom")
     bandOut.write.mode(SaveMode.Overwrite).parquet(s"$path/$newSeg/bands")
+    wbloomOut.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/$newSeg/wbloom"))
     // replay bookkeeping: the verdict frame persists INSIDE the new
     // generation dir, published by the same manifest rename — so "which
     // batch committed" and "what it was told" are one atomic fact
@@ -260,6 +333,7 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     ManifestIO.write(path, Map(
       "version" -> version.toString, "m" -> m.toString,
       "gen" -> gen.toString, "segs" -> segs.mkString(","))
+      ++ windowSlots.map(mw => Map("mw" -> mw.toString)).getOrElse(Map.empty)
       ++ batchId.map(id => Map(
         "batch" -> id.toString, "verdict_seg" -> newSeg)).getOrElse(Map.empty))
     // sweep superseded generations and any crashed writer's orphans

@@ -48,6 +48,10 @@ object DedupEnrich {
   /** Bloom hash count (slots probed per exact fingerprint). */
   val BloomK = 4
 
+  /** Token width of the exact substring-dedup windows (the d9 /
+    * Lee et al. 2022 W). */
+  val WindowW = 16
+
   /** Whole-document exact-dup fingerprint: md5 of the sorted distinct
     * token bag (the d1/d8 normalization — case/punctuation/word-order
     * insensitive). Lambda-free, so safe to use unbound. */
@@ -94,6 +98,31 @@ object DedupEnrich {
     array((0 until BloomK).map(i =>
       conv(substring(md5(concat(fp, lit(s":$i"))), 1, 8), 16, 10)
         .cast("long") % m): _*)
+
+  /** DISTINCT md5 hashes of every [[WindowW]]-token window over an
+    * already-bound token-array column — the d9 / Lee et al. exact
+    * substring-dedup granularity (a window repeated INSIDE one doc
+    * counts once; a doc shorter than W tokens legitimately has zero
+    * windows, unlike the shingle path, because a partial window is
+    * not an exact W-token match). `toks` MUST be an attribute (k
+    * element lookups per position re-evaluate it otherwise). Shared
+    * by the `d9_substring_dedup` query and the maintained
+    * [[graft.api.DedupIndex]] window leg, so batch and incremental
+    * window verdicts key identically. */
+  def windowHashesFromToks(toks: Column): Column =
+    array_distinct(when(size(toks) >= WindowW,
+      transform(sequence(lit(0), size(toks) - WindowW), i =>
+        md5(concat_ws(" ",
+          (0 until WindowW).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>")))
+
+  /** Append the window-hash column `out` from raw text, binding the
+    * token array to an attribute in between. */
+  def withWindowHashes(df: DataFrame, textCol: String,
+      out: String = "ws"): DataFrame =
+    df.withColumn("_de_toks", TextOps.tokens(col(textCol)))
+      .withColumn(out, windowHashesFromToks(col("_de_toks")))
+      .drop("_de_toks")
 
   /** Append the MinHash band-key array (`array<string>`, one md5 key
     * per band) derived from the shingle-set column `shCol`, binding

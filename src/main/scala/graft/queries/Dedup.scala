@@ -491,15 +491,11 @@ object Dedup extends QueryGroup {
   private val q9 = QueryDef(
     "d9_substring_dedup",
     (s, dir) => {
-      val W = 16
-      val base = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_distinct(when(size(col("toks")) >= W,
-            transform(sequence(lit(0), size(col("toks")) - W), i =>
-              md5(concat_ws(" ",
-                (0 until W).map(j => element_at(col("toks"), i + j + 1)): _*))))
-            .otherwise(array().cast("array<string>"))).as("ws"))
+      // window hashes via the SHARED DedupEnrich builder — the same
+      // expression the maintained DedupIndex's window leg folds, so
+      // this query IS the oracle-checkable model of that state too
+      val base = DedupEnrich.withWindowHashes(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
         .cache()
       val sh = base.select(col("doc_id"), explode(col("ws")).as("h"))
       val dupW = sh.groupBy("h")

@@ -150,6 +150,59 @@ class DedupIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("window leg: shared_window_frac is the d9 granularity, incremental, exact on a sized store") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000, windowCapacity = 50000)
+    val run = (11 to 30).map(i => s"tok$i").mkString(" ")
+    val doc1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // 20 fresh tokens + doc1's tok11..tok30 run: of doc4's 25 windows,
+    // exactly the 5 fully inside the copied run replicate doc1's
+    val doc4 = (1 to 20).map(i => s"fresh$i").mkString(" ") + " " + run
+
+    val b1 = idx.ingest(docs(1L -> doc1), batchId = 0L)
+    assert(b1.columns.contains("shared_window_frac"),
+      "window-enabled store must report the window column")
+    assert(b1.collect().head.getDouble(3) == 0.0, "empty history shares nothing")
+
+    val b2 = idx.ingest(docs(
+      2L -> doc1, // exact re-post: every window seen
+      3L -> "totally different words about completely other topics here now maybe even more of them to pass the window width threshold okay",
+      4L -> doc4), batchId = 1L)
+    val m = b2.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(2L) == 1.0, s"exact re-post must share all windows: $m")
+    assert(m(3L) == 0.0, s"unrelated doc must share none: $m")
+    assert(math.abs(m(4L) - 0.2) < 1e-9,
+      s"doc 4 shares exactly 5 of its 25 windows with history: $m")
+
+    // replay returns the window column verbatim too
+    val replay = idx.ingest(docs(
+      2L -> doc1,
+      3L -> "totally different words about completely other topics here now maybe even more of them to pass the window width threshold okay",
+      4L -> doc4), batchId = 1L)
+    assert(replay.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap == m)
+
+    // the window sizing persists like m: a re-open with a DIFFERENT
+    // windowCapacity keeps probing with the creator's slot count
+    val mw = ManifestIO.read(dir).get("mw")
+    val reopened = new DedupIndex(spark, dir, capacity = 7L, windowCapacity = 3L)
+    val v = reopened.ingest(docs(5L -> doc1)).collect().head
+    assert(v.getDouble(3) == 1.0, "re-open lost the window state")
+    assert(ManifestIO.read(dir).get("mw") == mw)
+  }
+
+  test("window leg stays OFF for stores created without it — no mid-life enablement") {
+    val dir = freshDir()
+    new DedupIndex(spark, dir, capacity = 1000).ingest(docs(1L -> base)).collect()
+    // re-open WITH a window capacity: history was never window-folded,
+    // so enabling now would under-report sharing — must stay off
+    val reopened = new DedupIndex(spark, dir, capacity = 1000,
+      windowCapacity = 50000)
+    val r = reopened.ingest(docs(2L -> base))
+    assert(!r.columns.contains("shared_window_frac"),
+      "an unwindowed store must not grow the column mid-life")
+    assert(!ManifestIO.read(dir).contains("mw"))
+  }
+
   test("a v1 (position-row) store re-opens, routes v1 forever, and still detects its history") {
     import spark.implicits._
     val dir = freshDir()
