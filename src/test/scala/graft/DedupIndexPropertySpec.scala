@@ -160,4 +160,75 @@ class DedupIndexPropertySpec extends SparkSpec {
     assert(probes == 0 || fps.toDouble / probes <= 0.05,
       s"false-positive rate ${fps.toDouble / probes} out of sizing ballpark ($fps/$probes)")
   }
+
+  test("window-enabled randomized drive: shared_window_frac equals the model's exact intersection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dir = {
+      val d = Files.createTempDirectory("dedup-wprop").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    // generously sized window Bloom: the per-window FP at this fill is
+    // ~1e-8, so the incremental verdicts must EXACTLY equal the
+    // model's set intersection — any drift is a real bug, not noise
+    var idx = new DedupIndex(spark, dir, capacity = 500,
+      windowCapacity = 50000)
+
+    val history = mutable.LinkedHashMap.empty[Long, String]
+    val modelWindows = mutable.Map.empty[Long, Set[String]]
+    val histWindows = mutable.Set.empty[String]
+    var nextDoc = 1L
+
+    def newLongText(): String =
+      (basePool(rnd.nextInt(basePool.size)) + " " +
+        (1 to 10).map(_ => s"w${rnd.nextInt(100000)}").mkString(" "))
+
+    def windowsOf(docs: Seq[(Long, String)]): Map[Long, Set[String]] =
+      if (docs.isEmpty) Map.empty
+      else DedupEnrich.withWindowHashes(docs.toDF("doc_id", "text"), "text")
+        .select(col("doc_id"), col("ws"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    for (op <- 1 to 30) {
+      if (rnd.nextInt(8) == 0)
+        idx = new DedupIndex(spark, dir, capacity = 3L, windowCapacity = 7L)
+      else {
+        val n = rnd.nextInt(4) + 1
+        val docs = (0 until n).map { _ =>
+          val id = nextDoc; nextDoc += 1
+          val text = rnd.nextInt(4) match {
+            case 0 if history.nonEmpty =>
+              history.values.toSeq(rnd.nextInt(history.size)) // exact re-post
+            case 1 if history.nonEmpty => // shifted partial overlap
+              history.values.toSeq(rnd.nextInt(history.size)) +
+                s" x${rnd.nextInt(100000)} y${rnd.nextInt(100000)}"
+            case 2 => "short doc below window width" // zero windows
+            case _ => newLongText()
+          }
+          (id, text)
+        }
+        val verdicts = idx.ingest(docs.toDF("doc_id", "text"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+        val bw = windowsOf(docs)
+        docs.foreach { case (id, _) =>
+          val ws = bw(id)
+          val expect =
+            if (ws.isEmpty) 0.0
+            else round6((ws & histWindows).size.toDouble / ws.size)
+          assert(verdicts(id) == expect,
+            s"op $op doc $id: incremental frac ${verdicts(id)} != model $expect " +
+              s"(${(ws & histWindows).size}/${ws.size})")
+        }
+        // fold AFTER the checks (batch-vs-history contract)
+        docs.foreach { case (id, t) =>
+          history(id) = t; modelWindows(id) = bw(id); histWindows ++= bw(id)
+        }
+      }
+    }
+    assert(history.size >= 25 && histWindows.size >= 100,
+      s"window drive too small: ${history.size} docs, ${histWindows.size} windows")
+  }
 }
