@@ -64,6 +64,8 @@ MOVERS_R10 += NEW_R10
 # already pinned in NEW_R10)
 MOVERS_R11 = ["d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
               "d6_dedup_groups"]
+# round-11 newborn: isolated baseline at birth (the NEW_R9/R10 convention)
+MOVERS_R11 += ["pl11_gopher_rules"]
 # dedup while preserving order: a query listed in two groups (e.g. a
 # NEW_R9 query that becomes a mover next round) must run once, not
 # silently twice with the second run overwriting the first
