@@ -60,12 +60,16 @@ import graft.functions.DedupEnrich
 final class DedupIndex(val spark: SparkSession, val path: String,
     capacity: Long = 1000000L, windowCapacity: Long = 0L) {
 
+  // the manifest is read ONCE per ingest and the parsed map threaded
+  // through every helper — it cannot change mid-call (single writer),
+  // and re-loading the properties file per derived value would put a
+  // dozen driver file reads on the streaming hot path
   private def manifest: Option[Map[String, String]] = ManifestIO.read(path)
 
   /** Slot count: the manifest's persisted value for an existing store,
     * the capacity-derived default only at creation. */
-  private def slots: Long =
-    manifest.flatMap(_.get("m")).map(_.toLong)
+  private def slotsOf(man: Option[Map[String, String]]): Long =
+    man.flatMap(_.get("m")).map(_.toLong)
       .getOrElse(math.max(16L * capacity, 1L))
 
   /** OPT-IN window-dedup leg (the maintained form of the d9 / Lee
@@ -82,43 +86,45 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     * an unwindowed store with a windowCapacity does NOT enable it
     * (history was never folded — mid-life enablement would
     * under-report sharing against everything before the flip). */
-  private def windowSlots: Option[Long] = manifest match {
-    case Some(man) => man.get("mw").map(_.toLong)
-    case None =>
-      if (windowCapacity > 0) Some(math.max(16L * windowCapacity, 1L))
-      else None
-  }
+  private def windowSlotsOf(man: Option[Map[String, String]]): Option[Long] =
+    man match {
+      case Some(m) => m.get("mw").map(_.toLong)
+      case None =>
+        if (windowCapacity > 0) Some(math.max(16L * windowCapacity, 1L))
+        else None
+    }
 
-  private def liveSegs: Seq[String] =
-    manifest.flatMap(_.get("segs")).toSeq
+  private def liveSegsOf(man: Option[Map[String, String]]): Seq[String] =
+    man.flatMap(_.get("segs")).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty)
 
   /** Bloom state encoding: the manifest's persisted version for an
     * existing store (a v1 store keeps position-rows for life), v2
     * packed words for new stores. */
-  private def version: Int =
-    manifest.flatMap(_.get("version")).map(_.toInt).getOrElse(2)
+  private def versionOf(man: Option[Map[String, String]]): Int =
+    man.flatMap(_.get("version")).map(_.toInt).getOrElse(2)
 
   /** The SHARED enrichment path ([[DedupEnrich]]) — the same builders
     * the d8/d10 batch queries and the streaming candidate generator
     * use, so index keys, query keys, and stream keys can never drift
     * apart (DedupSurfacesSpec pins the equality). */
-  private def enrich(batch: DataFrame, m: Long): DataFrame = {
+  private def enrich(batch: DataFrame, m: Long,
+      windowed: Boolean): DataFrame = {
     val base = DedupEnrich.withBandKeys(
       DedupEnrich.withFpAndShingles(
         batch.select(col("doc_id"), col("text")), "text"), "sh")
-    val withWs = windowSlots match {
-      case Some(_) => DedupEnrich.withWindowHashes(base, "text", "ws")
-      case None => base
-    }
+    val withWs =
+      if (windowed) DedupEnrich.withWindowHashes(base, "text", "ws")
+      else base
     withWs.select(Seq(col("doc_id"),
       array_distinct(DedupEnrich.bloomPositions(col("fp"), lit(m)))
         .as("positions"),
-      col("bands")) ++ windowSlots.map(_ => col("ws")).toSeq: _*)
+      col("bands")) ++ (if (windowed) Seq(col("ws")) else Nil): _*)
   }
 
-  private def readSub(sub: String): Option[DataFrame] = {
-    val dirs = liveSegs.map(s => s"$path/$s/$sub")
+  private def readSub(segs: Seq[String], sub: String,
+      hconf: org.apache.hadoop.conf.Configuration): Option[DataFrame] = {
+    val dirs = segs.map(s => s"$path/$s/$sub")
     // a manifest-referenced dir that is MISSING is corruption — fail
     // loudly rather than silently probing against partial history (a
     // quiet skip here would admit duplicates while looking healthy).
@@ -127,7 +133,6 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // so the check stays truthful when the store lives on HDFS/S3,
     // where a driver-local java.nio probe would declare every dir
     // missing (see ManifestIO's deployment note for the manifest leg).
-    val hconf = spark.sessionState.newHadoopConf()
     dirs.find { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(hconf)
@@ -137,9 +142,10 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 
-  private def bloomState: DataFrame =
-    readSub("bloom").getOrElse(
-      if (version == 1) spark.range(0).select(col("id").as("pos"))
+  private def bloomState(segs: Seq[String], ver: Int,
+      hconf: org.apache.hadoop.conf.Configuration): DataFrame =
+    readSub(segs, "bloom", hconf).getOrElse(
+      if (ver == 1) spark.range(0).select(col("id").as("pos"))
       else spark.range(0).select(col("id").as("word_idx"), col("id").as("bits")))
 
   /** Distinct position rows → packed (word_idx, bits) words: 64 slots
@@ -153,15 +159,17 @@ final class DedupIndex(val spark: SparkSession, val path: String,
         expr("shiftleft(1L, cast((pos & 63) as int))").as("mask"))
       .groupBy("word_idx").agg(expr("bit_or(mask)").as("bits"))
 
-  private def bandState: DataFrame =
-    readSub("bands").getOrElse(
+  private def bandState(segs: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration): DataFrame =
+    readSub(segs, "bands", hconf).getOrElse(
       spark.range(0).select(col("id").cast("string").as("bk"),
         col("id").as("prior_id")))
 
   /** Window-hash Bloom state (packed words; only read on
     * window-enabled stores, which are v2 by construction). */
-  private def wbloomState: DataFrame =
-    readSub("wbloom").getOrElse(
+  private def wbloomState(segs: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration): DataFrame =
+    readSub(segs, "wbloom", hconf).getOrElse(
       spark.range(0).select(col("id").as("word_idx"), col("id").as("bits")))
 
   /** Probe `batch` (`doc_id` long, `text` string) against the
@@ -211,7 +219,12 @@ final class DedupIndex(val spark: SparkSession, val path: String,
         val vseg = man.flatMap(_.get("verdict_seg")).getOrElse(
           throw new IllegalStateException(
             s"dedup index at $path: batch $id committed without a verdict dir"))
+        // pinned eagerly like the live path's result: the caller may
+        // hold this frame across a LATER ingest whose compaction gc's
+        // the generation dir the verdict parquet lives in — a lazy
+        // read would then fail mid-consumption
         return spark.read.parquet(s"$path/$vseg/verdict").orderBy("doc_id")
+          .localCheckpoint()
       case (Some(id), Some(lb)) if id < lb =>
         throw new IllegalStateException(
           s"dedup index at $path: batch $id replayed after $lb was committed — " +
@@ -219,9 +232,15 @@ final class DedupIndex(val spark: SparkSession, val path: String,
             "rewound checkpoint)")
       case _ => ()
     }
-    val m = slots
+    val m = slotsOf(man)
+    val ver = versionOf(man)
+    val mwOpt = windowSlotsOf(man)
+    val segs0 = liveSegsOf(man)
+    val hconf = spark.sessionState.newHadoopConf()
+    val bloomSt = bloomState(segs0, ver, hconf)
+    val bandSt = bandState(segs0, hconf)
     val gen = man.flatMap(_.get("gen")).map(_.toLong).getOrElse(0L) + 1
-    val enriched = enrich(batch, m).cache()
+    val enriched = enrich(batch, m, mwOpt.isDefined).cache()
 
     // probe: Bloom membership = every one of the doc's distinct
     // positions present in the state. v2 probes the packed words: an
@@ -232,18 +251,18 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     val posExploded = enriched
       .select(col("doc_id"), explode(col("positions")).as("pos"))
     val posMatches =
-      (if (version == 1)
-        posExploded.join(bloomState, Seq("pos"), "left_semi")
+      (if (ver == 1)
+        posExploded.join(bloomSt, Seq("pos"), "left_semi")
       else
         posExploded
           .withColumn("word_idx", shiftright(col("pos"), 6))
-          .join(bloomState, Seq("word_idx"))
+          .join(bloomSt, Seq("word_idx"))
           .filter(expr("(shiftright(bits, cast((pos & 63) as int)) & 1) = 1"))
           .select("doc_id", "pos").distinct())
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     val bandMatches = enriched
       .select(col("doc_id"), explode(col("bands")).as("bk"))
-      .join(bandState, Seq("bk"))
+      .join(bandSt, Seq("bk"))
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("prior_id"))).as("near_candidate_ids"))
     // window leg (opt-in): a window counts as seen iff ALL its k slot
@@ -251,13 +270,14 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // state word attests it (overlapping segments may carry the same
     // word) — hence the exists-then-forall aggregate ladder, which
     // shuffles only (id, 16-byte hash, position) triples
-    val windowProbe: Option[DataFrame] = windowSlots.map { mw =>
+    val wbloomSt = mwOpt.map(_ => wbloomState(segs0, hconf))
+    val windowProbe: Option[DataFrame] = mwOpt.map { mw =>
       enriched.select(col("doc_id"), explode(col("ws")).as("wh"))
         .select(col("doc_id"), col("wh"),
           explode(array_distinct(
             DedupEnrich.bloomPositions(col("wh"), lit(mw)))).as("pos"))
         .withColumn("word_idx", shiftright(col("pos"), 6))
-        .join(wbloomState, Seq("word_idx"), "left")
+        .join(wbloomSt.get, Seq("word_idx"), "left")
         .withColumn("hit",
           coalesce(expr("(shiftright(bits, cast((pos & 63) as int)) & 1) = 1"),
             lit(false)))
@@ -275,7 +295,7 @@ final class DedupIndex(val spark: SparkSession, val path: String,
           .cast("int").as("maybe_dup"),
         coalesce(col("near_candidate_ids"),
           array().cast("array<long>")).as("near_candidate_ids"))
-        ++ windowSlots.map(_ =>
+        ++ mwOpt.map(_ =>
           when(size(col("ws")) > 0,
             round(coalesce(col("n_shared_windows"), lit(0L)).cast("double")
               / size(col("ws")), 6))
@@ -287,36 +307,36 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // by one manifest rename; compact everything into that dir when
     // the segment count is over budget
     val newSeg = s"g$gen"
-    val overBudget = liveSegs.length + 1 > Mnemo.MaxSegments
+    val overBudget = segs0.length + 1 > Mnemo.MaxSegments
     val batchPos = enriched.select(explode(col("positions")).as("pos"))
     val bloomOut =
-      if (version == 1) {
-        if (overBudget) bloomState.unionByName(batchPos).distinct()
+      if (ver == 1) {
+        if (overBudget) bloomSt.unionByName(batchPos).distinct()
         else batchPos.distinct()
       } else {
         // packed: the batch's words; on compaction every segment's
         // words OR-merge with them (bit_or is the set union)
         val words = packWords(batchPos)
         if (overBudget)
-          bloomState.unionByName(words)
+          bloomSt.unionByName(words)
             .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
         else words
       }
     val bandOut =
       if (overBudget)
-        bandState.unionByName(
+        bandSt.unionByName(
           enriched.select(explode(col("bands")).as("bk"),
             col("doc_id").as("prior_id")))
       else
         enriched.select(explode(col("bands")).as("bk"),
           col("doc_id").as("prior_id"))
-    val wbloomOut: Option[DataFrame] = windowSlots.map { mw =>
+    val wbloomOut: Option[DataFrame] = mwOpt.map { mw =>
       val words = packWords(enriched
         .select(explode(col("ws")).as("wh"))
         .select(explode(array_distinct(
           DedupEnrich.bloomPositions(col("wh"), lit(mw)))).as("pos")))
       if (overBudget)
-        wbloomState.unionByName(words)
+        wbloomSt.get.unionByName(words)
           .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
       else words
     }
@@ -329,11 +349,11 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // batch committed" and "what it was told" are one atomic fact
     batchId.foreach(_ => result.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/$newSeg/verdict"))
-    val segs = if (overBudget) Seq(newSeg) else liveSegs :+ newSeg
+    val segs = if (overBudget) Seq(newSeg) else segs0 :+ newSeg
     ManifestIO.write(path, Map(
-      "version" -> version.toString, "m" -> m.toString,
+      "version" -> ver.toString, "m" -> m.toString,
       "gen" -> gen.toString, "segs" -> segs.mkString(","))
-      ++ windowSlots.map(mw => Map("mw" -> mw.toString)).getOrElse(Map.empty)
+      ++ mwOpt.map(mw => Map("mw" -> mw.toString)).getOrElse(Map.empty)
       ++ batchId.map(id => Map(
         "batch" -> id.toString, "verdict_seg" -> newSeg)).getOrElse(Map.empty))
     // sweep superseded generations and any crashed writer's orphans

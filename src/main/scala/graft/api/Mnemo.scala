@@ -905,7 +905,8 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     *  - importance deviating > 0.4 from the agent's store average: +0.3
     *  - content length outside [0.1×, 5×] the agent's average:     +0.3
     *  - a write < 1 s after the agent's previous one, once the
-    *    agent holds > 10 memories (burst):                         +0.4
+    *    agent holds > 10 memories — counting rows earlier in THIS
+    *    batch, as the reference's per-row profile growth would:    +0.4
     *  - the shared x9 injection-marker set in the content:         +0.5
     *  - those markers in a row that arrived through an INDIRECT
     *    ingest vector ([[Mnemo.IndirectSourceTags]]) — the MINJA
@@ -994,7 +995,12 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       (col("prof_n").isNotNull && col("prof_len") > 0 &&
         !(length(col("content")) / col("prof_len")).between(0.1, 5.0),
         "content_length_outlier", 0.3),
-      (col("prof_n") > 10 &&
+      // the >10-memories gate counts the agent's rows as the batch
+      // lands (store count + rows already ahead of this one in the
+      // batch), mirroring the reference's per-row profile growth — a
+      // FRESH agent flooding 100 sub-second rows in one micro-batch
+      // must start flagging at row 12, not never
+      (coalesce(col("prof_n"), lit(0L)) + col("_batch_rn") - 1 > 10 &&
         unix_micros(col("created_at")) - unix_micros(col("prev_ts")) < 1000000L,
         "write_burst", 0.4),
       (markers, "injection_markers", 0.5),
@@ -1005,6 +1011,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     val scored = reqs.join(broadcast(prof), Seq("agent_id"), "left")
       .withColumn("prev_ts",
         coalesce(lag(col("created_at"), 1).over(w), col("prof_last")))
+      .withColumn("_batch_rn", row_number().over(w))
       .withColumn("anomaly_reasons",
         filter(array(legs.map { case (c, name, _) =>
           when(coalesce(c, lit(false)), lit(name)) }: _*), r => r.isNotNull))

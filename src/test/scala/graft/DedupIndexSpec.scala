@@ -200,7 +200,8 @@ class DedupIndexSpec extends SparkSpec {
     val r = reopened.ingest(docs(2L -> base))
     assert(!r.columns.contains("shared_window_frac"),
       "an unwindowed store must not grow the column mid-life")
-    assert(!ManifestIO.read(dir).contains("mw"))
+    assert(!ManifestIO.read(dir).get.contains("mw"),
+      "the manifest of an unwindowed store must never grow an mw key")
   }
 
   test("a v1 (position-row) store re-opens, routes v1 forever, and still detects its history") {
@@ -260,6 +261,24 @@ class DedupIndexSpec extends SparkSpec {
       4L -> "fresh unrelated content about glaciers"), batchId = 2L))
     assert(next.head._2 == 1 && next.head._3 == List(3L),
       s"post-replay history must be exactly-once: $next")
+  }
+
+  test("a HELD replay frame survives a later compaction (pinned, not lazy)") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000)
+    idx.ingest(docs(1L -> base), batchId = 0L).collect()
+    val original = verdicts(idx.ingest(docs(2L -> base), batchId = 1L))
+    // the caller HOLDS the replay frame without consuming it...
+    val held = idx.ingest(docs(2L -> base), batchId = 1L)
+    // ...while the driver keeps ingesting until compaction folds all
+    // generations into one and gc deletes the dir holding the replayed
+    // verdict parquet — a lazy frame would now FileNotFound
+    (2 to Mnemo.MaxSegments + 3).foreach { i =>
+      idx.ingest(docs((100 + i).toLong -> s"filler doc number $i entirely new"),
+        batchId = i.toLong).collect()
+    }
+    assert(verdicts(held) == original,
+      "the held replay frame must stay consumable across later compactions")
   }
 
   test("a batchId older than the last committed one throws (outside the replay window)") {

@@ -542,6 +542,23 @@ class MnemoApiSpec extends SparkSpec {
       "pipeline append broke the audit chain")
   }
 
+  test("ingestPipeline burst leg counts intra-batch growth: a FRESH agent's flood flags from row 12") {
+    val store = freshStore()
+    // brand-new agent, no profile at all: 13 rows 0.5 s apart in ONE
+    // micro-batch — the classic poisoning flood. The >10-memories gate
+    // must count rows earlier in the batch (store 0 + row_number - 1),
+    // so rows 12 and 13 burst-flag; rows 1-11 do not.
+    val r = store.ingestPipeline((1 to 13).map(i =>
+      RememberRequest(f"e$i%02d", "eve", "t1", s"eve flood note number $i",
+        createdAt = new java.sql.Timestamp(
+          ts("2024-03-01 10:00:00").getTime + i * 500L))))
+    val bursts = r.verdicts.collect()
+      .filter(_.getSeq[String](3).contains("write_burst"))
+      .map(_.getString(0)).toSet
+    assert(bursts == Set("e12", "e13"),
+      s"fresh-agent flood must flag exactly rows 12+: $bursts")
+  }
+
   test("ingestPipeline replay is exactly-once on BOTH stores (foreachBatch at-least-once)") {
     val store = freshStore()
     val idx = new graft.api.DedupIndex(spark,
