@@ -30,7 +30,10 @@ import graft.functions.DedupEnrich
   *    v2 words decode to exactly the model's position set;
   *  - `bands`: parquet of (`bk` string, `prior_id` long) — the
   *    MinHash band keys (8 hashes, 4 bands of 2 — the d3/d10
-  *    Carter-Wegman family) of every historical document.
+  *    Carter-Wegman family) of every historical document;
+  *  - `bcnt` (guarded stores): per-band prior-doc counts, the
+  *    hot-band degradation guard's state (see [[hotOf]]) — O(batch)
+  *    delta per ingest, sum-merged on compaction.
   * The manifest (`segs=g1,g2,…`, `m=<slots>`, `gen=`, `version=`,
   * plus `batch=`/`verdict_seg=` replay bookkeeping when driven through
   * the batchId overload) publishes which dirs are live; a crash
@@ -58,7 +61,8 @@ import graft.functions.DedupEnrich
   * back to one once they exceed [[Mnemo.MaxSegments]] (the same
   * LSM-ish bound as the memory store's buckets). */
 final class DedupIndex(val spark: SparkSession, val path: String,
-    capacity: Long = 1000000L, windowCapacity: Long = 0L) {
+    capacity: Long = 1000000L, windowCapacity: Long = 0L,
+    hotBandThreshold: Long = DedupIndex.DefaultHotBandThreshold) {
 
   // the manifest is read ONCE per ingest and the parsed map threaded
   // through every helper — it cannot change mid-call (single writer),
@@ -98,6 +102,33 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     man.flatMap(_.get("segs")).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty)
 
+  /** HOT-BAND degradation guard (the one adversarial scale-killer in
+    * the LSH family): a band key matched by unboundedly many prior
+    * docs — templated/boilerplate corpora produce them routinely; LSH
+    * theory assumes selective bands, production corpora violate it —
+    * would make the band equi-join emit an unbounded candidate row
+    * explosion and an unbounded per-doc `near_candidate_ids` array.
+    * Guarded stores maintain per-band prior counts as segment state
+    * (`bcnt`, O(batch) delta per ingest, sum-merged on compaction);
+    * at probe time a band whose accumulated count has reached the
+    * threshold emits NO candidates and instead sets the doc's
+    * `band_saturated = 1` flag. Over-approximation discipline:
+    * saturation can only WIDEN the downstream exact-verify (a
+    * flagged doc must be verified against the corpus, not just its
+    * candidate list), never hide a duplicate — and the Bloom
+    * `maybe_dup` leg is unaffected, so exact re-posts keep flagging.
+    * The threshold is persisted at creation (`hot=`, like `m`) so
+    * every open routes identically; `hotBandThreshold <= 0` at
+    * creation opts the store out for life. Stores created before the
+    * guard carry no counts state and stay unguarded for life (same
+    * policy as v1 Bloom encoding: retrofitting means a rebuild). */
+  private def hotOf(man: Option[Map[String, String]]): Option[Long] =
+    man match {
+      case Some(m) => m.get("hot").map(_.toLong)
+      case None =>
+        if (hotBandThreshold > 0) Some(hotBandThreshold) else None
+    }
+
   /** Bloom state encoding: the manifest's persisted version for an
     * existing store (a v1 store keeps position-rows for life), v2
     * packed words for new stores. */
@@ -110,12 +141,15 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     * apart (DedupSurfacesSpec pins the equality). */
   private def enrich(batch: DataFrame, m: Long,
       windowed: Boolean): DataFrame = {
-    val base = DedupEnrich.withBandKeys(
-      DedupEnrich.withFpAndShingles(
-        batch.select(col("doc_id"), col("text")), "text"), "sh")
-    val withWs =
-      if (windowed) DedupEnrich.withWindowHashes(base, "text", "ws")
-      else base
+    // ONE token binding feeds fp, shingles, AND (when enabled) window
+    // hashes — tokenizing is the per-doc linear pass every key shares,
+    // and this runs on the streaming ingest hot path
+    val keyed =
+      if (windowed) DedupEnrich.withFpShinglesWindows(
+        batch.select(col("doc_id"), col("text")), "text")
+      else DedupEnrich.withFpAndShingles(
+        batch.select(col("doc_id"), col("text")), "text")
+    val withWs = DedupEnrich.withBandKeys(keyed, "sh")
     withWs.select(Seq(col("doc_id"),
       array_distinct(DedupEnrich.bloomPositions(col("fp"), lit(m)))
         .as("positions"),
@@ -123,7 +157,8 @@ final class DedupIndex(val spark: SparkSession, val path: String,
   }
 
   private def readSub(segs: Seq[String], sub: String,
-      hconf: org.apache.hadoop.conf.Configuration): Option[DataFrame] = {
+      hconf: org.apache.hadoop.conf.Configuration,
+      schema: Option[String] = None): Option[DataFrame] = {
     val dirs = segs.map(s => s"$path/$s/$sub")
     // a manifest-referenced dir that is MISSING is corruption — fail
     // loudly rather than silently probing against partial history (a
@@ -139,14 +174,24 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       !(fs.exists(p) && fs.getFileStatus(p).isDirectory)
     }.foreach(d => throw new IllegalStateException(
       s"dedup index at $path: manifest references missing segment dir $d"))
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    else {
+      // explicit schema where the sub's shape is fixed: an all-empty
+      // segment set (a store whose only commits were empty batches)
+      // has no footers to infer from, and inference there would fail a
+      // read that is semantically just "the empty state"
+      val rd = schema.fold(spark.read)(s => spark.read.schema(s))
+      Some(rd.parquet(dirs: _*))
+    }
   }
 
   private def bloomState(segs: Seq[String], ver: Int,
       hconf: org.apache.hadoop.conf.Configuration): DataFrame =
-    readSub(segs, "bloom", hconf).getOrElse(
-      if (ver == 1) spark.range(0).select(col("id").as("pos"))
-      else spark.range(0).select(col("id").as("word_idx"), col("id").as("bits")))
+    readSub(segs, "bloom", hconf,
+      Some(if (ver == 1) "pos BIGINT" else "word_idx BIGINT, bits BIGINT"))
+      .getOrElse(
+        if (ver == 1) spark.range(0).select(col("id").as("pos"))
+        else spark.range(0).select(col("id").as("word_idx"), col("id").as("bits")))
 
   /** Distinct position rows → packed (word_idx, bits) words: 64 slots
     * per long, word-wise OR. The bit index is `pos & 63`, the word
@@ -161,16 +206,27 @@ final class DedupIndex(val spark: SparkSession, val path: String,
 
   private def bandState(segs: Seq[String],
       hconf: org.apache.hadoop.conf.Configuration): DataFrame =
-    readSub(segs, "bands", hconf).getOrElse(
-      spark.range(0).select(col("id").cast("string").as("bk"),
+    readSub(segs, "bands", hconf, Some("bk STRING, prior_id BIGINT"))
+      .getOrElse(spark.range(0).select(col("id").cast("string").as("bk"),
         col("id").as("prior_id")))
 
   /** Window-hash Bloom state (packed words; only read on
     * window-enabled stores, which are v2 by construction). */
   private def wbloomState(segs: Seq[String],
       hconf: org.apache.hadoop.conf.Configuration): DataFrame =
-    readSub(segs, "wbloom", hconf).getOrElse(
-      spark.range(0).select(col("id").as("word_idx"), col("id").as("bits")))
+    readSub(segs, "wbloom", hconf, Some("word_idx BIGINT, bits BIGINT"))
+      .getOrElse(
+        spark.range(0).select(col("id").as("word_idx"), col("id").as("bits")))
+
+  /** Per-band prior-doc counts (hot-guard state; only on guarded
+    * stores). One row per (segment, band key) — totals are sums over
+    * the live segments, and only ever for the BATCH's keys (the probe
+    * joins the bounded batch key set in before aggregating). */
+  private def bandCountState(segs: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration): DataFrame =
+    readSub(segs, "bcnt", hconf, Some("bk STRING, cnt BIGINT"))
+      .getOrElse(spark.range(0).select(col("id").cast("string").as("bk"),
+        col("id").as("cnt")))
 
   /** Probe `batch` (`doc_id` long, `text` string) against the
     * accumulated history, then commit the batch INTO the history —
@@ -235,6 +291,7 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     val m = slotsOf(man)
     val ver = versionOf(man)
     val mwOpt = windowSlotsOf(man)
+    val hotOpt = hotOf(man)
     val segs0 = liveSegsOf(man)
     val hconf = spark.sessionState.newHadoopConf()
     val bloomSt = bloomState(segs0, ver, hconf)
@@ -260,11 +317,32 @@ final class DedupIndex(val spark: SparkSession, val path: String,
           .filter(expr("(shiftright(bits, cast((pos & 63) as int)) & 1) = 1"))
           .select("doc_id", "pos").distinct())
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    val bandMatches = enriched
+    // hot-band guard: resolve the batch's SATURATED band keys before
+    // the band equi-join ever runs — the counts state is joined against
+    // the (bounded, broadcast) batch key set and aggregated to per-key
+    // prior totals, so the guard itself shuffles O(batch keys), and the
+    // candidate join below only ever sees keys under the threshold.
+    // Filtering AFTER the join would materialize the very explosion
+    // the guard exists to prevent.
+    val batchBands = enriched
       .select(col("doc_id"), explode(col("bands")).as("bk"))
+    val hotKeys: Option[DataFrame] = hotOpt.map { hot =>
+      bandCountState(segs0, hconf)
+        .join(broadcast(batchBands.select("bk").distinct()), Seq("bk"))
+        .groupBy("bk").agg(sum(col("cnt")).as("prior_n"))
+        .filter(col("prior_n") >= hot)
+        .select("bk")
+        .localCheckpoint() // bounded by the batch's key count; consumed twice
+    }
+    val probeBands = hotKeys.fold(batchBands)(hk =>
+      batchBands.join(broadcast(hk), Seq("bk"), "left_anti"))
+    val bandMatches = probeBands
       .join(bandSt, Seq("bk"))
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("prior_id"))).as("near_candidate_ids"))
+    val satDocs: Option[DataFrame] = hotKeys.map(hk =>
+      batchBands.join(broadcast(hk), Seq("bk"), "left_semi")
+        .select("doc_id").distinct().withColumn("_sat", lit(1)))
     // window leg (opt-in): a window counts as seen iff ALL its k slot
     // positions are set in the window Bloom; a position is set iff ANY
     // state word attests it (overlapping segments may carry the same
@@ -285,10 +363,26 @@ final class DedupIndex(val spark: SparkSession, val path: String,
         .groupBy("doc_id", "wh").agg(min(col("p")).as("w"))
         .groupBy("doc_id").agg(sum(col("w")).as("n_shared_windows"))
     }
+    // window-Bloom load DISCLOSURE: the fraction of set bits in the
+    // Bloom this batch's fracs were probed against (history, pre-fold).
+    // An over-capacity window store inflates `shared_window_frac` —
+    // documented as the safe direction (reads high, never low), but a
+    // consumer acting on the frac needs to KNOW it is degraded; at
+    // fill f the per-window FP is ~f^k. One bit_count aggregate over
+    // the packed words (word-wise OR first: overlapping segments may
+    // attest the same word), O(state words), dwarfed by the probe join
+    // that scans the same rows.
+    val wbloomFill: Option[Double] = mwOpt.map { mw =>
+      val r = wbloomSt.get
+        .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+        .agg(sum(expr("bit_count(bits)"))).collect()(0)
+      if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble / mw
+    }
     val joined0 = enriched
       .join(posMatches, Seq("doc_id"), "left")
       .join(bandMatches, Seq("doc_id"), "left")
-    val joined = windowProbe.fold(joined0)(joined0.join(_, Seq("doc_id"), "left"))
+    val joined1 = windowProbe.fold(joined0)(joined0.join(_, Seq("doc_id"), "left"))
+    val joined = satDocs.fold(joined1)(joined1.join(_, Seq("doc_id"), "left"))
     val result = joined
       .select(Seq(col("doc_id"),
         (coalesce(col("n_hit"), lit(0L)) === size(col("positions")))
@@ -299,7 +393,12 @@ final class DedupIndex(val spark: SparkSession, val path: String,
           when(size(col("ws")) > 0,
             round(coalesce(col("n_shared_windows"), lit(0L)).cast("double")
               / size(col("ws")), 6))
-            .otherwise(lit(0.0)).as("shared_window_frac")).toSeq: _*)
+            .otherwise(lit(0.0)).as("shared_window_frac")).toSeq
+        ++ hotOpt.map(_ =>
+          coalesce(col("_sat"), lit(0)).as("band_saturated")).toSeq
+        ++ wbloomFill.map(f =>
+          lit(BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble).as("wbloom_fill")).toSeq: _*)
       .orderBy("doc_id")
       .localCheckpoint()
 
@@ -330,6 +429,17 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       else
         enriched.select(explode(col("bands")).as("bk"),
           col("doc_id").as("prior_id"))
+    // hot-guard counts fold with the bands they count — saturated keys
+    // keep counting too (state stays COMPLETE; the guard is probe-side
+    // only, and a count that stopped growing would let a band flap
+    // back under the threshold)
+    val bcntOut: Option[DataFrame] = hotOpt.map { _ =>
+      val fresh = batchBands.groupBy("bk").agg(count(lit(1)).as("cnt"))
+      if (overBudget)
+        bandCountState(segs0, hconf).unionByName(fresh)
+          .groupBy("bk").agg(sum(col("cnt")).as("cnt"))
+      else fresh
+    }
     val wbloomOut: Option[DataFrame] = mwOpt.map { mw =>
       val words = packWords(enriched
         .select(explode(col("ws")).as("wh"))
@@ -342,6 +452,8 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     }
     bloomOut.write.mode(SaveMode.Overwrite).parquet(s"$path/$newSeg/bloom")
     bandOut.write.mode(SaveMode.Overwrite).parquet(s"$path/$newSeg/bands")
+    bcntOut.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/$newSeg/bcnt"))
     wbloomOut.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/$newSeg/wbloom"))
     // replay bookkeeping: the verdict frame persists INSIDE the new
@@ -354,6 +466,7 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       "version" -> ver.toString, "m" -> m.toString,
       "gen" -> gen.toString, "segs" -> segs.mkString(","))
       ++ mwOpt.map(mw => Map("mw" -> mw.toString)).getOrElse(Map.empty)
+      ++ hotOpt.map(h => Map("hot" -> h.toString)).getOrElse(Map.empty)
       ++ batchId.map(id => Map(
         "batch" -> id.toString, "verdict_seg" -> newSeg)).getOrElse(Map.empty))
     // sweep superseded generations and any crashed writer's orphans
@@ -361,4 +474,85 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     enriched.unpersist()
     result
   }
+
+  /** Operator-facing health view of the maintained state: manifest
+    * facts (driver-side reads) plus O(state) fill/count aggregates —
+    * the view every maintained store eventually needs when someone
+    * asks "is this index still healthy at its current size". Bloom
+    * fills are exact set-bit fractions (per-probe FP ≈ fill^k), band
+    * counts come from the hot-guard counts state (None on unguarded
+    * stores — computing them there would be a full distinct over the
+    * bands table, which is exactly the scan the guard exists to
+    * avoid). A never-committed store reports its creation-time
+    * sizing with zero fill. */
+  def describe(): DedupIndex.Health = {
+    val man = manifest
+    val ver = versionOf(man)
+    val m = slotsOf(man)
+    val mwOpt = windowSlotsOf(man)
+    val hotOpt = hotOf(man)
+    val segs = liveSegsOf(man)
+    val hconf = spark.sessionState.newHadoopConf()
+    def packedFill(df: DataFrame, slots: Long): Double = {
+      val r = df.groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+        .agg(sum(expr("bit_count(bits)"))).collect()(0)
+      if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble / slots
+    }
+    val bloomFill =
+      if (segs.isEmpty) 0.0
+      else if (ver == 1)
+        bloomState(segs, ver, hconf).distinct().count().toDouble / m
+      else packedFill(bloomState(segs, ver, hconf), m)
+    val windowFill = mwOpt.map { mw =>
+      if (segs.isEmpty) 0.0 else packedFill(wbloomState(segs, hconf), mw)
+    }
+    val (bandKeys, hotBands) = hotOpt match {
+      case Some(hot) if segs.nonEmpty =>
+        val totals = bandCountState(segs, hconf)
+          .groupBy("bk").agg(sum(col("cnt")).as("n"))
+          .agg(count(lit(1)).as("keys"),
+            sum((col("n") >= hot).cast("long")).as("hot")).collect()(0)
+        (Some(if (totals.isNullAt(0)) 0L else totals.getLong(0)),
+          Some(if (totals.isNullAt(1)) 0L else totals.getLong(1)))
+      case Some(_) => (Some(0L), Some(0L))
+      case None => (None, None)
+    }
+    DedupIndex.Health(
+      version = ver,
+      generation = man.flatMap(_.get("gen")).map(_.toLong).getOrElse(0L),
+      segments = segs.length,
+      bloomSlots = m,
+      bloomFill = bloomFill,
+      windowSlots = mwOpt,
+      windowFill = windowFill,
+      hotBandThreshold = hotOpt,
+      bandKeys = bandKeys,
+      hotBands = hotBands,
+      lastBatchId = man.flatMap(_.get("batch")).map(_.toLong))
+  }
+}
+
+object DedupIndex {
+
+  /** Default hot-band saturation threshold: the largest per-band
+    * candidate set the probe will enumerate before flagging instead.
+    * 10k prior ids is an 80 KB `near_candidate_ids` array — already
+    * past the point where enumerating candidates beats sending the
+    * doc straight to the downstream exact verify, and far past any
+    * selectivity a HEALTHY LSH band exhibits (a band this hot is
+    * boilerplate, not similarity signal). */
+  val DefaultHotBandThreshold: Long = 10000L
+
+  /** [[DedupIndex.describe]]'s report. Fill fractions are exact
+    * set-bit ratios of the packed Blooms (per-probe FP ≈ fill^k at
+    * k = [[graft.functions.DedupEnrich.BloomK]]); `hotBands` counts
+    * band keys at/over the persisted threshold — a growing number on
+    * a templated corpus is the guard working, not failing. */
+  case class Health(
+      version: Int, generation: Long, segments: Int,
+      bloomSlots: Long, bloomFill: Double,
+      windowSlots: Option[Long], windowFill: Option[Double],
+      hotBandThreshold: Option[Long],
+      bandKeys: Option[Long], hotBands: Option[Long],
+      lastBatchId: Option[Long])
 }

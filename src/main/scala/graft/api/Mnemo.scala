@@ -680,7 +680,8 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   private def commitWrite(m: StoreManifest, replaceBuckets: Set[Int],
       replaced: Option[DataFrame], appended: Option[DataFrame],
       replacedAddsTags: Boolean = false,
-      bookkeeping: Option[(Long, DataFrame)] = None): Unit = {
+      bookkeeping: Option[(Long, DataFrame)] = None,
+      clearBookkeeping: Boolean = false): Unit = {
     val gen = m.gen + 1
     // Rows land sorted by (agent_id, id) WITHIN each bucket file: the
     // store's dominant access key is agent_id (every reference storage
@@ -759,10 +760,23 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         case subs => subs.flatMap { sub =>
           spark.read.parquet(s"$path/g$gen/$sub")
             .groupBy(col("bucket"))
+            // coalesce INSIDE the aggregates: `scope.isin` of a NULL
+            // scope is null, and max over an all-null bucket returns
+            // null — recallVisible tolerates null scopes at read time
+            // (it must, :1405), so the stats job cannot be the place
+            // that crashes the whole commit on one
             .agg(min(col("agent_id")).as("mn"), max(col("agent_id")).as("mx"),
-              max(col("scope").isin("public", "global").cast("int")).as("pub"))
-            .collect().map(r => s"g$gen/$sub/bucket=${r.get(0)}" ->
-              SegStats(r.getString(1), r.getString(2), r.getInt(3) == 1))
+              max(coalesce(col("scope").isin("public", "global"), lit(false))
+                .cast("int")).as("pub"))
+            .collect().flatMap { r =>
+              // an all-null agent_id bucket has no usable range: record
+              // NO stat (the segment is always read — the same
+              // over-approximation discipline as a pre-range store)
+              // rather than crash on getString
+              if (r.isNullAt(1) || r.isNullAt(2)) None
+              else Some(s"g$gen/$sub/bucket=${r.get(0)}" ->
+                SegStats(r.getString(1), r.getString(2), r.getInt(3) == 1))
+            }
         }.toMap
       }
     val liveSegSet = buckets.values.flatten.toSet
@@ -780,6 +794,14 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       case Some((bid, verdicts)) =>
         verdicts.write.mode(SaveMode.Overwrite).parquet(s"$path/g$gen/v")
         Map("batch" -> bid.toString, "pverdict" -> s"g$gen/v")
+      // an UNGUARDED pipeline commit drops the keys (the DedupIndex
+      // policy: mixing guarded and unguarded ingest is a contract
+      // violation, and a stale guard left behind would make a later
+      // guarded call that happens to reuse the old batchId silently
+      // serve outdated verdicts and skip its append). Plain
+      // remember/forget commits carry the pair forward verbatim —
+      // "did batch N commit" is unchanged by unrelated writes.
+      case None if clearBookkeeping => m.extra -- Seq("batch", "pverdict")
       case None => m.extra
     }
 
@@ -1055,7 +1077,11 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       col("id"), col("agent_id"), col("thread_id"), col("content"),
       col("memory_type"), col("scope"), col("importance"), col("tags"),
       col("created_at"), col("expires_at"), col("quarantined")),
-      bookkeeping = batchId.map(_ -> verdicts))
+      bookkeeping = batchId.map(_ -> verdicts),
+      // an unguarded pipeline call clears any prior replay bookkeeping
+      // so a stale guard can never serve outdated verdicts (the
+      // DedupIndex policy, see commitWrite)
+      clearBookkeeping = batchId.isEmpty)
 
     Mnemo.reportOf(verdicts)
   }
@@ -1075,10 +1101,11 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * through the driver. Lands as per-bucket append segments — O(new
     * rows) I/O regardless of store size. */
   private def appendEnriched(reqs: DataFrame,
-      bookkeeping: Option[(Long, DataFrame)] = None): Unit = {
+      bookkeeping: Option[(Long, DataFrame)] = None,
+      clearBookkeeping: Boolean = false): Unit = {
     val m = migrateIfLegacy()
     commitWrite(m, Set.empty, None, Some(enrichChain(reqs)),
-      bookkeeping = bookkeeping)
+      bookkeeping = bookkeeping, clearBookkeeping = clearBookkeeping)
     compactOverflow()
   }
 

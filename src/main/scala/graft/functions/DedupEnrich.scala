@@ -124,6 +124,22 @@ object DedupEnrich {
       .withColumn(out, windowHashesFromToks(col("_de_toks")))
       .drop("_de_toks")
 
+  /** Append fingerprint, shingle set, AND window hashes off ONE token
+    * binding — the window-enabled [[graft.api.DedupIndex]] shape.
+    * Tokenizing is the per-doc linear pass every derived key shares;
+    * a window-enabled ingest that composed [[withFpAndShingles]] and
+    * [[withWindowHashes]] separately would run it twice per document
+    * on the streaming hot path. Column-for-column identical to that
+    * composition (DedupSurfacesSpec pins it). */
+  def withFpShinglesWindows(df: DataFrame, textCol: String,
+      fpOut: String = "fp", shOut: String = "sh",
+      wsOut: String = "ws"): DataFrame =
+    df.withColumn("_de_toks", TextOps.tokens(col(textCol)))
+      .withColumn(fpOut, exactFpFromToks(col("_de_toks")))
+      .withColumn(shOut, shingleSetFromToks(col("_de_toks")))
+      .withColumn(wsOut, windowHashesFromToks(col("_de_toks")))
+      .drop("_de_toks")
+
   /** Append the MinHash band-key array (`array<string>`, one md5 key
     * per band) derived from the shingle-set column `shCol`, binding
     * the per-shingle fingerprints and the signature to named columns

@@ -548,7 +548,19 @@ object Dedup extends QueryGroup {
     * discipline). Same doc_id % 5 history/batch split as d8, same
     * J ≥ 0.3 verify as d3. Measured candidate recall vs the
     * brute-force cross-split truth: 4/4 at sf0.01 and 67/67 at
-    * sf0.1 (QueriesSpec pins the floor at Sf). */
+    * sf0.1 (QueriesSpec pins the floor at Sf).
+    *
+    * HOT-BAND caveat (shared with every band equi-join): a band key
+    * matched by unboundedly many history docs — templated/boilerplate
+    * corpora produce them; LSH selectivity is an assumption, not a
+    * guarantee — makes `histIdx ⋈ probe` emit O(hot × batch) pairs.
+    * This REGISTERED query keeps the unguarded formulation because it
+    * is the oracle-checkable model (DuckDB mirrors the full join);
+    * the production surfaces — the maintained [[graft.api.DedupIndex]]
+    * and the streaming candidate generator — apply the saturation
+    * guard (per-band counts → `band_saturated` flag instead of
+    * candidates past the threshold) and are the forms to run at
+    * corpus scale. */
   private val q10 = QueryDef(
     "d10_incremental_lsh",
     (s, dir) => {

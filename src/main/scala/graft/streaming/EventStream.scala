@@ -89,7 +89,15 @@ object EventStream {
   // column, and EventTimeTimeout requires that column to reach the
   // stateful operator (casting it to a long strips the tag)
   case class BandRow(bk: String, doc_id: Long, ts: Timestamp)
-  case class NearDupCandidate(a: Long, b: Long, bk: String)
+  /** A candidate pair — or, with `saturated = true`, a SATURATION
+    * marker: doc `a` arrived at a band already holding `maxBandDocs`
+    * live entries (`b` is -1, no pair enumerated). The downstream
+    * contract is over-approximation: a saturated doc must be routed
+    * to the WIDE exact-verify (against the corpus / the maintained
+    * index), not just its candidate list — saturation can widen the
+    * verify, never hide a duplicate. */
+  case class NearDupCandidate(a: Long, b: Long, bk: String,
+      saturated: Boolean = false)
   // held docs per band: (doc_id, event-time ms), newest first
   case class BandState(docs: List[(Long, Long)])
 
@@ -115,9 +123,24 @@ object EventStream {
     *
     * Band keys are the SAME Carter-Wegman signature family as
     * d3/d10 (8 hashes, 4 bands of 2), so a doc pair crosses the
-    * streaming and batch paths with identical candidate behaviour. */
+    * streaming and batch paths with identical candidate behaviour.
+    *
+    * HOT-BAND degradation guard (`maxBandDocs`): on templated/
+    * boilerplate corpora a degenerate band key accumulates unbounded
+    * band-mates — LSH theory assumes selective bands; production
+    * corpora violate it — and an unguarded state entry would grow
+    * without bound AND emit O(held) pairs per arrival. A band whose
+    * live (post-eviction) entry list is at the cap stops enumerating:
+    * an arrival there emits ONE `saturated = true` marker row
+    * (`b = -1`) and is NOT added to the state, bounding both state
+    * size and output per band. Over-approximation: the marker routes
+    * the doc to the WIDE downstream exact-verify, so saturation can
+    * never hide a duplicate (see [[NearDupCandidate]]); the
+    * maintained [[graft.api.DedupIndex]] applies the same guard to
+    * its persistent band state. */
   def streamingNearDupCandidates(docs: DataFrame,
-      horizonMs: Long = 6L * 3600 * 1000): Dataset[NearDupCandidate] = {
+      horizonMs: Long = 6L * 3600 * 1000,
+      maxBandDocs: Int = 1000): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     import graft.functions.DedupEnrich
     // enrichment via the SHARED DedupEnrich path — identical band keys
@@ -147,10 +170,16 @@ object EventStream {
             incoming.foreach { r =>
               val floor = r.ts.getTime - horizonMs
               held = held.filter(_._2 >= floor)
-              held.foreach { case (pid, _) =>
-                if (pid != r.doc_id) out += NearDupCandidate(pid, r.doc_id, bk)
+              if (held.size >= maxBandDocs) {
+                // saturated band: one marker row, no pair enumeration,
+                // no state growth (the doc routes to the wide verify)
+                out += NearDupCandidate(r.doc_id, -1L, bk, saturated = true)
+              } else {
+                held.foreach { case (pid, _) =>
+                  if (pid != r.doc_id) out += NearDupCandidate(pid, r.doc_id, bk)
+                }
+                held = (r.doc_id, r.ts.getTime) :: held
               }
-              held = (r.doc_id, r.ts.getTime) :: held
             }
             state.update(BandState(held))
             // GC this band once the watermark passes its newest doc's

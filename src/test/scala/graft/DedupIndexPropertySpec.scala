@@ -57,20 +57,28 @@ class DedupIndexPropertySpec extends SparkSpec {
       val d = Files.createTempDirectory("dedup-prop").toFile
       d.delete(); d.getAbsolutePath
     }
-    var idx = new DedupIndex(spark, dir, capacity = 500)
+    // hot threshold 12: low enough that re-posts and same-base variants
+    // (whose minima often come from the shared base) saturate bands
+    // DURING the drive, so the model checks the guard's exact semantics
+    // — candidates stop at hot keys, the flag rises, nothing else moves
+    val hotThreshold = 12
+    var idx = new DedupIndex(spark, dir, capacity = 500,
+      hotBandThreshold = hotThreshold)
 
     val history = mutable.LinkedHashMap.empty[Long, String]
     val modelBands = mutable.Map.empty[Long, Set[String]]
+    val modelBandCounts = mutable.Map.empty[String, Long]
     var nextDoc = 1L
     var nextBatchId = 0L
-    var lastBatch: Option[(Long, Seq[(Long, String)], List[(Long, Int, List[Long])])] = None
+    var lastBatch: Option[(Long, Seq[(Long, String)], List[(Long, Int, List[Long], Int)])] = None
     var probes = 0
     var fps = 0
     var ingests = 0
+    var saturations = 0
 
-    def collectVerdicts(df: DataFrame): List[(Long, Int, List[Long])] =
+    def collectVerdicts(df: DataFrame): List[(Long, Int, List[Long], Int)] =
       df.collect().map(r =>
-        (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toList)).toList
+        (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toList, r.getInt(3))).toList
 
     def batchBands(docs: Seq[(Long, String)]): Map[Long, Set[String]] =
       if (docs.isEmpty) Map.empty
@@ -113,7 +121,10 @@ class DedupIndexPropertySpec extends SparkSpec {
           assert(verdicts.map(_._1) == docs.map(_._1).sorted,
             s"op $op: verdict rows must cover the batch, ordered by doc_id")
           val docText = docs.toMap
-          verdicts.foreach { case (id, dup, cands) =>
+          // hot bands per the MODEL's exact counts at probe time
+          val hotNow = modelBandCounts.collect {
+            case (k, n) if n >= hotThreshold => k }.toSet
+          verdicts.foreach { case (id, dup, cands, sat) =>
             val bag = bagOf(docText(id))
             val trueDup = history.values.exists(bagOf(_) == bag)
             if (trueDup)
@@ -123,15 +134,24 @@ class DedupIndexPropertySpec extends SparkSpec {
               probes += 1
               if (dup == 1) fps += 1
             }
+            // candidates: priors sharing at least one NON-HOT band key
             val expect = history.keys
-              .filter(h => (modelBands(h) & bb(id)).nonEmpty).toList.sorted
+              .filter(h => (modelBands(h) & bb(id)).exists(!hotNow(_)))
+              .toList.sorted
             assert(cands == expect,
               s"op $op: candidates for doc $id drifted from fresh recompute: got $cands want $expect")
+            val expectSat = if ((bb(id) & hotNow).nonEmpty) 1 else 0
+            assert(sat == expectSat,
+              s"op $op: band_saturated for doc $id = $sat, model says $expectSat " +
+                s"(hot keys touched: ${(bb(id) & hotNow).size})")
+            saturations += expectSat
           }
           // model folds AFTER the checks: batch-internal dups are the
           // NEXT batch's history, per the ingest contract
           docs.foreach { case (id, t) =>
             history(id) = t; modelBands(id) = bb(id)
+            bb(id).foreach(k =>
+              modelBandCounts(k) = modelBandCounts.getOrElse(k, 0L) + 1)
           }
           lastBatch = Some((bid, docs, verdicts))
 
@@ -155,6 +175,10 @@ class DedupIndexPropertySpec extends SparkSpec {
     }
     assert(ingests >= 30 && history.size >= 50,
       s"drive too small to mean anything: $ingests ingests, ${history.size} docs")
+    // the drive must actually EXERCISE the hot-band path, or the
+    // saturation assertions above were vacuous
+    assert(saturations > 0,
+      "the drive never saturated a band — lower hotThreshold or widen the re-post mix")
     // Bloom sizing sanity: m = 16 * 500 slots vs ~100+ elements keeps
     // theoretical FP well under 1%; allow slack for the small sample
     assert(probes == 0 || fps.toDouble / probes <= 0.05,

@@ -293,6 +293,120 @@ class DedupIndexSpec extends SparkSpec {
       s"stale batchId must fail loudly: ${e.getMessage}")
   }
 
+  test("hot-band guard: a templated corpus saturates its band keys — bounded candidates plus a flagged row") {
+    val idx = new DedupIndex(spark, freshDir(), capacity = 10000,
+      hotBandThreshold = 100)
+    import spark.implicits._
+    // 1000 docs of IDENTICAL text (distinct ids): every one shares all
+    // 4 band keys — the templated/boilerplate corpus shape where LSH's
+    // selective-band assumption collapses
+    val templated = (1L to 1000L).map(i => (i, base)).toDF("doc_id", "text")
+    val b1 = idx.ingest(templated)
+    assert(b1.columns.contains("band_saturated"),
+      "guarded store must carry the saturation column")
+    // history empty -> nothing saturated in batch 1
+    assert(b1.filter(col("band_saturated") === 1).count() == 0)
+    // a re-post now faces 1000 priors on every band key (>= 100): the
+    // probe must emit the FLAG, not a 1000-id candidate array
+    val v = idx.ingest(docs(2000L -> base)).collect().head
+    assert(v.getInt(1) == 1, "bloom leg is unaffected: exact re-post still flags")
+    assert(v.getSeq[Long](2).isEmpty,
+      s"saturated band must not enumerate candidates, got ${v.getSeq[Long](2).size}")
+    assert(v.getInt(3) == 1, "the doc must carry band_saturated = 1")
+    // a novel doc in the same batch shape stays clean and unflagged
+    val clean = idx.ingest(docs(2001L -> "entirely novel text about sailing boats"))
+      .collect().head
+    assert(clean.getInt(1) == 0 && clean.getSeq[Long](2).isEmpty && clean.getInt(3) == 0)
+  }
+
+  test("hot-band guard: below the threshold candidates flow exactly as before") {
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000,
+      hotBandThreshold = 5)
+    import spark.implicits._
+    idx.ingest((1L to 3L).map(i => (i, base)).toDF("doc_id", "text")).collect()
+    val v = idx.ingest(docs(10L -> base)).collect().head
+    assert(v.getInt(1) == 1 && v.getSeq[Long](2).toList == List(1L, 2L, 3L),
+      s"3 priors < threshold 5: candidates must enumerate, got $v")
+    assert(v.getInt(3) == 0, "below-threshold band must not flag")
+  }
+
+  test("hot-band threshold persists at creation; re-opens route with the manifest's value") {
+    val dir = freshDir()
+    new DedupIndex(spark, dir, capacity = 1000, hotBandThreshold = 2)
+      .ingest(docs(1L -> base, 2L -> base, 3L -> base)).collect()
+    // re-open with the (huge) default: the persisted hot=2 must rule,
+    // so the 3 priors saturate the re-post
+    val reopened = new DedupIndex(spark, dir, capacity = 1000)
+    val v = reopened.ingest(docs(4L -> base)).collect().head
+    assert(v.getInt(3) == 1 && v.getSeq[Long](2).isEmpty,
+      s"re-open must keep the creator's threshold: $v")
+    assert(ManifestIO.read(dir).get("hot") == "2")
+  }
+
+  test("hotBandThreshold <= 0 at creation opts out for life; pre-guard stores stay unguarded") {
+    val dir = freshDir()
+    val optOut = new DedupIndex(spark, dir, capacity = 1000, hotBandThreshold = 0)
+    val r = optOut.ingest(docs(1L -> base))
+    assert(!r.columns.contains("band_saturated"),
+      "an opted-out store must not grow the column")
+    assert(!ManifestIO.read(dir).get.contains("hot"))
+    // a guarded re-open cannot enable it mid-life (no counts history)
+    val reopened = new DedupIndex(spark, dir, capacity = 1000, hotBandThreshold = 5)
+    val r2 = reopened.ingest(docs(2L -> base))
+    assert(!r2.columns.contains("band_saturated"),
+      "mid-life enablement would probe counts that were never folded")
+  }
+
+  test("window-bloom over-capacity: the fill disclosure reads high and rides the verdict frame") {
+    // windowCapacity 4 -> mw = 64 slots; a 40-token doc has 25 windows
+    // x 4 positions — the store is over capacity from its first fold
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000,
+      windowCapacity = 4)
+    import spark.implicits._
+    val doc1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b1 = idx.ingest(docs(1L -> doc1))
+    assert(b1.columns.contains("wbloom_fill"),
+      "window-enabled store must disclose its bloom fill")
+    // first batch probed an EMPTY history bloom: fill 0, frac trustworthy
+    assert(b1.collect().head.getAs[Double]("wbloom_fill") == 0.0)
+    val b2 = idx.ingest(docs(2L -> "totally different words about completely other topics here now maybe even more of them to pass the window width threshold okay"))
+    val row2 = b2.collect().head
+    val fill = row2.getAs[Double]("wbloom_fill")
+    assert(fill > 0.5,
+      s"an over-capacity store must disclose a degraded fill, got $fill")
+    // and the degradation is REAL: at this fill the unrelated doc's
+    // frac reads spuriously high — the disclosure is what tells the
+    // consumer not to trust it
+    assert(row2.getAs[Double]("shared_window_frac") > 0.0,
+      "this test exists because the frac degrades; if it reads 0 the fixture no longer demonstrates the hazard")
+  }
+
+  test("describe() reports the maintained state's health") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000,
+      windowCapacity = 50000, hotBandThreshold = 2)
+    import spark.implicits._
+    val doc1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    idx.ingest(docs(1L -> doc1, 2L -> base), batchId = 0L).collect()
+    idx.ingest(docs(3L -> base), batchId = 1L).collect()
+    val h = idx.describe()
+    assert(h.version == 2 && h.generation == 2 && h.segments == 2)
+    assert(h.bloomSlots == 16000L && h.bloomFill > 0.0 && h.bloomFill < 0.01)
+    assert(h.windowSlots.contains(16L * 50000) &&
+      h.windowFill.exists(f => f > 0.0 && f < 0.01))
+    assert(h.hotBandThreshold.contains(2L))
+    // docs 1 and 2 are unrelated (8 distinct keys); doc 3 re-posts doc
+    // 2's text (same 4 keys, now at count 2 = the threshold)
+    assert(h.bandKeys.contains(8L), s"band keys: ${h.bandKeys}")
+    assert(h.hotBands.contains(4L), s"hot bands: ${h.hotBands}")
+    assert(h.lastBatchId.contains(1L))
+    // a fresh, never-committed store reports creation sizing, zero fill
+    val fresh = new DedupIndex(spark, freshDir(), capacity = 10)
+    val h0 = fresh.describe()
+    assert(h0.generation == 0 && h0.segments == 0 && h0.bloomFill == 0.0 &&
+      h0.bloomSlots == 160L && h0.bandKeys.contains(0L))
+  }
+
   test("a manifest-referenced segment dir that vanished fails loudly, never probes partial history") {
     val dir = freshDir()
     val idx = new DedupIndex(spark, dir, capacity = 1000)

@@ -155,6 +155,62 @@ class DedupSurfacesSpec extends SparkSpec {
       s"the index must surface the cross-horizon candidate: ${night.toList}")
   }
 
+  test("the combined one-binding builder equals the separate builders column-for-column") {
+    // withFpShinglesWindows (the window-enabled DedupIndex ingest
+    // shape, ONE tokenize pass) must be byte-identical to composing
+    // withFpAndShingles + withWindowHashes (two passes) — if the
+    // combined builder ever drifts, index keys silently diverge from
+    // the batch queries that compose the separate builders
+    import spark.implicits._
+    val longDocs = corpus ++ Seq(
+      20L -> (1 to 40).map(i => s"tok$i").mkString(" "), // >= WindowW tokens
+      21L -> ((1 to 20).map(i => s"w$i").mkString(" ") + " " + baseText))
+    val df = longDocs.toDF("doc_id", "text")
+    val combined = DedupEnrich.withFpShinglesWindows(df, "text")
+      .select("doc_id", "fp", "sh", "ws")
+    val separate = DedupEnrich.withWindowHashes(
+      DedupEnrich.withFpAndShingles(df, "text"), "text")
+      .select("doc_id", "fp", "sh", "ws")
+    val c = combined.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getSeq[String](2).toList, r.getSeq[String](3).toList)).toMap
+    val s = separate.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getSeq[String](2).toList, r.getSeq[String](3).toList)).toMap
+    assert(c == s, s"combined builder drifted from the separate builders")
+  }
+
+  test("streaming hot-band cap: a templated flood emits saturation markers, bounded pairs, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = Timestamp.valueOf("2024-02-01 10:00:00")
+    val src = MemoryStream[(Long, String, Timestamp)]
+    // cap 3: the 4th-and-later identical docs hit a saturated band
+    val q = EventStream.streamingNearDupCandidates(
+        src.toDF().toDF("doc_id", "text", "ts"),
+        horizonMs = 24L * 3600 * 1000, maxBandDocs = 3)
+      .writeStream.format("memory").queryName("sat_neardup")
+      .outputMode("append").start()
+    try {
+      // 6 identical docs across two micro-batches (identical text =
+      // all 4 band keys shared — the boilerplate corpus shape)
+      src.addData((1L to 3L).map(i => (i, baseText, t0)): _*)
+      q.processAllAvailable()
+      src.addData((4L to 6L).map(i => (i, baseText, t0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("sat_neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+      val pairs = rows.filter(!_._3).map(r => (r._1, r._2))
+      val sats = rows.filter(_._3).map(_._1)
+      // docs 1-3 fill the cap: pairs only among them (1,2),(1,3),(2,3)
+      // per shared band; dedup'd here — NEVER a pair touching 4..6
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"pairs must stop at the cap: $pairs")
+      // every capped arrival carries its saturation marker instead
+      assert(sats == Set(4L, 5L, 6L),
+        s"capped arrivals must flag, not enumerate: $sats")
+    } finally q.stop()
+  }
+
   test("short docs get per-doc shingles, never a shared degenerate band key") {
     val b = batchBands
     assert((b(6L) & b(7L)).isEmpty,
