@@ -66,11 +66,60 @@ MOVERS_R11 = ["d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
               "d6_dedup_groups"]
 # round-11 newborn: isolated baseline at birth (the NEW_R9/R10 convention)
 MOVERS_R11 += ["pl11_gopher_rules"]
+# round 12+: movers are detected AUTOMATICALLY — any query whose
+# time moved >1.5x in either direction between the two most recent
+# bench artifacts (BENCH_r*.json by round number, plus BENCH_HEAD.json
+# if present as the current-HEAD run) is auto-included. Round 11's
+# verdict had to hand-measure two 3x movers (r7_rrf_fusion,
+# l7_sync_conflict) because the hand-curated lists silently missed
+# them; detection closes that class.
+MOVER_RATIO = 1.5
+
+
+def auto_movers():
+    import glob
+    import os
+    arts = []
+    for p in sorted(glob.glob("BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m:
+            arts.append((int(m.group(1)), p))
+    arts.sort()
+    paths = [p for _, p in arts]
+    if os.path.exists("BENCH_HEAD.json"):
+        paths.append("BENCH_HEAD.json")
+    if len(paths) < 2:
+        return []
+    def load(p):
+        # two artifact shapes: the bench line itself ({"queries": {...}},
+        # BENCH_HEAD.json) and the driver's wrapper, whose "tail" holds a
+        # TRUNCATED suffix of that line — recover what query entries
+        # survived the truncation by regex (the verdicts diff the same way)
+        with open(p) as f:
+            d = json.load(f)
+        if isinstance(d.get("queries"), dict):
+            return d["queries"]
+        tail = d.get("tail", "") or ""
+        return {k: float(v)
+                for k, v in re.findall(r'"([a-z0-9_]+)":([0-9.]+)', tail)}
+    prev, cur = load(paths[-2]), load(paths[-1])
+    movers = []
+    for q in sorted(set(prev) & set(cur)):
+        a, b = prev[q], cur[q]
+        if not (isinstance(a, (int, float)) and isinstance(b, (int, float))):
+            continue  # "err" markers adjudicate through CORRECTNESS, not here
+        if a > 0 and (b / a > MOVER_RATIO or a / b > MOVER_RATIO):
+            movers.append(q)
+            print(f"auto-mover: {q} {a:.3f}s -> {b:.3f}s "
+                  f"({paths[-2]} -> {paths[-1]})", file=sys.stderr)
+    return movers
+
+
 # dedup while preserving order: a query listed in two groups (e.g. a
 # NEW_R9 query that becomes a mover next round) must run once, not
 # silently twice with the second run overwriting the first
 QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10 +
-                             MOVERS_R11))
+                             MOVERS_R11 + auto_movers()))
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",

@@ -99,8 +99,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"full_pass","timed_action":"checksum_xor"$errsJson}"""
     println(line)
-    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // TWO copies: bench_out.json is the scratch artifact (gitignored,
+    // overwritten by every dev/driver run); BENCH_HEAD.json is the
+    // TRACKED artifact — committed alongside any SURVEY/README figure
+    // that quotes it, so a "committed at HEAD" bench number always
+    // points at a file `git show HEAD:BENCH_HEAD.json` can verify
+    try {
+      Files.writeString(Paths.get("bench_out.json"), line + "\n")
+      Files.writeString(Paths.get("BENCH_HEAD.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -313,25 +313,34 @@ object BenchWrites {
     //    with the OPT-IN window leg on (the maintained d9 granularity:
     //    a second packed Bloom over every 16-token window hash) —
     //    quantifies what substring-level screening adds per batch on
-    //    top of the doc-level verdicts
+    //    top of the doc-level verdicts.
+    //    The window-leg corpus: docs must clear the 16-token window
+    //    width for the leg to do real work (30 tokens -> 15 windows
+    //    each, with a shared boilerplate run so probes hit).
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def windowCorpusBatch(b: Int) = {
+      import spark.implicits._
+      (0 until batch).map { i =>
+        val n = b * batch + i
+        val src = if (i % 10 == 0 && b > 0) (b - 1) * batch + i else n
+        (n.toLong, s"document number $src begins here $boiler ends with marker $src")
+      }.toDF("doc_id", "text")
+    }
     val dedupWindowsSec = (1 to reps).map { r =>
       val idx = new graft.api.DedupIndex(spark, freshDir(s"didxw$r"),
         capacity = (batches * batch).toLong,
         windowCapacity = (batches * batch).toLong * 16)
-      import spark.implicits._
-      // docs must clear the 16-token window width for the leg to do
-      // real work: 30 tokens -> 15 windows each, with a shared
-      // boilerplate run so probes hit
-      val boiler = "alpha beta gamma delta epsilon zeta eta theta iota " +
-        "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
-      time((0 until batches).foreach { b =>
-        val docs = (0 until batch).map { i =>
-          val n = b * batch + i
-          val src = if (i % 10 == 0 && b > 0) (b - 1) * batch + i else n
-          (n.toLong, s"document number $src begins here $boiler ends with marker $src")
-        }.toDF("doc_id", "text")
-        idx.ingest(docs).count()
-      })
+      time((0 until batches).foreach(b => idx.ingest(windowCorpusBatch(b)).count()))
+    }.min
+    // the SAME 30-token corpus with the window leg OFF — the honest
+    // denominator for window_leg_overhead (dividing by the base
+    // bench's dedupIngestSec would conflate the leg's cost with the
+    // corpus-shape change from short docs to 30-token docs)
+    val dedupWindowsBaseSec = (1 to reps).map { r =>
+      val idx = new graft.api.DedupIndex(spark, freshDir(s"didxwb$r"),
+        capacity = (batches * batch).toLong)
+      time((0 until batches).foreach(b => idx.ingest(windowCorpusBatch(b)).count()))
     }.min
 
     // -- dedup_index_state: on-disk footprint of the maintained Bloom
@@ -424,8 +433,9 @@ object BenchWrites {
       "attention_compact_latency" -> lat(attnCompactSec),
       "dedup_index_ingest" -> op(dedupIngestSec, dedupIngestRows),
       "dedup_index_windows_ingest" -> op(dedupWindowsSec, dedupIngestRows),
+      "dedup_index_windows_base" -> op(dedupWindowsBaseSec, dedupIngestRows),
       "window_leg_overhead" ->
-        s"""{"x":${num("%.2f", dedupWindowsSec / dedupIngestSec)}}""",
+        s"""{"x":${num("%.2f", dedupWindowsSec / dedupWindowsBaseSec)}}""",
       "dedup_index_state" ->
         s"""{"bloom_bytes":$dedupStateBytes,"bytes_per_elem":${num("%.2f", dedupStateBytesPerElem)},"encoding":"v2_packed_words"}""",
       "ingest_pipeline_throughput" -> op(pipelineSec, rememberRows),
@@ -436,7 +446,7 @@ object BenchWrites {
     val total = rememberSec + rememberScannedSec + forgetSec + forgetPrunedSec +
       forgetSubjectSec + forgetAllBucketsSec + ckptSec + verifySec + recallSec +
       hybridSec + orientSec + attnPutSec + attnCompactSec + concSec +
-      dedupIngestSec + dedupWindowsSec + pipelineSec +
+      dedupIngestSec + dedupWindowsSec + dedupWindowsBaseSec + pipelineSec +
       agentRecallSec + scanSortedSec + scanInterleavedSec +
       scan1mSortedSec + scan1mInterleavedSec
     // the op set grew in rounds 8-9 (100k-store prune rows, the

@@ -383,10 +383,8 @@ final class MnemoStore(val spark: SparkSession, val path: String,
 
   /** Legacy (pre-v3) flat parquet dir: files at the store root, no
     * manifest. */
-  private def legacyExists: Boolean = {
-    val f = new java.io.File(path)
-    f.exists() && f.list() != null && f.list().nonEmpty
-  }
+  private def legacyExists: Boolean =
+    ManifestIO.listChildren(path).nonEmpty
 
   private def exists: Boolean = {
     recover()
@@ -399,12 +397,10 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * layout never deletes live data before its manifest commit, so this
     * only ever fires on stores last written by the old code. */
   private def recover(): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    val t = java.nio.file.Paths.get(path + ".tmp")
-    if (!java.nio.file.Files.exists(p) && java.nio.file.Files.exists(t) &&
-        java.nio.file.Files.exists(t.resolve("_SUCCESS")))
-      java.nio.file.Files.move(t, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (!ManifestIO.pathExists(path) &&
+        ManifestIO.pathExists(path + ".tmp") &&
+        ManifestIO.pathExists(path + ".tmp/_SUCCESS"))
+      ManifestIO.movePath(path + ".tmp", path)
   }
 
   /** Committed content of the given buckets — only their segment dirs
@@ -486,16 +482,10 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   }
 
   /** The legacy flat layout's data files: parquet at the store root. */
-  private def legacyRootFiles(): Seq[String] = {
-    val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(root)) return Nil
-    val ls = java.nio.file.Files.list(root)
-    try ls.iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq
-    finally ls.close()
-  }
+  private def legacyRootFiles(): Seq[String] =
+    ManifestIO.listChildren(path).collect {
+      case (name, false) if name.endsWith(".parquet") => s"$path/$name"
+    }
 
   /** Committed rows restricted to the buckets the given ids hash into
     * — the point-read shape every id-addressed mutation already uses,
@@ -579,10 +569,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
             .write.mode(SaveMode.Overwrite).parquet(s"$path/t1")
         val buckets = stagedBuckets
           .map(k => k -> Seq(s"g1/r/bucket=$k")).toMap
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(path, "_mig"),
-          java.nio.file.Paths.get(path, "g1"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ManifestIO.movePath(s"$path/_mig", s"$path/g1")
         val m = StoreManifest(1L, n, buckets,
           Some(if (stagedBuckets.nonEmpty && hasParquetFiles("t1"))
             Seq("t1") else Nil))
@@ -598,20 +585,10 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * Only ever called when NO manifest exists — with no manifest, no
     * nested dir was ever published, so the flat root files are
     * authoritative. */
-  private def sweepUnpublished(): Unit = {
-    val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(root)) return
-    val ls = java.nio.file.Files.list(root)
-    try ls.iterator().asScala
-      .filter(java.nio.file.Files.isDirectory(_))
-      .filter { d =>
-        val nm = d.getFileName.toString
-        nm == "_mig" || nm.matches("[gt]\\d+")
-      }
-      .toList
-      .foreach(ManifestIO.deleteRecursively)
-    finally ls.close()
-  }
+  private def sweepUnpublished(): Unit =
+    ManifestIO.listChildren(path)
+      .collect { case (nm, true) if nm == "_mig" || nm.matches("[gt]\\d+") => nm }
+      .foreach(nm => ManifestIO.deleteRecursively(s"$path/$nm"))
 
   private def writeStoreManifest(m: StoreManifest): Unit =
     ManifestIO.write(path,
@@ -629,33 +606,18 @@ final class MnemoStore(val spark: SparkSession, val path: String,
 
   /** Bucket subdirs a just-finished write actually produced (a local
     * listing — exact, and cheaper than a count job per bucket). */
-  private def presentBuckets(top: String, sub: String): Set[Int] = {
-    val d = java.nio.file.Paths.get(path, top, sub)
-    if (!java.nio.file.Files.isDirectory(d)) Set.empty
-    else {
-      val ls = java.nio.file.Files.list(d)
-      try ls.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("bucket="))
-        .map(_.stripPrefix("bucket=").toInt)
-        .toSet
-      finally ls.close()
-    }
-  }
+  private def presentBuckets(top: String, sub: String): Set[Int] =
+    ManifestIO.listChildren(s"$path/$top/$sub")
+      .collect { case (nm, _) if nm.startsWith("bucket=") =>
+        nm.stripPrefix("bucket=").toInt }
+      .toSet
 
   /** Root-level parquet files absorbed by a legacy migration — delete
     * whatever the manifest does not govern. Idempotent. */
-  private def sweepLegacyFiles(): Unit = {
-    val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(root)) return
-    val ls = java.nio.file.Files.list(root)
-    try ls.iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .filterNot(_.getFileName.toString.startsWith(ManifestIO.FileName))
-      .toList
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-    finally ls.close()
-  }
+  private def sweepLegacyFiles(): Unit =
+    ManifestIO.listChildren(path)
+      .collect { case (nm, false) if !nm.startsWith(ManifestIO.FileName) => nm }
+      .foreach(nm => ManifestIO.deleteFile(s"$path/$nm"))
 
   /** ONE atomic store commit — the only way the store advances.
     * `replaced` carries the FULL replacement content of exactly
@@ -828,18 +790,9 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   /** Whether a just-written relative dir produced any parquet part
     * files (an all-empty frame writes only _SUCCESS — referencing such
     * a segment would break later reads). Local listing, exact. */
-  private def hasParquetFiles(rel: String): Boolean = {
-    val d = java.nio.file.Paths.get(path, rel)
-    if (!java.nio.file.Files.isDirectory(d)) false
-    else {
-      val ls = java.nio.file.Files.list(d)
-      try ls.iterator().asScala.exists { f =>
-        val nm = f.getFileName.toString
-        nm.startsWith("part-") && nm.contains(".parquet")
-      }
-      finally ls.close()
-    }
-  }
+  private def hasParquetFiles(rel: String): Boolean =
+    ManifestIO.listChildren(s"$path/$rel").exists { case (nm, _) =>
+      nm.startsWith("part-") && nm.contains(".parquet") }
 
   /** Buckets that ever held a row carrying `tag`, per the inverted
     * index — `None` when the store predates the index (fold every
@@ -1567,8 +1520,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   private def attnPath = path + "_attention"
 
   private def attnExists: Boolean =
-    new java.io.File(attnPath).exists() && new java.io.File(attnPath).list() != null &&
-      new java.io.File(attnPath).list().nonEmpty
+    ManifestIO.listChildren(attnPath).nonEmpty
 
   /** Committed data directory: manifest-backed after the first
     * [[attentionStateCompact]]; the store root itself for fresh and
@@ -1622,11 +1574,9 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     ManifestIO.gc(attnPath, Set(dir))
     // first compaction of a legacy root-file layout: sweep the absorbed
     // root-level parquet files (readers already go through the manifest)
-    val root = java.nio.file.Paths.get(attnPath)
-    java.nio.file.Files.list(root).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .filterNot(_.getFileName.toString.startsWith(ManifestIO.FileName))
-      .foreach(java.nio.file.Files.deleteIfExists(_))
+    ManifestIO.listChildren(attnPath)
+      .collect { case (nm, false) if !nm.startsWith(ManifestIO.FileName) => nm }
+      .foreach(nm => ManifestIO.deleteFile(s"$attnPath/$nm"))
   }
 
   def attentionStateGet(agentId: String, key: String): Option[Array[Byte]] = {

@@ -1,9 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -219,19 +215,11 @@ object SyncLoop {
     // prune batch directories no longer referenced by the manifest
     // (single-writer store, like the reference's embedded DB)
     val live = newParts.values.toSet
-    val dataDir = Paths.get(storePath, "data")
-    if (Files.exists(dataDir)) {
-      val ls = Files.list(dataDir)
-      try ls.iterator().asScala
-        .filter(d => !live.contains(s"data/${d.getFileName}"))
-        .toList // materialize before deleting
-        .foreach(deleteRecursively)
-      finally ls.close()
-    }
+    graft.api.ManifestIO.listChildren(s"$storePath/data")
+      .collect { case (nm, _) if !live.contains(s"data/$nm") => nm }
+      .foreach(nm =>
+        graft.api.ManifestIO.deleteRecursively(s"$storePath/data/$nm"))
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    graft.api.ManifestIO.deleteRecursively(p)
 
   /** Attach the foreachBatch MERGE loop to a streaming event frame.
     * The checkpoint dir doubles as the batch-id epoch: replays within

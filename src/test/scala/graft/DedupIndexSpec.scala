@@ -412,7 +412,7 @@ class DedupIndexSpec extends SparkSpec {
     val idx = new DedupIndex(spark, dir, capacity = 1000)
     idx.ingest(docs(1L -> base)).collect()
     val seg = ManifestIO.read(dir).get("segs").split(",").head
-    ManifestIO.deleteRecursively(Paths.get(dir, seg, "bloom"))
+    ManifestIO.deleteRecursively(s"$dir/$seg/bloom")
     val e = intercept[IllegalStateException] {
       idx.ingest(docs(2L -> base)).collect()
     }

@@ -381,6 +381,48 @@ class StoreCompatSpec extends SparkSpec {
       case (k, v) if k.startsWith("bucket.") && !after.get(k).contains(v) => k
     }.toSet
 
+  test("a store addressed by an explicit file:// URI runs the full lifecycle through the Hadoop FS path") {
+    // the manifest protocol is scheme-resolved (ManifestIO routes every
+    // read/write/list/delete through the path's Hadoop FileSystem);
+    // this drives a store whose PATH carries the scheme, so none of the
+    // legs can silently fall back to driver-local pathname assumptions
+    val localDir = Files.createTempDirectory("compat-fsuri").toFile
+    localDir.delete()
+    val store = Mnemo.open(spark, "file://" + localDir.getAbsolutePath)
+    seed(store)
+    assert(store.table().count() == 2)
+    assert(ManifestIO.read(store.path).exists(_("version") == "3"),
+      "manifest must commit and read back through the scheme'd path")
+    store.forget("alice", Seq("m1"), ts("2024-01-05 10:00:00"))
+    val live = store.table().filter(col("deleted_at").isNull)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(live == Set("m2"), s"bucket-pruned point op through file://: $live")
+    // the maintained dedup index through the same scheme'd addressing
+    import spark.implicits._
+    val idx = new graft.api.DedupIndex(spark,
+      "file://" + Files.createTempDirectory("compat-fsidx").toFile.getAbsolutePath + "/idx",
+      capacity = 100)
+    idx.ingest(Seq(1L -> "some document text here tonight").toDF("doc_id", "text")).collect()
+    val v = idx.ingest(Seq(2L -> "some document text here tonight").toDF("doc_id", "text"))
+      .collect().head
+    assert(v.getInt(1) == 1 && v.getSeq[Long](2) == Seq(1L))
+  }
+
+  test("an object-store path is REFUSED at commit time with the documented atomic-rename error") {
+    val e = intercept[UnsupportedOperationException] {
+      ManifestIO.write("s3a://some-bucket/store", Map("version" -> "3"))
+    }
+    assert(e.getMessage.contains("ATOMIC rename"),
+      s"the refusal must explain itself: ${e.getMessage}")
+    assert(e.getMessage.contains("s3a"), "the refusal must name the scheme")
+    // reads against a non-atomic scheme stay allowed in principle
+    // (inspection); only the COMMIT is gated — and the local default
+    // scheme keeps committing
+    val ok = Files.createTempDirectory("compat-s3gate").toFile.getAbsolutePath
+    ManifestIO.write(ok, Map("version" -> "3"))
+    assert(ManifestIO.read(ok).exists(_("version") == "3"))
+  }
+
   test("forgetSubject prunes to the tag's buckets via the inverted index") {
     val store = freshStore()
     val tagged = Seq("id-000", "id-037")
