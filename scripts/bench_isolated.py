@@ -66,6 +66,9 @@ MOVERS_R11 = ["d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
               "d6_dedup_groups"]
 # round-11 newborn: isolated baseline at birth (the NEW_R9/R10 convention)
 MOVERS_R11 += ["pl11_gopher_rules"]
+# round-12 newborn: isolated baseline at birth (the NEW_R9/R10 convention)
+NEW_R12 = ["pl12_ccnet_buckets"]
+
 # round 12+: movers are detected AUTOMATICALLY — any query whose
 # time moved >1.5x in either direction between the two most recent
 # bench artifacts (BENCH_r*.json by round number, plus BENCH_HEAD.json
@@ -119,7 +122,7 @@ def auto_movers():
 # NEW_R9 query that becomes a mover next round) must run once, not
 # silently twice with the second run overwriting the first
 QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10 +
-                             MOVERS_R11 + auto_movers()))
+                             MOVERS_R11 + NEW_R12 + auto_movers()))
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",

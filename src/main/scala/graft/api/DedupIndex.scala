@@ -324,16 +324,29 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // candidate join below only ever sees keys under the threshold.
     // Filtering AFTER the join would materialize the very explosion
     // the guard exists to prevent.
+    //
+    // EXACT shortcut: a band's count can never exceed the TOTAL docs
+    // ever folded (each doc contributes a key at most once), so while
+    // the manifest's cumulative doc counter `n` is below the threshold
+    // NO band can be hot and the probe legs are skipped entirely —
+    // the guard is free until the store is big enough to need it
+    // (BENCH_WRITES showed the unconditional probe costing ~1.4x on
+    // small stores). A guarded manifest missing `n` (hand-built)
+    // probes unconditionally — the safe direction.
     val batchBands = enriched
       .select(col("doc_id"), explode(col("bands")).as("bk"))
-    val hotKeys: Option[DataFrame] = hotOpt.map { hot =>
-      bandCountState(segs0, hconf)
-        .join(broadcast(batchBands.select("bk").distinct()), Seq("bk"))
-        .groupBy("bk").agg(sum(col("cnt")).as("prior_n"))
-        .filter(col("prior_n") >= hot)
-        .select("bk")
-        .localCheckpoint() // bounded by the batch's key count; consumed twice
-    }
+    val nPrev: Option[Long] = man.flatMap(_.get("n")).map(_.toLong)
+    val probeHot = hotOpt.exists(hot => nPrev.forall(_ >= hot))
+    val hotKeys: Option[DataFrame] =
+      if (!probeHot) None
+      else hotOpt.map { hot =>
+        bandCountState(segs0, hconf)
+          .join(broadcast(batchBands.select("bk").distinct()), Seq("bk"))
+          .groupBy("bk").agg(sum(col("cnt")).as("prior_n"))
+          .filter(col("prior_n") >= hot)
+          .select("bk")
+          .localCheckpoint() // bounded by the batch's key count; consumed twice
+      }
     val probeBands = hotKeys.fold(batchBands)(hk =>
       batchBands.join(broadcast(hk), Seq("bk"), "left_anti"))
     val bandMatches = probeBands
@@ -395,7 +408,8 @@ final class DedupIndex(val spark: SparkSession, val path: String,
               / size(col("ws")), 6))
             .otherwise(lit(0.0)).as("shared_window_frac")).toSeq
         ++ hotOpt.map(_ =>
-          coalesce(col("_sat"), lit(0)).as("band_saturated")).toSeq
+          (if (probeHot) coalesce(col("_sat"), lit(0)) else lit(0))
+            .as("band_saturated")).toSeq
         ++ wbloomFill.map(f =>
           lit(BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble).as("wbloom_fill")).toSeq: _*)
@@ -462,9 +476,16 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     batchId.foreach(_ => result.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/$newSeg/verdict"))
     val segs = if (overBudget) Seq(newSeg) else segs0 :+ newSeg
+    // cumulative doc counter: exact when the store has carried it since
+    // creation (every store this code creates); a hand-built manifest
+    // without it never grows one — the hot-guard shortcut then probes
+    // unconditionally rather than trust a counter that missed history
+    val nNew: Option[Long] =
+      (if (man.isEmpty) Some(0L) else nPrev).map(_ + result.count())
     ManifestIO.write(path, Map(
       "version" -> ver.toString, "m" -> m.toString,
       "gen" -> gen.toString, "segs" -> segs.mkString(","))
+      ++ nNew.map(n => Map("n" -> n.toString)).getOrElse(Map.empty)
       ++ mwOpt.map(mw => Map("mw" -> mw.toString)).getOrElse(Map.empty)
       ++ hotOpt.map(h => Map("hot" -> h.toString)).getOrElse(Map.empty)
       ++ batchId.map(id => Map(

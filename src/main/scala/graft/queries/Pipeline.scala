@@ -709,5 +709,94 @@ object Pipeline extends QueryGroup {
       FROM stats
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11)
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", §4.4): score every document under a per-language LM and
+    * split each language into HEAD / MIDDLE / TAIL perplexity
+    * tertiles — the curation step CCNet publishes its corpus by
+    * (head+middle kept for LM training, tail dropped or
+    * down-weighted). Per-rule attribution here is the tertile itself
+    * plus the keep bit.
+    *
+    * Declared adaptation (the pl11/t8 pattern): CCNet scores with a
+    * Wikipedia-trained KenLM 5-gram; this corpus-self-contained form
+    * trains a per-language UNIGRAM LM on the corpus itself — the same
+    * substitution t8 makes at character-trigram granularity, kept
+    * here at word granularity so the two lanes bracket the method.
+    * Scores are average log10 token probability (monotone in
+    * perplexity: ppl = 10^-avg_logp; the bucket boundaries are
+    * IDENTICAL either way, and the log form keeps the cross-engine
+    * comparison inside the 6dp-round-then-decimal-sum discipline —
+    * emitting 10^x would re-introduce libm pow as a hash hazard).
+    *
+    * Cross-engine exactness: per-token log-probs are 6dp-rounded then
+    * DECIMAL-summed (partition-order-independent, the t8 rule); the
+    * tertile window orders by (avg_logp DESC, doc_id) — a total
+    * order, so ntile is deterministic in both engines.
+    *
+    * Scale shape: per-doc token counts are the first shuffle (one
+    * groupBy on (doc, lang, token)); the LM join broadcasts the
+    * model — per-language vocabulary grows sublinearly (Heaps' law),
+    * and at 100 TB the model side is a materialized offline artifact
+    * (exactly CCNet's shipped KenLM) joined by (lang, token) —
+    * never a corpus-sized shuffle. The tertile window shuffles one
+    * ROW per document, not tokens. */
+  private val q12 = QueryDef(
+    "pl12_ccnet_buckets",
+    (s, dir) => {
+      val docTok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(count(lit(1)).as("n"))
+        .cache()
+      val model = docTok.groupBy("lang", "tok").agg(sum(col("n")).as("cnt"))
+      val totals = model.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+      val logp = model.join(broadcast(totals), "lang")
+        .select(col("lang"), col("tok"),
+          round(log10(col("cnt").cast("double") / col("tot")), 6)
+            .cast("decimal(12,6)").as("logp"))
+      val scored = docTok.join(broadcast(logp), Seq("lang", "tok"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("n")).as("n_tokens"),
+          round(sum(col("logp") * col("n")).cast("double") / sum(col("n")), 6)
+            .as("avg_logp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("avg_logp").desc, col("doc_id"))
+      scored
+        .withColumn("bucket", ntile(3).over(w))
+        .withColumn("tier",
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .withColumn("kept", (col("bucket") <= 2).cast("int"))
+        .select("doc_id", "lang", "n_tokens", "avg_logp", "bucket", "tier", "kept")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $toksSql,
+      tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM toks),
+      doctok AS (SELECT doc_id, lang, tok, COUNT(*) AS n FROM tok GROUP BY ALL),
+      model AS (SELECT lang, tok, SUM(n) AS cnt FROM doctok GROUP BY ALL),
+      totals AS (SELECT lang, SUM(cnt) AS tot FROM model GROUP BY lang),
+      logp AS (
+        SELECT model.lang, tok,
+               CAST(ROUND(log10(CAST(cnt AS DOUBLE) / tot), 6) AS DECIMAL(12,6)) AS logp
+        FROM model JOIN totals ON model.lang = totals.lang),
+      scored AS (
+        SELECT doc_id, doctok.lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(logp * n) AS DOUBLE) / SUM(n), 6) AS avg_logp
+        FROM doctok JOIN logp ON doctok.lang = logp.lang AND doctok.tok = logp.tok
+        GROUP BY doc_id, doctok.lang),
+      b AS (
+        SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id) AS bucket
+        FROM scored)
+      SELECT doc_id, lang, n_tokens, avg_logp, bucket,
+             CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+             CAST(bucket <= 2 AS INT) AS kept
+      FROM b
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
+    q12)
 }

@@ -320,14 +320,26 @@ class DedupIndexSpec extends SparkSpec {
   }
 
   test("hot-band guard: below the threshold candidates flow exactly as before") {
-    val idx = new DedupIndex(spark, freshDir(), capacity = 1000,
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000,
       hotBandThreshold = 5)
     import spark.implicits._
     idx.ingest((1L to 3L).map(i => (i, base)).toDF("doc_id", "text")).collect()
+    // the cumulative counter gates the probe: 3 docs < threshold 5
+    // means NO band can be hot yet, so the probe legs are skipped
+    // exactly (not approximately) — and the counter is in the manifest
+    assert(ManifestIO.read(dir).get("n") == "3")
     val v = idx.ingest(docs(10L -> base)).collect().head
     assert(v.getInt(1) == 1 && v.getSeq[Long](2).toList == List(1L, 2L, 3L),
       s"3 priors < threshold 5: candidates must enumerate, got $v")
     assert(v.getInt(3) == 0, "below-threshold band must not flag")
+    // past the threshold the SAME store starts flagging: 4 priors on
+    // the key >= ... threshold 5 needs one more fold
+    idx.ingest(docs(11L -> base)).collect()
+    assert(ManifestIO.read(dir).get("n") == "5")
+    val v2 = idx.ingest(docs(12L -> base)).collect().head
+    assert(v2.getInt(3) == 1 && v2.getSeq[Long](2).isEmpty,
+      s"5 priors on the key >= threshold 5: the probe must now flag, got $v2")
   }
 
   test("hot-band threshold persists at creation; re-opens route with the manifest's value") {

@@ -166,4 +166,33 @@ class PipelineSpec extends SparkSpec {
     }
     split("r_words"); split("r_stop"); split("kept")
   }
+
+  test("ccnet buckets: per-language tertiles are balanced, ordered by score, and kept = head+middle") {
+    val rows = SparkEntry.queries("pl12_ccnet_buckets")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      // ntile balance: bucket sizes differ by at most one
+      val sizes = rs.groupBy(_.getAs[Int]("bucket")).view.mapValues(_.length).toMap
+      assert(sizes.keySet == Set(1, 2, 3), s"$lang buckets: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang tertile sizes must be balanced: $sizes")
+      // ordering: every head doc scores >= every middle doc >= every tail
+      def bound(b: Int, agg: Iterable[Double] => Double) =
+        agg(rs.filter(_.getAs[Int]("bucket") == b).map(_.getAs[Double]("avg_logp")))
+      assert(bound(1, _.min) >= bound(2, _.max) - 1e-9 &&
+        bound(2, _.min) >= bound(3, _.max) - 1e-9,
+        s"$lang: tertiles must partition the score order")
+    }
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(r.getAs[String]("tier") ==
+        (if (b == 1) "head" else if (b == 2) "middle" else "tail"))
+      assert(r.getAs[Int]("kept") == (if (b <= 2) 1 else 0),
+        "CCNet keeps head+middle, drops tail")
+    }
+    // non-vacuity: scores must actually vary, or the buckets are noise
+    val scores = rows.map(_.getAs[Double]("avg_logp")).distinct
+    assert(scores.length > 10, s"score variance collapsed: ${scores.length} distinct")
+  }
 }

@@ -174,6 +174,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "stat sides must stay broadcast")
   }
 
+  test("pl12_ccnet: the LM broadcasts onto the token stream; the tertile window shuffles rows, not tokens") {
+    val p = plan("pl12_ccnet_buckets")
+    // the per-language unigram model must broadcast (vocab is
+    // Heaps-law sublinear; at 100 TB it is a materialized artifact) —
+    // a shuffle join of corpus tokens against the model would be the
+    // scale regression; the ntile window runs over ONE row per doc
+    assert(p.contains("BroadcastHashJoin"), "LM side must broadcast")
+    assert(p.contains("Window"), "tertiles are a window pass")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d7_semdedup: pair generation is a cid equi-join, never a corpus cross-join") {
     val p = plan("d7_semdedup")
     // within-cluster pairing must key on the cluster id (the SemDeDup
