@@ -343,6 +343,53 @@ object BenchWrites {
       time((0 until batches).foreach(b => idx.ingest(windowCorpusBatch(b)).count()))
     }.min
 
+    // -- dedup_index_hot_ingest: the SAME corpus/protocol as
+    //    dedup_index_ingest but with the hot-band threshold forced
+    //    BELOW the corpus size (1000 < 5000), so the per-batch counts
+    //    probe runs on every batch after the first — the ACTIVE
+    //    guard's cost (with the default 10k threshold the cumulative-
+    //    count shortcut skips the probe on these 5000-doc stores, so
+    //    this row is the only one that measures the probe itself).
+    //    hot_guard_overhead = active probe vs shortcut-skipped.
+    val dedupHotSec = (1 to reps).map { r =>
+      val idx = new graft.api.DedupIndex(spark, freshDir(s"didxh$r"),
+        capacity = (batches * batch).toLong, hotBandThreshold = 1000)
+      import spark.implicits._
+      time((0 until batches).foreach { b =>
+        val docs = (0 until batch).map { i =>
+          val n = b * batch + i
+          val text = if (i % 10 == 0 && b > 0)
+            s"document number ${(b - 1) * batch + i} with shared content tail"
+          else s"document number $n with shared content tail"
+          (n.toLong, text)
+        }.toDF("doc_id", "text")
+        idx.ingest(docs).count()
+      })
+    }.min
+
+    // -- dedup_index_unguarded_ingest: the SAME corpus/protocol with
+    //    the guard opted OUT at creation (hotBandThreshold = 0) — no
+    //    counts state is ever written, so guard_state_overhead
+    //    attributes the guard's ALWAYS-ON cost (the per-batch bcnt
+    //    fold + the cumulative counter) separately from the probe
+    //    (hot_guard_overhead above, measured ~free thanks to the
+    //    counter shortcut).
+    val dedupUnguardedSec = (1 to reps).map { r =>
+      val idx = new graft.api.DedupIndex(spark, freshDir(s"didxu$r"),
+        capacity = (batches * batch).toLong, hotBandThreshold = 0)
+      import spark.implicits._
+      time((0 until batches).foreach { b =>
+        val docs = (0 until batch).map { i =>
+          val n = b * batch + i
+          val text = if (i % 10 == 0 && b > 0)
+            s"document number ${(b - 1) * batch + i} with shared content tail"
+          else s"document number $n with shared content tail"
+          (n.toLong, text)
+        }.toDF("doc_id", "text")
+        idx.ingest(docs).count()
+      })
+    }.min
+
     // -- dedup_index_state: on-disk footprint of the maintained Bloom
     //    leg after the full ingest above. The v2 packed encoding costs
     //    m = 16n BITS of set-membership state (2 bytes/element at
@@ -432,6 +479,12 @@ object BenchWrites {
       "attention_put_latency" -> lat(attnPutSec),
       "attention_compact_latency" -> lat(attnCompactSec),
       "dedup_index_ingest" -> op(dedupIngestSec, dedupIngestRows),
+      "dedup_index_hot_ingest" -> op(dedupHotSec, dedupIngestRows),
+      "hot_guard_overhead" ->
+        s"""{"x":${num("%.2f", dedupHotSec / dedupIngestSec)}}""",
+      "dedup_index_unguarded_ingest" -> op(dedupUnguardedSec, dedupIngestRows),
+      "guard_state_overhead" ->
+        s"""{"x":${num("%.2f", dedupIngestSec / dedupUnguardedSec)}}""",
       "dedup_index_windows_ingest" -> op(dedupWindowsSec, dedupIngestRows),
       "dedup_index_windows_base" -> op(dedupWindowsBaseSec, dedupIngestRows),
       "window_leg_overhead" ->
@@ -446,7 +499,8 @@ object BenchWrites {
     val total = rememberSec + rememberScannedSec + forgetSec + forgetPrunedSec +
       forgetSubjectSec + forgetAllBucketsSec + ckptSec + verifySec + recallSec +
       hybridSec + orientSec + attnPutSec + attnCompactSec + concSec +
-      dedupIngestSec + dedupWindowsSec + dedupWindowsBaseSec + pipelineSec +
+      dedupIngestSec + dedupHotSec + dedupUnguardedSec + dedupWindowsSec +
+      dedupWindowsBaseSec + pipelineSec +
       agentRecallSec + scanSortedSec + scanInterleavedSec +
       scan1mSortedSec + scan1mInterleavedSec
     // the op set grew in rounds 8-9 (100k-store prune rows, the
