@@ -97,15 +97,38 @@ def auto_movers():
         # two artifact shapes: the bench line itself ({"queries": {...}},
         # BENCH_HEAD.json) and the driver's wrapper, whose "tail" holds a
         # TRUNCATED suffix of that line — recover what query entries
-        # survived the truncation by regex (the verdicts diff the same way)
+        # survived the truncation by regex (the verdicts diff the same way).
+        # Query names all contain "_"; requiring it keeps scalar fields
+        # that also survive the tail ("reps":5, "sf":0.1) from being
+        # mistaken for movers and sent to TimeOne as bogus query names.
         with open(p) as f:
             d = json.load(f)
+        m = re.search(r"sf([0-9.]+)", str(d.get("sf", "")))
+        sf = m.group(1).rstrip(".") if m else str(d.get("sf", ""))
         if isinstance(d.get("queries"), dict):
-            return d["queries"]
-        tail = d.get("tail", "") or ""
-        return {k: float(v)
-                for k, v in re.findall(r'"([a-z0-9_]+)":([0-9.]+)', tail)}
-    prev, cur = load(paths[-2]), load(paths[-1])
+            qs = d["queries"]
+        else:
+            tail = d.get("tail", "") or ""
+            qs = {k: float(v)
+                  for k, v in re.findall(r'"([a-z0-9_]+)":([0-9.]+)', tail)}
+        return sf, {k: v for k, v in qs.items()
+                    if "_" in k and isinstance(v, (int, float))}
+    prev_sf, prev = load(paths[-2])
+    cur_sf, cur = load(paths[-1])
+    # provenance gates: a BENCH_HEAD written by a dev subset run
+    # (SPARK_GRAFT_ONLY) or at a different sf is NOT comparable — a
+    # blind diff would either flood the sweep with fake movers or
+    # collapse the intersection and silently miss real ones
+    if prev_sf and cur_sf and prev_sf != cur_sf:
+        print(f"auto-mover: skipping {paths[-2]} (sf{prev_sf}) vs "
+              f"{paths[-1]} (sf{cur_sf}) — different scale factors",
+              file=sys.stderr)
+        return []
+    if len(cur) < max(1, len(prev) // 2) or len(prev) < max(1, len(cur) // 2):
+        print(f"auto-mover: skipping — query sets not comparable "
+              f"({len(prev)} vs {len(cur)} entries; subset run?)",
+              file=sys.stderr)
+        return []
     movers = []
     for q in sorted(set(prev) & set(cur)):
         a, b = prev[q], cur[q]

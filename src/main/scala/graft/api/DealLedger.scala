@@ -45,8 +45,7 @@ final class DealLedger(val spark: SparkSession, val path: String,
   import DealLedger.Envelope
 
   private def exists: Boolean =
-    new java.io.File(path).exists() && new java.io.File(path).list() != null &&
-      new java.io.File(path).list().nonEmpty
+    ManifestIO.listChildren(path).nonEmpty
 
   /** All envelope rows with chain columns. A never-written ledger
     * returns an EMPTY frame carrying the chained-envelope schema — not

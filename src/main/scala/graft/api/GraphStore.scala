@@ -24,8 +24,7 @@ import org.apache.spark.sql.functions._
 final class GraphStore(val spark: SparkSession, val path: String) {
 
   private def exists: Boolean =
-    new java.io.File(path).exists() && new java.io.File(path).list() != null &&
-      new java.io.File(path).list().nonEmpty
+    ManifestIO.listChildren(path).nonEmpty
 
   def edges(): DataFrame =
     if (exists) spark.read.parquet(path)

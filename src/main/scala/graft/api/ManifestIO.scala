@@ -52,11 +52,24 @@ object ManifestIO {
   /** Hadoop configuration: the active Spark session's (so `fs.*`
     * settings and `fs.defaultFS` behave exactly like the data I/O
     * next to this manifest), or a bare default off-session (tests,
-    * tooling). */
-  private def hconf: Configuration =
-    SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    * tooling). Memoized per session instance — newHadoopConf clones
+    * the full Spark conf, and a store commit makes a dozen helper
+    * calls; rebuilding it per call would put pure allocation churn on
+    * every commit and micro-batch. The helpers only READ the conf, so
+    * sharing one instance is safe. */
+  @volatile private var confCache: (AnyRef, Configuration) = null
+  private def hconf: Configuration = {
+    val key: AnyRef = SparkSession.getActiveSession.orNull
+    val c = confCache
+    if (c != null && (c._1 eq key)) c._2
+    else {
+      val fresh = SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration())
+      confCache = (key, fresh)
+      fresh
+    }
+  }
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
 

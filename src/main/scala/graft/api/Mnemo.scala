@@ -129,26 +129,42 @@ object Mnemo {
   /** Per-batch outcome of [[MnemoStore.ingestPipeline]]: the appended
     * row count, how many rows each gate flagged, and the per-row
     * verdict frame (id, agent_id, anomaly_score, anomaly_reasons,
-    * quarantined, maybe_dup, near_candidate_ids). */
+    * quarantined, maybe_dup, near_candidate_ids, band_saturated).
+    *
+    * `bandSaturated` counts rows whose dedup-index probe hit a
+    * HOT band (the index's degradation guard): for those rows
+    * `near_candidate_ids` is deliberately EMPTY and must not be read
+    * as "no near-dups" — the over-approximation contract is that a
+    * flagged row routes to the wide exact-verify (e.g. the batch d1/
+    * d3 passes) instead of its candidate list. Verdict frames
+    * persisted by pre-guard stores replay without the column; the
+    * report then counts 0. */
   final case class IngestReport(
       appended: Long,
       quarantined: Long,
       dupFlagged: Long,
-      verdicts: DataFrame)
+      verdicts: DataFrame,
+      bandSaturated: Long = 0L)
 
   /** Build an [[IngestReport]] from a pinned verdict frame (shared by
     * the live pipeline path and the replay path that re-reads the
     * persisted frame). */
   private[api] def reportOf(verdicts: DataFrame): IngestReport = {
+    val satAgg =
+      if (verdicts.columns.contains("band_saturated"))
+        sum(col("band_saturated").cast("long"))
+      else sum(lit(0L))
     val counts = verdicts.agg(
       count(lit(1)),
       sum(col("quarantined").cast("long")),
-      sum(col("maybe_dup").cast("long"))).collect()(0)
+      sum(col("maybe_dup").cast("long")),
+      satAgg).collect()(0)
     IngestReport(
       appended = counts.getLong(0),
       quarantined = if (counts.isNullAt(1)) 0L else counts.getLong(1),
       dupFlagged = if (counts.isNullAt(2)) 0L else counts.getLong(2),
-      verdicts = verdicts)
+      verdicts = verdicts,
+      bandSaturated = if (counts.isNullAt(3)) 0L else counts.getLong(3))
   }
 
   /** Deterministic hash embedding (the reference's offline embedder):
@@ -1005,10 +1021,21 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         val probeBatch = keyed.select(col("doc_id"), col("content").as("text"))
         val verdict = batchId.map(ix.ingest(probeBatch, _))
           .getOrElse(ix.ingest(probeBatch))
-        keyed.join(verdict, Seq("doc_id"), "left")
+        val joined = keyed.join(verdict, Seq("doc_id"), "left")
+        // the guard's disclosure must SURVIVE the pipeline: a doc that
+        // hit a hot band carries empty near_candidate_ids, and hiding
+        // the flag would let a consumer read that as "no near-dups" —
+        // the one misreading the index's over-approximation contract
+        // forbids. Unguarded/pre-guard indexes have no column → 0.
+        val satCol =
+          if (joined.columns.contains("band_saturated"))
+            coalesce(col("band_saturated"), lit(0))
+          else lit(0)
+        joined
           .withColumn("maybe_dup", coalesce(col("maybe_dup"), lit(0)))
           .withColumn("near_candidate_ids",
             coalesce(col("near_candidate_ids"), array().cast("array<long>")))
+          .withColumn("band_saturated", satCol)
           .withColumn("tags",
             when(col("maybe_dup") === 1,
               array_union(col("tags"), array(lit(DupCandidateTag))))
@@ -1016,6 +1043,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       case None =>
         scored.withColumn("maybe_dup", lit(0))
           .withColumn("near_candidate_ids", array().cast("array<long>"))
+          .withColumn("band_saturated", lit(0))
     }
     // pin the verdicts once: the append job below re-derives its own
     // frame, and the caller's later reads must not recompute the gates
@@ -1023,7 +1051,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     val verdicts = withDup.select(
       col("id"), col("agent_id"), col("anomaly_score"),
       col("anomaly_reasons"), col("quarantined"),
-      col("maybe_dup"), col("near_candidate_ids"))
+      col("maybe_dup"), col("near_candidate_ids"), col("band_saturated"))
       .orderBy("id").localCheckpoint()
 
     appendEnriched(withDup.select(
@@ -1314,8 +1342,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   private def aclPath = path + "_acls"
 
   private def aclExists: Boolean =
-    new java.io.File(aclPath).exists() && new java.io.File(aclPath).list() != null &&
-      new java.io.File(aclPath).list().nonEmpty
+    ManifestIO.listChildren(aclPath).nonEmpty
 
   /** SHARE: grant `toAgent` read access to specific memories. The grant
     * table is a small broadcast dimension, exactly the reference's acls
@@ -1394,8 +1421,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   private def ckptPath = path + "_ckpts"
 
   private def ckptExists: Boolean =
-    new java.io.File(ckptPath).exists() && new java.io.File(ckptPath).list() != null &&
-      new java.io.File(ckptPath).list().nonEmpty
+    ManifestIO.listChildren(ckptPath).nonEmpty
 
   /** CHECKPOINT: snapshot the ids of an agent's live memories as a ref
     * array (one row). */
@@ -1466,8 +1492,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   private def delegPath = path + "_delegations"
 
   private def delegExists: Boolean =
-    new java.io.File(delegPath).exists() && new java.io.File(delegPath).list() != null &&
-      new java.io.File(delegPath).list().nonEmpty
+    ManifestIO.listChildren(delegPath).nonEmpty
 
   /** DELEGATE: `fromAgent` lets `toAgent` read what it can read, until
     * `expiresAt`. */
@@ -1598,8 +1623,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   private def orientPath = path + "_orientation"
 
   private def orientExists: Boolean =
-    new java.io.File(orientPath).exists() && new java.io.File(orientPath).list() != null &&
-      new java.io.File(orientPath).list().nonEmpty
+    ManifestIO.listChildren(orientPath).nonEmpty
 
   private def encNs(ns: String): String =
     java.net.URLEncoder.encode(ns, "UTF-8")

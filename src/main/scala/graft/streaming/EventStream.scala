@@ -141,6 +141,15 @@ object EventStream {
   def streamingNearDupCandidates(docs: DataFrame,
       horizonMs: Long = 6L * 3600 * 1000,
       maxBandDocs: Int = 1000): Dataset[NearDupCandidate] = {
+    // a non-positive cap would saturate EVERY band on its first
+    // arrival (held.size >= 0) and never hold state — and it is NOT
+    // the opt-out convention (that is DedupIndex's hotBandThreshold,
+    // which gates a probe; here the cap IS what bounds state). To run
+    // uncapped — the pre-guard behavior, unbounded state — pass
+    // Int.MaxValue explicitly.
+    require(maxBandDocs > 0,
+      s"maxBandDocs must be positive (got $maxBandDocs); " +
+        "pass Int.MaxValue to run uncapped (unbounded state)")
     import docs.sparkSession.implicits._
     import graft.functions.DedupEnrich
     // enrichment via the SHARED DedupEnrich path — identical band keys

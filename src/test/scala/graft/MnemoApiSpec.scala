@@ -658,6 +658,44 @@ class MnemoApiSpec extends SparkSpec {
         s"dup=${c4.getInt(5)} cands=${c4.getSeq[Long](6)}")
   }
 
+  test("ingestPipeline surfaces the index's band_saturated flag — empty candidates are not 'no near-dups'") {
+    val store = freshStore()
+    val idx = new graft.api.DedupIndex(spark,
+      Files.createTempDirectory("mnemo-didx5").toFile.getAbsolutePath + "/idx",
+      capacity = 10000, hotBandThreshold = 50)
+    // 100 boilerplate rows through the pipeline: every band key of the
+    // template accumulates 100 priors (>= 50)
+    val boiler = "standard template greeting paragraph inserted into every message tonight"
+    store.ingestPipeline((1 to 100).map(i =>
+      RememberRequest(f"b$i%03d", "gail", "t1", boiler,
+        createdAt = ts(f"2024-04-01 ${10 + i / 60}%02d:${i % 60}%02d:00"))),
+      index = Some(idx), batchId = Some(0L))
+    // a NEAR-dup of the template (not exact: bloom-clean) now probes
+    // saturated bands: candidates are empty BY DESIGN and the flag
+    // must ride the report so a consumer routes it to the wide verify
+    val r = store.ingestPipeline(Seq(
+      RememberRequest("n1", "gail", "t1", boiler + " regards",
+        createdAt = ts("2024-04-02 10:00:00")),
+      RememberRequest("n2", "gail", "t1", "entirely unrelated fresh note",
+        createdAt = ts("2024-04-02 11:00:00"))),
+      index = Some(idx), batchId = Some(1L))
+    assert(r.bandSaturated == 1L, s"report must count the flagged row: $r")
+    val v = r.verdicts.collect().map(x => x.getString(0) ->
+      ((x.getInt(5), x.getSeq[Long](6).toList, x.getInt(7)))).toMap
+    assert(v("n1")._3 == 1 && v("n1")._2.isEmpty,
+      s"n1 hit hot bands: flag must survive the pipeline, got ${v("n1")}")
+    assert(v("n2")._3 == 0, s"clean row must not flag: ${v("n2")}")
+    // and the flag survives a foreachBatch REPLAY via the persisted frame
+    val replay = store.ingestPipeline(Seq(
+      RememberRequest("n1", "gail", "t1", boiler + " regards",
+        createdAt = ts("2024-04-02 10:00:00")),
+      RememberRequest("n2", "gail", "t1", "entirely unrelated fresh note",
+        createdAt = ts("2024-04-02 11:00:00"))),
+      index = Some(idx), batchId = Some(1L))
+    assert(replay.bandSaturated == 1L,
+      "the persisted verdict frame must carry the flag through replay")
+  }
+
   test("ingestPipeline driven by a REAL MemoryStream foreachBatch sink end to end") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -397,6 +397,21 @@ class StoreCompatSpec extends SparkSpec {
     val live = store.table().filter(col("deleted_at").isNull)
       .select("id").collect().map(_.getString(0)).toSet
     assert(live == Set("m2"), s"bucket-pruned point op through file://: $live")
+    // the AUX stores (grants, checkpoints) hang off the same scheme'd
+    // path — their existence probes must resolve the scheme too, or a
+    // successful write reads back as an empty store (the java.io.File
+    // regression this pin guards against: File("file:///...").exists()
+    // is false because the URI is treated as a literal pathname)
+    store.share(Seq("m2"), "bob", ts("2024-01-05 11:00:00"))
+    val granted = store.recallVisible("bob",
+      graft.api.Mnemo.RecallRequest(strategy = "exact", limit = 10),
+      ts("2024-01-06 10:00:00")).select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(granted.contains("m2"),
+      s"file:// grant must be visible after write: $granted")
+    store.checkpoint("ck1", "alice", ts("2024-01-06 10:00:00"))
+    assert(store.replay("ck1").count() >= 1,
+      "file:// checkpoint must read back")
     // the maintained dedup index through the same scheme'd addressing
     import spark.implicits._
     val idx = new graft.api.DedupIndex(spark,
