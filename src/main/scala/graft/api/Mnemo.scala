@@ -205,6 +205,23 @@ object Mnemo {
       .otherwise(transform(raw, x => x.cast("float")))
   }
 
+  /** [[MnemoStore.describe]]'s report — the operator-facing health
+    * view of the memory store and its maintained satellites, built
+    * from driver-side manifest reads and directory listings only (no
+    * Spark job). `maxBucketSegments` is the compaction-pressure
+    * signal (folds trigger past [[Mnemo.MaxSegments]]);
+    * `rangedSegments` counts segments whose manifest carries agent
+    * min/max stats (the file-level prune coverage — a pre-range
+    * store reads everything); `tagIndexSegments` is None on a
+    * pre-index store (subject redactions fold every bucket);
+    * `pipelineBatch` is the ingestPipeline replay bookkeeping. */
+  final case class StoreHealth(
+      version: Int, generation: Long, numBuckets: Int,
+      populatedBuckets: Int, segments: Int, maxBucketSegments: Int,
+      tagIndexSegments: Option[Int], rangedSegments: Int,
+      pipelineBatch: Option[Long],
+      auxStores: Map[String, Boolean])
+
   final case class RememberRequest(
       id: String,
       agentId: String,
@@ -1300,6 +1317,39 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * with broken linkage localize the tamper (hash.rs:41-98 → one
     * window pass, W4). Cross-batch seams are checked via the stored
     * prev_hash, which the builder seeded from the previous batch tail. */
+  /** Operator-facing health view of this store and its maintained
+    * satellites — see [[Mnemo.StoreHealth]]. Driver-side manifest
+    * reads and listings only; launches no Spark job, so it is safe to
+    * poll from monitoring. A legacy (pre-v3) flat store reports
+    * version 0 with no bucket structure. */
+  def describe(): Mnemo.StoreHealth = {
+    recover()
+    val aux = Map(
+      "acl" -> aclExists, "checkpoints" -> ckptExists,
+      "delegations" -> delegExists, "orientation" -> orientExists,
+      "attention" -> attnExists)
+    readStoreManifest() match {
+      case Some(m) =>
+        val segs = m.buckets.values
+        Mnemo.StoreHealth(
+          version = 3, generation = m.gen, numBuckets = m.numBuckets,
+          populatedBuckets = m.buckets.size,
+          segments = segs.map(_.length).sum,
+          maxBucketSegments = if (segs.isEmpty) 0 else segs.map(_.length).max,
+          tagIndexSegments = m.tagIdx.map(_.length),
+          rangedSegments = m.ranges.size,
+          pipelineBatch = m.extra.get("batch").map(_.toLong),
+          auxStores = aux)
+      case None =>
+        Mnemo.StoreHealth(
+          version = if (legacyExists) 0 else 3,
+          generation = 0L, numBuckets = newStoreBuckets,
+          populatedBuckets = 0, segments = 0, maxBucketSegments = 0,
+          tagIndexSegments = None, rangedSegments = 0,
+          pipelineBatch = None, auxStores = aux)
+    }
+  }
+
   def verifyChains(): DataFrame = verifyChainsOver(table())
 
   /** Agent-scoped verify: the chain window partitions by (agent,

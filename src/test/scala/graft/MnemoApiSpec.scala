@@ -658,6 +658,37 @@ class MnemoApiSpec extends SparkSpec {
         s"dup=${c4.getInt(5)} cands=${c4.getSeq[Long](6)}")
   }
 
+  test("describe() reports the store's health from manifest facts alone") {
+    val store = freshStore()
+    // never-written: structural defaults, no aux stores
+    val h0 = store.describe()
+    assert(h0.generation == 0 && h0.populatedBuckets == 0 &&
+      h0.segments == 0 && h0.pipelineBatch.isEmpty)
+    assert(h0.auxStores.values.forall(_ == false), s"fresh store aux: ${h0.auxStores}")
+
+    seed(store) // 5 rows across agents
+    store.share(Seq("m2"), "bob", ts("2024-01-05 10:00:00"))
+    store.checkpoint("ck", "alice", ts("2024-01-05 11:00:00"))
+    val h1 = store.describe()
+    assert(h1.version == 3 && h1.generation >= 1 && h1.numBuckets == 32)
+    assert(h1.populatedBuckets > 0 &&
+      h1.segments >= h1.populatedBuckets &&
+      h1.maxBucketSegments >= 1 &&
+      h1.maxBucketSegments <= Mnemo.MaxSegments,
+      s"bucket structure: $h1")
+    assert(h1.tagIndexSegments.isDefined, "current stores carry a tag index")
+    assert(h1.rangedSegments == h1.segments,
+      s"every committed segment records its agent range: $h1")
+    assert(h1.auxStores("acl") && h1.auxStores("checkpoints") &&
+      !h1.auxStores("delegations"), s"aux: ${h1.auxStores}")
+
+    // pipeline bookkeeping surfaces
+    store.ingestPipeline(Seq(
+      RememberRequest("d1", "alice", "t1", "piped row",
+        createdAt = ts("2024-01-06 10:00:00"))), batchId = Some(7L))
+    assert(store.describe().pipelineBatch.contains(7L))
+  }
+
   test("ingestPipeline surfaces the index's band_saturated flag — empty candidates are not 'no near-dups'") {
     val store = freshStore()
     val idx = new graft.api.DedupIndex(spark,
