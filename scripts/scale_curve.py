@@ -56,8 +56,8 @@ QUERIES = [
     "d9_substring_dedup", "d10_incremental_lsh",
     # round-11 newborn
     "pl11_gopher_rules",
-    # round-12 newborn
-    "pl12_ccnet_buckets",
+    # round-12 newborns
+    "pl12_ccnet_buckets", "d11_guarded_lsh",
 ]
 
 ADD_OPENS = [

@@ -614,5 +614,101 @@ object Dedup extends QueryGroup {
             / len(list_distinct(list_concat(sha, shb))) >= 0.3
       ORDER BY a, b"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10)
+  /** The HOT-BAND GUARDED incremental LSH probe — d10's formulation
+    * with the round-12 saturation guard made ORACLE-CHECKABLE: the
+    * history side carries per-band prior counts, a band at or over
+    * the threshold emits NO candidates, and every probe doc reports
+    * `band_saturated` (did any of its bands hit a hot key) plus its
+    * candidate set from the remaining bands. This is the registered
+    * MODEL of what the maintained [[graft.api.DedupIndex]] and the
+    * streaming state do in production — the same semantics the specs
+    * model-check, here hash-verified against DuckDB end to end.
+    *
+    * Threshold H = 2 is a FIXTURE value: the synthetic corpus's band
+    * counts top out at 3 (sf0.01) / 9 (sf0.1), and H = 2 is the
+    * smallest threshold where BOTH legs are non-vacuous at both
+    * scales (2 saturated + 4 candidate-bearing probe docs of 100 at
+    * sf0.01; 30 + 97 of 1000 at sf0.1 — DuckDB-probed before
+    * registration, the pl11 discipline). Production thresholds are
+    * orders of magnitude higher; the semantics are threshold-
+    * independent.
+    *
+    * Scale shape: the hot set is resolved from the O(distinct bands)
+    * counts aggregate BEFORE the candidate equi-join runs, so a
+    * degenerate band key never reaches the join — the row explosion
+    * is structurally unproducible, not merely filtered after the
+    * fact. Candidates shuffle (band, id) pairs only. */
+  private val q11 = QueryDef(
+    "d11_guarded_lsh",
+    (s, dir) => {
+      val base = DedupEnrich.withBandKeys(
+        DedupEnrich.withShingleSet(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text"),
+        "sh")
+        .cache()
+      val exploded = base.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val hist = exploded.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("a"), col("bk"))
+      val probe = exploded.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id").as("b"), col("bk"))
+      val hot = hist.groupBy("bk")
+        .agg(countDistinct(col("a")).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select("bk")
+      val satDocs = probe.join(hot, Seq("bk"), "left_semi")
+        .select("b").distinct().withColumn("sat", lit(1))
+      val cands = probe.join(hot, Seq("bk"), "left_anti")
+        .join(hist, Seq("bk"))
+        .select("b", "a").distinct()
+      val candAgg = cands.groupBy("b").agg(
+        count(lit(1)).as("n_candidates"),
+        concat_ws(",",
+          transform(array_sort(collect_set(col("a"))),
+            x => x.cast("string"))).as("candidates"))
+      base.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id").as("b"))
+        .join(satDocs, Seq("b"), "left")
+        .join(candAgg, Seq("b"), "left")
+        .select(col("b").as("doc_id"),
+          coalesce(col("sat"), lit(0)).as("band_saturated"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("candidates"), lit("")).as("candidates"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $toksSql,
+      $shinglesSql,
+      fp AS (SELECT doc_id, sh, ${MinHash.fingerprintsSql("sh")} AS fp FROM sh),
+      sigs AS (
+        SELECT doc_id, sh, ${MinHash.signatureSql("fp", 8)} AS sig
+        FROM fp),
+      bands AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(0, 3),
+                 b -> md5(CAST(b AS VARCHAR) || chr(1) || CAST(sig[2*b+1] AS VARCHAR)
+                          || chr(1) || CAST(sig[2*b+2] AS VARCHAR)))) AS bk
+        FROM sigs),
+      hist AS (SELECT doc_id AS a, bk FROM bands WHERE doc_id % 5 <> 4),
+      probe AS (SELECT doc_id AS b, bk FROM bands WHERE doc_id % 5 = 4),
+      hot AS (SELECT bk FROM (SELECT bk, COUNT(DISTINCT a) AS cnt
+                              FROM hist GROUP BY bk) WHERE cnt >= 2),
+      sat AS (SELECT DISTINCT b FROM probe JOIN hot USING (bk)),
+      cands AS (
+        SELECT DISTINCT p.b, h.a
+        FROM probe p JOIN hist h ON p.bk = h.bk
+        WHERE p.bk NOT IN (SELECT bk FROM hot)),
+      candagg AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               array_to_string(list_sort(list(a)), ',') AS candidates
+        FROM cands GROUP BY b),
+      allprobe AS (SELECT DISTINCT doc_id AS b FROM documents WHERE doc_id % 5 = 4)
+      SELECT b AS doc_id,
+             CASE WHEN b IN (SELECT b FROM sat) THEN 1 ELSE 0 END AS band_saturated,
+             COALESCE(n_candidates, 0) AS n_candidates,
+             COALESCE(candidates, '') AS candidates
+      FROM allprobe LEFT JOIN candagg USING (b)
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11)
 }

@@ -174,6 +174,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "stat sides must stay broadcast")
   }
 
+  test("d11_guarded_lsh: the hot set gates the candidate join; every join stays an equi-join") {
+    val p = plan("d11_guarded_lsh")
+    // the saturation guard resolves BEFORE the candidate join (an
+    // anti-join on the hot keys), so a degenerate band key can never
+    // reach the pair-generating join — and nothing cross-joins
+    assert(!p.contains("CartesianProduct"), "pair generation must stay keyed")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "candidate generation must be an equi-join")
+  }
+
   test("pl12_ccnet: the LM broadcasts onto the token stream; the tertile window shuffles rows, not tokens") {
     val p = plan("pl12_ccnet_buckets")
     // the per-language unigram model must broadcast (vocab is

@@ -163,6 +163,29 @@ class QueriesSpec extends SparkSpec {
       "filter saturated: most new docs probe maybe_dup")
   }
 
+  test("d11 guarded LSH: saturation and candidates are both live, and internally coherent") {
+    val rows = SparkEntry.queries("d11_guarded_lsh")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // both legs non-vacuous at every fixture scale (DuckDB-probed:
+    // 1 sat / 9 with candidates here, 2/4 at sf0.01, 30/97 at sf0.1)
+    assert(rows.exists(_.getAs[Int]("band_saturated") == 1),
+      "no saturated probe doc — the guard leg is vacuous")
+    assert(rows.exists(_.getAs[Long]("n_candidates") > 0),
+      "no candidate-bearing probe doc — the normal leg is vacuous")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_candidates")
+      val cands = r.getAs[String]("candidates")
+      assert((n == 0) == cands.isEmpty,
+        s"doc ${r.get(0)}: count/list mismatch ($n vs '$cands')")
+      if (n > 0) {
+        val ids = cands.split(",").map(_.toLong)
+        assert(ids.length == n, s"doc ${r.get(0)}: $n != ${ids.length}")
+        assert(ids.forall(_ % 5 != 4),
+          s"doc ${r.get(0)}: candidates must come from the history split")
+      }
+    }
+  }
+
   test("pl10 DSIR top-50 is enriched in the target source (the length-bias guard)") {
     // at Sf the target source is 25/500 docs, so a random top-50 holds
     // ~2.5; the per-token-mean weight must enrich it at least 2x over
