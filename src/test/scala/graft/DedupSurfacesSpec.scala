@@ -211,6 +211,55 @@ class DedupSurfacesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the maintained index's GUARD verdicts equal the registered d11 formulation on one corpus") {
+    // d11_guarded_lsh is documented as THE oracle-checked model of the
+    // index's hot-band guard; this pins the claim: same history, same
+    // threshold, the index's (band_saturated, near_candidate_ids) must
+    // equal the d11 formulation computed fresh over the same split.
+    import spark.implicits._
+    val template = baseText
+    val hist: Seq[(Long, String)] = Seq(
+      1L -> template, 2L -> template, 3L -> template, // 3 docs/band >= H
+      5L -> otherText,
+      6L -> "one lonely unrelated document about glaciers and moraine today")
+    val probes: Seq[(Long, String)] = Seq(
+      20L -> (template + " regards"), // near-dup of the HOT template
+      21L -> (otherText + " indeed"), // near-dup of a COLD doc
+      22L -> "entirely novel words nobody wrote before in this corpus")
+    val H = 2L
+
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000,
+      hotBandThreshold = H)
+    idx.ingest(hist.toDF("doc_id", "text")).collect()
+    val got = idx.ingest(probes.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getSeq[Long](2).toList))).toMap
+
+    // the d11 formulation, computed fresh over the same split through
+    // the SAME shared builder
+    val bands = DedupEnrich.withBandKeys(
+      DedupEnrich.withShingleSet((hist ++ probes).toDF("doc_id", "text"),
+        "text"), "sh")
+      .select(col("doc_id"), col("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val counts = hist.map(_._1).flatMap(bands).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val hot = counts.filter(_._2 >= H).keySet
+    probes.map(_._1).foreach { b =>
+      val expSat = if ((bands(b) & hot).nonEmpty) 1 else 0
+      val expCands = hist.map(_._1)
+        .filter(h => (bands(h) & bands(b)).exists(!hot(_))).sorted
+      assert(got(b) == ((expSat, expCands)),
+        s"probe $b: index guard ${got(b)} != d11 model ($expSat, $expCands)")
+    }
+    // and the fixture is non-vacuous on every leg: a saturated probe,
+    // a candidate-bearing probe, and a clean probe
+    assert(got(20L)._1 == 1, s"template near-dup must saturate: $got")
+    assert(got(21L)._1 == 0 && got(21L)._2 == List(5L),
+      s"cold near-dup must enumerate: $got")
+    assert(got(22L) == ((0, Nil)), s"novel doc must be clean: $got")
+  }
+
   test("short docs get per-doc shingles, never a shared degenerate band key") {
     val b = batchBands
     assert((b(6L) & b(7L)).isEmpty,
