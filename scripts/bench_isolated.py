@@ -124,9 +124,16 @@ def auto_movers():
               f"{paths[-1]} (sf{cur_sf}) — different scale factors",
               file=sys.stderr)
         return []
-    if len(cur) < max(1, len(prev) // 2) or len(prev) < max(1, len(cur) // 2):
-        print(f"auto-mover: skipping — query sets not comparable "
-              f"({len(prev)} vs {len(cur)} entries; subset run?)",
+    # subset gate on the INTERSECTION, not relative sizes: wrapper
+    # tails are truncated to ~60 entries BY DESIGN while BENCH_HEAD
+    # holds the full (growing) registry — a size-ratio gate would
+    # silently disable detection once the registry passes ~2x the tail
+    # cap. A dev SPARK_GRAFT_ONLY smoke run shares only a handful of
+    # queries; a real artifact pair shares dozens.
+    common = set(prev) & set(cur)
+    if len(common) < 20:
+        print(f"auto-mover: skipping — only {len(common)} common queries "
+              f"between {paths[-2]} and {paths[-1]} (subset run?)",
               file=sys.stderr)
         return []
     movers = []

@@ -52,24 +52,16 @@ object ManifestIO {
   /** Hadoop configuration: the active Spark session's (so `fs.*`
     * settings and `fs.defaultFS` behave exactly like the data I/O
     * next to this manifest), or a bare default off-session (tests,
-    * tooling). Memoized per session instance — newHadoopConf clones
-    * the full Spark conf, and a store commit makes a dozen helper
-    * calls; rebuilding it per call would put pure allocation churn on
-    * every commit and micro-batch. The helpers only READ the conf, so
-    * sharing one instance is safe. */
-  @volatile private var confCache: (AnyRef, Configuration) = null
-  private def hconf: Configuration = {
-    val key: AnyRef = SparkSession.getActiveSession.orNull
-    val c = confCache
-    if (c != null && (c._1 eq key)) c._2
-    else {
-      val fresh = SparkSession.getActiveSession
-        .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())
-      confCache = (key, fresh)
-      fresh
-    }
-  }
+    * tooling). Built fresh per operation — a clone costs microseconds
+    * against the Spark jobs around every commit, and caching it would
+    * either freeze runtime `fs.*` changes for the session's lifetime
+    * (breaking the behaves-like-the-data-I/O contract: Spark's own
+    * reads re-resolve the conf) or pin a stopped session from a
+    * static field. Multi-step operations ([[write]]) bind it once. */
+  private def hconf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
 
@@ -104,11 +96,12 @@ object ManifestIO {
     * primitive described in the object doc. */
   def write(storePath: String, entries: Map[String, String]): Unit = {
     val live = manifestPath(storePath)
+    val conf = hconf // ONE conf for the whole multi-step commit
     // gate on the URI scheme BEFORE resolving the filesystem: an
     // object-store path must hit the documented refusal even when the
     // scheme's FS implementation is not on the classpath
     val scheme = Option(live.toUri.getScheme)
-      .getOrElse(FileSystem.getDefaultUri(hconf).getScheme)
+      .getOrElse(FileSystem.getDefaultUri(conf).getScheme)
     if (!AtomicRenameSchemes.contains(scheme))
       throw new UnsupportedOperationException(
         s"maintained store at $storePath: manifest commits need an " +
@@ -117,12 +110,12 @@ object ManifestIO {
           "protocol here would corrupt on the first crashed writer; use a " +
           "file:// or hdfs:// store path, or front the store with a " +
           "filesystem that guarantees atomic rename.")
-    val fs = fsOf(live)
+    val fs = live.getFileSystem(conf)
     // local writes go through the RAW local FS: the checksummed
     // LocalFileSystem would shadow every scratch file with a .crc
     // sidecar the atomic move below does not carry along
     val fsw: FileSystem =
-      if (scheme == "file") FileSystem.getLocal(hconf).getRaw else fs
+      if (scheme == "file") FileSystem.getLocal(conf).getRaw else fs
     fsw.mkdirs(new Path(storePath))
     val props = new java.util.Properties()
     entries.foreach { case (k, v) => props.setProperty(k, v) }
@@ -139,7 +132,7 @@ object ManifestIO {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
-      FileContext.getFileContext(fs.getUri, hconf)
+      FileContext.getFileContext(fs.getUri, conf)
         .rename(fs.makeQualified(tmp), fs.makeQualified(live),
           Options.Rename.OVERWRITE)
     }
