@@ -67,7 +67,7 @@ MOVERS_R11 = ["d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
 # round-11 newborn: isolated baseline at birth (the NEW_R9/R10 convention)
 MOVERS_R11 += ["pl11_gopher_rules"]
 # round-12 newborns: isolated baseline at birth (the NEW_R9/R10 convention)
-NEW_R12 = ["pl12_ccnet_buckets", "d11_guarded_lsh"]
+NEW_R12 = ["pl12_ccnet_buckets", "d11_guarded_lsh", "pl13_corpus_report"]
 
 # round 12+: movers are detected AUTOMATICALLY — any query whose
 # time moved >1.5x in either direction between the two most recent

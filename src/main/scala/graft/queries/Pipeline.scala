@@ -797,6 +797,65 @@ object Pipeline extends QueryGroup {
       FROM b
       ORDER BY doc_id"""))
 
+  /** Per-language corpus health report — the dashboard aggregate every
+    * curation pipeline runs before and after each processing stage
+    * (the "datasheet" numbers of Gebru et al. and every public-corpus
+    * release card): document and token volumes, central tendency of
+    * document length (mean + p50), and the exact-duplicate rate under
+    * the d1 normalization (share of docs whose fingerprint appears
+    * more than once — computed on the SAME [[DedupEnrich.exactFpFromToks]]
+    * fingerprint as the dedup family, so "dup rate" here and "what d1
+    * removes" can never disagree).
+    *
+    * Cross-engine exactness: means are integer-sum-then-one-division
+    * (no float accumulation), p50 is the shared percentile/
+    * quantile_cont interpolation (the t8 pattern), everything rounds
+    * 6dp once at the end. Scale shape: one narrow projection, one
+    * window over the fingerprint (the d1 shuffle), one 5-row
+    * aggregate — nothing corpus-sized crosses the wire twice. */
+  private val q13 = QueryDef(
+    "pl13_corpus_report",
+    (s, dir) => {
+      import graft.functions.DedupEnrich
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("n_toks"),
+          DedupEnrich.exactFpFromToks(col("toks")).as("fp"))
+        .withColumn("gsz", count(lit(1)).over(w))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          round(sum(col("n_toks")).cast("double") / count(lit(1)), 6)
+            .as("mean_tokens"),
+          round(percentile(col("n_toks"), lit(0.5)), 6).as("p50_tokens"),
+          sum((col("gsz") > 1).cast("long")).as("dup_docs"),
+          round(sum((col("gsz") > 1).cast("long")).cast("double")
+            / count(lit(1)), 6).as("dup_frac"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH $toksSql,
+      st AS (
+        SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_toks,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        FROM toks),
+      g AS (SELECT *, COUNT(*) OVER (PARTITION BY fp) AS gsz FROM st)
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+             ROUND(quantile_cont(n_toks, 0.5), 6) AS p50_tokens,
+             CAST(SUM(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+             ROUND(CAST(SUM(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+      FROM g
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
-    q12)
+    q12, q13)
 }

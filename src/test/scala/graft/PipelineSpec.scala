@@ -167,6 +167,27 @@ class PipelineSpec extends SparkSpec {
     split("r_words"); split("r_stop"); split("kept")
   }
 
+  test("corpus report: internally coherent, and its dup count IS d1's row count") {
+    val rows = SparkEntry.queries("pl13_corpus_report")(spark, Sf).collect()
+    assert(rows.length == 5, s"one row per language: ${rows.length}")
+    rows.foreach { r =>
+      val (n, dup) = (r.getAs[Long]("n_docs"), r.getAs[Long]("dup_docs"))
+      assert(dup <= n && n > 0)
+      assert(math.abs(r.getAs[Double]("dup_frac") - dup.toDouble / n) < 1e-6,
+        s"${r.getAs[String]("lang")}: frac/count mismatch")
+      assert(r.getAs[Double]("mean_tokens") > 0 &&
+        r.getAs[Double]("p50_tokens") > 0 &&
+        r.getAs[Long]("total_tokens") >= r.getAs[Long]("n_docs"))
+    }
+    assert(rows.exists(_.getAs[Long]("dup_docs") > 0),
+      "the dup-rate leg is vacuous on this corpus")
+    // the report's dup accounting and the d1 dedup pass share one
+    // fingerprint by construction — their totals must agree exactly
+    val d1rows = SparkEntry.queries("d1_exact_dedup")(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("dup_docs")).sum == d1rows,
+      "report dup_docs must equal the docs d1 places in dup groups")
+  }
+
   test("ccnet buckets: per-language tertiles are balanced, ordered by score, and kept = head+middle") {
     val rows = SparkEntry.queries("pl12_ccnet_buckets")(spark, Sf).collect()
     assert(rows.nonEmpty)
