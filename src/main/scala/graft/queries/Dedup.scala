@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.functions.{DedupEnrich, MinHash, TextOps, VectorOps}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite over `documents` / `embeddings` — the core
@@ -49,13 +48,19 @@ object Dedup extends QueryGroup {
     "d1_exact_dedup",
     (s, dir) => {
       // exact dedup on the normalized bag-of-words fingerprint: one
-      // narrow projection + one groupBy-count; survivor = min doc_id
+      // narrow projection + one groupBy-count; survivor = min doc_id.
+      // Group stats come from a groupBy (map-side partial aggregation)
+      // joined back on fp, NOT a window over fp: a boilerplate doc
+      // duplicated hundreds of millions of times would funnel its whole
+      // group through one window-sort task, while the aggregate
+      // pre-combines per partition and the join-back build side carries
+      // ONE row per fingerprint, so no per-key sort exists at any scale
       val d = Tables.documents(s, dir).select(col("doc_id"),
         DedupEnrich.exactFp(col("text")).as("fp"))
-      val w = Window.partitionBy(col("fp"))
-      d.withColumn("group_size", count(lit(1)).over(w))
-        .withColumn("canonical_id", min(col("doc_id")).over(w))
+      val groups = d.groupBy("fp")
+        .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_id"))
         .filter(col("group_size") > 1)
+      d.join(groups, "fp")
         .select(col("doc_id"), col("fp"), col("group_size"),
           (col("doc_id") === col("canonical_id")).as("is_canonical"))
         .orderBy("doc_id")
@@ -176,10 +181,14 @@ object Dedup extends QueryGroup {
   private val q4 = QueryDef(
     "d4_simhash",
     (s, dir) => {
+      // sketch-equality counts via groupBy + join-back (same hot-key
+      // discipline as d1: a mega-dup sketch value never single-tasks a
+      // window sort; the aggregate combines map-side)
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), MinHash.simhash16(TextOps.tokens(col("text"))).as("simhash"))
-      val w = Window.partitionBy(col("simhash"))
-      d.withColumn("n_same_sketch", count(lit(1)).over(w))
+      val counts = d.groupBy("simhash").agg(count(lit(1)).as("n_same_sketch"))
+      d.join(counts, "simhash")
+        .select("doc_id", "simhash", "n_same_sketch")
         .orderBy("doc_id")
         .limit(300)
     },

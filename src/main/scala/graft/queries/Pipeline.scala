@@ -729,18 +729,46 @@ object Pipeline extends QueryGroup {
     * comparison inside the 6dp-round-then-decimal-sum discipline —
     * emitting 10^x would re-introduce libm pow as a hash hazard).
     *
+    * Bucketing is CCNet's shipped-cutoff shape, not a rank window:
+    * two per-language score cutoffs are computed once, broadcast, and
+    * every document buckets by a map-side comparison — exactly how
+    * CCNet publishes per-language perplexity cutoffs and applies them
+    * at crawl scale. Consequence (documented semantics): documents
+    * with EQUAL avg_logp share a bucket, so bucket sizes are n/3 only
+    * up to tie groups; the earlier ntile form split ties across
+    * buckets by doc_id, which no cutoff-based pipeline reproduces.
+    *
+    * Cutoff derivation is exact integer rank arithmetic, no
+    * interpolation: a histogram groupBy on (lang, avg_logp) (map-side
+    * combinable), a cumulative-count window over that HISTOGRAM —
+    * whose row count is bounded by the 6dp score value space per
+    * language, never by corpus size, so the head language cannot
+    * single-partition a doc-level sort — then bucket k's boundary is
+    * the smallest score whose tie-group starts at rank <= ceil(k*n/3).
+    *
     * Cross-engine exactness: per-token log-probs are 6dp-rounded then
-    * DECIMAL-summed (partition-order-independent, the t8 rule); the
-    * tertile window orders by (avg_logp DESC, doc_id) — a total
-    * order, so ntile is deterministic in both engines.
+    * DECIMAL-summed (partition-order-independent, the t8 rule). The
+    * per-doc mean is NOT a double division + engine ROUND: at sf0.1
+    * two docs land EXACTLY on a .5 tie in the 7th digit (the decimal
+    * sum divides evenly, e.g. -149.187850/100), and Spark's exact
+    * BigDecimal HALF_UP of the nearest double disagrees with DuckDB's
+    * float-multiply round on true ties. Instead the mean is rounded
+    * half-away-from-zero on the EXACT rational in integer micro-units
+    * ((2|S| + n) div 2n with S = decimal sum scaled to 10^-6), then
+    * converted to double by ONE shared IEEE division by 1e6 —
+    * bitwise-identical in both engines by construction. Cutoffs are
+    * picked from that identical value set by integer rank thresholds,
+    * and the final bucket comparison is >= between identical doubles.
     *
     * Scale shape: per-doc token counts are the first shuffle (one
     * groupBy on (doc, lang, token)); the LM join broadcasts the
     * model — per-language vocabulary grows sublinearly (Heaps' law),
     * and at 100 TB the model side is a materialized offline artifact
     * (exactly CCNet's shipped KenLM) joined by (lang, token) —
-    * never a corpus-sized shuffle. The tertile window shuffles one
-    * ROW per document, not tokens. */
+    * never a corpus-sized shuffle. The scored frame is cached because
+    * the cutoff pass and the bucketing pass both read it (CCNet
+    * materializes the score pass the same way); the cutoff table is
+    * 2 values per language and broadcasts. */
   private val q12 = QueryDef(
     "pl12_ccnet_buckets",
     (s, dir) => {
@@ -759,13 +787,38 @@ object Pipeline extends QueryGroup {
       val scored = docTok.join(broadcast(logp), Seq("lang", "tok"))
         .groupBy("doc_id", "lang")
         .agg(sum(col("n")).as("n_tokens"),
-          round(sum(col("logp") * col("n")).cast("double") / sum(col("n")), 6)
-            .as("avg_logp"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"))
-        .orderBy(col("avg_logp").desc, col("doc_id"))
-      scored
-        .withColumn("bucket", ntile(3).over(w))
+          // exact decimal sum in integer micro-units (scale-6 decimal
+          // times 10^6 is integral by construction)
+          (sum(col("logp") * col("n")) * 1000000).cast("long").as("sm"))
+        // round-half-away-from-zero on the exact rational sm/n_tokens,
+        // then ONE shared IEEE division — no engine-native double ROUND
+        .withColumn("m", expr("(2 * abs(sm) + n_tokens) DIV (2 * n_tokens)"))
+        .withColumn("avg_logp",
+          when(col("sm") < 0, -col("m")).otherwise(col("m"))
+            .cast("double") / lit(1000000.0))
+        .select("doc_id", "lang", "n_tokens", "avg_logp")
+        .cache()
+      // histogram of distinct scores per language: map-side combinable,
+      // row count bounded by the 6dp value space, not the corpus
+      val byVal = scored.groupBy("lang", "avg_logp").agg(count(lit(1)).as("cnt"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("avg_logp").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val nPer = byVal.groupBy("lang").agg(sum(col("cnt")).as("n"))
+      val cuts = byVal
+        .withColumn("first_rank", coalesce(sum(col("cnt")).over(wv), lit(0L)) + 1)
+        .join(broadcast(nPer), "lang")
+        .withColumn("vbucket",
+          when(col("first_rank") <= expr("(n + 2) DIV 3"), 1)
+            .when(col("first_rank") <= expr("(2 * n + 2) DIV 3"), 2)
+            .otherwise(3))
+        .groupBy("lang").agg(
+          min(when(col("vbucket") === 1, col("avg_logp"))).as("c1"),
+          min(when(col("vbucket") <= 2, col("avg_logp"))).as("c2"))
+      scored.join(broadcast(cuts), "lang")
+        .withColumn("bucket",
+          when(col("avg_logp") >= col("c1"), 1)
+            .when(col("avg_logp") >= col("c2"), 2).otherwise(3))
         .withColumn("tier",
           when(col("bucket") === 1, "head")
             .when(col("bucket") === 2, "middle").otherwise("tail"))
@@ -783,14 +836,38 @@ object Pipeline extends QueryGroup {
         SELECT model.lang, tok,
                CAST(ROUND(log10(CAST(cnt AS DOUBLE) / tot), 6) AS DECIMAL(12,6)) AS logp
         FROM model JOIN totals ON model.lang = totals.lang),
-      scored AS (
+      scoredsum AS (
         SELECT doc_id, doctok.lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
-               ROUND(CAST(SUM(logp * n) AS DOUBLE) / SUM(n), 6) AS avg_logp
+               CAST(SUM(logp * n) * 1000000 AS BIGINT) AS sm
         FROM doctok JOIN logp ON doctok.lang = logp.lang AND doctok.tok = logp.tok
         GROUP BY doc_id, doctok.lang),
+      scored AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(CASE WHEN sm < 0
+                         THEN -((2 * (-sm) + n_tokens) // (2 * n_tokens))
+                         ELSE (2 * sm + n_tokens) // (2 * n_tokens) END
+                    AS DOUBLE) / 1000000.0 AS avg_logp
+        FROM scoredsum),
+      byval AS (SELECT lang, avg_logp, COUNT(*) AS cnt FROM scored GROUP BY ALL),
+      ranked AS (
+        SELECT lang, avg_logp,
+               COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY avg_logp DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS first_rank
+        FROM byval),
+      nper AS (SELECT lang, COUNT(*) AS n FROM scored GROUP BY lang),
+      vb AS (
+        SELECT ranked.lang, avg_logp,
+               CASE WHEN first_rank <= (n + 2) // 3 THEN 1
+                    WHEN first_rank <= (2 * n + 2) // 3 THEN 2 ELSE 3 END AS vbucket
+        FROM ranked JOIN nper ON ranked.lang = nper.lang),
+      cuts AS (
+        SELECT lang, MIN(CASE WHEN vbucket = 1 THEN avg_logp END) AS c1,
+               MIN(CASE WHEN vbucket <= 2 THEN avg_logp END) AS c2
+        FROM vb GROUP BY lang),
       b AS (
-        SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id) AS bucket
-        FROM scored)
+        SELECT s.*, CASE WHEN s.avg_logp >= c.c1 THEN 1
+                         WHEN s.avg_logp >= c.c2 THEN 2 ELSE 3 END AS bucket
+        FROM scored s JOIN cuts c ON s.lang = c.lang)
       SELECT doc_id, lang, n_tokens, avg_logp, bucket,
              CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
              CAST(bucket <= 2 AS INT) AS kept
@@ -811,20 +888,23 @@ object Pipeline extends QueryGroup {
     * (no float accumulation), p50 is the shared percentile/
     * quantile_cont interpolation (the t8 pattern), everything rounds
     * 6dp once at the end. Scale shape: one narrow projection, one
-    * window over the fingerprint (the d1 shuffle), one 5-row
-    * aggregate — nothing corpus-sized crosses the wire twice. */
+    * groupBy on the fingerprint joined back (the d1 shape — map-side
+    * partial aggregation, never a per-fp window sort under mega-dup
+    * groups), one 5-row aggregate — nothing corpus-sized crosses the
+    * wire twice. */
   private val q13 = QueryDef(
     "pl13_corpus_report",
     (s, dir) => {
       import graft.functions.DedupEnrich
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-      Tables.documents(s, dir)
+      val st = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("lang"),
           size(col("toks")).cast("long").as("n_toks"),
           DedupEnrich.exactFpFromToks(col("toks")).as("fp"))
-        .withColumn("gsz", count(lit(1)).over(w))
+        .cache()
+      val gsz = st.groupBy("fp").agg(count(lit(1)).as("gsz"))
+      st.join(gsz, "fp")
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -188,21 +188,30 @@ class PipelineSpec extends SparkSpec {
       "report dup_docs must equal the docs d1 places in dup groups")
   }
 
-  test("ccnet buckets: per-language tertiles are balanced, ordered by score, and kept = head+middle") {
+  test("ccnet buckets: cutoff tertiles cover rank thresholds, respect ties, and kept = head+middle") {
     val rows = SparkEntry.queries("pl12_ccnet_buckets")(spark, Sf).collect()
     assert(rows.nonEmpty)
     val byLang = rows.groupBy(_.getAs[String]("lang"))
     byLang.foreach { case (lang, rs) =>
-      // ntile balance: bucket sizes differ by at most one
+      val n = rs.length.toLong
       val sizes = rs.groupBy(_.getAs[Int]("bucket")).view.mapValues(_.length).toMap
       assert(sizes.keySet == Set(1, 2, 3), s"$lang buckets: $sizes")
-      assert(sizes.values.max - sizes.values.min <= 1,
-        s"$lang tertile sizes must be balanced: $sizes")
+      // cutoff semantics: bucket k's boundary tie-group starts at rank
+      // <= ceil(k*n/3) and the whole group lands in bucket k, so the
+      // cumulative counts can only MEET or OVERSHOOT the rank targets
+      assert(sizes(1) >= (n + 2) / 3, s"$lang: head short of ceil(n/3): $sizes")
+      assert(sizes(1) + sizes(2) >= (2 * n + 2) / 3,
+        s"$lang: head+middle short of ceil(2n/3): $sizes")
+      // ties share a bucket — the property ntile violated and cutoffs enforce
+      rs.groupBy(_.getAs[Double]("avg_logp")).foreach { case (s, g) =>
+        assert(g.map(_.getAs[Int]("bucket")).distinct.length == 1,
+          s"$lang: tie group at $s split across buckets")
+      }
       // ordering: every head doc scores >= every middle doc >= every tail
-      def bound(b: Int, agg: Iterable[Double] => Double) =
-        agg(rs.filter(_.getAs[Int]("bucket") == b).map(_.getAs[Double]("avg_logp")))
-      assert(bound(1, _.min) >= bound(2, _.max) - 1e-9 &&
-        bound(2, _.min) >= bound(3, _.max) - 1e-9,
+      def scoresOf(b: Int) =
+        rs.filter(_.getAs[Int]("bucket") == b).map(_.getAs[Double]("avg_logp"))
+      assert(scoresOf(1).min >= scoresOf(2).max - 1e-9 &&
+        scoresOf(2).min >= scoresOf(3).max - 1e-9,
         s"$lang: tertiles must partition the score order")
     }
     rows.foreach { r =>

@@ -184,15 +184,40 @@ class PlanSpec extends SparkSpec {
       "candidate generation must be an equi-join")
   }
 
-  test("pl12_ccnet: the LM broadcasts onto the token stream; the tertile window shuffles rows, not tokens") {
+  test("pl12_ccnet: the LM broadcasts onto the token stream; no doc-level tertile window survives") {
     val p = plan("pl12_ccnet_buckets")
     // the per-language unigram model must broadcast (vocab is
     // Heaps-law sublinear; at 100 TB it is a materialized artifact) —
     // a shuffle join of corpus tokens against the model would be the
-    // scale regression; the ntile window runs over ONE row per doc
+    // scale regression
     assert(p.contains("BroadcastHashJoin"), "LM side must broadcast")
-    assert(p.contains("Window"), "tertiles are a window pass")
+    // the r12 scale-killer: ntile(3) over partitionBy(lang) funnels the
+    // head language's every doc through ONE window sort. Bucketing must
+    // be broadcast cutoffs + map-side comparison; the only window
+    // allowed is the cumulative count over the (lang, avg_logp)
+    // HISTOGRAM, whose size is value-space-bounded, never corpus-bounded
+    assert(!p.contains("ntile"), "doc-level ntile window reintroduced")
+    val windowSections = p.split("\\n\\(\\d+\\) ").filter(_.startsWith("Window"))
+    assert(windowSections.nonEmpty, "expected the histogram cumulative-count window")
+    windowSections.foreach { w =>
+      assert(w.contains("sum(cnt"),
+        s"a Window that is not the histogram cumulative count appeared:\n$w")
+    }
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d1/d4/pl13: fingerprint group stats aggregate map-side, never window-sort per key") {
+    // count(*) over (partition by fp) funnels a mega-dup group (a
+    // boilerplate doc duplicated 10^8 times — the hot-band corpus class)
+    // through ONE window task; groupBy(fp) + join-back pre-combines
+    // map-side and the build side is one row per fingerprint
+    Seq("d1_exact_dedup", "d4_simhash", "pl13_corpus_report").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Window"),
+        s"$n: per-fingerprint window sort reintroduced")
+      assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+        s"$n: expected the map-side-combinable group aggregate")
+    }
   }
 
   test("d7_semdedup: pair generation is a cid equi-join, never a corpus cross-join") {
