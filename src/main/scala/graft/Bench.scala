@@ -103,10 +103,14 @@ object Bench {
     // overwritten by every dev/driver run); BENCH_HEAD.json is the
     // TRACKED artifact — committed alongside any SURVEY/README figure
     // that quotes it, so a "committed at HEAD" bench number always
-    // points at a file `git show HEAD:BENCH_HEAD.json` can verify
+    // points at a file `git show HEAD:BENCH_HEAD.json` can verify.
+    // A SPARK_GRAFT_ONLY subset run or a non-default rep count is a
+    // dev probe, not a headline figure: it must never clobber the
+    // tracked artifact (nothing in the line would mark it partial)
     try {
       Files.writeString(Paths.get("bench_out.json"), line + "\n")
-      Files.writeString(Paths.get("BENCH_HEAD.json"), line + "\n")
+      if (only.isEmpty && reps == 5)
+        Files.writeString(Paths.get("BENCH_HEAD.json"), line + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
   }

@@ -381,15 +381,29 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // An over-capacity window store inflates `shared_window_frac` —
     // documented as the safe direction (reads high, never low), but a
     // consumer acting on the frac needs to KNOW it is degraded; at
-    // fill f the per-window FP is ~f^k. One bit_count aggregate over
-    // the packed words (word-wise OR first: overlapping segments may
-    // attest the same word), O(state words), dwarfed by the probe join
-    // that scans the same rows.
+    // fill f the per-window FP is ~f^k. LAZY like the hot-guard's
+    // n-counter shortcut: the manifest's cumulative window-hash count
+    // `nw` bounds set bits above by k·nw, so while that bound is under
+    // [[DedupIndex.FillExactBound]] the store cannot be degraded and
+    // the BOUND is emitted (still reads high, never low) with no state
+    // scan at all — the exact O(state words) bit_count aggregate
+    // (word-wise OR first: overlapping segments may attest the same
+    // word) runs only once the store could plausibly be filling, or on
+    // a hand-built manifest that never carried the counter. Keeps the
+    // per-micro-batch streaming cost O(batch) on healthy stores
+    // instead of O(windowCapacity/64) always.
+    val nwPrev: Option[Long] =
+      if (man.isEmpty) Some(0L) else man.flatMap(_.get("nw")).map(_.toLong)
     val wbloomFill: Option[Double] = mwOpt.map { mw =>
-      val r = wbloomSt.get
-        .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
-        .agg(sum(expr("bit_count(bits)"))).collect()(0)
-      if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble / mw
+      val bound = nwPrev.map(nw => DedupEnrich.BloomK * nw.toDouble / mw)
+      bound match {
+        case Some(b) if b < DedupIndex.FillExactBound => b
+        case _ =>
+          val r = wbloomSt.get
+            .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+            .agg(sum(expr("bit_count(bits)"))).collect()(0)
+          if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble / mw
+      }
     }
     val joined0 = enriched
       .join(posMatches, Seq("doc_id"), "left")
@@ -482,10 +496,20 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // unconditionally rather than trust a counter that missed history
     val nNew: Option[Long] =
       (if (man.isEmpty) Some(0L) else nPrev).map(_ + result.count())
+    // cumulative window-hash counter (same discipline as `n`): one
+    // O(batch) aggregate over the cached frame, upper-bounds the window
+    // Bloom's set bits at k·nw for the lazy fill disclosure above
+    val nwNew: Option[Long] = mwOpt.flatMap { _ =>
+      nwPrev.map { nw =>
+        val r = enriched.agg(sum(size(col("ws")))).collect()(0)
+        nw + (if (r.isNullAt(0)) 0L else r.getLong(0))
+      }
+    }
     ManifestIO.write(path, Map(
       "version" -> ver.toString, "m" -> m.toString,
       "gen" -> gen.toString, "segs" -> segs.mkString(","))
       ++ nNew.map(n => Map("n" -> n.toString)).getOrElse(Map.empty)
+      ++ nwNew.map(v => Map("nw" -> v.toString)).getOrElse(Map.empty)
       ++ mwOpt.map(mw => Map("mw" -> mw.toString)).getOrElse(Map.empty)
       ++ hotOpt.map(h => Map("hot" -> h.toString)).getOrElse(Map.empty)
       ++ batchId.map(id => Map(
@@ -563,6 +587,16 @@ object DedupIndex {
     * selectivity a HEALTHY LSH band exhibits (a band this hot is
     * boilerplate, not similarity signal). */
   val DefaultHotBandThreshold: Long = 10000L
+
+  /** Fill level below which the per-ingest `wbloom_fill` disclosure
+    * may be the cheap counter-derived UPPER BOUND (k·nw/mw) instead of
+    * the exact set-bit aggregate. At 1/8 fill the per-window FP bound
+    * is (1/8)^4 ≈ 2.4e-4 — far from degraded, so the exact number adds
+    * nothing a consumer would act on, while the exact aggregate costs
+    * O(windowCapacity/64) rows on EVERY windowed micro-batch. Both
+    * forms read high, never low. [[DedupIndex.describe]] always
+    * reports the exact fill. */
+  val FillExactBound: Double = 0.125
 
   /** [[DedupIndex.describe]]'s report. Fill fractions are exact
     * set-bit ratios of the packed Blooms (per-probe FP ≈ fill^k at

@@ -789,11 +789,12 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       case Some((bid, verdicts)) =>
         verdicts.write.mode(SaveMode.Overwrite).parquet(s"$path/g$gen/v")
         Map("batch" -> bid.toString, "pverdict" -> s"g$gen/v")
-      // an UNGUARDED pipeline commit drops the keys (the DedupIndex
-      // policy: mixing guarded and unguarded ingest is a contract
-      // violation, and a stale guard left behind would make a later
-      // guarded call that happens to reuse the old batchId silently
-      // serve outdated verdicts and skip its append). Plain
+      // only clearPipelineBookkeeping() sets clearBookkeeping — an
+      // EXPLICIT new-epoch declaration drops the keys (an unguarded
+      // pipeline call on a bookkeeping-carrying store throws instead:
+      // both mixed-mode interleavings are contract violations — a
+      // silent clear re-opens the crash-replay double-append, a silent
+      // keep lets a reused batchId serve stale verdicts). Plain
       // remember/forget commits carry the pair forward verbatim —
       // "did batch N commit" is unchanged by unrelated writes.
       case None if clearBookkeeping => m.extra -- Seq("batch", "pverdict")
@@ -940,7 +941,11 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * micro-batch is exactly-once end to end — including a crash
     * BETWEEN the two commits. The store append is one commit; the
     * index fold is one commit on ITS OWN store — two stores, one
-    * crash-atomic commit each. */
+    * crash-atomic commit each. Guarded and unguarded calls must not
+    * mix: an unguarded call on a store still carrying replay
+    * bookkeeping THROWS (either silent resolution re-opens a replay
+    * hazard) — retire a checkpoint explicitly with
+    * [[clearPipelineBookkeeping]] first. */
   def ingestPipeline(batch: Seq[RememberRequest],
       index: Option[DedupIndex] = None,
       batchId: Option[Long] = None): Mnemo.IngestReport = {
@@ -968,6 +973,18 @@ final class MnemoStore(val spark: SparkSession, val path: String,
           s"memory store at $path: pipeline batch $bid replayed after $lb " +
             "was committed — beyond foreachBatch's one-batch replay window " +
             "(second writer or rewound checkpoint)")
+      // mixing guarded and unguarded ingest is a contract violation in
+      // BOTH interleavings: silently clearing the guard here would let a
+      // crash-replay of the committed batch re-append (duplicate ids),
+      // and silently keeping it would let a later guarded call that
+      // reuses the old batchId serve stale verdicts. Fail loudly; a new
+      // checkpoint epoch must be DECLARED, not inferred.
+      case (None, Some(lb)) =>
+        throw new IllegalStateException(
+          s"memory store at $path: unguarded ingestPipeline call on a " +
+            s"store carrying replay bookkeeping for batch $lb — pass the " +
+            "foreachBatch batchId, or declare a new checkpoint epoch " +
+            "explicitly with clearPipelineBookkeeping() first")
       case _ => ()
     }
     val reqs = reqFrame(batch)
@@ -1075,13 +1092,27 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       col("id"), col("agent_id"), col("thread_id"), col("content"),
       col("memory_type"), col("scope"), col("importance"), col("tags"),
       col("created_at"), col("expires_at"), col("quarantined")),
-      bookkeeping = batchId.map(_ -> verdicts),
-      // an unguarded pipeline call clears any prior replay bookkeeping
-      // so a stale guard can never serve outdated verdicts (the
-      // DedupIndex policy, see commitWrite)
-      clearBookkeeping = batchId.isEmpty)
+      // an unguarded call on a bookkeeping-carrying store threw above,
+      // so there is never a stale pair to clear implicitly here — epoch
+      // changes go through clearPipelineBookkeeping() only
+      bookkeeping = batchId.map(_ -> verdicts))
 
     Mnemo.reportOf(verdicts)
+  }
+
+  /** Declare a new ingest checkpoint epoch: drop the pipeline replay
+    * bookkeeping (`batch`/`pverdict`) from the manifest in one
+    * ordinary commit. Call this when a foreachBatch checkpoint is
+    * retired and batch ids will restart — the ONLY sanctioned way to
+    * move a store from guarded to unguarded ingest. After the clear, a
+    * redelivery of the old checkpoint's last batch would re-append
+    * (that is what declaring a new epoch means); an undeclared mix of
+    * guarded and unguarded calls throws in [[ingestPipeline]] instead
+    * of silently opening that window. */
+  def clearPipelineBookkeeping(): Unit = {
+    val m = migrateIfLegacy()
+    if (m.extra.contains("batch"))
+      commitWrite(m, Set.empty, None, None, clearBookkeeping = true)
   }
 
   private def reqFrame(batch: Seq[RememberRequest]): DataFrame = {

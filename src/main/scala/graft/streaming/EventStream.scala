@@ -90,12 +90,19 @@ object EventStream {
   // stateful operator (casting it to a long strips the tag)
   case class BandRow(bk: String, doc_id: Long, ts: Timestamp)
   /** A candidate pair — or, with `saturated = true`, a SATURATION
-    * marker: doc `a` arrived at a band already holding `maxBandDocs`
-    * live entries (`b` is -1, no pair enumerated). The downstream
-    * contract is over-approximation: a saturated doc must be routed
-    * to the WIDE exact-verify (against the corpus / the maintained
-    * index), not just its candidate list — saturation can widen the
-    * verify, never hide a duplicate. */
+    * marker. FIELD CONVENTION (positional consumers depend on it): the
+    * ARRIVING document is always `b`; `a` is the previously-held
+    * band-mate on pair rows and -1 on marker rows (the band already
+    * held `maxBandDocs` live entries, so no pair was enumerated).
+    * The downstream contract is over-approximation: a saturated doc
+    * must be routed to the WIDE exact-verify (against the corpus / the
+    * maintained index), not just its candidate list — saturation can
+    * widen the verify, never hide a duplicate.
+    *
+    * @param a  held band-mate doc id, or -1 on a saturation marker
+    * @param b  the arriving doc id — same field on BOTH row kinds
+    * @param bk the band key that produced the row
+    * @param saturated true iff this is a marker row, not a pair */
   case class NearDupCandidate(a: Long, b: Long, bk: String,
       saturated: Boolean = false)
   // held docs per band: (doc_id, event-time ms), newest first
@@ -132,7 +139,8 @@ object EventStream {
     * without bound AND emit O(held) pairs per arrival. A band whose
     * live (post-eviction) entry list is at the cap stops enumerating:
     * an arrival there emits ONE `saturated = true` marker row
-    * (`b = -1`) and is NOT added to the state, bounding both state
+    * (`a = -1`, arriving doc in `b` as on pair rows) and is NOT added
+    * to the state, bounding both state
     * size and output per band. Over-approximation: the marker routes
     * the doc to the WIDE downstream exact-verify, so saturation can
     * never hide a duplicate (see [[NearDupCandidate]]); the
@@ -181,8 +189,9 @@ object EventStream {
               held = held.filter(_._2 >= floor)
               if (held.size >= maxBandDocs) {
                 // saturated band: one marker row, no pair enumeration,
-                // no state growth (the doc routes to the wide verify)
-                out += NearDupCandidate(r.doc_id, -1L, bk, saturated = true)
+                // no state growth (the doc routes to the wide verify).
+                // The arriving doc rides in `b`, same as on pair rows
+                out += NearDupCandidate(-1L, r.doc_id, bk, saturated = true)
               } else {
                 held.foreach { case (pid, _) =>
                   if (pid != r.doc_id) out += NearDupCandidate(pid, r.doc_id, bk)

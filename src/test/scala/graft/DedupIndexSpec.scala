@@ -393,6 +393,25 @@ class DedupIndexSpec extends SparkSpec {
       "this test exists because the frac degrades; if it reads 0 the fixture no longer demonstrates the hazard")
   }
 
+  test("window-bloom fill on a HEALTHY store is the counter bound — no per-ingest state scan") {
+    // windowCapacity 50000 -> mw = 800000 slots; one 40-token doc in
+    // history = 25 window hashes, so the k·nw/mw bound is 4·25/800000
+    // = 0.000125 — far under FillExactBound, so the lazy path emits
+    // the bound itself (reads high vs the exact pre-fold fill, never
+    // low) instead of aggregating the full packed state
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000,
+      windowCapacity = 50000)
+    import spark.implicits._
+    idx.ingest(docs(1L -> (1 to 40).map(i => s"tok$i").mkString(" "))).collect()
+    val exactPreFold = idx.describe().windowFill.get
+    val b2 = idx.ingest(docs(2L -> (1 to 40).map(i => s"other$i").mkString(" ")))
+    val fill = b2.collect().head.getAs[Double]("wbloom_fill")
+    assert(fill == 0.000125, s"expected the k*nw/mw counter bound, got $fill")
+    assert(fill >= exactPreFold - 1e-12,
+      s"the bound must read high, never low: bound $fill < exact $exactPreFold")
+    assert(fill < DedupIndex.FillExactBound)
+  }
+
   test("describe() reports the maintained state's health") {
     val dir = freshDir()
     val idx = new DedupIndex(spark, dir, capacity = 1000,

@@ -200,7 +200,12 @@ class DedupSurfacesSpec extends SparkSpec {
       val rows = spark.table("sat_neardup").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
       val pairs = rows.filter(!_._3).map(r => (r._1, r._2))
-      val sats = rows.filter(_._3).map(_._1)
+      // field convention: the ARRIVING doc is `b` on marker rows too
+      // (a = -1), so a positional consumer reads one field for "the
+      // new doc" across both row kinds
+      val sats = rows.filter(_._3).map(_._2)
+      assert(rows.filter(_._3).forall(_._1 == -1L),
+        "marker rows must carry a = -1")
       // docs 1-3 fill the cap: pairs only among them (1,2),(1,3),(2,3)
       // per shared band; dedup'd here — NEVER a pair touching 4..6
       assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),

@@ -609,6 +609,34 @@ class MnemoApiSpec extends SparkSpec {
     assert(e.getMessage.contains("replay"))
   }
 
+  test("mixed-mode ingest fails loudly: unguarded call on a bookkeeping store throws until the epoch is declared") {
+    // the double-append window: batch N commits, an unguarded call
+    // silently clears the guard, the crash-redelivery of batch N finds
+    // no bookkeeping and appends again. The store must refuse the
+    // unguarded call instead — a new epoch is declared, never inferred.
+    val store = freshStore()
+    def b(id: String) = RememberRequest(id, "erin", "t1", s"note $id",
+      createdAt = ts("2024-03-01 10:00:00"))
+    store.ingestPipeline(Seq(b("m1")), batchId = Some(5L))
+    val e = intercept[IllegalStateException] {
+      store.ingestPipeline(Seq(b("m2")))
+    }
+    assert(e.getMessage.contains("clearPipelineBookkeeping"),
+      s"refusal must name the sanctioned escape hatch: ${e.getMessage}")
+    // the refused call must not have advanced the store
+    assert(store.table().filter(col("id") === "m2").count() == 0)
+    // the guard survives the refused call: batch 5 redelivery still replays
+    val rows = store.table().count()
+    store.ingestPipeline(Seq(b("m1")), batchId = Some(5L))
+    assert(store.table().count() == rows, "replay guard lost after refusal")
+    // declaring the epoch is the sanctioned path; unguarded ingest then works
+    store.clearPipelineBookkeeping()
+    store.ingestPipeline(Seq(b("m3")))
+    assert(store.table().filter(col("id") === "m3").count() == 1)
+    // idempotent on a store with no bookkeeping
+    store.clearPipelineBookkeeping()
+  }
+
   test("ingestPipeline crash BETWEEN the index commit and the store commit replays cleanly (per-store bookkeeping)") {
     // the scaladoc's claimed interleaving, driven directly: foreachBatch
     // delivers batch 1, the INDEX commits it, then the process dies
