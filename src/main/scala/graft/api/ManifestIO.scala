@@ -20,10 +20,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Every operation resolves the Hadoop [[FileSystem]] for the path's
   * SCHEME — the same filesystem Spark's data I/O resolves — so the
-  * protocol is truthful wherever the store lives (`file://` local
-  * disk, `hdfs://`, a mounted NFS path). The one scheme-specific leg
-  * is the commit rename, which must be ATOMIC-WITH-OVERWRITE or the
-  * whole protocol is fiction:
+  * protocol is truthful wherever the store lives. TWO publish
+  * protocols, picked per scheme (and sticky per store):
+  *
+  * RENAME protocol (`file`, `hdfs`, `viewfs` — schemes with a verified
+  * atomic rename-with-overwrite): one mutable `manifest.properties`,
+  * replaced by an atomic rename of a fully-written scratch file:
   *  - `file` (and scheme-less local paths): `java.nio.Files.move`
   *    with ATOMIC_MOVE — the POSIX rename(2) primitive. Hadoop's own
   *    local FileContext rename-with-overwrite is delete-then-rename
@@ -32,22 +34,66 @@ import org.apache.spark.sql.SparkSession
   *    atomic primitive;
   *  - `hdfs`/`viewfs`: `FileContext.rename(..., Options.Rename
   *    .OVERWRITE)` — atomic in the NameNode (HDFS overrides
-  *    renameInternal with the native atomic rename);
-  *  - object stores (`s3`/`s3a`/`s3n`/`gs`/`wasb`/`abfs`/`oss`):
-  *    REFUSED with a loud error at commit time. S3-style rename is
-  *    copy+delete — not atomic, not overwrite-safe — and silently
-  *    running the protocol there would corrupt on the first crashed
-  *    writer. Committing a maintained store to an object store needs
-  *    a conditional-put or coordination-service primitive this
-  *    library does not ship; readers ([[read]]/[[gc]]) still work for
-  *    inspection.
-  *  - any OTHER scheme: refused the same way — atomicity is the
-  *    correctness keystone, and an unverified scheme's rename
-  *    semantics are an assumption, not a fact.
+  *    renameInternal with the native atomic rename).
+  *
+  * POINTER protocol (object stores — `s3`/`s3a`/`s3n`/`gs`/`wasb`/
+  * `wasbs`/`abfs`/`abfss`/`oss` — where rename is copy+delete and the
+  * rename protocol would be fiction): RENAME-FREE, write-once
+  * generation files `_manifests/manifest-<N-zero-padded>.properties`;
+  * a commit is ONE put-if-absent of generation max+1, a reader
+  * resolves the largest committed N. Crash-window reasoning:
+  *  - crash BEFORE the publish: on an object store an incomplete PUT
+  *    never becomes a visible object (S3 PUT visibility is
+  *    all-or-nothing, and S3 is strongly consistent for read-after-put
+  *    and list-after-put), so readers still resolve the previous
+  *    generation; data dirs staged for the dead commit are orphans the
+  *    next commit's [[gc]] sweeps — exactly the rename protocol's
+  *    guarantee;
+  *  - crash AFTER the publish: the commit simply happened;
+  *  - zombie writer (an old driver resuming after a replacement took
+  *    over — the store contract is single-writer): its publish targets
+  *    a generation number that now EXISTS, so the put-if-absent fails
+  *    loudly instead of silently clobbering the new writer's commit.
+  *    On connectors with true conditional writes (S3 If-None-Match
+  *    PUT; Hadoop S3A exposes it on recent releases, ABFS/GCS creates
+  *    are conditional natively) this is watertight; an older connector
+  *    that implements create(overwrite=false) as check-then-create
+  *    narrows the zombie detection to best-effort — the single-writer
+  *    contract itself is unchanged.
+  *  Old generation files beyond the newest [[PointerKeep]] are swept
+  *  after each commit (readers resolve max, so dropping older ones can
+  *  never change what any reader sees).
+  *
+  * The pointer protocol can be FORCED on any scheme with the
+  * `graft.manifest.protocol=pointer` (Hadoop/session) conf — on
+  * atomic-rename schemes the put-if-absent primitive is then a staged
+  * write + link/rename-without-overwrite (fails on an existing target,
+  * publishes fully-written bytes atomically), which is how the
+  * protocol is driven end to end in tests without an object store. A
+  * store that has ever committed a pointer generation stays on the
+  * pointer protocol (layout presence is the gate, like the Bloom
+  * encoding version), and a leftover rename-protocol manifest is
+  * removed by the first pointer commit after it is shadowed.
+  *
+  * Any OTHER scheme is refused at commit time unless the pointer
+  * protocol is forced: atomicity of publish visibility is the
+  * correctness keystone, and an unverified scheme's semantics are an
+  * assumption, not a fact.
   */
 object ManifestIO {
 
   val FileName = "manifest.properties"
+
+  /** Write-once generation-file directory of the pointer protocol. */
+  val PointerDir = "_manifests"
+
+  /** Pointer generations retained after a commit (readers resolve the
+    * max, so any slack >= 1 is purely for slow concurrent listers). */
+  val PointerKeep = 10
+
+  private val PointerName = """manifest-(\d{20})\.properties""".r
+
+  private def pointerName(n: Long): String = f"manifest-$n%020d.properties"
 
   /** Hadoop configuration: the active Spark session's (so `fs.*`
     * settings and `fs.defaultFS` behave exactly like the data I/O
@@ -68,48 +114,94 @@ object ManifestIO {
   /** Schemes whose rename-with-overwrite is verified atomic. */
   private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
 
+  /** Object-store schemes routed to the pointer protocol: visibility
+    * of a completed PUT/create is all-or-nothing, and
+    * create(overwrite=false) maps to a conditional write on current
+    * connectors (see the object doc's zombie-writer note). */
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss")
+
   def manifestPath(storePath: String): Path =
     new Path(storePath, FileName)
 
+  private def schemeOf(p: Path, conf: Configuration): String =
+    Option(p.toUri.getScheme)
+      .getOrElse(FileSystem.getDefaultUri(conf).getScheme)
+
+  /** Committed pointer generations, ascending. Empty for no dir. */
+  private def pointerGens(fs: FileSystem, dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.collect {
+      case st if st.isFile => st.getPath.getName
+    }.collect { case PointerName(n) => n.toLong }.sorted
+
   def exists(storePath: String): Boolean = {
     val p = manifestPath(storePath)
-    fsOf(p).exists(p)
-  }
-
-  /** Read the committed key→value map (None if never committed). */
-  def read(storePath: String): Option[Map[String, String]] = {
-    val p = manifestPath(storePath)
     val fs = fsOf(p)
-    if (!fs.exists(p)) None
-    else {
-      val props = new java.util.Properties()
-      val in = fs.open(p)
-      try props.load(in) finally in.close()
-      import scala.jdk.CollectionConverters._
-      Some(props.stringPropertyNames().asScala
-        .map(k => k -> props.getProperty(k)).toMap)
-    }
+    val pdir = new Path(storePath, PointerDir)
+    pointerGens(fs, pdir).nonEmpty || fs.exists(p)
   }
 
-  /** Commit a full manifest state: write to a scratch file, then
-    * atomically rename over the live manifest — the scheme-gated
-    * primitive described in the object doc. */
+  private def loadProps(fs: FileSystem, p: Path): Map[String, String] = {
+    val props = new java.util.Properties()
+    val in = fs.open(p)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames().asScala
+      .map(k => k -> props.getProperty(k)).toMap
+  }
+
+  /** Read the committed key→value map (None if never committed). A
+    * pointer-layout store shadows any leftover rename-layout file. */
+  def read(storePath: String): Option[Map[String, String]] = {
+    val conf = hconf
+    val pdir = new Path(storePath, PointerDir)
+    val fs = pdir.getFileSystem(conf)
+    pointerGens(fs, pdir).lastOption
+      .map(n => loadProps(fs, new Path(pdir, pointerName(n))))
+      .orElse {
+        val p = manifestPath(storePath)
+        if (fs.exists(p)) Some(loadProps(fs, p)) else None
+      }
+  }
+
+  /** Commit a full manifest state through the store's protocol (see
+    * the object doc): rename-with-overwrite on atomic-rename schemes,
+    * write-once generation pointer everywhere else (object stores by
+    * default, any scheme under `graft.manifest.protocol=pointer`, and
+    * any store that already carries a pointer layout). */
   def write(storePath: String, entries: Map[String, String]): Unit = {
     val live = manifestPath(storePath)
     val conf = hconf // ONE conf for the whole multi-step commit
     // gate on the URI scheme BEFORE resolving the filesystem: an
-    // object-store path must hit the documented refusal even when the
+    // unknown scheme must hit the documented refusal even when the
     // scheme's FS implementation is not on the classpath
-    val scheme = Option(live.toUri.getScheme)
-      .getOrElse(FileSystem.getDefaultUri(conf).getScheme)
-    if (!AtomicRenameSchemes.contains(scheme))
-      throw new UnsupportedOperationException(
-        s"maintained store at $storePath: manifest commits need an " +
-          s"ATOMIC rename-with-overwrite, and scheme '$scheme' does not " +
-          "provide one (object-store rename is copy+delete). Running the " +
-          "protocol here would corrupt on the first crashed writer; use a " +
-          "file:// or hdfs:// store path, or front the store with a " +
-          "filesystem that guarantees atomic rename.")
+    val scheme = schemeOf(live, conf)
+    val forcedPointer = conf.get("graft.manifest.protocol") == "pointer"
+    val usePointer =
+      if (forcedPointer || ObjectStoreSchemes.contains(scheme)) true
+      else if (AtomicRenameSchemes.contains(scheme))
+        // sticky: a store that ever committed a pointer generation
+        // stays on the pointer protocol, whoever opens it next
+        pointerGens(live.getFileSystem(conf),
+          new Path(storePath, PointerDir)).nonEmpty
+      else
+        throw new UnsupportedOperationException(
+          s"maintained store at $storePath: manifest commits need either " +
+            s"an ATOMIC rename-with-overwrite or all-or-nothing create " +
+            s"visibility, and scheme '$scheme' is verified for neither. " +
+            "Use a file:// or hdfs:// store path, an object store " +
+            "(s3a/gs/abfs/...), or — if this filesystem's create " +
+            "visibility is known atomic — force the write-once protocol " +
+            "with graft.manifest.protocol=pointer.")
+    if (usePointer) writePointer(storePath, entries, conf, scheme)
+    else writeRename(storePath, entries, conf, scheme)
+  }
+
+  /** RENAME protocol commit: scratch file + atomic overwrite-rename. */
+  private def writeRename(storePath: String, entries: Map[String, String],
+      conf: Configuration, scheme: String): Unit = {
+    val live = manifestPath(storePath)
     val fs = live.getFileSystem(conf)
     // local writes go through the RAW local FS: the checksummed
     // LocalFileSystem would shadow every scratch file with a .crc
@@ -138,6 +230,89 @@ object ManifestIO {
     }
   }
 
+  /** POINTER protocol commit: ONE put-if-absent of generation max+1.
+    * The publish primitive per scheme family:
+    *  - `file`: stage fully, then link(2) (atomic, EEXIST on an
+    *    existing target — the POSIX put-if-absent), then unlink the
+    *    stage;
+    *  - `hdfs`/`viewfs`: stage fully, then rename WITHOUT overwrite
+    *    (atomic in the NameNode, false if the target exists);
+    *  - object stores / forced unknown schemes: create(overwrite =
+    *    false) and write directly — PUT visibility is all-or-nothing,
+    *    so a reader never sees a partial manifest, and the no-overwrite
+    *    create is the conditional write. */
+  private def writePointer(storePath: String, entries: Map[String, String],
+      conf: Configuration, scheme: String): Unit = {
+    val pdir = new Path(storePath, PointerDir)
+    val fs0 = pdir.getFileSystem(conf)
+    val fs: FileSystem =
+      if (scheme == "file") FileSystem.getLocal(conf).getRaw else fs0
+    fs.mkdirs(pdir)
+    val gens = pointerGens(fs, pdir)
+    val next = gens.lastOption.getOrElse(0L) + 1
+    publishPointer(storePath, entries, fs0, fs, scheme, pdir, next)
+    // retention + dead-writer stage sweep: single writer from here on
+    // (the publish above succeeded), readers resolve max(N), so neither
+    // delete can change what any reader resolves
+    pointerGens(fs, pdir).dropRight(PointerKeep)
+      .foreach(n => fs.delete(new Path(pdir, pointerName(n)), false))
+    if (fs.exists(pdir)) fs.listStatus(pdir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
+      .foreach(st => fs.delete(st.getPath, false))
+    // complete a rename->pointer migration: the old mutable manifest is
+    // shadowed by every read from now on; removing it is cleanup, and a
+    // crash before this delete changes nothing
+    val legacy = manifestPath(storePath)
+    if (fs.exists(legacy)) fs.delete(legacy, false)
+  }
+
+  /** The pointer protocol's put-if-absent publish of ONE generation —
+    * package-visible so the writer-race conflict (two writers that both
+    * resolved `next` before either published) is directly testable. */
+  private[graft] def publishPointer(storePath: String,
+      entries: Map[String, String], fs0: FileSystem, fs: FileSystem,
+      scheme: String, pdir: Path, next: Long): Unit = {
+    val target = fs.makeQualified(new Path(pdir, pointerName(next)))
+    val props = new java.util.Properties()
+    entries.foreach { case (k, v) => props.setProperty(k, v) }
+    def conflict(cause: Throwable): Nothing =
+      throw new java.io.IOException(
+        s"maintained store at $storePath: pointer manifest generation " +
+          s"$next already exists — a second writer committed since this " +
+          "writer read the store (the contract is single-writer; this " +
+          "writer is stale and must re-open the store)", cause)
+    if (AtomicRenameSchemes.contains(scheme)) {
+      val tmp = fs.makeQualified(new Path(pdir, pointerName(next) + ".tmp"))
+      val out = fs.create(tmp, true)
+      try props.store(out, null) finally out.close()
+      if (scheme == "file") {
+        val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath), t)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException => conflict(e)
+        } finally java.nio.file.Files.deleteIfExists(t)
+      } else {
+        if (!fs0.rename(tmp, target)) conflict(null)
+      }
+    } else {
+      val out =
+        try fs0.create(target, false)
+        catch { case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          conflict(e) }
+      try props.store(out, null) finally out.close()
+    }
+  }
+
+  /** Test seam: (rawLocalFs, pointerDir, committedGens) of a local
+    * store — lets the race spec drive [[publishPointer]] directly. */
+  private[graft] def pointerStateForTest(storePath: String)
+      : (FileSystem, Path, Seq[Long]) = {
+    val pdir = new Path(storePath, PointerDir)
+    val fs = FileSystem.getLocal(hconf).getRaw
+    (fs, pdir, pointerGens(fs, pdir))
+  }
+
   /** Post-commit sweep: delete any immediate subdirectory of the store
     * that is not referenced by `live` — orphans from crashed writes and
     * superseded generations. */
@@ -147,7 +322,10 @@ object ManifestIO {
     if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return
     fs.listStatus(root)
       .filter(_.isDirectory)
-      .filterNot(st => live.contains(st.getPath.getName))
+      // the pointer-protocol generation dir is never a data dir a
+      // manifest references — it IS the manifest
+      .filterNot(st => live.contains(st.getPath.getName) ||
+        st.getPath.getName == PointerDir)
       .foreach(st => fs.delete(st.getPath, true))
   }
 

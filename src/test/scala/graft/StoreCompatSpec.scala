@@ -423,19 +423,114 @@ class StoreCompatSpec extends SparkSpec {
     assert(v.getInt(1) == 1 && v.getSeq[Long](2) == Seq(1L))
   }
 
-  test("an object-store path is REFUSED at commit time with the documented atomic-rename error") {
+  test("an UNKNOWN scheme is refused at commit time; object-store schemes route to the pointer protocol") {
+    // unknown scheme: neither atomic rename nor all-or-nothing create
+    // visibility is a verified fact there — refuse before FS resolution
     val e = intercept[UnsupportedOperationException] {
+      ManifestIO.write("weirdfs://some-host/store", Map("version" -> "3"))
+    }
+    assert(e.getMessage.contains("ATOMIC rename") &&
+      e.getMessage.contains("graft.manifest.protocol"),
+      s"the refusal must explain itself and name the escape hatch: ${e.getMessage}")
+    assert(e.getMessage.contains("weirdfs"), "the refusal must name the scheme")
+    // an object-store scheme is no longer refused by the protocol gate:
+    // it routes to the write-once pointer protocol and proceeds to FS
+    // resolution (which fails HERE only because no s3a connector is on
+    // this container's classpath — not an UnsupportedOperationException)
+    val s3 = intercept[Throwable] {
       ManifestIO.write("s3a://some-bucket/store", Map("version" -> "3"))
     }
-    assert(e.getMessage.contains("ATOMIC rename"),
-      s"the refusal must explain itself: ${e.getMessage}")
-    assert(e.getMessage.contains("s3a"), "the refusal must name the scheme")
-    // reads against a non-atomic scheme stay allowed in principle
-    // (inspection); only the COMMIT is gated — and the local default
-    // scheme keeps committing
+    assert(!s3.isInstanceOf[UnsupportedOperationException],
+      s"s3a must pass the protocol gate, got: $s3")
+    // the local default scheme keeps committing via rename
     val ok = Files.createTempDirectory("compat-s3gate").toFile.getAbsolutePath
     ManifestIO.write(ok, Map("version" -> "3"))
     assert(ManifestIO.read(ok).exists(_("version") == "3"))
+  }
+
+  test("pointer protocol: full store lifecycle through write-once generation manifests on a local FS") {
+    // graft.manifest.protocol=pointer forces the object-store commit
+    // path (staged write + link-based put-if-absent locally) so the
+    // whole protocol — publish, resolve-max read, retention, gc
+    // interplay — is driven end to end without an object store
+    withConf("graft.manifest.protocol" -> "pointer") {
+      val localDir = Files.createTempDirectory("compat-pointer").toFile
+      localDir.delete()
+      val store = Mnemo.open(spark, localDir.getAbsolutePath)
+      seed(store)
+      assert(store.table().count() == 2)
+      // the layout really is the pointer one: generation files, no
+      // mutable manifest.properties
+      val pdir = new java.io.File(localDir, ManifestIO.PointerDir)
+      assert(pdir.isDirectory && pdir.list().exists(_.startsWith("manifest-")),
+        s"expected pointer generation files, found: ${Option(pdir.list()).map(_.toList)}")
+      assert(!new java.io.File(localDir, ManifestIO.FileName).exists(),
+        "pointer-layout store must not carry the mutable manifest")
+      store.forget("alice", Seq("m1"), ts("2024-01-05 10:00:00"))
+      val live = store.table().filter(col("deleted_at").isNull)
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(live == Set("m2"), s"point op through the pointer protocol: $live")
+      store.checkpoint("ck1", "alice", ts("2024-01-06 10:00:00"))
+      assert(store.replay("ck1").count() >= 1)
+      // the dedup index through the same protocol
+      import spark.implicits._
+      val idx = new graft.api.DedupIndex(spark,
+        Files.createTempDirectory("compat-pidx").toFile.getAbsolutePath + "/idx",
+        capacity = 100)
+      idx.ingest(Seq(1L -> "some document text here tonight").toDF("doc_id", "text")).collect()
+      val v = idx.ingest(Seq(2L -> "some document text here tonight").toDF("doc_id", "text"))
+        .collect().head
+      assert(v.getInt(1) == 1 && v.getSeq[Long](2) == Seq(1L))
+    }
+  }
+
+  test("pointer protocol: layout is sticky, put-if-absent detects a second writer, retention keeps the tail") {
+    val dir = Files.createTempDirectory("compat-psticky").toFile.getAbsolutePath
+    withConf("graft.manifest.protocol" -> "pointer") {
+      ManifestIO.write(dir, Map("version" -> "3", "k" -> "1"))
+    }
+    // WITHOUT the forced conf, the store stays on the pointer protocol
+    // (layout presence gates, like the Bloom encoding version)
+    ManifestIO.write(dir, Map("version" -> "3", "k" -> "2"))
+    assert(ManifestIO.read(dir).exists(_("k") == "2"))
+    assert(!new java.io.File(dir, ManifestIO.FileName).exists(),
+      "a pointer store must not regress to the mutable manifest")
+    // writer race: two writers resolve the same next generation before
+    // either publishes; the second publish must hit the put-if-absent
+    // conflict, not clobber the first. Driven through the primitive —
+    // write() re-lists internally, so the race window is inside it
+    val (fs, pdir, gens) = ManifestIO.pointerStateForTest(dir)
+    val next = gens.max + 1
+    ManifestIO.publishPointer(dir, Map("k" -> "A"), fs, fs, "file", pdir, next)
+    val e = intercept[java.io.IOException] {
+      ManifestIO.publishPointer(dir, Map("k" -> "B"), fs, fs, "file", pdir, next)
+    }
+    assert(e.getMessage.contains("single-writer"),
+      s"conflict must be loud and explain itself: ${e.getMessage}")
+    // the winner's content is untouched
+    assert(ManifestIO.read(dir).exists(_("k") == "A"))
+    // retention: many commits keep only the newest PointerKeep files
+    (3 to 25).foreach(i => ManifestIO.write(dir, Map("version" -> "3", "k" -> i.toString)))
+    assert(ManifestIO.read(dir).exists(_("k") == "25"))
+    val nFiles = new java.io.File(dir, ManifestIO.PointerDir)
+      .list().count(_.endsWith(".properties"))
+    assert(nFiles == ManifestIO.PointerKeep,
+      s"retention must bound the generation files, found $nFiles")
+  }
+
+  test("pointer protocol: a rename-layout store migrates on its first forced pointer commit") {
+    val dir = Files.createTempDirectory("compat-pmig").toFile.getAbsolutePath
+    ManifestIO.write(dir, Map("version" -> "3", "k" -> "old"))
+    assert(new java.io.File(dir, ManifestIO.FileName).exists())
+    withConf("graft.manifest.protocol" -> "pointer") {
+      ManifestIO.write(dir, Map("version" -> "3", "k" -> "new"))
+    }
+    assert(ManifestIO.read(dir).exists(_("k") == "new"))
+    assert(!new java.io.File(dir, ManifestIO.FileName).exists(),
+      "the shadowed mutable manifest must be cleaned up by the migration commit")
+    // and the store is sticky-pointer from here on
+    ManifestIO.write(dir, Map("version" -> "3", "k" -> "newer"))
+    assert(ManifestIO.read(dir).exists(_("k") == "newer"))
   }
 
   test("forgetSubject prunes to the tag's buckets via the inverted index") {
