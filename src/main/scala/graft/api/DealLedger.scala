@@ -199,6 +199,20 @@ final class DealLedger(val spark: SparkSession, val path: String,
 
   /** Total envelope count (ledger.rs `len`). */
   def length: Long = table().count()
+
+  /** Operator-facing health view (the describe() satellite-parity
+    * discipline): store presence + data-file count are driver-side
+    * listings; envelope/ledger counts are ONE tiny count aggregate
+    * (footer-driven parquet count, no chain recompute — [[verify]] is
+    * the deep check). */
+  def describe(): DealLedger.Health =
+    if (!exists) DealLedger.Health(exists = false, 0L, 0L, 0)
+    else {
+      val r = table()
+        .agg(count(lit(1)), countDistinct(col("ledger_id"))).collect()(0)
+      DealLedger.Health(exists = true, r.getLong(0), r.getLong(1),
+        ManifestIO.listChildren(path).count(!_._2))
+    }
 }
 
 object DealLedger {
@@ -220,6 +234,11 @@ object DealLedger {
     StructField("deal_offset", LongType),
     StructField("prev_hash", StringType),
     StructField("mac", StringType)))
+
+  /** [[DealLedger.describe]]'s report. `dataFiles` is the append-file
+    * count — the small-files pressure signal of an append-only store. */
+  final case class Health(
+      exists: Boolean, envelopes: Long, ledgers: Long, dataFiles: Int)
 
   /** One contract row — the reference's envelope shape
     * (envelope.rs:19-27) minus the wire-format concerns. */

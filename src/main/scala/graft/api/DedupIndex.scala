@@ -121,7 +121,16 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     * every open routes identically; `hotBandThreshold <= 0` at
     * creation opts the store out for life. Stores created before the
     * guard carry no counts state and stay unguarded for life (same
-    * policy as v1 Bloom encoding: retrofitting means a rebuild). */
+    * policy as v1 Bloom encoding: retrofitting means a rebuild).
+    *
+    * Trigger semantics are LIFETIME counts — a band that was ever
+    * boilerplate stays flagged, because this store's contract is the
+    * full corpus history. The streaming twin
+    * ([[graft.streaming.EventStream.streamingNearDupCandidates]])
+    * deliberately saturates on horizon-LIVE held entries instead (its
+    * contract is the recent window; bands cool as entries age out);
+    * within one horizon on a fresh history the two flag identically
+    * (DedupSurfacesSpec pins it on a saturating flood). */
   private def hotOf(man: Option[Map[String, String]]): Option[Long] =
     man match {
       case Some(m) => m.get("hot").map(_.toLong)

@@ -67,6 +67,19 @@ final class GraphStore(val spark: SparkSession, val path: String) {
         (col("valid_to").isNull || col("valid_to") > lit(asOf)))
       .orderBy(col("confidence").desc, col("recorded_at").desc)
 
+  /** Operator-facing health view (the describe() satellite-parity
+    * discipline): presence + file count are driver-side listings;
+    * edge counts are ONE count aggregate over two columns. */
+  def describe(): GraphStore.Health =
+    if (!exists) GraphStore.Health(exists = false, 0L, 0L, 0)
+    else {
+      val r = edges()
+        .agg(count(lit(1)), count(when(col("valid_to").isNull, 1)))
+        .collect()(0)
+      GraphStore.Health(exists = true, r.getLong(0), r.getLong(1),
+        ManifestIO.listChildren(path).count(!_._2))
+    }
+
   /** Depth-bounded reachability over edges valid at `asOf`: iterative
     * frontier expansion, each hop one broadcast semi-join against the
     * (filtered) edge table. Returns (node, depth of first reach). */
@@ -94,5 +107,11 @@ final class GraphStore(val spark: SparkSession, val path: String) {
 }
 
 object GraphStore {
+  /** [[GraphStore.describe]]'s report: total vs still-open (valid_to
+    * null) edges, plus the append-file count (small-files pressure —
+    * [[GraphStore.closeEdge]]'s rewrite folds them). */
+  final case class Health(
+      exists: Boolean, edges: Long, openEdges: Long, dataFiles: Int)
+
   def open(spark: SparkSession, path: String): GraphStore = new GraphStore(spark, path)
 }

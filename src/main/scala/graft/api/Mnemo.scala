@@ -222,6 +222,19 @@ object Mnemo {
       pipelineBatch: Option[Long],
       auxStores: Map[String, Boolean])
 
+  /** [[Mnemo.describeOrientation]]'s report — manifest facts only.
+    * `legacyLayout` marks a pre-manifest (v1 hive-partitioned) store;
+    * its namespaces are counted from the partition directories. */
+  final case class OrientationHealth(
+      version: Int, namespaces: Int, maxGeneration: Long,
+      legacyLayout: Boolean)
+
+  /** [[Mnemo.describeAttention]]'s report. `dataFiles` counts the
+    * files in the live data directory — the number compaction folds
+    * back to one; a climbing count is the compact-me signal. */
+  final case class AttentionHealth(
+      version: Int, committedGeneration: Option[Long], dataFiles: Int)
+
   final case class RememberRequest(
       id: String,
       agentId: String,
@@ -1685,6 +1698,19 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       .foreach(nm => ManifestIO.deleteFile(s"$attnPath/$nm"))
   }
 
+  /** Driver-side health view of the attention-KV satellite — manifest
+    * read + one listing, no Spark job (the [[describe]] discipline,
+    * satellite parity). */
+  def describeAttention(): Mnemo.AttentionHealth = {
+    val man = ManifestIO.read(attnPath)
+    Mnemo.AttentionHealth(
+      version = man.flatMap(_.get("version")).map(_.toInt)
+        .getOrElse(if (attnExists) 0 else 1),
+      committedGeneration =
+        man.flatMap(_.get("data")).map(_.stripPrefix("g").toLong),
+      dataFiles = ManifestIO.listChildren(attnDataDir).count(!_._2))
+  }
+
   def attentionStateGet(agentId: String, key: String): Option[Array[Byte]] = {
     if (!attnExists) return None
     val w = Window.partitionBy(col("agent_id"), col("key"))
@@ -1779,6 +1805,30 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     ManifestIO.gc(orientPath,
       committed.collect { case (k, v) if k.startsWith("ns.") => v }.toSet)
   }
+
+  /** Driver-side health view of the orientation cache satellite —
+    * manifest read (+ one listing on a legacy layout), no Spark job. */
+  def describeOrientation(): Mnemo.OrientationHealth =
+    ManifestIO.read(orientPath) match {
+      case Some(m) =>
+        val dirs = m.collect { case (k, v) if k.startsWith("ns.") => v }.toSeq
+        Mnemo.OrientationHealth(
+          version = m.get("version").map(_.toInt).getOrElse(2),
+          namespaces = dirs.size,
+          maxGeneration =
+            if (dirs.isEmpty) 0L
+            else dirs.map(d => d.substring(d.lastIndexOf("-g") + 2).toLong).max,
+          legacyLayout = false)
+      case None =>
+        // pre-manifest hive-partitioned layout: namespace= partition
+        // dirs ARE the namespaces; a never-written store is just empty
+        val nsDirs = ManifestIO.listChildren(orientPath)
+          .collect { case (nm, true) if nm.startsWith("namespace=") => nm }
+        Mnemo.OrientationHealth(
+          version = if (orientExists) 1 else 2,
+          namespaces = nsDirs.size, maxGeneration = 0L,
+          legacyLayout = orientExists)
+    }
 
   /** Rendered map for one namespace, key-ascending (the reference's
     * BTreeMap iteration order). */

@@ -140,7 +140,19 @@ object EventStream {
     * live (post-eviction) entry list is at the cap stops enumerating:
     * an arrival there emits ONE `saturated = true` marker row
     * (`a = -1`, arriving doc in `b` as on pair rows) and is NOT added
-    * to the state, bounding both state
+    * to the state, bounding both state.
+    *
+    * TRIGGER SEMANTICS vs the maintained index's guard (deliberate,
+    * not drift): the [[graft.api.DedupIndex]] saturates on LIFETIME
+    * per-band counts (its state is the full corpus; a band that was
+    * ever boilerplate stays flagged), while this stream saturates on
+    * the HORIZON-LIVE held-entry count — a band cools again once its
+    * entries age past the horizon, exactly because the stream's
+    * contract is recent-window candidates only (the cross-horizon
+    * history is the index's job, see the reconciliation spec). Within
+    * one horizon against a fresh history the two surfaces flag the
+    * SAME docs and emit the SAME pairs — DedupSurfacesSpec pins that
+    * equality on a saturating flood
     * size and output per band. Over-approximation: the marker routes
     * the doc to the WIDE downstream exact-verify, so saturation can
     * never hide a duplicate (see [[NearDupCandidate]]); the

@@ -25,6 +25,18 @@ class DealLedgerSpec extends SparkSpec {
     DealLedger.open(spark, d.getAbsolutePath + "/ledger")
   }
 
+  test("describe() reports ledger health: envelope/ledger counts and append-file pressure") {
+    val dl = fresh("health")
+    val h0 = dl.describe()
+    assert(!h0.exists && h0.envelopes == 0 && h0.ledgers == 0 && h0.dataFiles == 0)
+    dl.append(Seq(env("A", 0), env("A", 1), env("B", 2)))
+    dl.append(Seq(env("B", 3)))
+    val h1 = dl.describe()
+    assert(h1.exists && h1.envelopes == 4 && h1.ledgers == 2,
+      s"ledger health: $h1")
+    assert(h1.dataFiles >= 2, s"two appends produce at least two files: $h1")
+  }
+
   test("never-written ledger: verify/replay/headHashes return empty typed frames, not errors") {
     val dl = fresh("empty")
     assert(dl.length == 0L)

@@ -216,6 +216,39 @@ class DedupSurfacesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("saturated case crosses surfaces: index lifetime-count guard == streaming live-held cap within one horizon") {
+    // same templated flood, same threshold: the index (hotBandThreshold
+    // = 3, lifetime counts, driven doc-by-doc) and the stream
+    // (maxBandDocs = 3, horizon-live held entries — the flood test
+    // above) must flag the SAME docs and emit the SAME pairs, because
+    // within one horizon on a fresh history the two trigger semantics
+    // coincide. This is the saturated extension of the cross-surface
+    // equality this suite pins for the healthy case.
+    import spark.implicits._
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000,
+      hotBandThreshold = 3)
+    val verdicts = (1L to 6L).map { i =>
+      i -> idx.ingest(Seq(i -> baseText).toDF("doc_id", "text")).collect().head
+    }
+    val idxPairs = verdicts.flatMap { case (i, v) =>
+      v.getSeq[Long](2).map(p => (math.min(p, i), math.max(p, i))) }.toSet
+    val idxFlagged = verdicts.collect {
+      case (i, v) if v.getAs[Int]("band_saturated") == 1 => i }.toSet
+    // the streaming flood (cap 3, same corpus) produced pairs among
+    // 1-3 and markers for 4-6 — the index must agree exactly
+    assert(idxPairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"index pairs diverged from the streaming flood: $idxPairs")
+    assert(idxFlagged == Set(4L, 5L, 6L),
+      s"index saturation diverged from the streaming flood: $idxFlagged")
+    // and saturation widened, never hid: flagged docs carry NO
+    // candidate list (the wide-verify routing), but the exact-dup leg
+    // still fires on the identical text
+    verdicts.filter(v => idxFlagged(v._1)).foreach { case (i, v) =>
+      assert(v.getSeq[Long](2).isEmpty, s"doc $i: saturated but enumerated")
+      assert(v.getAs[Int]("maybe_dup") == 1, s"doc $i: exact leg must survive")
+    }
+  }
+
   test("the maintained index's GUARD verdicts equal the registered d11 formulation on one corpus") {
     // d11_guarded_lsh is documented as THE oracle-checked model of the
     // index's hot-band guard; this pins the claim: same history, same

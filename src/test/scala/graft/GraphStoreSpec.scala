@@ -15,6 +15,21 @@ class GraphStoreSpec extends SparkSpec {
     GraphStore.open(spark, dir.getAbsolutePath)
   }
 
+  test("describe() reports edge store health: open vs total edges, file pressure") {
+    val g = freshStore()
+    val h0 = g.describe()
+    assert(!h0.exists && h0.edges == 0 && h0.openEdges == 0 && h0.dataFiles == 0)
+    g.insertEdge("e1", "a", "b", "rel", ts("2026-01-01 00:00:00"), None, 1.0,
+      ts("2026-01-01 00:00:00"))
+    g.insertEdge("e2", "b", "c", "rel", ts("2026-01-01 00:00:00"), None, 1.0,
+      ts("2026-01-01 00:00:00"))
+    g.closeEdge("e1", ts("2026-04-01 00:00:00"))
+    val h1 = g.describe()
+    assert(h1.exists && h1.edges == 2 && h1.openEdges == 1,
+      s"graph health: $h1")
+    assert(h1.dataFiles >= 1)
+  }
+
   test("close_edge stamps valid_to on the open row and is idempotent") {
     val g = freshStore()
     g.insertEdge("e1", "a", "b", "rel", ts("2026-01-01 00:00:00"), None, 1.0,

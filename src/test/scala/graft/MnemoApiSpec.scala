@@ -717,6 +717,40 @@ class MnemoApiSpec extends SparkSpec {
     assert(store.describe().pipelineBatch.contains(7L))
   }
 
+  test("satellite describe() parity: orientation and attention report health without a Spark job") {
+    val store = freshStore()
+    // never-written satellites: structural defaults
+    val o0 = store.describeOrientation()
+    assert(o0.namespaces == 0 && !o0.legacyLayout && o0.maxGeneration == 0L)
+    val a0 = store.describeAttention()
+    assert(a0.committedGeneration.isEmpty && a0.dataFiles == 0)
+
+    // orientation: two namespaces, one updated twice -> maxGeneration 2
+    import spark.implicits._
+    def hits(s: String) = Seq(("h1", s"$s content words here"))
+      .toDF("id", "content")
+    store.orientationUpdate(hits("alpha"), "ns-a", 1000L)
+    store.orientationUpdate(hits("beta"), "ns-b", 2000L)
+    store.orientationUpdate(hits("gamma"), "ns-a", 3000L)
+    val o1 = store.describeOrientation()
+    assert(o1.version == 2 && o1.namespaces == 2 && o1.maxGeneration == 2L &&
+      !o1.legacyLayout, s"orientation health: $o1")
+
+    // attention: appends raise dataFiles; compaction folds to one and
+    // commits a generation
+    (1 to 3).foreach(i => store.attentionStatePut("alice", s"k$i",
+      Array[Byte](1, 2), ts("2024-01-05 10:00:00")))
+    val a1 = store.describeAttention()
+    assert(a1.dataFiles >= 3 && a1.committedGeneration.isEmpty,
+      s"attention pre-compaction: $a1")
+    store.attentionStateCompact()
+    val a2 = store.describeAttention()
+    assert(a2.version == 1 && a2.committedGeneration.contains(1L),
+      s"attention post-compaction: $a2")
+    assert(a2.dataFiles < a1.dataFiles,
+      s"compaction must fold the data files: ${a1.dataFiles} -> ${a2.dataFiles}")
+  }
+
   test("ingestPipeline surfaces the index's band_saturated flag — empty candidates are not 'no near-dups'") {
     val store = freshStore()
     val idx = new graft.api.DedupIndex(spark,
