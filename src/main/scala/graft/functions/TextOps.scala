@@ -46,6 +46,16 @@ object TextOps {
         concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array(concat_ws(" ", toks)))
 
+  /** STRICT k-token n-grams: a doc shorter than k tokens has NONE —
+    * unlike [[shingles]]' whole-doc fallback (right for dedup blocking,
+    * wrong for overlap tests: a 5-token doc is not a 13-gram). The
+    * decontamination granularity (pl14). */
+  def ngrams(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** The reference's token estimator: ceil(chars / 4). */
   def estTokens(text: Column): Column = ceil(length(text) / lit(4.0)).cast("long")
 

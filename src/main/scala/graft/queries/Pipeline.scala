@@ -936,6 +936,80 @@ object Pipeline extends QueryGroup {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** Eval-set decontamination — the overlap screen every LLM training
+    * pipeline runs before training (GPT-3's appendix-C 13-gram filter;
+    * PaLM/Llama run the same shape): flag every training document that
+    * shares at least one 13-token n-gram with the held-out benchmark
+    * set, so test questions cannot leak into the training corpus. The
+    * benchmark here is the deterministic doc_id % 7 slice of the
+    * corpus — self-contained and oracle-expressible, and realistic in
+    * the property that matters: contamination is EXACT n-gram overlap
+    * between two document sets (DuckDB-probed non-vacuous at all three
+    * scales before registration: 7/8/52 flagged docs).
+    *
+    * Scale shape — the reason this operator is broadcast-shaped: a
+    * benchmark is thousands of examples (a few million 13-grams)
+    * regardless of corpus size, so the eval-gram table BROADCASTS and
+    * the 100 TB training side never shuffles AT ALL — each task
+    * explodes its docs' n-grams locally, hash-probes the broadcast,
+    * and only the per-doc hit aggregate (flagged docs only, a
+    * vanishing fraction) crosses the wire. A shuffle join keyed on
+    * 13-gram strings would move the entire tokenized corpus; PlanSpec
+    * pins the broadcast. Docs shorter than 13 tokens have NO 13-grams
+    * (strict [[TextOps.ngrams]], not the shingle fallback) and cannot
+    * be flagged — the GPT-3 rule.
+    *
+    * Cross-engine exactness: grams are exact strings (no floats);
+    * `hit_frac` uses the pl12 integer micro-unit rounding (a double
+    * division + engine ROUND would tie-break differently at exact .5
+    * in the 7th digit, e.g. n_grams = 128 with odd n_hit). */
+  private val q14 = QueryDef(
+    "pl14_decontaminate",
+    (s, dir) => {
+      val K = 13
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(TextOps.ngrams(col("toks"), K)).as("grams"),
+          (col("doc_id") % 7 === 0).as("is_eval"))
+      val evalGrams = base.filter(col("is_eval"))
+        .select(explode(col("grams")).as("gram")).distinct()
+      val train = base.filter(!col("is_eval"))
+        .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+          explode(col("grams")).as("gram"))
+      train.join(broadcast(evalGrams), Seq("gram"))
+        .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("n_hit"))
+        .withColumn("hit_frac",
+          expr("(2 * n_hit * 1000000 + n_grams) DIV (2 * n_grams)")
+            .cast("double") / lit(1000000.0))
+        .select("doc_id", "n_grams", "n_hit", "hit_frac")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $toksSql,
+      grams AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 13
+                 THEN list_transform(generate_series(0, len(toks) - 13),
+                      i -> array_to_string(list_slice(toks, i + 1, i + 13), ' '))
+                 ELSE []::VARCHAR[] END) AS grams,
+               doc_id % 7 = 0 AS is_eval
+        FROM toks),
+      ev AS (SELECT DISTINCT unnest(grams) AS gram FROM grams WHERE is_eval),
+      train AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+               unnest(grams) AS gram
+        FROM grams WHERE NOT is_eval),
+      hits AS (
+        SELECT doc_id, n_grams, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM train JOIN ev USING (gram)
+        GROUP BY doc_id, n_grams)
+      SELECT doc_id, n_grams, n_hit,
+             CAST((2 * n_hit * 1000000 + n_grams) // (2 * n_grams) AS DOUBLE)
+               / 1000000.0 AS hit_frac
+      FROM hits
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
-    q12, q13)
+    q12, q13, q14)
 }

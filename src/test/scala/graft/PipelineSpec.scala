@@ -225,4 +225,31 @@ class PipelineSpec extends SparkSpec {
     val scores = rows.map(_.getAs[Double]("avg_logp")).distinct
     assert(scores.length > 10, s"score variance collapsed: ${scores.length} distinct")
   }
+
+  test("decontamination flags exactly the training docs sharing a 13-gram with the eval slice") {
+    val rows = SparkEntry.queries("pl14_decontaminate")(spark, Sf).collect()
+    assert(rows.nonEmpty, "the overlap screen is vacuous on this corpus")
+    rows.foreach { r =>
+      val (id, n, hit, frac) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))
+      assert(id % 7 != 0, s"eval doc $id flagged as training contamination")
+      assert(hit >= 1 && hit <= n, s"doc $id: $hit hits of $n grams")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    // ground truth on a small corpus: brute-force the overlap set
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    val base = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        array_distinct(TextOps.ngrams(TextOps.tokens(col("text")), 13)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val evalGrams = base.collect { case (id, g) if id % 7 == 0 => g }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val truth = base.collect {
+      case (id, g) if id % 7 != 0 && (g & evalGrams).nonEmpty => id }.toSet
+    assert(rows.map(_.getLong(0)).toSet == truth,
+      "flagged set diverged from the brute-force overlap truth")
+    // a doc with < 13 tokens can never be flagged (strict ngrams)
+    rows.foreach(r => assert(r.getLong(1) >= 1))
+  }
 }

@@ -220,6 +220,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pl14_decontaminate: the eval-gram table broadcasts; the training corpus never shuffles its grams") {
+    val p = plan("pl14_decontaminate")
+    // a benchmark's n-gram table is bounded by the benchmark, not the
+    // corpus — it must broadcast; a shuffle join keyed on 13-gram
+    // strings would move the whole tokenized corpus at 100 TB
+    assert(p.contains("BroadcastHashJoin"), "eval grams must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the gram probe regressed to a corpus shuffle join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d7_semdedup: pair generation is a cid equi-join, never a corpus cross-join") {
     val p = plan("d7_semdedup")
     // within-cluster pairing must key on the cluster id (the SemDeDup
