@@ -68,6 +68,15 @@ MOVERS_R11 = ["d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
 MOVERS_R11 += ["pl11_gopher_rules"]
 # round-12 newborns: isolated baseline at birth (the NEW_R9/R10 convention)
 NEW_R12 = ["pl12_ccnet_buckets", "d11_guarded_lsh", "pl13_corpus_report"]
+# round 13: newborn baseline (pl14) plus the two r11->r12 movers the
+# r12 verdict adjudicated ambient on committed-run evidence but could
+# not close in-round (the artifacts post-dated the regen) — pinned so
+# the r13 artifact settles them mechanically; d1/d4/pl12/pl13 changed
+# plan shape this round (window->groupBy join-back, ntile->broadcast
+# cutoffs), so their isolated numbers re-baseline here too (d1/d4/pl12
+# already appear in earlier groups; pl13 is in NEW_R12)
+NEW_R13 = ["pl14_decontaminate", "x16_deal_reputation", "r10_recall_explain",
+           "d4_simhash"]
 
 # round 12+: movers are detected AUTOMATICALLY — any query whose
 # time moved >1.5x in either direction between the two most recent
@@ -152,7 +161,7 @@ def auto_movers():
 # NEW_R9 query that becomes a mover next round) must run once, not
 # silently twice with the second run overwriting the first
 QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10 +
-                             MOVERS_R11 + NEW_R12 + auto_movers()))
+                             MOVERS_R11 + NEW_R12 + NEW_R13 + auto_movers()))
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",

@@ -58,6 +58,8 @@ QUERIES = [
     "pl11_gopher_rules",
     # round-12 newborns
     "pl12_ccnet_buckets", "d11_guarded_lsh",
+    # round-13 newborns + the r12 verdict's requested addition
+    "pl13_corpus_report", "pl14_decontaminate",
 ]
 
 ADD_OPENS = [

@@ -183,9 +183,14 @@ object Dedup extends QueryGroup {
     (s, dir) => {
       // sketch-equality counts via groupBy + join-back (same hot-key
       // discipline as d1: a mega-dup sketch value never single-tasks a
-      // window sort; the aggregate combines map-side)
+      // window sort; the aggregate combines map-side). The sketch frame
+      // is CACHED: the count pass and the join-back both read it, and
+      // recomputing simhash16 — 16 bit-position folds over every token
+      // — is the expensive half of the query (measured 3.6x without
+      // the pin); the cached frame is (doc_id, long), nothing more
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), MinHash.simhash16(TextOps.tokens(col("text"))).as("simhash"))
+        .cache()
       val counts = d.groupBy("simhash").agg(count(lit(1)).as("n_same_sketch"))
       d.join(counts, "simhash")
         .select("doc_id", "simhash", "n_same_sketch")

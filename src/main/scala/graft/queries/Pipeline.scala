@@ -959,10 +959,22 @@ object Pipeline extends QueryGroup {
     * (strict [[TextOps.ngrams]], not the shingle fallback) and cannot
     * be flagged — the GPT-3 rule.
     *
-    * Cross-engine exactness: grams are exact strings (no floats);
-    * `hit_frac` uses the pl12 integer micro-unit rounding (a double
-    * division + engine ROUND would tie-break differently at exact .5
-    * in the 7th digit, e.g. n_grams = 128 with odd n_hit). */
+    * Grams travel as 60-bit md5-prefix HASHES from the moment they are
+    * built: distinct/explode/broadcast/join all handle 8-byte longs,
+    * never ~100-byte gram strings (the first cut broadcast the eval
+    * grams as strings — a ~140 MB broadcast and a string-sort
+    * array_distinct per doc, 74 s at sf0.1; hashed it is ~1 MB per
+    * million benchmark grams). A 60-bit space makes a false hit
+    * ~n_eval·n_train/2^60 — vanishing, and in the SAFE direction for a
+    * decontamination screen (an extra doc dropped, never a leak
+    * missed). The frame is cached: the eval and train legs both read
+    * it (the pl12 docTok discipline).
+    *
+    * Cross-engine exactness: the hash is the [[DedupEnrich]] md5
+    * family (hex-prefix parse, bit-identical in DuckDB); `hit_frac`
+    * uses the pl12 integer micro-unit rounding (a double division +
+    * engine ROUND would tie-break differently at exact .5 in the 7th
+    * digit, e.g. n_grams = 128 with odd n_hit). */
   private val q14 = QueryDef(
     "pl14_decontaminate",
     (s, dir) => {
@@ -970,8 +982,11 @@ object Pipeline extends QueryGroup {
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          array_distinct(TextOps.ngrams(col("toks"), K)).as("grams"),
+          array_distinct(transform(TextOps.ngrams(col("toks"), K),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+            .as("grams"),
           (col("doc_id") % 7 === 0).as("is_eval"))
+        .cache()
       val evalGrams = base.filter(col("is_eval"))
         .select(explode(col("grams")).as("gram")).distinct()
       val train = base.filter(!col("is_eval"))
@@ -989,10 +1004,12 @@ object Pipeline extends QueryGroup {
       WITH $toksSql,
       grams AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(toks) >= 13
-                 THEN list_transform(generate_series(0, len(toks) - 13),
-                      i -> array_to_string(list_slice(toks, i + 1, i + 13), ' '))
-                 ELSE []::VARCHAR[] END) AS grams,
+               list_distinct(list_transform(
+                 CASE WHEN len(toks) >= 13
+                   THEN list_transform(generate_series(0, len(toks) - 13),
+                        i -> array_to_string(list_slice(toks, i + 1, i + 13), ' '))
+                   ELSE []::VARCHAR[] END,
+                 g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS grams,
                doc_id % 7 = 0 AS is_eval
         FROM toks),
       ev AS (SELECT DISTINCT unnest(grams) AS gram FROM grams WHERE is_eval),
@@ -1010,6 +1027,63 @@ object Pipeline extends QueryGroup {
       FROM hits
       ORDER BY doc_id"""))
 
+  /** Domain-mixture sampling — the corpus-composition step between
+    * curation and training (the Pile / Llama / DoReMi pipelines all
+    * end with one): re-weight the corpus toward a declared per-domain
+    * target mixture by DETERMINISTIC per-document Bernoulli sampling.
+    * The registered instance is the uniform target over the corpus's
+    * languages — the balanced-corpus special case, where the largest
+    * achievable corpus keeps min_l(n_l) docs per language and the
+    * per-language keep rate is n_min/n_l (the head language downsamples
+    * ~3x on this corpus; any other weight vector only changes the
+    * broadcast rate table, not the shape).
+    *
+    * Scale shape — stateless, shuffle-free sampling: the ONLY shuffle
+    * is the L-row per-language count aggregate (map-side combinable);
+    * rates broadcast back and the keep decision is a map-side
+    * comparison of a per-doc md5-derived uniform u = first-8-hex/2^32
+    * (the [[DedupEnrich.bloomPositions]] determinism family — exact
+    * i/2^32 rational, bit-identical in both engines) against the rate.
+    * No sort, no window, no doc-level shuffle: at 100 TB the sampler
+    * is one pass over the scan. Determinism doubles as REPRODUCIBILITY:
+    * re-running the sampler on the same corpus keeps exactly the same
+    * documents (the property training-data lineage audits need;
+    * rand()-based sampling has no such audit trail).
+    *
+    * Cross-engine exactness: u is an exact 32-bit rational; the rate
+    * n_min/n_l is one IEEE division of two exact longs computed in the
+    * same order in both engines; `u < rate` compares identical
+    * doubles. No rounding anywhere (u is not emitted). */
+  private val q15 = QueryDef(
+    "pl15_domain_mix",
+    (s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      val nmin = counts.agg(min(col("n")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nmin))
+        .select(col("lang"),
+          (col("n_min").cast("double") / col("n")).as("rate"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter(u < col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      nmin AS (SELECT MIN(n) AS n_min FROM counts),
+      rates AS (
+        SELECT lang, CAST(n_min AS DOUBLE) / n AS rate
+        FROM counts CROSS JOIN nmin)
+      SELECT doc_id, d.lang
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0 < r.rate
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
-    q12, q13, q14)
+    q12, q13, q14, q15)
 }

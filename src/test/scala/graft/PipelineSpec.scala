@@ -252,4 +252,29 @@ class PipelineSpec extends SparkSpec {
     // a doc with < 13 tokens can never be flagged (strict ngrams)
     rows.foreach(r => assert(r.getLong(1) >= 1))
   }
+
+  test("domain mix balances the corpus toward the uniform target, deterministically") {
+    val before = graft.Tables.documents(spark, Sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmin = before.values.min
+    val rows = SparkEntry.queries("pl15_domain_mix")(spark, Sf).collect()
+    val after = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(after.keySet == before.keySet, s"a language vanished: $after")
+    after.foreach { case (lang, kept) =>
+      // binomial(n_l, nmin/n_l): mean nmin, sd < sqrt(nmin) — 4 sigma
+      val sd = math.sqrt(nmin.toDouble)
+      assert(math.abs(kept - nmin) <= 4 * sd,
+        s"$lang kept $kept, expected ~$nmin (before: ${before(lang)})")
+    }
+    // the head language genuinely downsampled
+    val head = before.maxBy(_._2)._1
+    assert(after(head) < before(head) / 2,
+      s"head language $head must downsample: ${before(head)} -> ${after(head)}")
+    // determinism: a second run keeps the identical doc set (the
+    // lineage-audit property rand() sampling lacks)
+    val again = SparkEntry.queries("pl15_domain_mix")(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq,
+      "sampler must be reproducible run over run")
+  }
 }

@@ -231,6 +231,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pl15_domain_mix: rates broadcast; sampling is map-side, no doc-level shuffle or sort") {
+    val p = plan("pl15_domain_mix")
+    // the only shuffle is the L-row language count; the corpus side
+    // takes a broadcast rate table and filters map-side
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the sampler regressed to a corpus shuffle join")
+    assert(!p.contains("Window"), "no window belongs in a stateless sampler")
+  }
+
   test("d7_semdedup: pair generation is a cid equi-join, never a corpus cross-join") {
     val p = plan("d7_semdedup")
     // within-cluster pairing must key on the cluster id (the SemDeDup
