@@ -58,8 +58,10 @@ QUERIES = [
     "pl11_gopher_rules",
     # round-12 newborns
     "pl12_ccnet_buckets", "d11_guarded_lsh",
-    # round-13 newborns + the r12 verdict's requested addition
-    "pl13_corpus_report", "pl14_decontaminate",
+    # round-13 newborns + the r12 verdict's requested addition, plus
+    # d4 (its plan changed to the cached groupBy join-back this round)
+    "pl13_corpus_report", "pl14_decontaminate", "pl15_domain_mix",
+    "d4_simhash",
 ]
 
 ADD_OPENS = [
