@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
   * data size). Caches are cleared between reps, so every rep pays real
   * IO + shuffle. */
 object Bench {
+  /** Headline rep count — the BENCH_HEAD gate below compares against
+    * THIS constant, so changing the default can never silently stop
+    * the tracked artifact from updating. */
+  val DefaultReps = 5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,7 +59,7 @@ object Bench {
     // swings this box shows (isolated re-measures of every "regressed"
     // query in rounds 5-7 landed back in band — the suite mins were
     // the noise).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", DefaultReps.toString).toInt
     // dev-only subset filter (comma-separated names); unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val timedQueries = SparkEntry.queries
@@ -109,7 +114,7 @@ object Bench {
     // tracked artifact (nothing in the line would mark it partial)
     try {
       Files.writeString(Paths.get("bench_out.json"), line + "\n")
-      if (only.isEmpty && reps == 5)
+      if (only.isEmpty && reps == DefaultReps)
         Files.writeString(Paths.get("BENCH_HEAD.json"), line + "\n")
     } catch { case _: Throwable => () }
     spark.stop()

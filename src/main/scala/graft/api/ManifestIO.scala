@@ -257,7 +257,7 @@ object ManifestIO {
     pointerGens(fs, pdir).dropRight(PointerKeep)
       .foreach(n => fs.delete(new Path(pdir, pointerName(n)), false))
     if (fs.exists(pdir)) fs.listStatus(pdir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
+      .filter(st => st.isFile && st.getPath.getName.contains(".tmp"))
       .foreach(st => fs.delete(st.getPath, false))
     // complete a rename->pointer migration: the old mutable manifest is
     // shadowed by every read from now on; removing it is cleanup, and a
@@ -282,7 +282,16 @@ object ManifestIO {
           "writer read the store (the contract is single-writer; this " +
           "writer is stale and must re-open the store)", cause)
     if (AtomicRenameSchemes.contains(scheme)) {
-      val tmp = fs.makeQualified(new Path(pdir, pointerName(next) + ".tmp"))
+      // the stage name carries a per-writer nonce: two racing writers
+      // that both resolved `next` must NOT share a stage file, or the
+      // loser's create(overwrite) truncates the winner's fully-written
+      // bytes between its stage and its publish — the shared-stage
+      // variant of exactly the zombie-writer race the put-if-absent
+      // publish exists to detect. With distinct stages the loser can
+      // only lose at the publish (conflict, loudly), never corrupt.
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = fs.makeQualified(
+        new Path(pdir, pointerName(next) + s".tmp-$nonce"))
       val out = fs.create(tmp, true)
       try props.store(out, null) finally out.close()
       if (scheme == "file") {

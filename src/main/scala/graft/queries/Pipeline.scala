@@ -1044,8 +1044,12 @@ object Pipeline extends QueryGroup {
     * comparison of a per-doc md5-derived uniform u = first-8-hex/2^32
     * (the [[DedupEnrich.bloomPositions]] determinism family — exact
     * i/2^32 rational, bit-identical in both engines) against the rate.
-    * No sort, no window, no doc-level shuffle: at 100 TB the sampler
-    * is one pass over the scan. Determinism doubles as REPRODUCIBILITY:
+    * No sort, no window, no doc-level shuffle. The count leg and the
+    * sampling leg share ONE cached narrow (doc_id, lang) projection
+    * (the pl12/pl14 multi-consumer discipline); at 100 TB the counts
+    * are typically a standing catalog statistic anyway, and even
+    * uncached both legs are column-pruned two-column scans, never
+    * full-row passes. Determinism doubles as REPRODUCIBILITY:
     * re-running the sampler on the same corpus keeps exactly the same
     * documents (the property training-data lineage audits need;
     * rand()-based sampling has no such audit trail).
@@ -1057,16 +1061,16 @@ object Pipeline extends QueryGroup {
   private val q15 = QueryDef(
     "pl15_domain_mix",
     (s, dir) => {
-      val counts = Tables.documents(s, dir)
-        .groupBy("lang").agg(count(lit(1)).as("n"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang")).cache()
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       val nmin = counts.agg(min(col("n")).as("n_min"))
       val rates = counts.crossJoin(broadcast(nmin))
         .select(col("lang"),
           (col("n_min").cast("double") / col("n")).as("rate"))
       val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long").cast("double") / lit(4294967296.0)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"))
+      docs
         .join(broadcast(rates), Seq("lang"))
         .filter(u < col("rate"))
         .select("doc_id", "lang")

@@ -747,8 +747,9 @@ class MnemoApiSpec extends SparkSpec {
     val a2 = store.describeAttention()
     assert(a2.version == 1 && a2.committedGeneration.contains(1L),
       s"attention post-compaction: $a2")
-    assert(a2.dataFiles < a1.dataFiles,
-      s"compaction must fold the data files: ${a1.dataFiles} -> ${a2.dataFiles}")
+    // folds to exactly ONE data file (markers like _SUCCESS excluded)
+    assert(a2.dataFiles == 1,
+      s"compaction must fold the data files to one: ${a1.dataFiles} -> ${a2.dataFiles}")
   }
 
   test("ingestPipeline surfaces the index's band_saturated flag — empty candidates are not 'no near-dups'") {
