@@ -518,6 +518,33 @@ class StoreCompatSpec extends SparkSpec {
       s"retention must bound the generation files, found $nFiles")
   }
 
+  test("pointer protocol: crashed-writer leftovers (orphan data dir + dead stage file) are invisible and swept") {
+    // the protocol doc's crash-window claim, driven end to end: a
+    // writer that died after staging data (and possibly a manifest
+    // stage file) but BEFORE its put-if-absent publish must leave
+    // readers on the previous generation, and the next commit sweeps
+    // both kinds of leftovers
+    withConf("graft.manifest.protocol" -> "pointer") {
+      val store = freshStore()
+      seed(store)
+      val rows = store.table().count()
+      import spark.implicits._
+      Seq(("junk", "x", "t1")).toDF("id", "content", "thread_id")
+        .write.parquet(s"${store.path}/g999/a/bucket=0")
+      val deadStage = new java.io.File(
+        s"${store.path}/${ManifestIO.PointerDir}/manifest-99999999999999999999.properties.tmp-dead")
+      assert(deadStage.createNewFile())
+      // both leftovers invisible to readers
+      assert(store.table().count() == rows)
+      // the next commit sweeps the orphan dir (gc) and the dead stage
+      store.forget("alice", Seq("m2"), ts("2024-03-01 00:00:00"))
+      assert(!Files.exists(Paths.get(store.path, "g999")),
+        "orphan data dir must be swept under the pointer protocol")
+      assert(!deadStage.exists(), "dead writer's stage file must be swept")
+      assert(store.table().count() == rows)
+    }
+  }
+
   test("pointer protocol: a rename-layout store migrates on its first forced pointer commit") {
     val dir = Files.createTempDirectory("compat-pmig").toFile.getAbsolutePath
     ManifestIO.write(dir, Map("version" -> "3", "k" -> "old"))
