@@ -234,8 +234,21 @@ class DedupIndexPropertySpec extends SparkSpec {
           }
           (id, text)
         }
-        val verdicts = idx.ingest(docs.toDF("doc_id", "text"))
-          .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+        // exact pre-fold fill, for the lazy-disclosure bound check below
+        val exactPre = idx.describe().windowFill.get
+        val rows = idx.ingest(docs.toDF("doc_id", "text")).collect()
+        val verdicts = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+        // lazy wbloom_fill invariant: whatever the path (counter bound
+        // below FillExactBound, exact aggregate past it, exact on the
+        // counterless re-opened store), the disclosed value must read
+        // HIGH vs the true pre-fold fill, never low, and one batch
+        // discloses ONE value
+        val fills = rows.map(_.getAs[Double]("wbloom_fill")).distinct
+        assert(fills.length == 1, s"op $op: batch disclosed ${fills.toList}")
+        // 6dp HALF_UP rounding of the disclosed value can dip below the
+        // unrounded exact fill by at most 5e-7 — allow exactly that
+        assert(fills.head >= exactPre - 5.1e-7,
+          s"op $op: disclosed fill ${fills.head} reads LOW vs exact $exactPre")
         val bw = windowsOf(docs)
         docs.foreach { case (id, _) =>
           val ws = bw(id)

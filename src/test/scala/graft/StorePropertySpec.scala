@@ -57,6 +57,13 @@ class StorePropertySpec extends SparkSpec {
     val tagPool = Vector("subject:p", "subject:q", "topic-m", "topic-n")
 
     (0 until 2).foreach { round =>
+      // round 1 drives the IDENTICAL randomized interleaving through
+      // the write-once generation-pointer manifest protocol (the
+      // object-store commit shape, forced onto the local FS), so every
+      // model-equality and structural invariant below holds under BOTH
+      // publish protocols — not just the rename one the suite grew up on
+      if (round == 1)
+        spark.conf.set("graft.manifest.protocol", "pointer")
       val dir = Files.createTempDirectory(s"storeprop$round").toFile
       dir.delete()
       val store = Mnemo.open(spark, dir.getAbsolutePath)
@@ -275,6 +282,14 @@ class StorePropertySpec extends SparkSpec {
         assert(got == expected,
           s"round $round: replay($name) drift got-only=${got.diff(expected)} " +
             s"expected-only=${expected.diff(got)}")
+      }
+
+      if (round == 1) {
+        // the pointer round really ran on the pointer layout
+        assert(Files.isDirectory(
+          Paths.get(store.path, graft.api.ManifestIO.PointerDir)),
+          "round 1 must have committed through the pointer protocol")
+        spark.conf.unset("graft.manifest.protocol")
       }
     }
   }
