@@ -1088,6 +1088,151 @@ object Pipeline extends QueryGroup {
               / 4294967296.0 < r.rate
       ORDER BY doc_id"""))
 
+  /** End-to-end curation funnel — the per-language attrition report a
+    * production run publishes after composing its stages in order:
+    * Gopher quality rules (pl11's exact conjunction) → exact dedup
+    * among the survivors (d1's fingerprint, min-doc_id canonical) →
+    * eval-set decontamination of the canonicals (pl14's 13-gram
+    * overlap against the held-out doc_id % 7 slice, which is excluded
+    * from the training corpus at stage zero). Each stage's logic is
+    * the registered operator's own expressions, so the funnel can
+    * never disagree with the stages it composes; every stage drops
+    * documents on this corpus at all three scales (DuckDB-probed
+    * before registration: raw→quality −2348, →unique −814, →clean −15
+    * docs at sf0.1).
+    *
+    * Scale shape: one enriched doc-level pass (cached — four
+    * consumers), the d1-style groupBy+join-back for canonicals (no
+    * fp window), the pl14 broadcast gram probe (no corpus shuffle),
+    * then ONE per-language aggregate over a per-doc stage number —
+    * joins are equi or broadcast throughout. Retention uses the
+    * integer micro-unit rounding (the pl12/pl14 discipline). */
+  private val q16 = QueryDef(
+    "pl16_curation_funnel",
+    (s, dir) => {
+      import graft.functions.DedupEnrich
+      val K = 13
+      val d0 = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.tokens(col("text")).as("toks"))
+      val nonEmpty = size(col("toks")) > 0
+      val enriched = d0
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("mean_word_len", when(nonEmpty,
+          round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+            .cast("double") / col("n_words"), 6)).otherwise(0.0))
+        .withColumn("n_symbols", (length(col("text"))
+          - length(regexp_replace(col("text"), "[#…]", ""))).cast("long"))
+        .withColumn("alpha_frac", when(nonEmpty,
+          round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double")
+            / col("n_words"), 6)).otherwise(0.0))
+        .withColumn("n_stop_hits", size(array_intersect(
+          array_distinct(col("toks")),
+          array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)))
+          .cast("long"))
+        .withColumn("kept",
+          (col("n_words").between(50L, 100000L) &&
+            nonEmpty && col("mean_word_len").between(3.0, 10.0) &&
+            col("n_symbols").cast("double") / col("n_words") <= 0.1 &&
+            col("alpha_frac") >= 0.8 && col("n_stop_hits") >= 2).cast("int"))
+        .withColumn("fp", DedupEnrich.exactFpFromToks(col("toks")))
+        .withColumn("grams",
+          array_distinct(transform(TextOps.ngrams(col("toks"), K),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))))
+        .withColumn("is_eval", col("doc_id") % 7 === 0)
+        .select("doc_id", "lang", "kept", "fp", "grams", "is_eval")
+        .cache()
+      val train = enriched.filter(!col("is_eval"))
+      val q = train.filter(col("kept") === 1)
+      val canon = q.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
+      val uniq = q.join(canon, "fp")
+        .withColumn("canonical",
+          (col("doc_id") === col("canonical_id")).cast("int"))
+      val evalGrams = enriched.filter(col("is_eval"))
+        .select(explode(col("grams")).as("gram")).distinct()
+      val flagged = uniq.filter(col("canonical") === 1)
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(broadcast(evalGrams), Seq("gram"))
+        .select("doc_id").distinct().withColumn("flag", lit(1))
+      val staged = train
+        .join(uniq.select(col("doc_id"), col("canonical")), Seq("doc_id"), "left")
+        .join(flagged, Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(col("kept") =!= 1, 0)
+            .when(col("canonical").isNull || col("canonical") =!= 1, 1)
+            .when(col("flag") === 1, 2)
+            .otherwise(3))
+      staged.groupBy("lang").agg(
+        count(lit(1)).as("n_raw"),
+        sum((col("stage") >= 1).cast("long")).as("n_quality"),
+        sum((col("stage") >= 2).cast("long")).as("n_unique"),
+        sum((col("stage") >= 3).cast("long")).as("n_clean"))
+        .withColumn("retention",
+          expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
+            .cast("double") / lit(1000000.0))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH $toksSql,
+      enriched AS (
+        SELECT t.doc_id, t.lang,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CASE WHEN len(toks) > 0
+                 THEN ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks), 6)
+                 ELSE 0.0 END AS mean_word_len,
+               CAST(len(d.text) - len(regexp_replace(d.text, '[#…]', '', 'g')) AS BIGINT) AS n_symbols,
+               CASE WHEN len(toks) > 0
+                 THEN ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks), 6)
+                 ELSE 0.0 END AS alpha_frac,
+               CAST(len(list_intersect(list_distinct(toks),
+                 ['the','a','of','and','to','in'])) AS BIGINT) AS n_stop_hits,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+               list_distinct(list_transform(
+                 CASE WHEN len(toks) >= 13
+                   THEN list_transform(generate_series(0, len(toks) - 13),
+                        i -> array_to_string(list_slice(toks, i + 1, i + 13), ' '))
+                   ELSE []::VARCHAR[] END,
+                 g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS grams,
+               doc_id % 7 = 0 AS is_eval
+        FROM toks t JOIN documents d USING (doc_id)),
+      k AS (
+        SELECT *, CAST(n_words BETWEEN 50 AND 100000
+              AND (n_words > 0 AND mean_word_len BETWEEN 3.0 AND 10.0)
+              AND (n_words > 0 AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
+              AND alpha_frac >= 0.8 AND n_stop_hits >= 2 AS INT) AS kept
+        FROM enriched),
+      train AS (SELECT * FROM k WHERE NOT is_eval),
+      q AS (SELECT * FROM train WHERE kept = 1),
+      canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM q GROUP BY fp),
+      uniq AS (SELECT q.doc_id, CAST(q.doc_id = canonical_id AS INT) AS canonical
+               FROM q JOIN canon USING (fp)),
+      ev AS (SELECT DISTINCT unnest(grams) AS gram FROM k WHERE is_eval),
+      flagged AS (
+        SELECT DISTINCT tg.doc_id FROM (
+          SELECT u.doc_id, unnest(t.grams) AS gram
+          FROM uniq u JOIN train t ON u.doc_id = t.doc_id
+          WHERE u.canonical = 1) tg
+        JOIN ev ON tg.gram = ev.gram),
+      staged AS (
+        SELECT t.lang,
+               CASE WHEN t.kept != 1 THEN 0
+                    WHEN u.canonical IS NULL OR u.canonical != 1 THEN 1
+                    WHEN f.doc_id IS NOT NULL THEN 2
+                    ELSE 3 END AS stage
+        FROM train t LEFT JOIN uniq u ON t.doc_id = u.doc_id
+             LEFT JOIN flagged f ON t.doc_id = f.doc_id),
+      agg AS (
+        SELECT lang, COUNT(*) AS n_raw,
+               CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        FROM staged GROUP BY lang)
+      SELECT lang, n_raw, n_quality, n_unique, n_clean,
+             CAST((2 * n_clean * 1000000 + n_raw) // (2 * n_raw) AS DOUBLE)
+               / 1000000.0 AS retention
+      FROM agg
+      ORDER BY lang"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
-    q12, q13, q14, q15)
+    q12, q13, q14, q15, q16)
 }

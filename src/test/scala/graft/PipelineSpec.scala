@@ -277,4 +277,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq,
       "sampler must be reproducible run over run")
   }
+
+  test("curation funnel: monotone attrition, every stage non-vacuous, quality stage equals pl11's verdicts") {
+    val rows = SparkEntry.queries("pl16_curation_funnel")(spark, Sf).collect()
+    assert(rows.length == 5, s"one row per language: ${rows.length}")
+    rows.foreach { r =>
+      val (raw, q, u, c) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= q && q >= u && u >= c && c >= 0,
+        s"${r.getString(0)}: funnel must be monotone: $raw >= $q >= $u >= $c")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+    def tot(i: Int) = rows.map(_.getLong(i)).sum
+    assert(tot(1) > tot(2), "quality stage dropped nothing — vacuous")
+    assert(tot(2) > tot(3), "dedup stage dropped nothing — vacuous")
+    assert(tot(3) > tot(4), "decontamination stage dropped nothing — vacuous")
+    // the funnel's quality stage must EQUAL the registered pl11
+    // operator's verdicts on the same (non-eval) docs — composition,
+    // not reimplementation drift
+    import org.apache.spark.sql.functions._
+    val pl11Kept = SparkEntry.queries("pl11_gopher_rules")(spark, Sf)
+      .filter(col("doc_id") % 7 =!= 0 && col("kept") === 1).count()
+    assert(tot(2) == pl11Kept,
+      s"funnel quality count ${tot(2)} != pl11 kept-on-train $pl11Kept")
+  }
 }

@@ -241,6 +241,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no window belongs in a stateless sampler")
   }
 
+  test("pl16_curation_funnel: one cached doc pass, gram probe broadcast, no fp window anywhere") {
+    val p = plan("pl16_curation_funnel")
+    assert(p.contains("BroadcastHashJoin"), "the eval-gram probe must broadcast")
+    assert(!p.contains("Window"),
+      "the funnel composes the de-windowed stage shapes — no window belongs here")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"),
+      "the enriched doc pass must be shared via cache, not recomputed per stage")
+  }
+
   test("d7_semdedup: pair generation is a cid equi-join, never a corpus cross-join") {
     val p = plan("d7_semdedup")
     // within-cluster pairing must key on the cluster id (the SemDeDup
