@@ -49,7 +49,11 @@ object BenchWrites {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // shared with Bench: the tracked-artifact gate below compares
+    // against the same constant, so a default change can never let a
+    // dev run silently clobber BENCH_WRITES.json
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS",
+      Bench.DefaultReps.toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -541,8 +545,11 @@ object BenchWrites {
     val line =
       s"""{"metric":"writes_total","value":${num("%.4f", total)},"value_r7_ops":${num("%.4f", totalR7Ops)},"unit":"sec","ops":$ops,"reps":$reps,"batch":$batch,"warmup":true,"store_layout":"v3-bucketed-32-agentsorted"}"""
     println(line)
-    try Files.writeString(Paths.get("BENCH_WRITES.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // non-default reps = a dev probe, not the headline artifact (the
+    // Bench.scala BENCH_HEAD gate, applied to this writer too)
+    if (reps == Bench.DefaultReps)
+      try Files.writeString(Paths.get("BENCH_WRITES.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -211,9 +211,7 @@ final class DealLedger(val spark: SparkSession, val path: String,
       val r = table()
         .agg(count(lit(1)), countDistinct(col("ledger_id"))).collect()(0)
       DealLedger.Health(exists = true, r.getLong(0), r.getLong(1),
-        // markers (_SUCCESS) and hidden files are not data files
-        ManifestIO.listChildren(path).count { case (nm, isDir) =>
-          !isDir && !nm.startsWith("_") && !nm.startsWith(".") })
+        ManifestIO.countDataFiles(path))
     }
 }
 

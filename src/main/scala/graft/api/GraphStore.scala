@@ -77,9 +77,7 @@ final class GraphStore(val spark: SparkSession, val path: String) {
         .agg(count(lit(1)), count(when(col("valid_to").isNull, 1)))
         .collect()(0)
       GraphStore.Health(exists = true, r.getLong(0), r.getLong(1),
-        // markers (_SUCCESS) and hidden files are not data files
-        ManifestIO.listChildren(path).count { case (nm, isDir) =>
-          !isDir && !nm.startsWith("_") && !nm.startsWith(".") })
+        ManifestIO.countDataFiles(path))
     }
 
   /** Depth-bounded reachability over edges valid at `asOf`: iterative

@@ -300,6 +300,10 @@ object ManifestIO {
           java.nio.file.Paths.get(target.toUri.getPath), t)
         catch {
           case e: java.nio.file.FileAlreadyExistsException => conflict(e)
+          // a live writer's post-commit sweep deletes dead stages — a
+          // zombie whose stage vanished IS the stale-writer case, not
+          // filesystem corruption; route it to the same loud conflict
+          case e: java.nio.file.NoSuchFileException => conflict(e)
         } finally java.nio.file.Files.deleteIfExists(t)
       } else {
         if (!fs0.rename(tmp, target)) conflict(null)
@@ -350,6 +354,15 @@ object ManifestIO {
     if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Nil
     else fs.listStatus(p).toSeq.map(st => (st.getPath.getName, st.isDirectory))
   }
+
+  /** Count of genuine DATA files directly under `path`: excludes
+    * directories, write markers (`_SUCCESS`) and hidden files — the
+    * ONE definition every store Health surface's small-files signal
+    * uses, so a marker-convention change cannot desync them. */
+  def countDataFiles(path: String): Int =
+    listChildren(path).count { case (nm, isDir) =>
+      !isDir && !nm.startsWith("_") && !nm.startsWith(".")
+    }
 
   def pathExists(path: String): Boolean = {
     val p = new Path(path)

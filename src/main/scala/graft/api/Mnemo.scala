@@ -1708,11 +1708,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
         .getOrElse(if (attnExists) 0 else 1),
       committedGeneration =
         man.flatMap(_.get("data")).map(_.stripPrefix("g").toLong),
-      // markers (_SUCCESS) and hidden files are not data files — the
-      // hasParquetFiles/legacyRootFiles discipline
-      dataFiles = ManifestIO.listChildren(attnDataDir).count {
-        case (nm, isDir) => !isDir && !nm.startsWith("_") && !nm.startsWith(".")
-      })
+      dataFiles = ManifestIO.countDataFiles(attnDataDir))
   }
 
   def attentionStateGet(agentId: String, key: String): Option[Array[Byte]] = {

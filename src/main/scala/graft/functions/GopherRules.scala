@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Gopher / MassiveText document-filter rule columns (Rae et al.
+  * 2021, Appendix A1.1) as ONE shared builder — the single source of
+  * the thresholds and the stop-word lexicon, called by BOTH the
+  * registered `pl11_gopher_rules` operator and the `pl16_curation_
+  * funnel`'s quality stage, so the funnel can never drift from the
+  * operator it claims to compose (the round-11 DedupEnrich discipline
+  * applied to the quality rules). Threshold provenance and the
+  * corpus-appropriate lexicon substitution are documented on pl11. */
+object GopherRules {
+
+  /** The shared stop-word lexicon (the pl1/t2 scoring list — see
+    * pl11's declared substitution note for why not the paper's own). */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Adds the measured statistics (`n_words`, `mean_word_len`,
+    * `n_symbols`, `alpha_frac`, `n_stop_hits`), the per-rule verdicts
+    * (`r_words`, `r_word_len`, `r_symbol`, `r_alpha`, `r_stop`) and
+    * their conjunction (`kept`) to a frame carrying `text` and a bound
+    * token-array column `toks`. One narrow projection, no shuffle. */
+  def withStats(d: DataFrame): DataFrame = {
+    val nonEmpty: Column = size(col("toks")) > 0
+    d.withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mean_word_len", when(nonEmpty,
+        round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+          .cast("double") / col("n_words"), 6)).otherwise(0.0))
+      .withColumn("n_symbols", (length(col("text"))
+        - length(regexp_replace(col("text"), "[#…]", ""))).cast("long"))
+      .withColumn("alpha_frac", when(nonEmpty,
+        round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double")
+          / col("n_words"), 6)).otherwise(0.0))
+      .withColumn("n_stop_hits", size(array_intersect(
+        array_distinct(col("toks")),
+        array(StopWords.map(lit): _*))).cast("long"))
+      .withColumn("r_words",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("r_word_len",
+        (nonEmpty && col("mean_word_len").between(3.0, 10.0)).cast("int"))
+      .withColumn("r_symbol",
+        (nonEmpty &&
+          col("n_symbols").cast("double") / col("n_words") <= 0.1).cast("int"))
+      .withColumn("r_alpha", (col("alpha_frac") >= 0.8).cast("int"))
+      .withColumn("r_stop", (col("n_stop_hits") >= 2).cast("int"))
+      .withColumn("kept", (col("r_words") === 1 && col("r_word_len") === 1 &&
+        col("r_symbol") === 1 && col("r_alpha") === 1 &&
+        col("r_stop") === 1).cast("int"))
+  }
+}

@@ -56,6 +56,16 @@ object TextOps {
         concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** DISTINCT 60-bit md5-prefix hashes of the strict k-token n-grams —
+    * the form grams travel in (8-byte longs, never ~100-byte strings)
+    * through distinct/explode/broadcast/join. ONE definition shared by
+    * pl14 and the pl16 funnel's decontamination stage, so the two can
+    * never hash differently; the DuckDB mirror is
+    * `('0x' || substr(md5(g), 1, 15))::BIGINT`. */
+  def hashedNgrams(toks: Column, k: Int): Column =
+    array_distinct(transform(ngrams(toks, k),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+
   /** The reference's token estimator: ceil(chars / 4). */
   def estTokens(text: Column): Column = ceil(length(text) / lit(4.0)).cast("long")
 

@@ -644,37 +644,12 @@ object Pipeline extends QueryGroup {
   private val q11 = QueryDef(
     "pl11_gopher_rules",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
-        .withColumn("n_words", size(col("toks")).cast("long"))
-      val nonEmpty = col("n_words") > 0
-      val meanLen = when(nonEmpty,
-        round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
-          .cast("double") / col("n_words"), 6)).otherwise(0.0)
-      val nSymbols = (length(col("text"))
-        - length(regexp_replace(col("text"), "[#…]", ""))).cast("long")
-      val alphaFrac = when(nonEmpty,
-        round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double")
-          / col("n_words"), 6)).otherwise(0.0)
-      val stopHits = size(array_intersect(array_distinct(col("toks")),
-        array(Seq("the", "a", "of", "and", "to", "in")
-          .map(lit): _*))).cast("long")
-      d.withColumn("mean_word_len", meanLen)
-        .withColumn("n_symbols", nSymbols)
-        .withColumn("alpha_frac", alphaFrac)
-        .withColumn("n_stop_hits", stopHits)
-        .withColumn("r_words",
-          (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
-        .withColumn("r_word_len",
-          (nonEmpty && col("mean_word_len").between(3.0, 10.0)).cast("int"))
-        .withColumn("r_symbol",
-          (nonEmpty &&
-            col("n_symbols").cast("double") / col("n_words") <= 0.1).cast("int"))
-        .withColumn("r_alpha", (col("alpha_frac") >= 0.8).cast("int"))
-        .withColumn("r_stop", (col("n_stop_hits") >= 2).cast("int"))
-        .withColumn("kept", (col("r_words") === 1 && col("r_word_len") === 1 &&
-          col("r_symbol") === 1 && col("r_alpha") === 1 &&
-          col("r_stop") === 1).cast("int"))
+      // rule columns come from the SHARED GopherRules builder — the
+      // same expressions the pl16 funnel's quality stage composes
+      import graft.functions.GopherRules
+      GopherRules.withStats(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextOps.tokens(col("text")).as("toks")))
         .select("doc_id", "n_words", "mean_word_len", "n_symbols",
           "alpha_frac", "n_stop_hits", "r_words", "r_word_len", "r_symbol",
           "r_alpha", "r_stop", "kept")
@@ -982,9 +957,7 @@ object Pipeline extends QueryGroup {
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          array_distinct(transform(TextOps.ngrams(col("toks"), K),
-            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
-            .as("grams"),
+          TextOps.hashedNgrams(col("toks"), K).as("grams"),
           (col("doc_id") % 7 === 0).as("is_eval"))
         .cache()
       val evalGrams = base.filter(col("is_eval"))
@@ -1110,35 +1083,16 @@ object Pipeline extends QueryGroup {
   private val q16 = QueryDef(
     "pl16_curation_funnel",
     (s, dir) => {
-      import graft.functions.DedupEnrich
+      import graft.functions.{DedupEnrich, GopherRules}
       val K = 13
-      val d0 = Tables.documents(s, dir)
+      // every stage decision comes from the SHARED builders the stage
+      // operators themselves use (GopherRules == pl11, exactFp == d1,
+      // hashedNgrams == pl14) — composition, not reimplementation
+      val enriched = GopherRules.withStats(Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"),
-          TextOps.tokens(col("text")).as("toks"))
-      val nonEmpty = size(col("toks")) > 0
-      val enriched = d0
-        .withColumn("n_words", size(col("toks")).cast("long"))
-        .withColumn("mean_word_len", when(nonEmpty,
-          round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
-            .cast("double") / col("n_words"), 6)).otherwise(0.0))
-        .withColumn("n_symbols", (length(col("text"))
-          - length(regexp_replace(col("text"), "[#…]", ""))).cast("long"))
-        .withColumn("alpha_frac", when(nonEmpty,
-          round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double")
-            / col("n_words"), 6)).otherwise(0.0))
-        .withColumn("n_stop_hits", size(array_intersect(
-          array_distinct(col("toks")),
-          array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)))
-          .cast("long"))
-        .withColumn("kept",
-          (col("n_words").between(50L, 100000L) &&
-            nonEmpty && col("mean_word_len").between(3.0, 10.0) &&
-            col("n_symbols").cast("double") / col("n_words") <= 0.1 &&
-            col("alpha_frac") >= 0.8 && col("n_stop_hits") >= 2).cast("int"))
+          TextOps.tokens(col("text")).as("toks")))
         .withColumn("fp", DedupEnrich.exactFpFromToks(col("toks")))
-        .withColumn("grams",
-          array_distinct(transform(TextOps.ngrams(col("toks"), K),
-            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))))
+        .withColumn("grams", TextOps.hashedNgrams(col("toks"), K))
         .withColumn("is_eval", col("doc_id") % 7 === 0)
         .select("doc_id", "lang", "kept", "fp", "grams", "is_eval")
         .cache()

@@ -56,14 +56,15 @@ class StorePropertySpec extends SparkSpec {
     val agents = Vector("agent-a", "agent-b")
     val tagPool = Vector("subject:p", "subject:q", "topic-m", "topic-n")
 
+    // round 1 drives the IDENTICAL randomized interleaving through the
+    // write-once generation-pointer manifest protocol (the object-store
+    // commit shape, forced onto the local FS), so every model-equality
+    // and structural invariant below holds under BOTH publish
+    // protocols. withConf restores the shared session even when an
+    // assertion fails mid-round — a leaked forced protocol would make
+    // every later suite run under the wrong one and bury the failure.
     (0 until 2).foreach { round =>
-      // round 1 drives the IDENTICAL randomized interleaving through
-      // the write-once generation-pointer manifest protocol (the
-      // object-store commit shape, forced onto the local FS), so every
-      // model-equality and structural invariant below holds under BOTH
-      // publish protocols — not just the rename one the suite grew up on
-      if (round == 1)
-        spark.conf.set("graft.manifest.protocol", "pointer")
+      def driveRound(): Unit = {
       val dir = Files.createTempDirectory(s"storeprop$round").toFile
       dir.delete()
       val store = Mnemo.open(spark, dir.getAbsolutePath)
@@ -289,8 +290,12 @@ class StorePropertySpec extends SparkSpec {
         assert(Files.isDirectory(
           Paths.get(store.path, graft.api.ManifestIO.PointerDir)),
           "round 1 must have committed through the pointer protocol")
-        spark.conf.unset("graft.manifest.protocol")
       }
+      } // driveRound
+
+      if (round == 1)
+        withConf("graft.manifest.protocol" -> "pointer")(driveRound())
+      else driveRound()
     }
   }
 }
