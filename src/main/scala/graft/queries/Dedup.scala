@@ -54,7 +54,15 @@ object Dedup extends QueryGroup {
       // duplicated hundreds of millions of times would funnel its whole
       // group through one window-sort task, while the aggregate
       // pre-combines per partition and the join-back build side carries
-      // ONE row per fingerprint, so no per-key sort exists at any scale
+      // ONE row per fingerprint, so no per-key sort exists at any scale.
+      // At-scale join choice: at test scale the groups side broadcasts;
+      // at corpus scale (groups too big to broadcast) hint the build
+      // side shuffle_hash so the mega-dup partition STREAMS through a
+      // hash probe instead of paying a sort-merge sort — AQE's skew
+      // split structurally cannot apply here (the groups aggregate is
+      // co-partitioned with the join key, which breaks the
+      // OptimizeSkewedJoin pattern) and would be the wrong tool anyway
+      // (one key per hot partition). SkewJoinSpec pins both facts.
       val d = Tables.documents(s, dir).select(col("doc_id"),
         DedupEnrich.exactFp(col("text")).as("fp"))
       val groups = d.groupBy("fp")

@@ -54,4 +54,62 @@ class SkewJoinSpec extends SparkSpec {
         s"AQE skew-join did not engage; final plan:\n$finalPlan")
     }
   }
+
+  test("d1 join-back at corpus scale: the mega-dup fp partition STREAMS through a hash probe, never sorts") {
+    // Round 13 replaced count/min over (partition by fp) with
+    // groupBy(fp) + join-back for the mega-dup corpus class. This spec
+    // pins the AT-SCALE story of that join-back, with broadcast
+    // disabled to simulate a corpus-sized groups table:
+    //  - AQE's skew-join split CANNOT apply here, structurally: the
+    //    groups side aggregates on the join key itself, so its final
+    //    HashAggregate sits between the Sort and the shuffle stage and
+    //    OptimizeSkewedJoin's SortExec(ShuffleQueryStage)-on-both-sides
+    //    pattern never matches (verified empirically — with or without
+    //    the group_size filter). Splits are also the wrong tool: the
+    //    hot partition holds ONE key, and every split would replicate
+    //    that key's single build row anyway.
+    //  - What the shape needs instead is to not SORT the hot
+    //    partition: a sort-merge join would materialize and sort the
+    //    mega-dup fp's entire doc list per partition — the very cost
+    //    the de-windowing removed. A shuffle_hash-hinted build side
+    //    (one row per fingerprint — small per partition at any corpus
+    //    size) makes the probe side STREAM: linear scan, bounded
+    //    memory, no sort, one narrow (doc_id, fp) row at a time.
+    // At test scale the un-hinted plan broadcasts the groups side,
+    // which is strictly better still — the hint below is the
+    // documented at-scale configuration, not a query change.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") { // corpus-scale sides
+      import graft.functions.DedupEnrich
+      // mega-dup corpus: 90% of docs share ONE fingerprint
+      val d = spark.range(2000)
+        .repartition(8)
+        .withColumn("rep", explode(lit((0 until 32).toArray)))
+        .select(col("id").as("doc_id"),
+          when(col("id") % 10 =!= 0,
+            lit("the same boilerplate template text repeated everywhere"))
+            .otherwise(concat(lit("unique document number "), col("id")))
+            .as("text"))
+        .withColumn("fp", DedupEnrich.exactFp(col("text")))
+        .select("doc_id", "fp")
+      // the d1 shape with the at-scale build-side hint
+      val groups = d.groupBy("fp")
+        .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_id"))
+        .filter(col("group_size") > 1)
+      val joined = d.join(groups.hint("shuffle_hash"), "fp")
+      val rows = joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("ShuffledHashJoin"),
+        s"expected the streaming hash probe; final plan:\n$finalPlan")
+      assert(!finalPlan.contains("SortMergeJoin"),
+        "the mega-dup partition must not pay a sort-merge sort")
+      // correctness under the streamed probe: the boilerplate fp
+      // groups 1800 ids x 32 replicas; each "unique" id still forms
+      // its own 32-replica group (the explode duplicates text verbatim)
+      val sizes = rows.map(_.getAs[Long]("group_size")).groupBy(identity)
+        .view.mapValues(_.length).toMap
+      assert(sizes == Map(1800L * 32 -> 1800 * 32, 32L -> 200 * 32),
+        s"wrong group accounting: $sizes")
+    }
+  }
 }
