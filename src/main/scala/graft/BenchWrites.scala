@@ -545,11 +545,15 @@ object BenchWrites {
     val line =
       s"""{"metric":"writes_total","value":${num("%.4f", total)},"value_r7_ops":${num("%.4f", totalR7Ops)},"unit":"sec","ops":$ops,"reps":$reps,"batch":$batch,"warmup":true,"store_layout":"v3-bucketed-32-agentsorted"}"""
     println(line)
-    // non-default reps = a dev probe, not the headline artifact (the
-    // Bench.scala BENCH_HEAD gate, applied to this writer too)
-    if (reps == Bench.DefaultReps)
-      try Files.writeString(Paths.get("BENCH_WRITES.json"), line + "\n")
-      catch { case _: Throwable => () }
+    // Bench.scala's two-artifact pattern: the scratch file persists
+    // EVERY run (a piped-away stdout must not lose a probe), the
+    // tracked artifact only a default-reps run (a dev probe must not
+    // silently clobber the headline figure)
+    try {
+      Files.writeString(Paths.get("bench_writes_out.json"), line + "\n")
+      if (reps == Bench.DefaultReps)
+        Files.writeString(Paths.get("BENCH_WRITES.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -302,8 +302,15 @@ object ManifestIO {
           case e: java.nio.file.FileAlreadyExistsException => conflict(e)
           // a live writer's post-commit sweep deletes dead stages — a
           // zombie whose stage vanished IS the stale-writer case, not
-          // filesystem corruption; route it to the same loud conflict
-          case e: java.nio.file.NoSuchFileException => conflict(e)
+          // filesystem corruption; same outcome as conflict(), but the
+          // message describes what actually happened (the target
+          // generation may not even exist)
+          case e: java.nio.file.NoSuchFileException =>
+            throw new java.io.IOException(
+              s"maintained store at $storePath: this writer's staged " +
+                s"manifest for generation $next was swept by a newer " +
+                "writer's commit (the contract is single-writer; this " +
+                "writer is stale and must re-open the store)", e)
         } finally java.nio.file.Files.deleteIfExists(t)
       } else {
         if (!fs0.rename(tmp, target)) conflict(null)

@@ -48,6 +48,24 @@ object DedupEnrich {
   /** Bloom hash count (slots probed per exact fingerprint). */
   val BloomK = 4
 
+  /** Build-side wrapper for the groupBy + join-back shape (d1/d4/pl13/
+    * pl16): `graft.joinback.strategy=shuffle_hash` hints the build side
+    * so the probe STREAMS through a hash join instead of paying a
+    * sort-merge sort of the mega-dup partition — the at-scale setting
+    * for corpora where the groups table exceeds the broadcast
+    * threshold (AQE's skew split structurally cannot engage on this
+    * shape: the groups aggregate is co-partitioned with the join key,
+    * which breaks OptimizeSkewedJoin's pattern — SkewJoinSpec pins
+    * both facts). Default `auto` leaves the planner's choice — at test
+    * scale the groups side broadcasts, which is strictly better (a
+    * hard-coded hint would PREEMPT size-based broadcast and regress
+    * the small case, which is why this is a conf, not a literal). */
+  def joinBackBuild(groups: DataFrame): DataFrame =
+    if (groups.sparkSession.conf
+      .get("graft.joinback.strategy", "auto") == "shuffle_hash")
+      groups.hint("shuffle_hash")
+    else groups
+
   /** Token width of the exact substring-dedup windows (the d9 /
     * Lee et al. 2022 W). */
   val WindowW = 16

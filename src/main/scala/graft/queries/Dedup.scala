@@ -56,19 +56,17 @@ object Dedup extends QueryGroup {
       // pre-combines per partition and the join-back build side carries
       // ONE row per fingerprint, so no per-key sort exists at any scale.
       // At-scale join choice: at test scale the groups side broadcasts;
-      // at corpus scale (groups too big to broadcast) hint the build
-      // side shuffle_hash so the mega-dup partition STREAMS through a
-      // hash probe instead of paying a sort-merge sort — AQE's skew
-      // split structurally cannot apply here (the groups aggregate is
-      // co-partitioned with the join key, which breaks the
-      // OptimizeSkewedJoin pattern) and would be the wrong tool anyway
-      // (one key per hot partition). SkewJoinSpec pins both facts.
+      // at corpus scale (groups too big to broadcast) set
+      // graft.joinback.strategy=shuffle_hash so the mega-dup partition
+      // STREAMS through a hash probe instead of paying a sort-merge
+      // sort (DedupEnrich.joinBackBuild; SkewJoinSpec pins why AQE's
+      // skew split cannot substitute here).
       val d = Tables.documents(s, dir).select(col("doc_id"),
         DedupEnrich.exactFp(col("text")).as("fp"))
       val groups = d.groupBy("fp")
         .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_id"))
         .filter(col("group_size") > 1)
-      d.join(groups, "fp")
+      d.join(DedupEnrich.joinBackBuild(groups), "fp")
         .select(col("doc_id"), col("fp"), col("group_size"),
           (col("doc_id") === col("canonical_id")).as("is_canonical"))
         .orderBy("doc_id")
@@ -200,7 +198,7 @@ object Dedup extends QueryGroup {
         .select(col("doc_id"), MinHash.simhash16(TextOps.tokens(col("text"))).as("simhash"))
         .cache()
       val counts = d.groupBy("simhash").agg(count(lit(1)).as("n_same_sketch"))
-      d.join(counts, "simhash")
+      d.join(DedupEnrich.joinBackBuild(counts), "simhash")
         .select("doc_id", "simhash", "n_same_sketch")
         .orderBy("doc_id")
         .limit(300)

@@ -879,7 +879,7 @@ object Pipeline extends QueryGroup {
           DedupEnrich.exactFpFromToks(col("toks")).as("fp"))
         .cache()
       val gsz = st.groupBy("fp").agg(count(lit(1)).as("gsz"))
-      st.join(gsz, "fp")
+      st.join(DedupEnrich.joinBackBuild(gsz), "fp")
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1099,7 +1099,7 @@ object Pipeline extends QueryGroup {
       val train = enriched.filter(!col("is_eval"))
       val q = train.filter(col("kept") === 1)
       val canon = q.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
-      val uniq = q.join(canon, "fp")
+      val uniq = q.join(DedupEnrich.joinBackBuild(canon), "fp")
         .withColumn("canonical",
           (col("doc_id") === col("canonical_id")).cast("int"))
       val evalGrams = enriched.filter(col("is_eval"))

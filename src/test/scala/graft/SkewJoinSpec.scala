@@ -111,5 +111,18 @@ class SkewJoinSpec extends SparkSpec {
       assert(sizes == Map(1800L * 32 -> 1800 * 32, 32L -> 200 * 32),
         s"wrong group accounting: $sizes")
     }
+    // the escape hatch reaches the REGISTERED operators, not just this
+    // synthetic shape: under graft.joinback.strategy=shuffle_hash the
+    // registered d1 plans the streaming hash probe (and without the
+    // conf, test scale broadcasts as before)
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "graft.joinback.strategy" -> "shuffle_hash") {
+      val p = SparkEntry.queries("d1_exact_dedup")(spark, Sf)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+        s"registered d1 must honor the at-scale join strategy:\n$p")
+    }
   }
 }
