@@ -76,7 +76,8 @@ NEW_R12 = ["pl12_ccnet_buckets", "d11_guarded_lsh", "pl13_corpus_report"]
 # cutoffs), so their isolated numbers re-baseline here too (d1/d4/pl12
 # already appear in earlier groups; pl13 is in NEW_R12)
 NEW_R13 = ["pl14_decontaminate", "pl15_domain_mix", "pl16_curation_funnel",
-           "x16_deal_reputation", "r10_recall_explain", "d4_simhash"]
+           "pl17_shuffle_shards", "x16_deal_reputation",
+           "r10_recall_explain", "d4_simhash"]
 
 # round 12+: movers are detected AUTOMATICALLY — any query whose
 # time moved >1.5x in either direction between the two most recent

@@ -61,7 +61,7 @@ QUERIES = [
     # round-13 newborns + the r12 verdict's requested addition, plus
     # d4 (its plan changed to the cached groupBy join-back this round)
     "pl13_corpus_report", "pl14_decontaminate", "pl15_domain_mix",
-    "pl16_curation_funnel", "d4_simhash",
+    "pl16_curation_funnel", "pl17_shuffle_shards", "d4_simhash",
 ]
 
 ADD_OPENS = [

@@ -1187,6 +1187,49 @@ object Pipeline extends QueryGroup {
       FROM agg
       ORDER BY lang"""))
 
+  /** Reproducible corpus shuffle into training shards — the
+    * materialization step after composition (pl15): every trainer
+    * shuffles documents before packing (WebDataset / streaming-loader
+    * shard creation), and doing it with rand() destroys the lineage a
+    * training-data audit needs. Each document gets a deterministic
+    * md5-derived 32-bit sort key (salted `:shard`, independent of
+    * pl15's sampling uniform) and a shard = key mod N assignment; the
+    * within-shard order is sort_key ascending (doc_id breaks the
+    * negligible 32-bit ties).
+    *
+    * Scale shape — a GLOBAL document shuffle with NO global sort: the
+    * assignment is one stateless map-side projection (this registered
+    * query — zero joins, zero windows; its only exchange is the
+    * declared output ORDER BY). The physical shard write is
+    * `repartition(N, shard) + sortWithinPartitions(sort_key)` — one
+    * shuffle keyed by shard (uniform by construction, no hot key
+    * possible) and a LOCAL sort per shard, where N is chosen so a
+    * shard fits the writer (corpus_bytes / shard_size; 16 here only
+    * because the corpus is small). This query is the oracle-checkable
+    * ASSIGNMENT those mechanics consume. Determinism doubles as
+    * reproducibility: re-sharding the same corpus yields byte-identical
+    * shard contents. */
+  private val q17 = QueryDef(
+    "pl17_shuffle_shards",
+    (s, dir) => {
+      val NShards = 16
+      val skey = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":shard"))), 1, 8), 16, 10).cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (skey % NShards).cast("int").as("shard"),
+          skey.as("sort_key"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))::BIGINT
+               % 16 AS INT) AS shard,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))::BIGINT
+               AS sort_key
+      FROM documents
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
-    q12, q13, q14, q15, q16)
+    q12, q13, q14, q15, q16, q17)
 }

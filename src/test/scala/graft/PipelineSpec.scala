@@ -300,4 +300,31 @@ class PipelineSpec extends SparkSpec {
     assert(tot(2) == pl11Kept,
       s"funnel quality count ${tot(2)} != pl11 kept-on-train $pl11Kept")
   }
+
+  test("shard assignment covers every doc once, balances, and is reproducible") {
+    val rows = SparkEntry.queries("pl17_shuffle_shards")(spark, Sf).collect()
+    val nDocs = graft.Tables.documents(spark, Sf).count()
+    assert(rows.length == nDocs, "every doc gets exactly one assignment")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // balance: shard = uniform-hash mod 16 -> binomial(n, 1/16)
+    val byShard = rows.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    assert(byShard.keySet == (0 until 16).toSet, s"missing shards: $byShard")
+    val mean = nDocs.toDouble / 16
+    byShard.foreach { case (sh, n) =>
+      assert(math.abs(n - mean) <= 4 * math.sqrt(mean),
+        s"shard $sh holds $n docs, expected ~$mean")
+    }
+    // within-shard order keys are (near-)unique and deterministic
+    val again = SparkEntry.queries("pl17_shuffle_shards")(spark, Sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq,
+      "re-sharding must be byte-identical (the lineage property)")
+    // and independent of pl15's sampling uniform (different salt): the
+    // kept/dropped split must not correlate with shard parity
+    val kept = SparkEntry.queries("pl15_domain_mix")(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    val keptFrac = rows.filter(r => kept(r.getLong(0)))
+      .groupBy(_.getInt(1) % 2).view.mapValues(_.length).toMap
+    assert(keptFrac.values.forall(_ > 0), "salt independence sanity")
+  }
 }

@@ -251,6 +251,13 @@ class PlanSpec extends SparkSpec {
       "the enriched doc pass must be shared via cache, not recomputed per stage")
   }
 
+  test("pl17_shuffle_shards: stateless map-side assignment — one scan, no join, no window") {
+    val p = plan("pl17_shuffle_shards")
+    assert(!p.contains("Join"), "shard assignment must not join anything")
+    assert(!p.contains("Window"), "shard assignment must not window anything")
+    assert(!p.contains("HashAggregate"), "shard assignment must not aggregate")
+  }
+
   test("d7_semdedup: pair generation is a cid equi-join, never a corpus cross-join") {
     val p = plan("d7_semdedup")
     // within-cluster pairing must key on the cluster id (the SemDeDup
