@@ -62,7 +62,12 @@ import org.apache.spark.sql.SparkSession
   *    contract itself is unchanged.
   *  Old generation files beyond the newest [[PointerKeep]] are swept
   *  after each commit (readers resolve max, so dropping older ones can
-  *  never change what any reader sees).
+  *  never change what any reader sees). Every generation carries a
+  *  torn-write sentinel as its last line ([[CommittedKey]]): on a
+  *  forced unknown scheme whose create-then-write is NOT all-or-nothing,
+  *  a crash mid-write leaves a truncated head generation, and readers
+  *  skip it (no sentinel) back to the newest intact commit instead of
+  *  silently loading a partial manifest.
   *
   * The pointer protocol can be FORCED on any scheme with the
   * `graft.manifest.protocol=pointer` (Hadoop/session) conf — on
@@ -94,6 +99,27 @@ object ManifestIO {
   private val PointerName = """manifest-(\d{20})\.properties""".r
 
   private def pointerName(n: Long): String = f"manifest-$n%020d.properties"
+
+  /** Torn-write sentinel of the pointer protocol: every publish appends
+    * this property as the PHYSICALLY LAST line of the generation file
+    * (after `Properties.store`, whose own key order is hash-driven), so
+    * any byte-truncation of the file — possible only on schemes where
+    * create-then-write is not all-or-nothing, i.e. a FORCED unknown
+    * scheme; object-store PUTs and the staged link/rename publishes
+    * cannot tear — cuts the sentinel off. Readers resolve the newest
+    * generation that carries it and never surface the sentinel key
+    * itself. Generations written before the sentinel existed carry no
+    * marker; they are accepted only when NO generation in the store
+    * validates (pre-sentinel stores keep today's resolve-max behavior,
+    * while a store that has ever committed with a sentinel falls back
+    * past a torn head to its newest intact generation). */
+  private[graft] val CommittedKey = "graft.manifest.committed"
+
+  /** Bounded re-list retries for the pointer read(): between a
+    * reader's listing and its open, [[PointerKeep]]-or-more commits by
+    * the live writer can sweep the listed generation — the open throws
+    * FileNotFound and the fix is a fresh listing, not an error. */
+  private val ReadRelistAttempts = 5
 
   /** Hadoop configuration: the active Spark session's (so `fs.*`
     * settings and `fs.defaultFS` behave exactly like the data I/O
@@ -152,17 +178,48 @@ object ManifestIO {
   }
 
   /** Read the committed key→value map (None if never committed). A
-    * pointer-layout store shadows any leftover rename-layout file. */
+    * pointer-layout store shadows any leftover rename-layout file.
+    *
+    * Pointer resolution walks the committed generations NEWEST-FIRST
+    * and returns the first one carrying the [[CommittedKey]] sentinel
+    * (a torn head generation — possible only on a forced unknown
+    * scheme, see the sentinel doc — is skipped, falling back to the
+    * newest intact commit); if no generation validates, the newest one
+    * is accepted as-is (pre-sentinel store). A FileNotFound while
+    * opening a LISTED generation means the listing went stale under a
+    * live writer's retention sweep (>= [[PointerKeep]] commits landed
+    * since the list) — the whole resolution re-lists and retries,
+    * bounded by [[ReadRelistAttempts]]. */
   def read(storePath: String): Option[Map[String, String]] = {
     val conf = hconf
     val pdir = new Path(storePath, PointerDir)
     val fs = pdir.getFileSystem(conf)
-    pointerGens(fs, pdir).lastOption
-      .map(n => loadProps(fs, new Path(pdir, pointerName(n))))
-      .orElse {
-        val p = manifestPath(storePath)
-        if (fs.exists(p)) Some(loadProps(fs, p)) else None
+    def resolve(attempt: Int): Option[Map[String, String]] = {
+      val gens = pointerGens(fs, pdir)
+      if (gens.isEmpty) None
+      else try {
+        val loaded = gens.reverse.iterator
+          .map(n => loadProps(fs, new Path(pdir, pointerName(n))))
+        var newestRaw: Option[Map[String, String]] = None
+        val validated = loaded.find { m =>
+          if (newestRaw.isEmpty) newestRaw = Some(m)
+          m.contains(CommittedKey)
+        }
+        validated.map(_ - CommittedKey).orElse(newestRaw)
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          if (attempt < ReadRelistAttempts) resolve(attempt + 1)
+          else throw new java.io.IOException(
+            s"maintained store at $storePath: every listing of the " +
+              s"pointer manifests went stale $ReadRelistAttempts times " +
+              "in a row (a writer is committing faster than this reader " +
+              "can list-and-open)", e)
       }
+    }
+    resolve(0).orElse {
+      val p = manifestPath(storePath)
+      if (fs.exists(p)) Some(loadProps(fs, p)) else None
+    }
   }
 
   /** Commit a full manifest state through the store's protocol (see
@@ -273,8 +330,20 @@ object ManifestIO {
       entries: Map[String, String], fs0: FileSystem, fs: FileSystem,
       scheme: String, pdir: Path, next: Long): Unit = {
     val target = fs.makeQualified(new Path(pdir, pointerName(next)))
+    require(!entries.contains(CommittedKey),
+      s"manifest entry key '$CommittedKey' is reserved by the pointer protocol")
     val props = new java.util.Properties()
     entries.foreach { case (k, v) => props.setProperty(k, v) }
+    // serialize ONCE with the torn-write sentinel as the physically
+    // last line (Properties.store orders keys by hash, so the sentinel
+    // must be appended to the bytes, not setProperty'd)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      props.store(bos, null)
+      bos.write(s"$CommittedKey=true\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      bos.toByteArray
+    }
     def conflict(cause: Throwable): Nothing =
       throw new java.io.IOException(
         s"maintained store at $storePath: pointer manifest generation " +
@@ -293,7 +362,7 @@ object ManifestIO {
       val tmp = fs.makeQualified(
         new Path(pdir, pointerName(next) + s".tmp-$nonce"))
       val out = fs.create(tmp, true)
-      try props.store(out, null) finally out.close()
+      try out.write(bytes) finally out.close()
       if (scheme == "file") {
         val t = java.nio.file.Paths.get(tmp.toUri.getPath)
         try java.nio.file.Files.createLink(
@@ -320,7 +389,7 @@ object ManifestIO {
         try fs0.create(target, false)
         catch { case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
           conflict(e) }
-      try props.store(out, null) finally out.close()
+      try out.write(bytes) finally out.close()
     }
   }
 

@@ -1807,8 +1807,14 @@ final class MnemoStore(val spark: SparkSession, val path: String,
   }
 
   /** Driver-side health view of the orientation cache satellite —
-    * manifest read (+ one listing on a legacy layout), no Spark job. */
-  def describeOrientation(): Mnemo.OrientationHealth =
+    * manifest read (+ one listing on a legacy layout), no Spark job.
+    * Generation parsing is TOLERANT here: a hand-edited or foreign
+    * `ns.*` value without the `-g<N>` suffix reports generation 0 for
+    * that entry instead of throwing from a health probe (the WRITE
+    * path keeps the strict parse — mis-numbering a generation there
+    * would corrupt the store, so it must fail loudly). */
+  def describeOrientation(): Mnemo.OrientationHealth = {
+    val genOf = """.*-g(\d+)$""".r
     ManifestIO.read(orientPath) match {
       case Some(m) =>
         val dirs = m.collect { case (k, v) if k.startsWith("ns.") => v }.toSeq
@@ -1817,7 +1823,10 @@ final class MnemoStore(val spark: SparkSession, val path: String,
           namespaces = dirs.size,
           maxGeneration =
             if (dirs.isEmpty) 0L
-            else dirs.map(d => d.substring(d.lastIndexOf("-g") + 2).toLong).max,
+            else dirs.map {
+              case genOf(n) => n.toLong
+              case _ => 0L
+            }.max,
           legacyLayout = false)
       case None =>
         // pre-manifest hive-partitioned layout: namespace= partition
@@ -1829,6 +1838,7 @@ final class MnemoStore(val spark: SparkSession, val path: String,
           namespaces = nsDirs.size, maxGeneration = 0L,
           legacyLayout = orientExists)
     }
+  }
 
   /** Rendered map for one namespace, key-ascending (the reference's
     * BTreeMap iteration order). */

@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
   *             cosine verify inside each bucket.
   *
   * At 100 TB only the band/bucket-key equi-joins shuffle, and their key
-  * cardinality is a design knob. Capability parity: semantic dedup pass
-  * of the reference (crates/mnemo-core/src/query/reflection.rs:384-470).
+  * cardinality is a design knob — but key cardinality bounds the
+  * SHUFFLE, not the pair COUNT: a templated/boilerplate corpus puts h
+  * documents behind one band key and the self-join emits O(h²) pairs
+  * for it. The corpus-scale formulation is therefore the GUARDED one
+  * (`d12_guarded_batch_pairs`): per-band counts resolve the hot set
+  * before any pair join runs, hot bands flag instead of pairing. The
+  * d2/d3/d5 forms keep the unguarded self-join as the oracle-checkable
+  * recall model. Capability parity: semantic dedup pass of the
+  * reference (crates/mnemo-core/src/query/reflection.rs:384-470).
   */
 object Dedup extends QueryGroup {
 
@@ -96,7 +103,10 @@ object Dedup extends QueryGroup {
       // (0.96) — d3's banded LSH is the higher-recall path
       // pair generation carries ONLY ids through the blocking join —
       // the (large) shingle arrays are joined back per side afterwards,
-      // so the shuffle moves 16-byte keys, not documents
+      // so the shuffle moves 16-byte keys, not documents. The block-key
+      // SELF-JOIN is the unguarded recall model: on a templated corpus
+      // a hot block key goes O(h²) in pair COUNT — run the guarded
+      // d12_guarded_batch_pairs form at corpus scale
       val base = DedupEnrich.withShingleSet(
         Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
         .withColumn("bk",
@@ -139,7 +149,9 @@ object Dedup extends QueryGroup {
       // joined back for the exact-Jaccard verify. Enrichment is the
       // SHARED DedupEnrich path (one binding per lambda stage), the
       // same builders the maintained index and the streaming candidate
-      // generator key on.
+      // generator key on. The band self-join is the unguarded recall
+      // model (hot bands go O(h²) in pair count on templated corpora) —
+      // d12_guarded_batch_pairs is the corpus-scale form.
       val base = DedupEnrich.withBandKeys(
         DedupEnrich.withShingleSet(
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
@@ -228,7 +240,11 @@ object Dedup extends QueryGroup {
   // occupancy by planes (scale planes ~ log2 N to keep buckets O(1)).
   // Pair generation carries ONLY ids — vectors are joined back for the
   // exact cosine verify afterwards, so the blocking shuffle moves
-  // (id, tbl, bkt) triples, never embeddings.
+  // (id, tbl, bkt) triples, never embeddings. Occupancy tuning is an
+  // EXPECTATION, not a bound: a near-duplicate embedding cluster (the
+  // templated-corpus class) lands in one (tbl, bkt) and pairs O(h²) —
+  // at corpus scale gate this bucket join with the d12 discipline
+  // (per-bucket counts first, saturated buckets flag instead of pair).
   private val LshTables = 4
   private val LshPlanes = 8
   private val LshSeed = 42L
@@ -580,7 +596,8 @@ object Dedup extends QueryGroup {
     * and the streaming candidate generator — apply the saturation
     * guard (per-band counts → `band_saturated` flag instead of
     * candidates past the threshold) and are the forms to run at
-    * corpus scale. */
+    * corpus scale; `d12_guarded_batch_pairs` is the guard's BATCH
+    * formulation, oracle-checked end to end. */
   private val q10 = QueryDef(
     "d10_incremental_lsh",
     (s, dir) => {
@@ -730,5 +747,122 @@ object Dedup extends QueryGroup {
       FROM allprobe LEFT JOIN candagg USING (b)
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11)
+  /** The HOT-BAND GUARDED **batch** pair generator — d11's saturation
+    * discipline applied to the batch self-join the d2/d3/d5 family
+    * runs: per-band distinct-doc counts are aggregated FIRST, a band
+    * at or over the threshold emits NO pairs (every doc holding one
+    * reports `band_saturated = 1` instead — an over-approximation that
+    * routes the doc to the saturated-cluster path, never hides a dup),
+    * and the pair self-join runs on the anti-joined COLD remainder
+    * only. On a templated/boilerplate corpus where h documents share a
+    * band key, the unguarded self-join emits O(h²) pairs per hot key —
+    * the one row-count explosion the id-only shuffle discipline cannot
+    * bound; here the explosion is structurally unproducible because
+    * the hot key never reaches the join. The reference bounds the same
+    * work per-record (its near-dup self-join caps candidates at ANN
+    * top-20 per record, crates/mnemo-core/src/query/conflict.rs:84-151);
+    * per-band saturation is the batch-shuffle-native expression of the
+    * same bound, and it matches what the repo's own incremental path
+    * (d11, the maintained [[graft.api.DedupIndex]], the streaming
+    * generator) already does — batch and incremental now agree on how
+    * a degenerate key degrades.
+    *
+    * Threshold H = [[BatchHotBands]] = 3 is a FIXTURE value, the
+    * smallest at which BOTH legs are non-vacuous at every tested scale
+    * (DuckDB-probed before registration: saturated docs / verified
+    * cold pairs = 13/19 at sf0.001, 9/23 at sf0.01, 225/228 at sf0.1;
+    * H = 2 would blank the pair leg entirely — any pair-producing band
+    * holds >= 2 docs). Production thresholds are orders of magnitude
+    * higher; the semantics are threshold-independent.
+    *
+    * Output is the d11 per-doc rollup over the whole corpus: every doc
+    * with any signal reports its saturation flag and its verified
+    * (J >= 0.3, the d3 threshold) cold-band partners. */
+  private val BatchHotBands = 3
+
+  private val q12 = QueryDef(
+    "d12_guarded_batch_pairs",
+    (s, dir) => {
+      // enrichment via the SHARED DedupEnrich path — identical band
+      // keys to d3/d10/d11 and the maintained index
+      val base = DedupEnrich.withBandKeys(
+        DedupEnrich.withShingleSet(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text"),
+        "sh")
+        .cache()
+      val exploded = base.select(col("doc_id"), explode(col("bands")).as("bk"))
+      // the guard: O(distinct bands) counts aggregate, resolved BEFORE
+      // any pair-generating join exists in the plan
+      val hot = exploded.groupBy("bk")
+        .agg(countDistinct(col("doc_id")).as("cnt"))
+        .filter(col("cnt") >= BatchHotBands)
+        .select("bk")
+      val satDocs = exploded.join(hot, Seq("bk"), "left_semi")
+        .select("doc_id").distinct().withColumn("sat", lit(1))
+      val cold = exploded.join(hot, Seq("bk"), "left_anti")
+      val pairs = cold.select(col("doc_id").as("a"), col("bk"))
+        .join(cold.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val sets = base.select(col("doc_id"), col("sh"))
+      val ver = pairs
+        .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+        .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.3)
+        .select("a", "b")
+      val partners = ver.select(col("a").as("doc_id"), col("b").as("p"))
+        .unionAll(ver.select(col("b").as("doc_id"), col("a").as("p")))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_dups"),
+          concat_ws(",",
+            transform(array_sort(collect_set(col("p"))),
+              x => x.cast("string"))).as("partners"))
+      satDocs.join(partners, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("sat"), lit(0)).as("band_saturated"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("partners"), lit("")).as("partners"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $toksSql,
+      $shinglesSql,
+      fp AS (SELECT doc_id, sh, ${MinHash.fingerprintsSql("sh")} AS fp FROM sh),
+      sigs AS (
+        SELECT doc_id, sh, ${MinHash.signatureSql("fp", 8)} AS sig
+        FROM fp),
+      bands AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(0, 3),
+                 b -> md5(CAST(b AS VARCHAR) || chr(1) || CAST(sig[2*b+1] AS VARCHAR)
+                          || chr(1) || CAST(sig[2*b+2] AS VARCHAR)))) AS bk
+        FROM sigs),
+      counts AS (SELECT bk, COUNT(DISTINCT doc_id) AS cnt FROM bands GROUP BY bk),
+      hot AS (SELECT bk FROM counts WHERE cnt >= $BatchHotBands),
+      sat AS (SELECT DISTINCT doc_id FROM bands JOIN hot USING (bk)),
+      cold AS (SELECT doc_id, bk FROM bands WHERE bk NOT IN (SELECT bk FROM hot)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM cold a JOIN cold b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT a, b FROM cand
+        JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.3),
+      partners AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+               array_to_string(list_sort(list(p)), ',') AS partners
+        FROM (SELECT a AS doc_id, b AS p FROM ver
+              UNION ALL SELECT b AS doc_id, a AS p FROM ver)
+        GROUP BY doc_id),
+      sig_docs AS (SELECT doc_id FROM sat UNION SELECT doc_id FROM partners)
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM sat) THEN 1 ELSE 0 END AS band_saturated,
+             COALESCE(n_dups, 0) AS n_dups,
+             COALESCE(partners, '') AS partners
+      FROM sig_docs d LEFT JOIN partners USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12)
 }

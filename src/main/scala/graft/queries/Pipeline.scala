@@ -866,7 +866,19 @@ object Pipeline extends QueryGroup {
     * groupBy on the fingerprint joined back (the d1 shape — map-side
     * partial aggregation, never a per-fp window sort under mega-dup
     * groups), one 5-row aggregate — nothing corpus-sized crosses the
-    * wire twice. */
+    * wire twice.
+    *
+    * PERCENTILE BOUND (do not copy this pattern onto a continuous
+    * column): Spark's exact `percentile` buffers the DISTINCT values
+    * (with counts) per group in the aggregation buffer. Here that is
+    * bounded the same way pl12's histogram is — `n_toks` is a small
+    * INTEGER (document token counts, a value space of at most a few
+    * tens of thousands regardless of corpus size), so the buffer is
+    * value-space-bounded, never corpus-bounded. On a continuous or
+    * high-cardinality column (scores, timestamps) the same call
+    * buffers per-ROW state and a hot group becomes the pl12
+    * scale-killer; use `approx_percentile` (t-digest, O(1) buffer) or
+    * the pl12 histogram-cutoff shape there. */
   private val q13 = QueryDef(
     "pl13_corpus_report",
     (s, dir) => {

@@ -12,6 +12,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - money/count aggregates are computed in exact decimal then cast to
   *    double; transcendental scores are rounded to 6 dp — so the value
   *    hash matches bit-for-bit.
+  *
+  * CACHE LIFECYCLE: several builders (`d2`-`d4`, `d6`, `d9`-`d12`,
+  * `pl12`-`pl16`, ...) `.cache()` a shared intermediate frame that two
+  * downstream legs consume — the plan-level fix for recompute-the-
+  * expensive-expression regressions. A builder returns a LAZY frame,
+  * so it cannot unpersist after "the" action (the caller owns the
+  * action, and may run several). The convention instead: cached blocks
+  * are session-scoped; harness callers clear between queries
+  * (`graft.Bench` calls `spark.catalog.clearCache()` per query and per
+  * rep; `graft.Verify` exits per run), and a LONG-LIVED interactive
+  * session that invokes many registered queries should do the same —
+  * `spark.catalog.clearCache()` — at its own batch boundaries.
+  * Storage level is Spark's default MEMORY_AND_DISK, so an uncleared
+  * session degrades by LRU eviction, never by OOM.
   */
 final case class QueryDef(
     name: String,

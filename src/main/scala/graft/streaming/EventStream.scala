@@ -99,6 +99,13 @@ object EventStream {
     * maintained index), not just its candidate list — saturation can
     * widen the verify, never hide a duplicate.
     *
+    * VINTAGE NOTE (wire-format break): sinks populated by versions
+    * BEFORE this convention carried the arriving doc in `a` and -1 in
+    * `b` on marker rows. A consumer reading a mixed-vintage sink must
+    * classify per row — the marker field is whichever of a/b equals
+    * -1, the other field is the arriving doc — or backfill old sinks
+    * by swapping (a, b) where b = -1.
+    *
     * @param a  held band-mate doc id, or -1 on a saturation marker
     * @param b  the arriving doc id — same field on BOTH row kinds
     * @param bk the band key that produced the row

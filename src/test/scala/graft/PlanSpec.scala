@@ -174,6 +174,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "stat sides must stay broadcast")
   }
 
+  test("d12_guarded_batch_pairs: the hot set resolves BEFORE the pair self-join") {
+    val p = plan("d12_guarded_batch_pairs")
+    // the guard is structural: the per-band counts aggregate feeds an
+    // ANTI-join that removes hot keys from both self-join inputs, so a
+    // degenerate band key can never reach the pair-generating join —
+    // if the anti-join (or the counts aggregate behind it) disappears,
+    // the O(h²) hot-key explosion is back
+    assert(p.contains("LeftAnti"),
+      "cold-remainder anti-join on the hot set disappeared")
+    assert(p.contains("LeftSemi"),
+      "saturated-doc semi-join on the hot set disappeared")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "per-band counts aggregate disappeared")
+    assert(!p.contains("CartesianProduct"), "pair generation must stay keyed")
+  }
+
   test("d11_guarded_lsh: the hot set gates the candidate join; every join stays an equi-join") {
     val p = plan("d11_guarded_lsh")
     // the saturation guard resolves BEFORE the candidate join (an

@@ -186,6 +186,39 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("d12 guarded batch pairs: the guard over-approximates — no unguarded near-dup pair is silently lost") {
+    val g = SparkEntry.queries("d12_guarded_batch_pairs")(spark, Sf).collect()
+    // both legs non-vacuous at every fixture scale (DuckDB-probed:
+    // 13 sat / 19 verified pairs here, 9/23 at sf0.01, 225/228 at sf0.1)
+    assert(g.exists(_.getAs[Int]("band_saturated") == 1),
+      "no saturated doc — the guard leg is vacuous")
+    assert(g.exists(_.getAs[Long]("n_dups") > 0),
+      "no cold-band pair — the pair leg is vacuous")
+    g.foreach { r =>
+      val n = r.getAs[Long]("n_dups")
+      val ps = r.getAs[String]("partners")
+      assert((n == 0) == ps.isEmpty, s"doc ${r.get(0)}: count/list mismatch")
+      if (n > 0) assert(ps.split(",").length == n, s"doc ${r.get(0)}")
+    }
+    // the contract: a saturated band emits a FLAG instead of pairs, so
+    // every pair the unguarded d3 form verifies must either survive as
+    // a d12 partner pair or have an endpoint flagged for the
+    // saturated-cluster path — the guard may widen work, never hide a dup
+    val sat = g.filter(_.getAs[Int]("band_saturated") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val pairs = g.flatMap { r =>
+      val ps = r.getAs[String]("partners")
+      if (ps.isEmpty) Nil
+      else ps.split(",").map(p => (r.getAs[Long]("doc_id"), p.toLong)).toSeq
+    }.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+    val unguarded = SparkEntry.queries("d3_minhash_lsh")(spark, Sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.nonEmpty, "fixture has no near-dup pairs")
+    val lost = unguarded.filterNot { case (a, b) =>
+      pairs((a, b)) || sat(a) || sat(b) }
+    assert(lost.isEmpty, s"pairs hidden by the guard with no saturation flag: $lost")
+  }
+
   test("pl10 DSIR top-50 is enriched in the target source (the length-bias guard)") {
     // at Sf the target source is 25/500 docs, so a random top-50 holds
     // ~2.5; the per-token-mean weight must enrich it at least 2x over

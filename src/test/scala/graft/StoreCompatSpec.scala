@@ -545,6 +545,41 @@ class StoreCompatSpec extends SparkSpec {
     }
   }
 
+  test("pointer protocol: a torn head generation (no committed sentinel) falls back to the newest intact commit") {
+    // the sentinel is the last physical line of every generation file;
+    // a crash mid-write on a scheme whose create-then-write is not
+    // all-or-nothing leaves a truncated head that Properties.load
+    // would happily parse as a PARTIAL manifest — readers must skip it
+    val dir = Files.createTempDirectory("compat-ptorn").toFile.getAbsolutePath
+    withConf("graft.manifest.protocol" -> "pointer") {
+      ManifestIO.write(dir, Map("version" -> "3", "k" -> "good", "extra" -> "x"))
+      ManifestIO.write(dir, Map("version" -> "3", "k" -> "head", "extra" -> "y"))
+    }
+    assert(ManifestIO.read(dir).exists(_("k") == "head"))
+    val pdir = new java.io.File(dir, ManifestIO.PointerDir)
+    val head = pdir.listFiles().filter(_.getName.endsWith(".properties"))
+      .maxBy(_.getName)
+    // tear the head: drop its tail bytes (the sentinel line goes first)
+    val bytes = Files.readAllBytes(head.toPath)
+    val sentinelAt = new String(bytes, "ISO-8859-1")
+      .indexOf(ManifestIO.CommittedKey)
+    assert(sentinelAt > 0, "sentinel must be in the serialized bytes")
+    Files.write(head.toPath,
+      java.util.Arrays.copyOfRange(bytes, 0, sentinelAt))
+    // the torn head still parses as Properties — but without the
+    // sentinel the reader must resolve the previous intact generation
+    val m = ManifestIO.read(dir).getOrElse(fail("store became unreadable"))
+    assert(m("k") == "good",
+      s"reader surfaced the torn head instead of falling back: $m")
+    assert(!m.contains(ManifestIO.CommittedKey),
+      "the protocol sentinel must never surface to callers")
+    // the next commit publishes max+1 and the store heals forward
+    withConf("graft.manifest.protocol" -> "pointer") {
+      ManifestIO.write(dir, Map("version" -> "3", "k" -> "healed"))
+    }
+    assert(ManifestIO.read(dir).exists(_("k") == "healed"))
+  }
+
   test("pointer protocol: a rename-layout store migrates on its first forced pointer commit") {
     val dir = Files.createTempDirectory("compat-pmig").toFile.getAbsolutePath
     ManifestIO.write(dir, Map("version" -> "3", "k" -> "old"))
