@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Plan A/B measurements → `BENCH_AB.json` — the artifact home for
+  * "measure the alternative, don't just spec it" adjudications:
+  *
+  *  - `d1_*`: the groupBy+join-back build-side choice at scale. At
+  *    test scale the groups side broadcasts; at corpus scale it
+  *    cannot, and the real alternatives are sort-merge (planner
+  *    default) vs the conf-encoded shuffle_hash hint
+  *    ([[graft.functions.DedupEnrich.joinBackBuild]] — SkewJoinSpec
+  *    proves AQE's skew split cannot rescue the sort-merge form on a
+  *    mega-dup fingerprint, so the hint is the at-scale setting).
+  *    Both at-scale variants run with broadcast DISABLED so the
+  *    measured pair is the pair a 1000-executor cluster actually
+  *    chooses between; the broadcast default is measured alongside as
+  *    the test-scale reference.
+  *  - `d4_*`: what the de-windowed d4 plan costs locally vs the r12
+  *    window form (`count over (partition by simhash)`). The window
+  *    form is cheaper at sf0.1 ONLY because the synthetic corpus has
+  *    no mega-dup sketch group — the join-back pays a local premium
+  *    for not single-tasking at corpus scale; this records the
+  *    premium honestly instead of claiming parity.
+  *
+  * Usage: runMain graft.BenchAB [sfDir] [reps]
+  */
+object BenchAB {
+
+  private case class Case(name: String, confs: Map[String, String],
+      build: (SparkSession, String) => DataFrame)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d1 = SparkEntry.queries("d1_exact_dedup")
+    val d4 = SparkEntry.queries("d4_simhash")
+    // the r12 window formulation of d4, rebuilt inline (the registered
+    // query deliberately no longer contains it)
+    def d4Window(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.MinHash
+            .simhash16(graft.functions.TextOps.tokens(col("text")))
+            .as("simhash"))
+        .withColumn("n_same_sketch",
+          count(lit(1)).over(Window.partitionBy("simhash")))
+        .orderBy("doc_id")
+        .limit(300)
+    }
+
+    val noBroadcast = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val cases = Seq(
+      Case("d1_broadcast_default", Map.empty, d1),
+      Case("d1_smj_nobroadcast", noBroadcast, d1),
+      Case("d1_shuffle_hash_nobroadcast",
+        noBroadcast + ("graft.joinback.strategy" -> "shuffle_hash"), d1),
+      Case("d4_joinback", Map.empty, d4),
+      Case("d4_window_r12_form", Map.empty, d4Window))
+
+    val results = cases.map { c =>
+      c.confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val plan = c.build(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        val join = Seq("ShuffledHashJoin", "SortMergeJoin",
+          "BroadcastHashJoin", "Window").filter(plan.contains)
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          c.build(spark, sfDir).count()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"== ${c.name}: min=${times.min}%.3f " +
+          s"reps=${times.map(t => f"$t%.3f").mkString(",")} " +
+          s"plan=${join.mkString("+")}")
+        (c.name, times, join)
+      } finally c.confs.keys.foreach(spark.conf.unset)
+    }
+
+    val json = results.map { case (n, ts, join) =>
+      s""""$n":{"min":${f"${ts.min}%.3f"},""" +
+        s""""median":${f"${ts.sorted.apply(ts.size / 2)}%.3f"},""" +
+        s""""reps":[${ts.map(t => f"$t%.3f").mkString(",")}],""" +
+        s""""plan_nodes":[${join.map("\"" + _ + "\"").mkString(",")}]}"""
+    }.mkString(",")
+    val doc = s"""{"bench":"ab","sf_dir":"$sfDir","reps_per_case":$reps,""" +
+      s""""generated_at":"${java.time.Instant.now()}","cases":{$json}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_AB.json"),
+      doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println("wrote BENCH_AB.json")
+    spark.stop()
+  }
+}

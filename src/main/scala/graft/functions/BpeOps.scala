@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich, Haddow & Birch 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") —
+  * the tokenizer-fit step of the training-data story (curate → mix →
+  * shard → TRAIN TOKENIZER), shared between the registered
+  * `pl18_bpe_merges` query and its specs.
+  *
+  * Declared adaptations: symbols are the characters of each
+  * whitespace-split token (no end-of-word marker — [[TextOps.tokens]]'
+  * [a-z0-9]+ alphabet is already word-bounded, so merges never cross a
+  * word), and the merge count is a fixed small constant (the operator
+  * learns the FIRST [[NMerges]] merges; a production vocabulary runs
+  * the same loop tens of thousands of times — the per-iteration cost
+  * model is what matters and is identical).
+  *
+  * Determinism, cross-engine: the per-iteration argmax is totally
+  * ordered (count DESC, then left/right symbol ASC — binary ASCII in
+  * both engines over this alphabet), and merge application is the
+  * same greedy left-to-right fold in both engines (Spark `aggregate`,
+  * DuckDB `list_reduce`): scan symbols left to right, merge when
+  * (last(acc), next) equals the pair; the merged symbol becomes the
+  * new last element and participates in further merges exactly as BPE
+  * specifies ([a,a,a] under (a,a) → [aa,a] — FunctionsSpec pins it).
+  *
+  * Scale shape: the corpus is touched ONCE (word-frequency aggregate);
+  * every iteration runs over the VOCABULARY (distinct words), which is
+  * orders of magnitude smaller than the corpus and bounded by the
+  * language, not the data size. The per-iteration pair count is a
+  * map-side-combinable hash aggregate (PlanSpec pins it) and the
+  * driver round-trip is ONE (pair, count) row per iteration — the
+  * same bounded loop-control collect as d6's convergence count.
+  */
+object BpeOps {
+
+  /** Merges learned by `pl18_bpe_merges` (fixture-sized; see above). */
+  val NMerges = 10
+
+  /** Character-symbol array of a word — the level-0 BPE state. `word`
+    * MUST be a bound attribute (the lambda re-evaluates non-attribute
+    * expressions per element — the DedupEnrich discipline). */
+  def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Adjacent-pair counts over a (syms, freq) vocabulary frame — the
+    * aggregate each merge iteration argmaxes. Only ids-free narrow
+    * data moves: (a, b, partial count) through a hash aggregate. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) > 1)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("a"),
+          element_at(col("syms"), i + lit(1)).as("b")))).as("pr"))
+      .select(col("freq"), col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy("a", "b").agg(sum(col("freq")).as("c"))
+
+  /** Greedy left-to-right application of ONE merge rule to a bound
+    * symbol-array column (see the fold contract in the object doc). */
+  def applyMerge(syms: Column, lhs: String, rhs: String): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      array(element_at(syms, 1)),
+      (acc, s) => when(element_at(acc, -1) === lit(lhs) && s === lit(rhs),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+        .otherwise(concat(acc, array(s))))
+
+  /** DuckDB mirror of ONE merge level: CTEs `p{k}` (pair counts),
+    * `m{k}` (the argmax merge row), `v{k}` (vocabulary with the merge
+    * applied) over `v{k-1}`. `m{k}`/`v{k}` are MATERIALIZED: each
+    * level references the previous one twice, and inlined CTEs would
+    * expand the chain exponentially in k (measured: a 10-level
+    * unmaterialized chain did not finish in 300 s; materialized it
+    * runs in ~1 s at sf0.1). chr(1) is a safe pair separator — the
+    * symbol alphabet is [a-z0-9]. */
+  def levelSql(k: Int): String = s"""
+      p$k AS (
+        SELECT string_split(pr, chr(1))[1] AS a, string_split(pr, chr(1))[2] AS b,
+               CAST(SUM(freq) AS BIGINT) AS c
+        FROM (SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+                     i -> syms[i] || chr(1) || syms[i+1])) AS pr
+              FROM v${k - 1} WHERE len(syms) > 1)
+        GROUP BY 1, 2),
+      m$k AS MATERIALIZED (
+        SELECT $k AS merge_rank, a AS lhs, b AS rhs, c AS pair_count
+        FROM p$k ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+      v$k AS MATERIALIZED (
+        SELECT freq,
+               list_reduce(list_transform(syms, s -> [s]),
+                 (acc, x) -> CASE WHEN acc[len(acc)] = lhs AND x[1] = rhs
+                             THEN list_concat(list_slice(acc, 1, len(acc) - 1), [lhs || rhs])
+                             ELSE list_concat(acc, x) END) AS syms
+        FROM v${k - 1} CROSS JOIN m$k)"""
+
+  /** The final union of the learned merge rows, rank-ascending. */
+  def unionSql(n: Int): String =
+    "SELECT merge_rank, lhs, rhs, pair_count FROM (" +
+      (1 to n).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ") +
+      ") ORDER BY merge_rank"
+}

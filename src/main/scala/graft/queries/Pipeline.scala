@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline composition operators: quality gating,
@@ -1092,55 +1093,11 @@ object Pipeline extends QueryGroup {
     * then ONE per-language aggregate over a per-doc stage number —
     * joins are equi or broadcast throughout. Retention uses the
     * integer micro-unit rounding (the pl12/pl14 discipline). */
-  private val q16 = QueryDef(
-    "pl16_curation_funnel",
-    (s, dir) => {
-      import graft.functions.{DedupEnrich, GopherRules}
-      val K = 13
-      // every stage decision comes from the SHARED builders the stage
-      // operators themselves use (GopherRules == pl11, exactFp == d1,
-      // hashedNgrams == pl14) — composition, not reimplementation
-      val enriched = GopherRules.withStats(Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"),
-          TextOps.tokens(col("text")).as("toks")))
-        .withColumn("fp", DedupEnrich.exactFpFromToks(col("toks")))
-        .withColumn("grams", TextOps.hashedNgrams(col("toks"), K))
-        .withColumn("is_eval", col("doc_id") % 7 === 0)
-        .select("doc_id", "lang", "kept", "fp", "grams", "is_eval")
-        .cache()
-      val train = enriched.filter(!col("is_eval"))
-      val q = train.filter(col("kept") === 1)
-      val canon = q.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
-      val uniq = q.join(DedupEnrich.joinBackBuild(canon), "fp")
-        .withColumn("canonical",
-          (col("doc_id") === col("canonical_id")).cast("int"))
-      val evalGrams = enriched.filter(col("is_eval"))
-        .select(explode(col("grams")).as("gram")).distinct()
-      val flagged = uniq.filter(col("canonical") === 1)
-        .select(col("doc_id"), explode(col("grams")).as("gram"))
-        .join(broadcast(evalGrams), Seq("gram"))
-        .select("doc_id").distinct().withColumn("flag", lit(1))
-      val staged = train
-        .join(uniq.select(col("doc_id"), col("canonical")), Seq("doc_id"), "left")
-        .join(flagged, Seq("doc_id"), "left")
-        .withColumn("stage",
-          when(col("kept") =!= 1, 0)
-            .when(col("canonical").isNull || col("canonical") =!= 1, 1)
-            .when(col("flag") === 1, 2)
-            .otherwise(3))
-      staged.groupBy("lang").agg(
-        count(lit(1)).as("n_raw"),
-        sum((col("stage") >= 1).cast("long")).as("n_quality"),
-        sum((col("stage") >= 2).cast("long")).as("n_unique"),
-        sum((col("stage") >= 3).cast("long")).as("n_clean"))
-        .withColumn("retention",
-          expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
-            .cast("double") / lit(1000000.0))
-        .orderBy("lang")
-    },
-    Some(s"""
-      WITH $toksSql,
-      enriched AS (
+  /** DuckDB mirror of [[funnelStaged]]: the CTE chain `enriched` →
+    * `staged(doc_id, lang, stage)`, requiring `$toksSql` in scope.
+    * Shared verbatim by the pl16 and pl18 oracles — one source of
+    * funnel truth per engine. */
+  private val funnelStagedSql: String = """enriched AS (
         SELECT t.doc_id, t.lang,
                CAST(len(toks) AS BIGINT) AS n_words,
                CASE WHEN len(toks) > 0
@@ -1180,13 +1137,72 @@ object Pipeline extends QueryGroup {
           WHERE u.canonical = 1) tg
         JOIN ev ON tg.gram = ev.gram),
       staged AS (
-        SELECT t.lang,
+        SELECT t.doc_id, t.lang,
                CASE WHEN t.kept != 1 THEN 0
                     WHEN u.canonical IS NULL OR u.canonical != 1 THEN 1
                     WHEN f.doc_id IS NOT NULL THEN 2
                     ELSE 3 END AS stage
         FROM train t LEFT JOIN uniq u ON t.doc_id = u.doc_id
-             LEFT JOIN flagged f ON t.doc_id = f.doc_id),
+             LEFT JOIN flagged f ON t.doc_id = f.doc_id)"""
+
+  /** SHARED curation-funnel staging (pl16 reports it, pl18 trains on
+    * it): every TRAIN document (the doc_id % 7 eval slice excluded up
+    * front) with its furthest-surviving stage — 0 = failed Gopher
+    * quality, 1 = non-canonical exact dup, 2 = eval-contaminated,
+    * 3 = clean survivor. Every stage decision comes from the SHARED
+    * builders the stage operators themselves use (GopherRules == pl11,
+    * exactFp == d1, hashedNgrams == pl14) — composition, not
+    * reimplementation; [[funnelStagedSql]] is the DuckDB mirror. */
+  private def funnelStaged(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{DedupEnrich, GopherRules}
+    val K = 13
+    val enriched = GopherRules.withStats(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextOps.tokens(col("text")).as("toks")))
+      .withColumn("fp", DedupEnrich.exactFpFromToks(col("toks")))
+      .withColumn("grams", TextOps.hashedNgrams(col("toks"), K))
+      .withColumn("is_eval", col("doc_id") % 7 === 0)
+      .select("doc_id", "lang", "kept", "fp", "grams", "is_eval")
+      .cache()
+    val train = enriched.filter(!col("is_eval"))
+    val q = train.filter(col("kept") === 1)
+    val canon = q.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
+    val uniq = q.join(DedupEnrich.joinBackBuild(canon), "fp")
+      .withColumn("canonical",
+        (col("doc_id") === col("canonical_id")).cast("int"))
+    val evalGrams = enriched.filter(col("is_eval"))
+      .select(explode(col("grams")).as("gram")).distinct()
+    val flagged = uniq.filter(col("canonical") === 1)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select("doc_id").distinct().withColumn("flag", lit(1))
+    train
+      .join(uniq.select(col("doc_id"), col("canonical")), Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("kept") =!= 1, 0)
+          .when(col("canonical").isNull || col("canonical") =!= 1, 1)
+          .when(col("flag") === 1, 2)
+          .otherwise(3))
+      .select("doc_id", "lang", "stage")
+  }
+
+  private val q16 = QueryDef(
+    "pl16_curation_funnel",
+    (s, dir) => {
+      funnelStaged(s, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_raw"),
+        sum((col("stage") >= 1).cast("long")).as("n_quality"),
+        sum((col("stage") >= 2).cast("long")).as("n_unique"),
+        sum((col("stage") >= 3).cast("long")).as("n_clean"))
+        .withColumn("retention",
+          expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
+            .cast("double") / lit(1000000.0))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH $toksSql,
+      $funnelStagedSql,
       agg AS (
         SELECT lang, COUNT(*) AS n_raw,
                CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -1242,6 +1258,81 @@ object Pipeline extends QueryGroup {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Tokenizer fit on the curated corpus — BPE merge learning
+    * (Sennrich et al. 2016; see [[graft.functions.BpeOps]] for the
+    * algorithm/determinism contract), the step that closes the
+    * training-data story: curate (pl16) → mix (pl15) → shard (pl17) →
+    * TRAIN TOKENIZER. Input is pl16's stage-3 survivors via the SHARED
+    * [[funnelStaged]] builder (compose, never copy), so the tokenizer
+    * is fit on exactly the corpus that survives curation — fitting on
+    * raw data would spend merge budget on boilerplate the funnel
+    * removed.
+    *
+    * Output: the first [[graft.functions.BpeOps.NMerges]] learned
+    * merges (rank, left, right, pair count at merge time) — the
+    * prefix of the merge table a production tokenizer persists.
+    *
+    * Scale shape: the corpus is read ONCE into a (word, freq)
+    * aggregate; all iterations run over the VOCABULARY (distinct
+    * words — bounded by the language, ~10^5-10^7 rows at any corpus
+    * size, coalesced to [[IterSizing.iterParts]] partitions like the
+    * d6 loop). Each iteration is one map-side-combinable pair-count
+    * aggregate (PlanSpec pins the shape) + a ONE-ROW argmax collect
+    * (loop control, the d6 convergence-count discipline) + one
+    * localCheckpoint'd merge application (truncates the 10-deep
+    * lambda lineage). Nothing corpus-sized moves after the first
+    * aggregate. */
+  private val q18 = QueryDef(
+    "pl18_bpe_merges",
+    (s, dir) => {
+      import graft.functions.BpeOps
+      val surv = funnelStaged(s, dir).filter(col("stage") === 3)
+        .select("doc_id")
+      val words = Tables.documents(s, dir)
+        .join(surv, "doc_id")
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val np = IterSizing.iterParts(s)
+      var vocab = words
+        .select(col("freq"), BpeOps.charSyms(col("word")).as("syms"))
+        .coalesce(np).localCheckpoint()
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var k = 1
+      var live = true
+      while (k <= BpeOps.NMerges && live) {
+        val top = BpeOps.pairCounts(vocab)
+          .orderBy(desc("c"), asc("a"), asc("b")).limit(1).collect()
+        if (top.isEmpty) live = false // alphabet exhausted (tiny corpus)
+        else {
+          val (a, b, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((k, a, b, c))
+          vocab = vocab
+            .withColumn("syms", BpeOps.applyMerge(col("syms"), a, b))
+            .localCheckpoint()
+          k += 1
+        }
+      }
+      import s.implicits._
+      merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .orderBy("merge_rank")
+    },
+    Some(s"""
+      WITH $toksSql,
+      $funnelStagedSql,
+      surv AS (SELECT doc_id FROM staged WHERE stage = 3),
+      words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(toks) AS word FROM toks JOIN surv USING (doc_id))
+        GROUP BY word),
+      v0 AS MATERIALIZED (
+        SELECT freq, list_transform(generate_series(1, len(word)),
+               i -> substr(word, i, 1)) AS syms
+        FROM words),
+      ${(1 to graft.functions.BpeOps.NMerges)
+        .map(graft.functions.BpeOps.levelSql).mkString(",")}
+      ${graft.functions.BpeOps.unionSql(graft.functions.BpeOps.NMerges)}"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
-    q12, q13, q14, q15, q16, q17)
+    q12, q13, q14, q15, q16, q17, q18)
 }

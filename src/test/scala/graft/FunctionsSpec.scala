@@ -248,4 +248,25 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(viaExpr == viaWindow)
   }
+
+  test("BPE: charSyms splits to characters; applyMerge is the greedy left-to-right fold") {
+    import graft.functions.BpeOps
+    import spark.implicits._
+    val df = Seq(("aaa", Seq("a", "a", "a")), ("theth", Seq("t", "h", "e", "t", "h")),
+      ("x", Seq("x"))).toDF("word", "expected")
+    val syms = df.select(col("expected"), BpeOps.charSyms(col("word")).as("syms"))
+    syms.collect().foreach(r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](0)))
+    // the BPE fold contract: a merged symbol becomes the new last
+    // element and participates in further matches — [a,a,a] under
+    // (a,a) is [aa,a] (greedy, non-overlapping), not [aa,aa's tail]
+    val merged = syms.select(col("syms"),
+      BpeOps.applyMerge(col("syms"), "a", "a").as("m_aa"),
+      BpeOps.applyMerge(col("syms"), "t", "h").as("m_th"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1), r.getSeq[String](2)))
+    val byWord = merged.map(t => t._1.mkString -> t).toMap
+    assert(byWord("aaa")._2 == Seq("aa", "a"))
+    assert(byWord("theth")._3 == Seq("th", "e", "th"))
+    assert(byWord("x")._2 == Seq("x") && byWord("x")._3 == Seq("x"))
+  }
 }

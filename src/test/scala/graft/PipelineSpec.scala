@@ -2,6 +2,31 @@ package graft
 
 class PipelineSpec extends SparkSpec {
 
+  test("pl18 BPE merges: ranks contiguous, counts non-increasing, symbols closed under earlier merges") {
+    import graft.functions.BpeOps
+    val rows = SparkEntry.queries("pl18_bpe_merges")(spark, Sf).collect()
+    assert(rows.length == BpeOps.NMerges, "fixture exhausted the pair space")
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length),
+      "merge ranks must be contiguous from 1")
+    // c_{k+1} <= c_k is a BPE invariant: pre-existing pairs were all
+    // <= the argmax, and a merge creates at most one (x, ab)/(ab, y)
+    // pair per merged occurrence, so no new pair can exceed c_k
+    val counts = rows.map(_.getLong(3))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      s"pair counts must be non-increasing: ${counts.toSeq}")
+    // closure: every merge operand is a single character or the
+    // product of an EARLIER merge — the property that makes the table
+    // a valid tokenizer (rules apply in rank order at encode time)
+    val known = scala.collection.mutable.Set[String]()
+    rows.foreach { r =>
+      Seq(r.getString(1), r.getString(2)).foreach { s =>
+        assert(s.length == 1 || known(s),
+          s"merge ${r.getInt(0)} operand '$s' is not derivable from earlier merges")
+      }
+      known += r.getString(1) + r.getString(2)
+    }
+  }
+
   test("quality gate keeps at least the upper half of every language stratum") {
     val d = Tables.documents(spark, Sf)
     val perLang = d.groupBy("lang").count().collect()

@@ -174,6 +174,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "stat sides must stay broadcast")
   }
 
+  test("pl18 BPE: the per-iteration pair count is a map-side-combinable hash aggregate") {
+    // the registered query's final frame is the collected merge table
+    // (a local scan), so the pin drives the SHARED builder the loop
+    // calls every iteration — the plan that runs vocabulary-wide
+    import graft.functions.BpeOps
+    import org.apache.spark.sql.functions._
+    val vocab = Tables.documents(spark, Sf)
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), BpeOps.charSyms(col("word")).as("syms"))
+    val p = BpeOps.pairCounts(vocab).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("HashAggregate"),
+      "pair counts must hash-aggregate (map-side partial combine)")
+    assert(!p.contains("Window"), "no window may enter the iteration")
+    assert(!p.contains("CartesianProduct"))
+    // the loop bound is a compile-time constant, not data-dependent
+    assert(BpeOps.NMerges > 0 && BpeOps.NMerges <= 64)
+  }
+
   test("d12_guarded_batch_pairs: the hot set resolves BEFORE the pair self-join") {
     val p = plan("d12_guarded_batch_pairs")
     // the guard is structural: the per-band counts aggregate feeds an
