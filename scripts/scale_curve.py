@@ -62,6 +62,8 @@ QUERIES = [
     # d4 (its plan changed to the cached groupBy join-back this round)
     "pl13_corpus_report", "pl14_decontaminate", "pl15_domain_mix",
     "pl16_curation_funnel", "pl17_shuffle_shards", "d4_simhash",
+    # round-14 newborns
+    "d12_guarded_batch_pairs", "pl18_bpe_merges",
 ]
 
 ADD_OPENS = [

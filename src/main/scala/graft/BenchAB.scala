@@ -59,6 +59,45 @@ object BenchAB {
         .limit(300)
     }
 
+    // d4's join-back with the shared sketch frame EAGERLY checkpointed
+    // instead of lazily cached: the cached form's two consumers race to
+    // materialize the same partitions and compute simhash16 twice (the
+    // "Block rdd already exists" warnings); an eager localCheckpoint
+    // runs the sketch pass exactly once before either leg plans
+    def d4Ckpt(s: SparkSession, dir: String): DataFrame = {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.MinHash
+            .simhash16(graft.functions.TextOps.tokens(col("text")))
+            .as("simhash"))
+        .localCheckpoint()
+      val counts = d.groupBy("simhash").agg(count(lit(1)).as("n_same_sketch"))
+      d.join(graft.functions.DedupEnrich.joinBackBuild(counts), "simhash")
+        .select("doc_id", "simhash", "n_same_sketch")
+        .orderBy("doc_id")
+        .limit(300)
+    }
+
+    // decomposition probes: the bare sketch pass, and the join-back
+    // with the token array BOUND to an attribute before the sketch
+    // folds consume it (the DedupEnrich lambda discipline)
+    // sum() FORCES the sketch evaluation — a groupBy().count() probe
+    // would let column pruning remove the expression entirely
+    def sketch(s: SparkSession, dir: String): DataFrame =
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.MinHash
+            .simhash16(graft.functions.TextOps.tokens(col("text")))
+            .as("simhash"))
+        .agg(sum(col("simhash")))
+    def sketchBound(s: SparkSession, dir: String): DataFrame =
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          graft.functions.MinHash.simhash16(col("toks")).as("simhash"))
+        .agg(sum(col("simhash")))
+
     val noBroadcast = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val cases = Seq(
       Case("d1_broadcast_default", Map.empty, d1),
@@ -66,7 +105,68 @@ object BenchAB {
       Case("d1_shuffle_hash_nobroadcast",
         noBroadcast + ("graft.joinback.strategy" -> "shuffle_hash"), d1),
       Case("d4_joinback", Map.empty, d4),
+      Case("d4_joinback_ckpt", Map.empty, d4Ckpt),
+      Case("d4_joinback_nocache", Map.empty, (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.MinHash
+              .simhash16(graft.functions.TextOps.tokens(col("text")))
+              .as("simhash"))
+        val counts = d.groupBy("simhash").agg(count(lit(1)).as("n_same_sketch"))
+        d.join(graft.functions.DedupEnrich.joinBackBuild(counts), "simhash")
+          .select("doc_id", "simhash", "n_same_sketch")
+          .orderBy("doc_id").limit(300)
+      }),
+      Case("d4_sketch_only", Map.empty, sketch),
+      Case("d4_sketch_bound", Map.empty, sketchBound),
+      Case("d4_cache_materialize_only", Map.empty, (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.MinHash
+              .simhash16(graft.functions.TextOps.tokens(col("text")))
+              .as("simhash"))
+          .cache().groupBy().count()
+      }),
+      Case("d4_joinback_tokscache", Map.empty, (s, dir) => {
+        // cache the TOKEN ARRAYS, not the sketch: the slow path is the
+        // sketch expression inside the cache-build stage; tokenize is
+        // cheap to materialize, and each leg then computes simhash16
+        // through the fast whole-stage pipeline over the columnar scan
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.TextOps.tokens(col("text")).as("toks"))
+          .cache()
+        val d = t.select(col("doc_id"),
+          graft.functions.MinHash.simhash16(col("toks")).as("simhash"))
+        val counts = d.groupBy("simhash").agg(count(lit(1)).as("n_same_sketch"))
+        d.join(graft.functions.DedupEnrich.joinBackBuild(counts), "simhash")
+          .select("doc_id", "simhash", "n_same_sketch")
+          .orderBy("doc_id").limit(300)
+      }),
+      Case("d4_joinback_reshuffle", Map.empty, (s, dir) => {
+        // no cache: the sketch projection runs in ITS OWN map stage on
+        // each leg (the shape the bare-pass probe shows is fast), the
+        // narrow (doc_id, long) rows shuffle by the join key, and the
+        // join consumes attributes — the expensive expression never
+        // enters the join/cache stages
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.MinHash
+              .simhash16(graft.functions.TextOps.tokens(col("text")))
+              .as("simhash"))
+          .repartition(col("simhash"))
+        val counts = d.groupBy("simhash").agg(count(lit(1)).as("n_same_sketch"))
+        d.join(graft.functions.DedupEnrich.joinBackBuild(counts), "simhash")
+          .select("doc_id", "simhash", "n_same_sketch")
+          .orderBy("doc_id").limit(300)
+      }),
       Case("d4_window_r12_form", Map.empty, d4Window))
+
+    // untimed warmup: bring the parquet pages and codegen caches up
+    // BEFORE any case runs, so case ORDER does not decide who pays the
+    // cold-read penalty (the first cut charged it all to case one)
+    d1(spark, sfDir).count(); d4(spark, sfDir).count()
+    spark.catalog.clearCache()
 
     val results = cases.map { c =>
       c.confs.foreach { case (k, v) => spark.conf.set(k, v) }

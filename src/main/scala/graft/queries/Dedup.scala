@@ -203,9 +203,14 @@ object Dedup extends QueryGroup {
       // discipline as d1: a mega-dup sketch value never single-tasks a
       // window sort; the aggregate combines map-side). The sketch frame
       // is CACHED: the count pass and the join-back both read it, and
-      // recomputing simhash16 — 16 bit-position folds over every token
-      // — is the expensive half of the query (measured 3.6x without
-      // the pin); the cached frame is (doc_id, long), nothing more
+      // recomputing simhash16 inside the join stages is ~2.8x worse
+      // (BENCH_AB d4_joinback_nocache 3.98s vs cached 1.44s). The
+      // cached form's local premium over the r12 window shape is the
+      // cache-build evaluation mode, not the sketch math (one codegen'd
+      // pass is 0.16s; the same projection in the cache build is
+      // 1.13s) — five alternatives measured in BENCH_AB all lose
+      // (localCheckpoint / no-cache / repartition barrier / token
+      // cache); the premium is the accepted price of hot-key immunity
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), MinHash.simhash16(TextOps.tokens(col("text"))).as("simhash"))
         .cache()
