@@ -189,10 +189,15 @@ object BenchAB {
       } finally c.confs.keys.foreach(spark.conf.unset)
     }
 
+    // Locale.ROOT explicitly (the BenchWrites precedent): the
+    // f-interpolator is locale-sensitive and a comma-decimal default
+    // locale would emit invalid JSON
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val json = results.map { case (n, ts, join) =>
-      s""""$n":{"min":${f"${ts.min}%.3f"},""" +
-        s""""median":${f"${ts.sorted.apply(ts.size / 2)}%.3f"},""" +
-        s""""reps":[${ts.map(t => f"$t%.3f").mkString(",")}],""" +
+      s""""$n":{"min":${num(ts.min)},""" +
+        s""""median":${num(ts.sorted.apply(ts.size / 2))},""" +
+        s""""reps":[${ts.map(num).mkString(",")}],""" +
         s""""plan_nodes":[${join.map("\"" + _ + "\"").mkString(",")}]}"""
     }.mkString(",")
     val doc = s"""{"bench":"ab","sf_dir":"$sfDir","reps_per_case":$reps,""" +

@@ -112,7 +112,29 @@ object ManifestIO {
     * marker; they are accepted only when NO generation in the store
     * validates (pre-sentinel stores keep today's resolve-max behavior,
     * while a store that has ever committed with a sentinel falls back
-    * past a torn head to its newest intact generation). */
+    * past a torn head to its newest intact generation).
+    *
+    * Documented edges of this rule (reviewed deliberately, not
+    * oversights):
+    *  - MIGRATION CONTRACT: a sentinel-less head on a sentinel-era
+    *    store reads as TORN. A pre-sentinel binary must therefore not
+    *    write to a store a sentinel-era binary has committed to — by
+    *    content the two cases are indistinguishable, the store is
+    *    single-writer, and the reader resolves the ambiguity in favor
+    *    of torn-write protection (a rolled-back writer is an operator
+    *    error; a torn head is the designed failure).
+    *  - RESIDUAL WINDOW: on an all-legacy store (no sentinel
+    *    anywhere) a torn FIRST sentinel-era commit is accepted as the
+    *    head — nothing distinguishes it from a legacy commit. The
+    *    window is one commit wide, exists only on forced unknown
+    *    schemes (staged publishes and object-store PUTs cannot
+    *    tear), and closes permanently at the first intact sentinel
+    *    commit.
+    *  - LEGACY READ COST: a store whose head lacks the sentinel walks
+    *    older generations looking for one — bounded by [[PointerKeep]]
+    *    small property files per read, paid only until a sentinel-era
+    *    commit heals the store (the walk is a lazy iterator;
+    *    sentinel-era heads stop at ONE load). */
   private[graft] val CommittedKey = "graft.manifest.committed"
 
   /** Bounded re-list retries for the pointer read(): between a

@@ -41,9 +41,18 @@ object BpeOps {
 
   /** Character-symbol array of a word — the level-0 BPE state. `word`
     * MUST be a bound attribute (the lambda re-evaluates non-attribute
-    * expressions per element — the DedupEnrich discipline). */
+    * expressions per element — the DedupEnrich discipline).
+    *
+    * Empty-word guard: Spark's two-arg `sequence(1, 0)` infers step -1
+    * and yields [1, 0] — an UNGUARDED transform would emit ["", ""]
+    * for an empty word while DuckDB's `generate_series(1, 0)` yields
+    * [], a cross-engine divergence AND a degenerate ("", "") pair that
+    * could win an argmax. TextOps.tokens never produces empty words,
+    * but this builder is public to any vocabulary source. */
   def charSyms(word: Column): Column =
-    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+    when(length(word) > 0,
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
 
   /** Adjacent-pair counts over a (syms, freq) vocabulary frame — the
     * aggregate each merge iteration argmaxes. Only ids-free narrow
@@ -58,14 +67,19 @@ object BpeOps {
       .groupBy("a", "b").agg(sum(col("freq")).as("c"))
 
   /** Greedy left-to-right application of ONE merge rule to a bound
-    * symbol-array column (see the fold contract in the object doc). */
+    * symbol-array column (see the fold contract in the object doc).
+    * Empty arrays pass through unchanged — the fold needs a first
+    * element as its accumulator seed, and slice() rejects the -1
+    * tail length an empty input would produce. */
   def applyMerge(syms: Column, lhs: String, rhs: String): Column =
-    aggregate(
-      slice(syms, lit(2), size(syms) - 1),
-      array(element_at(syms, 1)),
-      (acc, s) => when(element_at(acc, -1) === lit(lhs) && s === lit(rhs),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
-        .otherwise(concat(acc, array(s))))
+    when(size(syms) > 0,
+      aggregate(
+        slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        array(element_at(syms, 1)),
+        (acc, s) => when(element_at(acc, -1) === lit(lhs) && s === lit(rhs),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+          .otherwise(concat(acc, array(s)))))
+      .otherwise(syms)
 
   /** DuckDB mirror of ONE merge level: CTEs `p{k}` (pair counts),
     * `m{k}` (the argmax merge row), `v{k}` (vocabulary with the merge

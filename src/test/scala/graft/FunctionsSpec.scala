@@ -252,8 +252,11 @@ class FunctionsSpec extends SparkSpec {
   test("BPE: charSyms splits to characters; applyMerge is the greedy left-to-right fold") {
     import graft.functions.BpeOps
     import spark.implicits._
+    // the empty word pins the sequence(1, 0) guard: Spark's two-arg
+    // sequence infers step -1 and an unguarded transform would yield
+    // ["", ""] where DuckDB's generate_series(1, 0) yields []
     val df = Seq(("aaa", Seq("a", "a", "a")), ("theth", Seq("t", "h", "e", "t", "h")),
-      ("x", Seq("x"))).toDF("word", "expected")
+      ("x", Seq("x")), ("", Seq.empty[String])).toDF("word", "expected")
     val syms = df.select(col("expected"), BpeOps.charSyms(col("word")).as("syms"))
     syms.collect().foreach(r =>
       assert(r.getSeq[String](1) == r.getSeq[String](0)))
@@ -268,5 +271,7 @@ class FunctionsSpec extends SparkSpec {
     assert(byWord("aaa")._2 == Seq("aa", "a"))
     assert(byWord("theth")._3 == Seq("th", "e", "th"))
     assert(byWord("x")._2 == Seq("x") && byWord("x")._3 == Seq("x"))
+    assert(byWord("")._2 == Seq.empty && byWord("")._3 == Seq.empty,
+      "empty symbol arrays must pass through applyMerge unchanged")
   }
 }
