@@ -158,6 +158,60 @@ object DedupEnrich {
       .withColumn(wsOut, windowHashesFromToks(col("_de_toks")))
       .drop("_de_toks")
 
+  /** The hot-band-GUARDED batch pair rollup (the `d12_guarded_batch_
+    * pairs` shape, shared with the cross-surface specs): over an
+    * enriched frame carrying `doc_id`, `bands` (from [[withBandKeys]])
+    * and `sh` (from [[withShingleSet]]), resolve the hot band set
+    * (>= `hotThreshold` distinct docs) from a counts aggregate FIRST,
+    * flag every doc holding a hot band `band_saturated` via a
+    * semi-join, generate candidate pairs by self-joining the
+    * anti-joined COLD remainder only, verify with exact Jaccard >=
+    * `minJaccard`, and roll up per doc. Output: one row per doc with
+    * any signal — (doc_id, band_saturated, n_dups, partners).
+    *
+    * Batch-vs-incremental semantics (pinned by DedupSurfacesSpec):
+    * this WHOLE-CORPUS form is order-independent — EVERY doc holding a
+    * hot band flags — while the maintained index / streaming state,
+    * driven arrival-by-arrival, emit pairs until the band reaches the
+    * threshold and flag only the arrivals after it. The batch flags
+    * are therefore a SUPERSET of the incremental flags on the same
+    * corpus and thresholds, and any pair the guard suppresses has
+    * both endpoints flagged — over-approximation on every surface,
+    * never a hidden dup. */
+  def guardedBatchRollup(base: DataFrame, hotThreshold: Long,
+      minJaccard: Double = 0.3): DataFrame = {
+    val exploded = base.select(col("doc_id"), explode(col("bands")).as("bk"))
+    val hot = exploded.groupBy("bk")
+      .agg(countDistinct(col("doc_id")).as("cnt"))
+      .filter(col("cnt") >= hotThreshold)
+      .select("bk")
+    val satDocs = exploded.join(hot, Seq("bk"), "left_semi")
+      .select("doc_id").distinct().withColumn("sat", lit(1))
+    val cold = exploded.join(hot, Seq("bk"), "left_anti")
+    val pairs = cold.select(col("doc_id").as("a"), col("bk"))
+      .join(cold.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sets = base.select(col("doc_id"), col("sh"))
+    val ver = pairs
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .filter(TextOps.jaccard(col("sha"), col("shb")) >= minJaccard)
+      .select("a", "b")
+    val partners = ver.select(col("a").as("doc_id"), col("b").as("p"))
+      .unionAll(ver.select(col("b").as("doc_id"), col("a").as("p")))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_dups"),
+        concat_ws(",",
+          transform(array_sort(collect_set(col("p"))),
+            x => x.cast("string"))).as("partners"))
+    satDocs.join(partners, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("sat"), lit(0)).as("band_saturated"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("partners"), lit("")).as("partners"))
+  }
+
   /** Append the MinHash band-key array (`array<string>`, one md5 key
     * per band) derived from the shingle-set column `shCol`, binding
     * the per-shingle fingerprints and the signature to named columns

@@ -789,45 +789,18 @@ object Dedup extends QueryGroup {
     "d12_guarded_batch_pairs",
     (s, dir) => {
       // enrichment via the SHARED DedupEnrich path — identical band
-      // keys to d3/d10/d11 and the maintained index
+      // keys to d3/d10/d11 and the maintained index; the guard + pair
+      // rollup is the SHARED guardedBatchRollup builder (the counts
+      // aggregate resolves the hot set BEFORE any pair-generating join
+      // exists in the plan — see its scaladoc; DedupSurfacesSpec pins
+      // the batch-vs-incremental over-approximation relationship)
       val base = DedupEnrich.withBandKeys(
         DedupEnrich.withShingleSet(
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           "text"),
         "sh")
         .cache()
-      val exploded = base.select(col("doc_id"), explode(col("bands")).as("bk"))
-      // the guard: O(distinct bands) counts aggregate, resolved BEFORE
-      // any pair-generating join exists in the plan
-      val hot = exploded.groupBy("bk")
-        .agg(countDistinct(col("doc_id")).as("cnt"))
-        .filter(col("cnt") >= BatchHotBands)
-        .select("bk")
-      val satDocs = exploded.join(hot, Seq("bk"), "left_semi")
-        .select("doc_id").distinct().withColumn("sat", lit(1))
-      val cold = exploded.join(hot, Seq("bk"), "left_anti")
-      val pairs = cold.select(col("doc_id").as("a"), col("bk"))
-        .join(cold.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-      val sets = base.select(col("doc_id"), col("sh"))
-      val ver = pairs
-        .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-        .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-        .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.3)
-        .select("a", "b")
-      val partners = ver.select(col("a").as("doc_id"), col("b").as("p"))
-        .unionAll(ver.select(col("b").as("doc_id"), col("a").as("p")))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_dups"),
-          concat_ws(",",
-            transform(array_sort(collect_set(col("p"))),
-              x => x.cast("string"))).as("partners"))
-      satDocs.join(partners, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          coalesce(col("sat"), lit(0)).as("band_saturated"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-          coalesce(col("partners"), lit("")).as("partners"))
+      DedupEnrich.guardedBatchRollup(base, BatchHotBands)
         .orderBy("doc_id")
     },
     Some(s"""

@@ -298,6 +298,58 @@ class DedupSurfacesSpec extends SparkSpec {
     assert(got(22L) == ((0, Nil)), s"novel doc must be clean: $got")
   }
 
+  test("batch d12 rollup over-approximates the incremental guard: flags are a superset, suppressed pairs have flagged endpoints") {
+    // same templated flood + one cold near-dup pair, same threshold 3.
+    // The batch rollup is ORDER-INDEPENDENT (every holder of a hot
+    // band flags), the index is arrival-ordered (pairs until the band
+    // fills, flags after) — the pinned relationship is containment,
+    // not equality: batch flags ⊇ index flags, and any pair the batch
+    // guard suppresses has both endpoints flagged (never a hidden dup).
+    import spark.implicits._
+    val flood: Seq[(Long, String)] =
+      (1L to 6L).map(i => i -> baseText) ++
+        Seq(7L -> otherText, 8L -> (otherText + " indeed"))
+    val base = DedupEnrich.withBandKeys(
+      DedupEnrich.withShingleSet(flood.toDF("doc_id", "text"), "text"), "sh")
+    val rollup = DedupEnrich.guardedBatchRollup(base, hotThreshold = 3)
+      .collect()
+    val batchFlagged = rollup.filter(_.getAs[Int]("band_saturated") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val batchPairs = rollup.flatMap { r =>
+      val ps = r.getAs[String]("partners")
+      if (ps.isEmpty) Nil
+      else ps.split(",").map(p => (r.getAs[Long]("doc_id"), p.toLong)).toSeq
+    }.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+    // whole-corpus semantics: ALL six templated docs flag; the cold
+    // near-dup pair survives the guard
+    assert(batchFlagged == (1L to 6L).toSet,
+      s"every holder of the hot band must flag: $batchFlagged")
+    assert(batchPairs == Set((7L, 8L)),
+      s"the cold near-dup pair must survive the guard: $batchPairs")
+
+    // the index over the same corpus, arrival order 1..8, threshold 3
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000,
+      hotBandThreshold = 3)
+    val verdicts = flood.map { case (i, tx) =>
+      i -> idx.ingest(Seq(i -> tx).toDF("doc_id", "text")).collect().head
+    }
+    val idxFlagged = verdicts.collect {
+      case (i, v) if v.getAs[Int]("band_saturated") == 1 => i }.toSet
+    val idxPairs = verdicts.flatMap { case (i, v) =>
+      v.getSeq[Long](2).map(p => (math.min(p, i), math.max(p, i))) }.toSet
+    // containment, both directions of the contract
+    assert(idxFlagged.subsetOf(batchFlagged),
+      s"index flags must be contained in batch flags: $idxFlagged vs $batchFlagged")
+    assert(idxFlagged == Set(4L, 5L, 6L), s"arrival-order flags: $idxFlagged")
+    val lost = idxPairs.filterNot { case (a, b) =>
+      batchPairs((a, b)) || batchFlagged(a) || batchFlagged(b) }
+    assert(lost.isEmpty,
+      s"pairs the batch guard suppressed without flagging an endpoint: $lost")
+    // and the cold pair is live on BOTH surfaces
+    assert(idxPairs.contains((7L, 8L)),
+      s"the index must also enumerate the cold near-dup: $idxPairs")
+  }
+
   test("short docs get per-doc shingles, never a shared degenerate band key") {
     val b = batchBands
     assert((b(6L) & b(7L)).isEmpty,
