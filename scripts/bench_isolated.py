@@ -84,7 +84,7 @@ NEW_R13 = ["pl14_decontaminate", "pl15_domain_mix", "pl16_curation_funnel",
 # BENCH_HEAD was replaced by the driver's own r13 run (the artifact
 # pair it would diff is the same run twice); v6's 5.7x needs a number,
 # not an inference
-NEW_R14 = ["d12_guarded_batch_pairs", "pl18_bpe_merges",
+NEW_R14 = ["d12_guarded_batch_pairs", "pl18_bpe_merges", "pl19_bpe_encode",
            "v6_random_projection", "w4_hash_chain", "w8_payload_forge",
            "f1_filter_matrix", "w1_topk_per_group"]
 

@@ -63,7 +63,7 @@ QUERIES = [
     "pl13_corpus_report", "pl14_decontaminate", "pl15_domain_mix",
     "pl16_curation_funnel", "pl17_shuffle_shards", "d4_simhash",
     # round-14 newborns
-    "d12_guarded_batch_pairs", "pl18_bpe_merges",
+    "d12_guarded_batch_pairs", "pl18_bpe_merges", "pl19_bpe_encode",
 ]
 
 ADD_OPENS = [

@@ -88,7 +88,13 @@ object BpeOps {
     * expand the chain exponentially in k (measured: a 10-level
     * unmaterialized chain did not finish in 300 s; materialized it
     * runs in ~1 s at sf0.1). chr(1) is a safe pair separator — the
-    * symbol alphabet is [a-z0-9]. */
+    * symbol alphabet is [a-z0-9]. The vocabulary carries `word` (the
+    * encode consumers key on it) and each level LEFT-joins its merge
+    * row: on a level whose pair space is EXHAUSTED (m{k} empty) the
+    * vocabulary passes through UNCHANGED — a CROSS JOIN would blank
+    * it, silently emptying every later level and any encode built on
+    * the final state (the Spark loop's exhaustion `live = false` stop
+    * has exactly these pass-through semantics). */
   def levelSql(k: Int): String = s"""
       p$k AS (
         SELECT string_split(pr, chr(1))[1] AS a, string_split(pr, chr(1))[2] AS b,
@@ -101,12 +107,13 @@ object BpeOps {
         SELECT $k AS merge_rank, a AS lhs, b AS rhs, c AS pair_count
         FROM p$k ORDER BY c DESC, a ASC, b ASC LIMIT 1),
       v$k AS MATERIALIZED (
-        SELECT freq,
-               list_reduce(list_transform(syms, s -> [s]),
-                 (acc, x) -> CASE WHEN acc[len(acc)] = lhs AND x[1] = rhs
-                             THEN list_concat(list_slice(acc, 1, len(acc) - 1), [lhs || rhs])
-                             ELSE list_concat(acc, x) END) AS syms
-        FROM v${k - 1} CROSS JOIN m$k)"""
+        SELECT word, freq,
+               CASE WHEN lhs IS NULL THEN syms ELSE
+                 list_reduce(list_transform(syms, s -> [s]),
+                   (acc, x) -> CASE WHEN acc[len(acc)] = lhs AND x[1] = rhs
+                               THEN list_concat(list_slice(acc, 1, len(acc) - 1), [lhs || rhs])
+                               ELSE list_concat(acc, x) END) END AS syms
+        FROM v${k - 1} LEFT JOIN m$k ON TRUE)"""
 
   /** The final union of the learned merge rows, rank-ascending. */
   def unionSql(n: Int): String =

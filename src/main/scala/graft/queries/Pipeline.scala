@@ -1282,57 +1282,144 @@ object Pipeline extends QueryGroup {
     * localCheckpoint'd merge application (truncates the 10-deep
     * lambda lineage). Nothing corpus-sized moves after the first
     * aggregate. */
-  private val q18 = QueryDef(
-    "pl18_bpe_merges",
-    (s, dir) => {
-      import graft.functions.BpeOps
-      val surv = funnelStaged(s, dir).filter(col("stage") === 3)
-        .select("doc_id")
-      val words = Tables.documents(s, dir)
-        .join(surv, "doc_id")
-        .select(explode(TextOps.tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      val np = IterSizing.iterParts(s)
-      var vocab = words
-        .select(col("freq"), BpeOps.charSyms(col("word")).as("syms"))
-        .coalesce(np).localCheckpoint()
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      var k = 1
-      var live = true
-      while (k <= BpeOps.NMerges && live) {
-        val top = BpeOps.pairCounts(vocab)
-          .orderBy(desc("c"), asc("a"), asc("b")).limit(1).collect()
-        if (top.isEmpty) live = false // alphabet exhausted (tiny corpus)
-        else {
-          val (a, b, c) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((k, a, b, c))
-          vocab = vocab
-            .withColumn("syms", BpeOps.applyMerge(col("syms"), a, b))
-            .localCheckpoint()
-          k += 1
-        }
-      }
-      import s.implicits._
-      merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
-        .orderBy("merge_rank")
-    },
-    Some(s"""
-      WITH $toksSql,
-      $funnelStagedSql,
-      surv AS (SELECT doc_id FROM staged WHERE stage = 3),
+  /** DuckDB mirror of the BPE learning chain over the funnel
+    * survivors (requires `$toksSql` and `$funnelStagedSql` in scope):
+    * survivor word frequencies → character vocabulary `v0` →
+    * [[graft.functions.BpeOps.NMerges]] merge levels. Shared verbatim
+    * by the pl18 (merge table) and pl19 (encode stats) oracles. */
+  private def bpeChainSql: String = s"""surv AS (SELECT doc_id FROM staged WHERE stage = 3),
       words AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(toks) AS word FROM toks JOIN surv USING (doc_id))
         GROUP BY word),
       v0 AS MATERIALIZED (
-        SELECT freq, list_transform(generate_series(1, len(word)),
+        SELECT word, freq, list_transform(generate_series(1, len(word)),
                i -> substr(word, i, 1)) AS syms
         FROM words),
       ${(1 to graft.functions.BpeOps.NMerges)
-        .map(graft.functions.BpeOps.levelSql).mkString(",")}
+        .map(graft.functions.BpeOps.levelSql).mkString(",")}"""
+
+  /** Shared BPE learning loop (pl18 emits the merge table, pl19
+    * encodes with the final vocabulary — compose, never copy): word
+    * frequencies over the funnel's stage-3 survivors, then
+    * [[graft.functions.BpeOps.NMerges]] iterations of distributed
+    * pair-count argmax + merge application over the vocabulary.
+    * Returns (survivor doc_ids, final (word, freq, syms) vocabulary,
+    * learned merges). Exhaustion semantics: the loop STOPS at the
+    * first empty pair space and the vocabulary keeps its last state —
+    * the DuckDB level chain's LEFT-join pass-through mirrors this. */
+  private def learnBpe(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[(Int, String, String, Long)]) = {
+    import graft.functions.BpeOps
+    val surv = funnelStaged(s, dir).filter(col("stage") === 3)
+      .select("doc_id")
+    val words = Tables.documents(s, dir)
+      .join(surv, "doc_id")
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val np = IterSizing.iterParts(s)
+    var vocab = words
+      .select(col("word"), col("freq"), BpeOps.charSyms(col("word")).as("syms"))
+      .coalesce(np).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var live = true
+    while (k <= BpeOps.NMerges && live) {
+      val top = BpeOps.pairCounts(vocab)
+        .orderBy(desc("c"), asc("a"), asc("b")).limit(1).collect()
+      if (top.isEmpty) live = false // alphabet exhausted (tiny corpus)
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, a, b, c))
+        vocab = vocab
+          .withColumn("syms", BpeOps.applyMerge(col("syms"), a, b))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    (surv, vocab, merges.result())
+  }
+
+  private val q18 = QueryDef(
+    "pl18_bpe_merges",
+    (s, dir) => {
+      val (_, _, merges) = learnBpe(s, dir)
+      import s.implicits._
+      merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .orderBy("merge_rank")
+    },
+    Some(s"""
+      WITH $toksSql,
+      $funnelStagedSql,
+      $bpeChainSql
       ${graft.functions.BpeOps.unionSql(graft.functions.BpeOps.NMerges)}"""))
 
+  /** Tokenizer APPLICATION on the curated corpus — encode pl18's
+    * learned merges back over the survivors and report the per-language
+    * tokenizer-QA statistics every production tokenizer fit is judged
+    * by: fertility (tokens per word — lower is better; 1.0 means every
+    * word became a single token) and compression (characters per
+    * token — higher is better). The learning loop is the SHARED
+    * [[learnBpe]]; the encoded vocabulary is its final state, so
+    * pl18/pl19 can never disagree about what was learned.
+    *
+    * Scale shape: everything after the corpus's one word-frequency
+    * pass is vocabulary-sized — the encode is a vocab⋈vocab equi-join
+    * on `word` plus one per-language aggregate; the ratios use the
+    * shared integer micro-unit rounding (the pl12/pl16 idiom — a
+    * double division + ROUND splits engines on exact .5 ties in the
+    * 7th digit). */
+  private val q19 = QueryDef(
+    "pl19_bpe_encode",
+    (s, dir) => {
+      val (surv, vocab, _) = learnBpe(s, dir)
+      val wl = Tables.documents(s, dir)
+        .join(surv, "doc_id")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      val enc = vocab.select(col("word"),
+        size(col("syms")).cast("long").as("n_syms"))
+      wl.join(enc, "word")
+        .groupBy("lang").agg(
+          sum(col("freq")).as("n_words"),
+          sum(col("freq") * col("n_syms")).as("n_tokens"),
+          sum(col("freq") * length(col("word"))).as("n_chars"))
+        .withColumn("fertility",
+          expr("(2 * n_tokens * 1000000 + n_words) DIV (2 * n_words)")
+            .cast("double") / lit(1000000.0))
+        .withColumn("chars_per_token",
+          expr("(2 * n_chars * 1000000 + n_tokens) DIV (2 * n_tokens)")
+            .cast("double") / lit(1000000.0))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH $toksSql,
+      $funnelStagedSql,
+      $bpeChainSql,
+      wl AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT d.lang, unnest(t.toks) AS word
+              FROM toks t JOIN documents d USING (doc_id)
+                   JOIN surv USING (doc_id))
+        GROUP BY 1, 2),
+      enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
+              FROM v${graft.functions.BpeOps.NMerges}),
+      per AS (
+        SELECT lang,
+               CAST(SUM(freq) AS BIGINT) AS n_words,
+               CAST(SUM(freq * n_syms) AS BIGINT) AS n_tokens,
+               CAST(SUM(freq * len(word)) AS BIGINT) AS n_chars
+        FROM wl JOIN enc USING (word)
+        GROUP BY lang)
+      SELECT lang, n_words, n_tokens, n_chars,
+             CAST((2 * n_tokens * 1000000 + n_words) // (2 * n_words) AS DOUBLE)
+               / 1000000.0 AS fertility,
+             CAST((2 * n_chars * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+               / 1000000.0 AS chars_per_token
+      FROM per
+      ORDER BY lang"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18)
+    q12, q13, q14, q15, q16, q17, q18, q19)
 }

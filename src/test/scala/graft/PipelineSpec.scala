@@ -27,6 +27,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pl19 BPE encode: token counts sit between word and char counts, and the merges genuinely compress") {
+    val rows = SparkEntry.queries("pl19_bpe_encode")(spark, Sf).collect()
+    assert(rows.nonEmpty, "no language had funnel survivors")
+    rows.foreach { r =>
+      val (lang, w, t, c) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // every word is >= 1 token and every token is >= 1 char
+      assert(w <= t && t <= c, s"$lang: expected n_words <= n_tokens <= n_chars, got ($w, $t, $c)")
+      assert(r.getDouble(4) >= 1.0, s"$lang: fertility below 1")
+      assert(r.getDouble(5) >= 1.0, s"$lang: chars/token below 1")
+    }
+    // the 10 learned merges must fire somewhere: strictly fewer tokens
+    // than characters corpus-wide (fertility strictly under the
+    // no-merge ceiling where every char is its own token)
+    val (tTot, cTot) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(tTot < cTot, s"merges compressed nothing: tokens=$tTot chars=$cTot")
+  }
+
   test("quality gate keeps at least the upper half of every language stratum") {
     val d = Tables.documents(spark, Sf)
     val perLang = d.groupBy("lang").count().collect()

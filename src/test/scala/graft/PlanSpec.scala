@@ -194,6 +194,14 @@ class PlanSpec extends SparkSpec {
     assert(BpeOps.NMerges > 0 && BpeOps.NMerges <= 64)
   }
 
+  test("pl19 BPE encode: vocab-sized equi-join + hash aggregate, no window, no cross join") {
+    val p = plan("pl19_bpe_encode")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "per-language stats must hash-aggregate")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"), "the encode join must stay keyed")
+  }
+
   test("d12_guarded_batch_pairs: the hot set resolves BEFORE the pair self-join") {
     val p = plan("d12_guarded_batch_pairs")
     // the guard is structural: the per-band counts aggregate feeds an
