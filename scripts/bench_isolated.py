@@ -78,7 +78,7 @@ NEW_R12 = ["pl12_ccnet_buckets", "d11_guarded_lsh", "pl13_corpus_report"]
 NEW_R13 = ["pl14_decontaminate", "pl15_domain_mix", "pl16_curation_funnel",
            "pl17_shuffle_shards", "x16_deal_reputation",
            "r10_recall_explain", "d4_simhash"]
-# round 14: newborn baselines (d12, pl18) plus the r13 driver-run
+# round 14: newborn baselines (d12, pl18, pl19) plus the r13 driver-run
 # ambient suspects the verdict flagged for an explicit pin — the
 # auto-mover diff CANNOT catch them this round because the committed
 # BENCH_HEAD was replaced by the driver's own r13 run (the artifact

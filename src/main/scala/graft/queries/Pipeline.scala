@@ -1282,41 +1282,31 @@ object Pipeline extends QueryGroup {
     * localCheckpoint'd merge application (truncates the 10-deep
     * lambda lineage). Nothing corpus-sized moves after the first
     * aggregate. */
-  /** DuckDB mirror of the BPE learning chain over the funnel
-    * survivors (requires `$toksSql` and `$funnelStagedSql` in scope):
-    * survivor word frequencies → character vocabulary `v0` →
-    * [[graft.functions.BpeOps.NMerges]] merge levels. Shared verbatim
-    * by the pl18 (merge table) and pl19 (encode stats) oracles. */
-  private def bpeChainSql: String = s"""surv AS (SELECT doc_id FROM staged WHERE stage = 3),
-      words AS (
-        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-        FROM (SELECT unnest(toks) AS word FROM toks JOIN surv USING (doc_id))
-        GROUP BY word),
-      v0 AS MATERIALIZED (
+  /** DuckDB mirror of the BPE merge-learning levels (requires a
+    * `words(word, freq)` CTE in scope — pl18 builds it from the
+    * survivor tokens directly, pl19 derives it from its per-language
+    * `wl` rollup so the corpus is tokenized ONCE per oracle):
+    * character vocabulary `v0` → [[graft.functions.BpeOps.NMerges]]
+    * merge levels. */
+  private def bpeLevelsSql: String = s"""v0 AS MATERIALIZED (
         SELECT word, freq, list_transform(generate_series(1, len(word)),
                i -> substr(word, i, 1)) AS syms
         FROM words),
       ${(1 to graft.functions.BpeOps.NMerges)
         .map(graft.functions.BpeOps.levelSql).mkString(",")}"""
 
-  /** Shared BPE learning loop (pl18 emits the merge table, pl19
-    * encodes with the final vocabulary — compose, never copy): word
-    * frequencies over the funnel's stage-3 survivors, then
+  /** Shared BPE learning loop over a prepared `(word, freq)`
+    * vocabulary (pl18 emits the merge table, pl19 encodes with the
+    * final vocabulary — compose, never copy):
     * [[graft.functions.BpeOps.NMerges]] iterations of distributed
-    * pair-count argmax + merge application over the vocabulary.
-    * Returns (survivor doc_ids, final (word, freq, syms) vocabulary,
-    * learned merges). Exhaustion semantics: the loop STOPS at the
-    * first empty pair space and the vocabulary keeps its last state —
-    * the DuckDB level chain's LEFT-join pass-through mirrors this. */
-  private def learnBpe(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Seq[(Int, String, String, Long)]) = {
+    * pair-count argmax + merge application. Returns the final
+    * (word, freq, syms) vocabulary and the learned merges.
+    * Exhaustion semantics: the loop STOPS at the first empty pair
+    * space and the vocabulary keeps its last state — the DuckDB level
+    * chain's LEFT-join pass-through mirrors this. */
+  private def learnBpe(s: SparkSession, words: DataFrame)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     import graft.functions.BpeOps
-    val surv = funnelStaged(s, dir).filter(col("stage") === 3)
-      .select("doc_id")
-    val words = Tables.documents(s, dir)
-      .join(surv, "doc_id")
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
     val np = IterSizing.iterParts(s)
     var vocab = words
       .select(col("word"), col("freq"), BpeOps.charSyms(col("word")).as("syms"))
@@ -1338,13 +1328,24 @@ object Pipeline extends QueryGroup {
         k += 1
       }
     }
-    (surv, vocab, merges.result())
+    (vocab, merges.result())
+  }
+
+  /** The survivor word-frequency table — the ONE corpus-sized pass of
+    * the BPE family (everything downstream is vocabulary-sized). */
+  private def survivorWords(s: SparkSession, dir: String): DataFrame = {
+    val surv = funnelStaged(s, dir).filter(col("stage") === 3)
+      .select("doc_id")
+    Tables.documents(s, dir)
+      .join(surv, "doc_id")
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
   }
 
   private val q18 = QueryDef(
     "pl18_bpe_merges",
     (s, dir) => {
-      val (_, _, merges) = learnBpe(s, dir)
+      val (_, merges) = learnBpe(s, survivorWords(s, dir))
       import s.implicits._
       merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
         .orderBy("merge_rank")
@@ -1352,7 +1353,12 @@ object Pipeline extends QueryGroup {
     Some(s"""
       WITH $toksSql,
       $funnelStagedSql,
-      $bpeChainSql
+      surv AS (SELECT doc_id FROM staged WHERE stage = 3),
+      words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(toks) AS word FROM toks JOIN surv USING (doc_id))
+        GROUP BY word),
+      $bpeLevelsSql
       ${graft.functions.BpeOps.unionSql(graft.functions.BpeOps.NMerges)}"""))
 
   /** Tokenizer APPLICATION on the curated corpus — encode pl18's
@@ -1364,20 +1370,31 @@ object Pipeline extends QueryGroup {
     * [[learnBpe]]; the encoded vocabulary is its final state, so
     * pl18/pl19 can never disagree about what was learned.
     *
-    * Scale shape: everything after the corpus's one word-frequency
-    * pass is vocabulary-sized — the encode is a vocab⋈vocab equi-join
-    * on `word` plus one per-language aggregate; the ratios use the
-    * shared integer micro-unit rounding (the pl12/pl16 idiom — a
-    * double division + ROUND splits engines on exact .5 ties in the
-    * 7th digit). */
+    * Scale shape: the corpus is tokenized ONCE, into the per-language
+    * `wl` rollup — the loop's global word frequencies are DERIVED from
+    * it (a vocabulary-sized re-aggregate), not re-scanned — and
+    * everything downstream is vocabulary-sized: the encode is a
+    * vocab⋈vocab equi-join on `word` plus one per-language aggregate.
+    * The ratios use the shared integer micro-unit rounding (the
+    * pl12/pl16 idiom — a double division + ROUND splits engines on
+    * exact .5 ties in the 7th digit), widened through DECIMAL/HUGEINT
+    * because `2 * n_tokens * 1000000` overflows BIGINT past ~4.6e12
+    * tokens — a magnitude real corpora reach (pl16's doc counts never
+    * did; Spark non-ANSI would wrap silently while DuckDB errors). */
   private val q19 = QueryDef(
     "pl19_bpe_encode",
     (s, dir) => {
-      val (surv, vocab, _) = learnBpe(s, dir)
+      val surv = funnelStaged(s, dir).filter(col("stage") === 3)
+        .select("doc_id")
+      // the ONE corpus-sized pass; cached because both the global
+      // word-frequency derivation and the final encode join read it
       val wl = Tables.documents(s, dir)
         .join(surv, "doc_id")
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
         .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+        .cache()
+      val words = wl.groupBy("word").agg(sum(col("freq")).as("freq"))
+      val (vocab, _) = learnBpe(s, words)
       val enc = vocab.select(col("word"),
         size(col("syms")).cast("long").as("n_syms"))
       wl.join(enc, "word")
@@ -1386,23 +1403,28 @@ object Pipeline extends QueryGroup {
           sum(col("freq") * col("n_syms")).as("n_tokens"),
           sum(col("freq") * length(col("word"))).as("n_chars"))
         .withColumn("fertility",
-          expr("(2 * n_tokens * 1000000 + n_words) DIV (2 * n_words)")
+          expr("CAST((2 * CAST(n_tokens AS DECIMAL(38,0)) * 1000000 + n_words)" +
+            " DIV (2 * n_words) AS BIGINT)")
             .cast("double") / lit(1000000.0))
         .withColumn("chars_per_token",
-          expr("(2 * n_chars * 1000000 + n_tokens) DIV (2 * n_tokens)")
+          expr("CAST((2 * CAST(n_chars AS DECIMAL(38,0)) * 1000000 + n_tokens)" +
+            " DIV (2 * n_tokens) AS BIGINT)")
             .cast("double") / lit(1000000.0))
         .orderBy("lang")
     },
     Some(s"""
       WITH $toksSql,
       $funnelStagedSql,
-      $bpeChainSql,
-      wl AS (
+      surv AS (SELECT doc_id FROM staged WHERE stage = 3),
+      wl AS MATERIALIZED (
         SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq
-        FROM (SELECT d.lang, unnest(t.toks) AS word
-              FROM toks t JOIN documents d USING (doc_id)
-                   JOIN surv USING (doc_id))
+        FROM (SELECT t.lang, unnest(t.toks) AS word
+              FROM toks t JOIN surv USING (doc_id))
         GROUP BY 1, 2),
+      words AS (
+        SELECT word, CAST(SUM(freq) AS BIGINT) AS freq
+        FROM wl GROUP BY word),
+      $bpeLevelsSql,
       enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
               FROM v${graft.functions.BpeOps.NMerges}),
       per AS (
@@ -1413,9 +1435,11 @@ object Pipeline extends QueryGroup {
         FROM wl JOIN enc USING (word)
         GROUP BY lang)
       SELECT lang, n_words, n_tokens, n_chars,
-             CAST((2 * n_tokens * 1000000 + n_words) // (2 * n_words) AS DOUBLE)
+             CAST(CAST((2 * CAST(n_tokens AS HUGEINT) * 1000000 + n_words)
+                 // (2 * n_words) AS BIGINT) AS DOUBLE)
                / 1000000.0 AS fertility,
-             CAST((2 * n_chars * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+             CAST(CAST((2 * CAST(n_chars AS HUGEINT) * 1000000 + n_tokens)
+                 // (2 * n_tokens) AS BIGINT) AS DOUBLE)
                / 1000000.0 AS chars_per_token
       FROM per
       ORDER BY lang"""))

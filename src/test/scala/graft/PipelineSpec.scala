@@ -28,7 +28,18 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("pl19 BPE encode: token counts sit between word and char counts, and the merges genuinely compress") {
-    val rows = SparkEntry.queries("pl19_bpe_encode")(spark, Sf).collect()
+    val df = SparkEntry.queries("pl19_bpe_encode")(spark, Sf)
+    // plan pins ride the execution this test pays anyway (building the
+    // frame runs the training loop, so PlanSpec deliberately skips it):
+    // the encode stage is a keyed join + hash aggregate, never a
+    // window or a cross join
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "per-language stats must hash-aggregate")
+    assert(!p.contains("Window"), "no window may enter the encode")
+    assert(!p.contains("CartesianProduct"), "the encode join must stay keyed")
+    val rows = df.collect()
     assert(rows.nonEmpty, "no language had funnel survivors")
     rows.foreach { r =>
       val (lang, w, t, c) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))

@@ -194,13 +194,12 @@ class PlanSpec extends SparkSpec {
     assert(BpeOps.NMerges > 0 && BpeOps.NMerges <= 64)
   }
 
-  test("pl19 BPE encode: vocab-sized equi-join + hash aggregate, no window, no cross join") {
-    val p = plan("pl19_bpe_encode")
-    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
-      "per-language stats must hash-aggregate")
-    assert(!p.contains("Window"))
-    assert(!p.contains("CartesianProduct"), "the encode join must stay keyed")
-  }
+  // pl19's plan pins live in PipelineSpec next to its semantic test:
+  // building the registered frame RUNS the BPE training loop (driver
+  // argmax collects + checkpoints), so asserting the plan here would
+  // execute ~11 jobs in a suite meant for pre-execution inspection —
+  // the PipelineSpec test pays that execution anyway and asserts the
+  // same shape for free.
 
   test("d12_guarded_batch_pairs: the hot set resolves BEFORE the pair self-join") {
     val p = plan("d12_guarded_batch_pairs")
