@@ -78,13 +78,14 @@ NEW_R12 = ["pl12_ccnet_buckets", "d11_guarded_lsh", "pl13_corpus_report"]
 NEW_R13 = ["pl14_decontaminate", "pl15_domain_mix", "pl16_curation_funnel",
            "pl17_shuffle_shards", "x16_deal_reputation",
            "r10_recall_explain", "d4_simhash"]
-# round 14: newborn baselines (d12, pl18, pl19) plus the r13 driver-run
+# round 14: newborn baselines (d12, d13, pl18, pl19) plus the r13 driver-run
 # ambient suspects the verdict flagged for an explicit pin — the
 # auto-mover diff CANNOT catch them this round because the committed
 # BENCH_HEAD was replaced by the driver's own r13 run (the artifact
 # pair it would diff is the same run twice); v6's 5.7x needs a number,
 # not an inference
 NEW_R14 = ["d12_guarded_batch_pairs", "pl18_bpe_merges", "pl19_bpe_encode",
+           "d13_guarded_embedding_pairs",
            "v6_random_projection", "w4_hash_chain", "w8_payload_forge",
            "f1_filter_matrix", "w1_topk_per_group"]
 

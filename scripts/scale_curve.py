@@ -64,6 +64,7 @@ QUERIES = [
     "pl16_curation_funnel", "pl17_shuffle_shards", "d4_simhash",
     # round-14 newborns
     "d12_guarded_batch_pairs", "pl18_bpe_merges", "pl19_bpe_encode",
+    "d13_guarded_embedding_pairs",
 ]
 
 ADD_OPENS = [

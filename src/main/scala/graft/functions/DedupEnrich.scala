@@ -180,34 +180,61 @@ object DedupEnrich {
     * never a hidden dup. */
   def guardedBatchRollup(base: DataFrame, hotThreshold: Long,
       minJaccard: Double = 0.3): DataFrame = {
-    val exploded = base.select(col("doc_id"), explode(col("bands")).as("bk"))
-    val hot = exploded.groupBy("bk")
-      .agg(countDistinct(col("doc_id")).as("cnt"))
-      .filter(col("cnt") >= hotThreshold)
-      .select("bk")
-    val satDocs = exploded.join(hot, Seq("bk"), "left_semi")
-      .select("doc_id").distinct().withColumn("sat", lit(1))
-    val cold = exploded.join(hot, Seq("bk"), "left_anti")
-    val pairs = cold.select(col("doc_id").as("a"), col("bk"))
-      .join(cold.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val keys = base.select(col("doc_id").as("id"),
+      explode(col("bands")).as("key"))
+    val (sat, pairs) = guardedCandidatePairs(keys, hotThreshold)
     val sets = base.select(col("doc_id"), col("sh"))
     val ver = pairs
       .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .filter(TextOps.jaccard(col("sha"), col("shb")) >= minJaccard)
       .select("a", "b")
-    val partners = ver.select(col("a").as("doc_id"), col("b").as("p"))
-      .unionAll(ver.select(col("b").as("doc_id"), col("a").as("p")))
-      .groupBy("doc_id").agg(
+    saturationRollup(sat, ver, "doc_id", "band_saturated")
+  }
+
+  /** The guard CORE, generalized over the blocking-key family: from a
+    * `(id, key)` frame (one row per id per blocking key — MinHash
+    * bands, hyperplane (table, bucket) cells, any equi-join blocking
+    * scheme), resolve the hot keys (>= `hotThreshold` distinct ids)
+    * from a counts aggregate FIRST, and return (saturated ids — every
+    * id holding a hot key, via semi-join; candidate pairs — the
+    * self-join of the anti-joined COLD remainder only). The O(h²)
+    * explosion of a hot key is structurally unproducible: the key
+    * never reaches the pair join. Callers verify the cold pairs with
+    * their own similarity (Jaccard for shingles, cosine for vectors)
+    * and roll up with [[saturationRollup]]. */
+  def guardedCandidatePairs(keys: DataFrame, hotThreshold: Long)
+      : (DataFrame, DataFrame) = {
+    val hot = keys.groupBy("key")
+      .agg(countDistinct(col("id")).as("cnt"))
+      .filter(col("cnt") >= hotThreshold)
+      .select("key")
+    val sat = keys.join(hot, Seq("key"), "left_semi")
+      .select("id").distinct()
+    val cold = keys.join(hot, Seq("key"), "left_anti")
+    val pairs = cold.select(col("id").as("a"), col("key"))
+      .join(cold.select(col("id").as("b"), col("key")), Seq("key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    (sat, pairs)
+  }
+
+  /** Per-id rollup of a guard's two legs: `sat` (ids holding a hot
+    * key) and `ver` (verified cold pairs) → one row per id with any
+    * signal: (idOut, flagOut, n_dups, partners-csv). */
+  def saturationRollup(sat: DataFrame, ver: DataFrame,
+      idOut: String, flagOut: String): DataFrame = {
+    val flagged = sat.withColumn("sat", lit(1))
+    val partners = ver.select(col("a").as("id"), col("b").as("p"))
+      .unionAll(ver.select(col("b").as("id"), col("a").as("p")))
+      .groupBy("id").agg(
         count(lit(1)).as("n_dups"),
         concat_ws(",",
           transform(array_sort(collect_set(col("p"))),
             x => x.cast("string"))).as("partners"))
-    satDocs.join(partners, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("sat"), lit(0)).as("band_saturated"),
+    flagged.join(partners, Seq("id"), "full_outer")
+      .select(col("id").as(idOut),
+        coalesce(col("sat"), lit(0)).as(flagOut),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         coalesce(col("partners"), lit("")).as("partners"))
   }

@@ -248,17 +248,21 @@ object Dedup extends QueryGroup {
   // (id, tbl, bkt) triples, never embeddings. Occupancy tuning is an
   // EXPECTATION, not a bound: a near-duplicate embedding cluster (the
   // templated-corpus class) lands in one (tbl, bkt) and pairs O(h²) —
-  // at corpus scale gate this bucket join with the d12 discipline
-  // (per-bucket counts first, saturated buckets flag instead of pair).
+  // d13_guarded_embedding_pairs is the registered GUARDED form
+  // (per-cell counts first, saturated cells flag instead of pairing),
+  // the one to run at corpus scale.
   private val LshTables = 4
   private val LshPlanes = 8
   private val LshSeed = 42L
 
-  private def lshCandidatePairs(e: DataFrame): DataFrame = {
-    val keys = e.select(col("vec_id"),
+  private def lshKeys(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
       posexplode(array((0 until LshTables).map(t =>
         VectorOps.hyperplaneBucket(col("embedding"), 64, LshPlanes, LshSeed + t)): _*))
         .as(Seq("tbl", "bkt")))
+
+  private def lshCandidatePairs(e: DataFrame): DataFrame = {
+    val keys = lshKeys(e)
     keys.select(col("vec_id").as("a"), col("tbl"), col("bkt"))
       .join(keys.select(col("vec_id").as("b"), col("tbl"), col("bkt")), Seq("tbl", "bkt"))
       .filter(col("a") < col("b"))
@@ -267,16 +271,17 @@ object Dedup extends QueryGroup {
 
   // DuckDB mirror: identical plane coefficients (driver-side literals),
   // identical left-to-right accumulation → bit-identical bucket ids.
-  private val lshPairsSql: String = {
-    val keys = (0 until LshTables).map { t =>
+  private val lshKeysSql: String =
+    (0 until LshTables).map { t =>
       s"SELECT vec_id, $t AS tbl, ${VectorOps.hyperplaneBucketSql("v", 64, LshPlanes, LshSeed + t)} AS bkt FROM e"
     }.mkString("keys AS (", " UNION ALL ", ")")
-    s"""$keys,
+
+  private val lshPairsSql: String =
+    s"""$lshKeysSql,
        |pairs AS (
        |  SELECT DISTINCT ka.vec_id AS a, kb.vec_id AS b
        |  FROM keys ka JOIN keys kb
        |    ON ka.tbl = kb.tbl AND ka.bkt = kb.bkt AND ka.vec_id < kb.vec_id)""".stripMargin
-  }
 
   private val q5 = QueryDef(
     "d5_embedding_neardup",
@@ -842,5 +847,79 @@ object Dedup extends QueryGroup {
       FROM sig_docs d LEFT JOIN partners USING (doc_id)
       ORDER BY d.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12)
+  /** The hot-key guard applied to the EMBEDDING blocking family —
+    * d12's discipline on d5's hyperplane (table, bucket) cells, via
+    * the SAME generalized core ([[DedupEnrich.guardedCandidatePairs]] /
+    * [[DedupEnrich.saturationRollup]] — one guard implementation for
+    * every blocking-key scheme): per-cell distinct-vector counts
+    * resolve first, every vector holding a cell at/over the threshold
+    * reports `bucket_saturated` instead of pairing, the pair self-join
+    * runs on the cold remainder, exact cosine (the d5 threshold)
+    * verifies. A near-duplicate embedding cluster — the
+    * templated-corpus class in vector space — lands h vectors in one
+    * cell and the unguarded join pairs them O(h²); here the cell
+    * flags instead.
+    *
+    * Threshold H = [[EmbHotBucket]] = 8 is a FIXTURE value,
+    * DuckDB-probed non-vacuous on BOTH legs at all three scales
+    * (saturated vectors / verified cold pairs: 65/49 at sf0.001,
+    * 25/77 at sf0.01, 1989/209 at sf0.1). The sf0.1 numbers carry the
+    * honest at-scale signal: with [[LshPlanes]] = 8 fixed while N
+    * grows 10x, nearly EVERY vector touches an overloaded cell — the
+    * guard is the instrument that tells an operator the planes knob
+    * must scale ~ log2 N (the d5 scaladoc's provisioning rule) BEFORE
+    * the pair join melts down, rather than after. */
+  private val EmbHotBucket = 8
+
+  private val q13 = QueryDef(
+    "d13_guarded_embedding_pairs",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val keys = lshKeys(e).select(col("vec_id").as("id"),
+        concat_ws(":", col("tbl"), col("bkt")).as("key"))
+      val (sat, pairs) = DedupEnrich.guardedCandidatePairs(keys, EmbHotBucket)
+      val vecs = e.select(col("vec_id"), col("embedding"))
+      val ver = pairs
+        .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
+        .join(vecs.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
+        .filter(VectorOps.cosineFast(col("va"), col("vb")) >= 0.3)
+        .select("a", "b")
+      DedupEnrich.saturationRollup(sat, ver, "vec_id", "bucket_saturated")
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      $lshKeysSql,
+      counts AS (SELECT tbl, bkt, COUNT(DISTINCT vec_id) AS cnt
+                 FROM keys GROUP BY 1, 2),
+      hot AS (SELECT tbl, bkt FROM counts WHERE cnt >= $EmbHotBucket),
+      sat AS (SELECT DISTINCT vec_id FROM keys JOIN hot USING (tbl, bkt)),
+      cold AS (SELECT k.vec_id, k.tbl, k.bkt FROM keys k
+               LEFT JOIN hot h ON k.tbl = h.tbl AND k.bkt = h.bkt
+               WHERE h.tbl IS NULL),
+      cand AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+               FROM cold a JOIN cold b
+                 ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+      ver AS (SELECT a, b FROM cand
+              JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+              WHERE list_dot_product(ea.v, eb.v)
+                    / (sqrt(list_dot_product(ea.v, ea.v))
+                       * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3),
+      partners AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+               array_to_string(list_sort(list(p)), ',') AS partners
+        FROM (SELECT a AS id, b AS p FROM ver
+              UNION ALL SELECT b AS id, a AS p FROM ver)
+        GROUP BY id),
+      sig AS (SELECT vec_id AS id FROM sat UNION SELECT id FROM partners)
+      SELECT s.id AS vec_id,
+             CASE WHEN s.id IN (SELECT vec_id FROM sat) THEN 1 ELSE 0 END
+               AS bucket_saturated,
+             COALESCE(n_dups, 0) AS n_dups,
+             COALESCE(partners, '') AS partners
+      FROM sig s LEFT JOIN partners ON s.id = partners.id
+      ORDER BY vec_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13)
 }

@@ -217,6 +217,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "pair generation must stay keyed")
   }
 
+  test("d13_guarded_embedding_pairs: the hot cell set resolves BEFORE the bucket self-join") {
+    val p = plan("d13_guarded_embedding_pairs")
+    assert(p.contains("LeftAnti"),
+      "cold-remainder anti-join on the hot cells disappeared")
+    assert(p.contains("LeftSemi"),
+      "saturated-vector semi-join on the hot cells disappeared")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "per-cell counts aggregate disappeared")
+    assert(!p.contains("CartesianProduct"), "pair generation must stay keyed")
+  }
+
   test("d11_guarded_lsh: the hot set gates the candidate join; every join stays an equi-join") {
     val p = plan("d11_guarded_lsh")
     // the saturation guard resolves BEFORE the candidate join (an

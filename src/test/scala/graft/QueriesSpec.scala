@@ -219,6 +219,27 @@ class QueriesSpec extends SparkSpec {
     assert(lost.isEmpty, s"pairs hidden by the guard with no saturation flag: $lost")
   }
 
+  test("d13 guarded embedding pairs: the guard over-approximates — no unguarded d5 pair is silently lost") {
+    val g = SparkEntry.queries("d13_guarded_embedding_pairs")(spark, Sf).collect()
+    assert(g.exists(_.getAs[Int]("bucket_saturated") == 1),
+      "no saturated vector — the guard leg is vacuous")
+    assert(g.exists(_.getAs[Long]("n_dups") > 0),
+      "no cold-cell pair — the pair leg is vacuous")
+    val sat = g.filter(_.getAs[Int]("bucket_saturated") == 1)
+      .map(_.getAs[Long]("vec_id")).toSet
+    val pairs = g.flatMap { r =>
+      val ps = r.getAs[String]("partners")
+      if (ps.isEmpty) Nil
+      else ps.split(",").map(p => (r.getAs[Long]("vec_id"), p.toLong)).toSeq
+    }.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+    val unguarded = SparkEntry.queries("d5_embedding_neardup")(spark, Sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.nonEmpty, "fixture has no embedding near-dups")
+    val lost = unguarded.filterNot { case (a, b) =>
+      pairs((a, b)) || sat(a) || sat(b) }
+    assert(lost.isEmpty, s"pairs hidden by the guard with no saturation flag: $lost")
+  }
+
   test("pl10 DSIR top-50 is enriched in the target source (the length-bias guard)") {
     // at Sf the target source is 25/500 docs, so a random top-50 holds
     // ~2.5; the per-token-mean weight must enrich it at least 2x over
