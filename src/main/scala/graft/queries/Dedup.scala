@@ -861,22 +861,36 @@ object Dedup extends QueryGroup {
     * flags instead.
     *
     * Threshold H = [[EmbHotBucket]] = 8 is a FIXTURE value,
-    * DuckDB-probed non-vacuous on BOTH legs at all three scales
+    * DuckDB-probed non-vacuous on BOTH legs at all three fixture dirs
     * (saturated vectors / verified cold pairs: 65/49 at sf0.001,
-    * 25/77 at sf0.01, 1989/209 at sf0.1). The sf0.1 numbers carry the
+    * 25/77 at sf0.01, 1989/209 at sf0.1 — note the embeddings table
+    * holds 500 rows at BOTH sf0.001 and sf0.01, different content
+    * draws, and 2000 at sf0.1, so the size axis spans 4x, not the
+    * document tables' 10x-per-step). The sf0.1 numbers carry the
     * honest at-scale signal: with [[LshPlanes]] = 8 fixed while N
-    * grows 10x, nearly EVERY vector touches an overloaded cell — the
-    * guard is the instrument that tells an operator the planes knob
-    * must scale ~ log2 N (the d5 scaladoc's provisioning rule) BEFORE
-    * the pair join melts down, rather than after. */
+    * grows 4x, nearly EVERY vector already touches an overloaded
+    * cell — the guard is the instrument that tells an operator the
+    * planes knob must scale ~ log2 N (the d5 scaladoc's provisioning
+    * rule) BEFORE the pair join melts down, rather than after. */
   private val EmbHotBucket = 8
 
   private val q13 = QueryDef(
     "d13_guarded_embedding_pairs",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val keys = lshKeys(e).select(col("vec_id").as("id"),
-        concat_ws(":", col("tbl"), col("bkt")).as("key"))
+      // the keys frame feeds the hot counts, the semi-join, and both
+      // sides of the cold self-join — CACHED so the 4-table hyperplane
+      // bucketing runs once, not once per consumer (the d12 base-cache
+      // discipline). A null bucket (null embedding) is dropped BEFORE
+      // key construction: concat_ws would silently skip the null and
+      // collapse such rows onto the bare table id — a valid-looking
+      // shared key the DuckDB mirror (and d5's equi-join) would never
+      // produce.
+      val keys = lshKeys(e)
+        .filter(col("bkt").isNotNull)
+        .select(col("vec_id").as("id"),
+          concat_ws(":", col("tbl"), col("bkt")).as("key"))
+        .cache()
       val (sat, pairs) = DedupEnrich.guardedCandidatePairs(keys, EmbHotBucket)
       val vecs = e.select(col("vec_id"), col("embedding"))
       val ver = pairs

@@ -225,6 +225,12 @@ class QueriesSpec extends SparkSpec {
       "no saturated vector — the guard leg is vacuous")
     assert(g.exists(_.getAs[Long]("n_dups") > 0),
       "no cold-cell pair — the pair leg is vacuous")
+    g.foreach { r =>
+      val n = r.getAs[Long]("n_dups")
+      val ps = r.getAs[String]("partners")
+      assert((n == 0) == ps.isEmpty, s"vec ${r.get(0)}: count/list mismatch")
+      if (n > 0) assert(ps.split(",").length == n, s"vec ${r.get(0)}")
+    }
     val sat = g.filter(_.getAs[Int]("bucket_saturated") == 1)
       .map(_.getAs[Long]("vec_id")).toSet
     val pairs = g.flatMap { r =>
