@@ -87,6 +87,8 @@ import org.apache.spark.sql.SparkSession
   */
 object ManifestIO {
 
+  private val Log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val FileName = "manifest.properties"
 
   /** Write-once generation-file directory of the pointer protocol. */
@@ -203,15 +205,23 @@ object ManifestIO {
     * pointer-layout store shadows any leftover rename-layout file.
     *
     * Pointer resolution walks the committed generations NEWEST-FIRST
-    * and returns the first one carrying the [[CommittedKey]] sentinel
-    * (a torn head generation — possible only on a forced unknown
-    * scheme, see the sentinel doc — is skipped, falling back to the
-    * newest intact commit); if no generation validates, the newest one
-    * is accepted as-is (pre-sentinel store). A FileNotFound while
-    * opening a LISTED generation means the listing went stale under a
-    * live writer's retention sweep (>= [[PointerKeep]] commits landed
-    * since the list) — the whole resolution re-lists and retries,
-    * bounded by [[ReadRelistAttempts]]. */
+    * and returns the first one carrying the [[CommittedKey]] sentinel.
+    * A generation that cannot be PARSED (Properties.load throws — a
+    * head truncated mid-`\\uXXXX` escape raises IllegalArgumentException,
+    * not FileNotFound, so a bare FNF-only handler would surface the
+    * torn-write crash the sentinel exists to absorb) is treated
+    * exactly like a sentinel-less one: torn, skipped, never the
+    * legacy fallback. If no generation validates, the newest PARSEABLE
+    * one is accepted as-is (pre-sentinel store). Skipping a head in
+    * favor of an older sentinel-bearing generation logs a WARNING: on
+    * a mixed-binary deployment (a pre-sentinel writer rolled back onto
+    * a sentinel-era store) the skip is silent stale reads, and the log
+    * line is the only signal that distinguishes it from normal
+    * operation. A FileNotFound while opening a LISTED generation means
+    * the listing went stale under a live writer's retention sweep
+    * (>= [[PointerKeep]] commits landed since the list) — the whole
+    * resolution re-lists and retries, bounded by
+    * [[ReadRelistAttempts]]. */
   def read(storePath: String): Option[Map[String, String]] = {
     val conf = hconf
     val pdir = new Path(storePath, PointerDir)
@@ -220,13 +230,41 @@ object ManifestIO {
       val gens = pointerGens(fs, pdir)
       if (gens.isEmpty) None
       else try {
-        val loaded = gens.reverse.iterator
-          .map(n => loadProps(fs, new Path(pdir, pointerName(n))))
+        // lazy walk: a sentinel-era head stops at ONE load
+        val it = gens.reverse.iterator
         var newestRaw: Option[Map[String, String]] = None
-        val validated = loaded.find { m =>
-          if (newestRaw.isEmpty) newestRaw = Some(m)
-          m.contains(CommittedKey)
+        var validated: Option[Map[String, String]] = None
+        var skippedPastHead = false
+        while (validated.isEmpty && it.hasNext) {
+          val n = it.next()
+          val m =
+            try Some(loadProps(fs, new Path(pdir, pointerName(n))))
+            catch {
+              // stale listing: escalate to the re-list retry below
+              case fnf: java.io.FileNotFoundException => throw fnf
+              // unparseable generation = torn (Properties.load raises
+              // IllegalArgumentException on a malformed \uXXXX escape,
+              // IOException on stream-level damage): skip it like a
+              // sentinel-less one, and never use it as the fallback
+              case _: IllegalArgumentException => None
+              case _: java.io.IOException => None
+            }
+          m match {
+            case Some(mm) =>
+              if (newestRaw.isEmpty) newestRaw = Some(mm)
+              if (mm.contains(CommittedKey)) validated = Some(mm)
+              else skippedPastHead = true
+            case None => skippedPastHead = true
+          }
         }
+        if (validated.isDefined && skippedPastHead)
+          Log.warn(
+            "maintained store at {}: newest pointer generation(s) have " +
+              "no committed sentinel (torn write, or a pre-sentinel " +
+              "binary committed to a sentinel-era store) — resolving " +
+              "the newest VALIDATED generation instead; if a rolled-back " +
+              "writer is live, its commits are being read as stale",
+            storePath)
         validated.map(_ - CommittedKey).orElse(newestRaw)
       } catch {
         case e: java.io.FileNotFoundException =>

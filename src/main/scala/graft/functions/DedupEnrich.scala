@@ -219,14 +219,66 @@ object DedupEnrich {
     (sat, pairs)
   }
 
+  /** Min-label propagation to fixpoint over an undirected pair graph —
+    * the connected-components step of a dedup pass (`d6_dedup_groups`,
+    * the pl16 funnel's fuzzy stage): from verified pairs `(a, b)`,
+    * returns one `(node, component)` row per node appearing in any
+    * pair, where `component` is the MINIMUM id reachable from the node
+    * (the deterministic canonical-survivor convention: the component
+    * min survives). Nodes in no pair are absent — trivially their own
+    * survivors.
+    *
+    * EAGER: runs a driver loop of Spark jobs (one join + one aggregate
+    * per iteration, over the pair graph only — at 100 TB that graph is
+    * orders of magnitude smaller than the corpus, since only verified
+    * near-dups appear). Each iteration localCheckpoints to truncate
+    * lineage; the convergence count is the one driver-side action (the
+    * d6 loop-control discipline). `parts` sizes the iteration frames
+    * (callers pass [[graft.queries.IterSizing.iterParts]]). */
+  def minLabelComponents(pairs: DataFrame, parts: Int): DataFrame = {
+    val edges = pairs
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .coalesce(parts).cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .coalesce(parts).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b").as("node"))
+        .agg(min(col("component")).as("ncomp"))
+      // lazy checkpoint: the convergence-count action materializes it
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"),
+          (coalesce(col("ncomp"), col("component")) < col("component")).as("chg"))
+        .coalesce(parts).localCheckpoint(false)
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
+      iter += 1
+    }
+    labels
+  }
+
   /** Per-id rollup of a guard's two legs: `sat` (ids holding a hot
     * key) and `ver` (verified cold pairs) → one row per id with any
-    * signal: (idOut, flagOut, n_dups, partners-csv). */
+    * signal: (idOut, flagOut, n_dups, partners-csv).
+    *
+    * `ver` need not be pair-distinct: the directed (id, partner) rows
+    * are deduplicated here before counting, so `n_dups` always equals
+    * the partner-list length (the count/list invariant the specs pin)
+    * even for a caller that skips its own `.distinct()` — relying on
+    * every caller to pre-dedupe was a silent-contract trap (the r14
+    * advice finding). */
   def saturationRollup(sat: DataFrame, ver: DataFrame,
       idOut: String, flagOut: String): DataFrame = {
     val flagged = sat.withColumn("sat", lit(1))
     val partners = ver.select(col("a").as("id"), col("b").as("p"))
       .unionAll(ver.select(col("b").as("id"), col("a").as("p")))
+      .distinct()
       .groupBy("id").agg(
         count(lit(1)).as("n_dups"),
         concat_ws(",",

@@ -96,6 +96,20 @@ object MinHash {
     }: _*)
   }
 
+  /** DuckDB mirror of [[bandKeys]] as an `unnest(...)` select
+    * expression over the signature-list column `sigCol` — one band-key
+    * row per band (the d11/d12/funnel oracle shape). `chr(1)` is the
+    * SQL spelling of [[Sep]]. */
+  def bandKeysSql(sigCol: String, nHashes: Int, rowsPerBand: Int): String = {
+    require(nHashes % rowsPerBand == 0, "bands must tile the signature")
+    val nBands = nHashes / rowsPerBand
+    val members = (1 to rowsPerBand)
+      .map(r => s"CAST($sigCol[$rowsPerBand*b+$r] AS VARCHAR)")
+    s"""unnest(list_transform(generate_series(0, ${nBands - 1}),
+       |                 b -> md5(${("CAST(b AS VARCHAR)" +: members)
+                            .mkString(" || chr(1) || ")})))""".stripMargin
+  }
+
   /** 16-bit SimHash over a token array (with multiplicity). Each token
     * maps to a 16-bit integer (first 4 hex chars of its md5) and
     * contributes ±1 per bit position; the sketch bit is the sign of the

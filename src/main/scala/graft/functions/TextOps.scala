@@ -46,6 +46,24 @@ object TextOps {
         concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array(concat_ws(" ", toks)))
 
+  /** DuckDB mirror of [[shingles]](k) + `list_distinct` over the
+    * token-list expression `toks` — the shingle-SET construction every
+    * dedup oracle shares (Dedup's `sh` CTE, the pl16 funnel's fuzzy
+    * stage). One source of SQL truth: two oracles carrying divergent
+    * shingle SQL would silently stop matching each other's band keys
+    * exactly like two drifted Column builders would. */
+  def shingleSetSqlExpr(toks: String, k: Int): String =
+    s"""list_distinct(CASE WHEN len($toks) >= $k
+       |           THEN list_transform(generate_series(0, len($toks) - $k),
+       |                               i -> array_to_string(list_slice($toks, i + 1, i + $k), ' '))
+       |           ELSE [array_to_string($toks, ' ')] END)""".stripMargin
+
+  /** DuckDB mirror of [[jaccard]] over two shingle-list expressions
+    * (shared by the d2/d6/d12 oracles and the funnel's fuzzy stage). */
+  def jaccardSqlExpr(a: String, b: String): String =
+    s"""CAST(len(list_intersect($a, $b)) AS DOUBLE)
+       |              / len(list_distinct(list_concat($a, $b)))""".stripMargin
+
   /** STRICT k-token n-grams: a doc shorter than k tokens has NONE —
     * unlike [[shingles]]' whole-doc fallback (right for dedup blocking,
     * wrong for overlap tests: a 5-token doc is not a 13-gram). The

@@ -43,13 +43,10 @@ object Dedup extends QueryGroup {
 
   // 3-shingle set CTE (DuckDB) — mirrors TextOps.shingles(k=3) + distinct
   private val shinglesSql =
-    """sh AS (
-      |  SELECT doc_id,
-      |         list_distinct(CASE WHEN len(toks) >= 3
-      |           THEN list_transform(generate_series(0, len(toks) - 3),
-      |                               i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-      |           ELSE [array_to_string(toks, ' ')] END) AS sh
-      |  FROM toks)""".stripMargin
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         ${TextOps.shingleSetSqlExpr("toks", DedupEnrich.ShingleK)} AS sh
+       |  FROM toks)""".stripMargin
 
   private val q1 = QueryDef(
     "d1_exact_dedup",
@@ -181,9 +178,7 @@ object Dedup extends QueryGroup {
         FROM fp),
       bands AS (
         SELECT doc_id, sh,
-               unnest(list_transform(generate_series(0, 3),
-                 b -> md5(CAST(b AS VARCHAR) || chr(1) || CAST(sig[2*b+1] AS VARCHAR)
-                          || chr(1) || CAST(sig[2*b+2] AS VARCHAR)))) AS bk
+               ${MinHash.bandKeysSql("sig", DedupEnrich.NHashes, DedupEnrich.RowsPerBand)} AS bk
         FROM sigs),
       pairs AS (
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.sh AS sha, b.sh AS shb
@@ -383,31 +378,10 @@ object Dedup extends QueryGroup {
         .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
         .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.4)
         .select("a", "b")
-      // undirected edge list + min-label propagation to fixpoint
-      val np = IterSizing.iterParts(s)
-      val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-        .coalesce(np).cache()
-      var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("component", col("node"))
-        .coalesce(np).localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 30) {
-        val viaNeighbors = edges
-          .join(labels.withColumnRenamed("node", "a"), "a")
-          .groupBy(col("b").as("node"))
-          .agg(min(col("component")).as("ncomp"))
-        // lazy checkpoint: the convergence-count action materializes it
-        val next = labels.join(viaNeighbors, Seq("node"), "left")
-          .select(col("node"),
-            least(col("component"), coalesce(col("ncomp"), col("component")))
-              .as("component"),
-            (coalesce(col("ncomp"), col("component")) < col("component")).as("chg"))
-          .coalesce(np).localCheckpoint(false)
-        changed = next.filter(col("chg")).count()
-        labels = next.drop("chg")
-        iter += 1
-      }
+      // undirected edge list + min-label propagation to fixpoint —
+      // the SHARED CC builder (the pl16 fuzzy stage composes the same)
+      val labels =
+        DedupEnrich.minLabelComponents(pairs, IterSizing.iterParts(s))
       val sizes = labels.groupBy("component").agg(count(lit(1)).as("group_size"))
       labels.join(sizes, "component")
         .select(col("node").as("doc_id"), col("component").as("canonical_id"),
@@ -645,9 +619,7 @@ object Dedup extends QueryGroup {
         FROM fp),
       bands AS (
         SELECT doc_id, sh,
-               unnest(list_transform(generate_series(0, 3),
-                 b -> md5(CAST(b AS VARCHAR) || chr(1) || CAST(sig[2*b+1] AS VARCHAR)
-                          || chr(1) || CAST(sig[2*b+2] AS VARCHAR)))) AS bk
+               ${MinHash.bandKeysSql("sig", DedupEnrich.NHashes, DedupEnrich.RowsPerBand)} AS bk
         FROM sigs),
       pairs AS (
         SELECT DISTINCT h.doc_id AS a, p.doc_id AS b, h.sh AS sha, p.sh AS shb
@@ -732,9 +704,7 @@ object Dedup extends QueryGroup {
         FROM fp),
       bands AS (
         SELECT doc_id,
-               unnest(list_transform(generate_series(0, 3),
-                 b -> md5(CAST(b AS VARCHAR) || chr(1) || CAST(sig[2*b+1] AS VARCHAR)
-                          || chr(1) || CAST(sig[2*b+2] AS VARCHAR)))) AS bk
+               ${MinHash.bandKeysSql("sig", DedupEnrich.NHashes, DedupEnrich.RowsPerBand)} AS bk
         FROM sigs),
       hist AS (SELECT doc_id AS a, bk FROM bands WHERE doc_id % 5 <> 4),
       probe AS (SELECT doc_id AS b, bk FROM bands WHERE doc_id % 5 = 4),
@@ -817,9 +787,7 @@ object Dedup extends QueryGroup {
         FROM fp),
       bands AS (
         SELECT doc_id,
-               unnest(list_transform(generate_series(0, 3),
-                 b -> md5(CAST(b AS VARCHAR) || chr(1) || CAST(sig[2*b+1] AS VARCHAR)
-                          || chr(1) || CAST(sig[2*b+2] AS VARCHAR)))) AS bk
+               ${MinHash.bandKeysSql("sig", DedupEnrich.NHashes, DedupEnrich.RowsPerBand)} AS bk
         FROM sigs),
       counts AS (SELECT bk, COUNT(DISTINCT doc_id) AS cnt FROM bands GROUP BY bk),
       hot AS (SELECT bk FROM counts WHERE cnt >= $BatchHotBands),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.TextOps
+import graft.functions.{MinHash, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1078,26 +1078,77 @@ object Pipeline extends QueryGroup {
     * production run publishes after composing its stages in order:
     * Gopher quality rules (pl11's exact conjunction) → exact dedup
     * among the survivors (d1's fingerprint, min-doc_id canonical) →
-    * eval-set decontamination of the canonicals (pl14's 13-gram
-    * overlap against the held-out doc_id % 7 slice, which is excluded
-    * from the training corpus at stage zero). Each stage's logic is
-    * the registered operator's own expressions, so the funnel can
-    * never disagree with the stages it composes; every stage drops
-    * documents on this corpus at all three scales (DuckDB-probed
-    * before registration: raw→quality −2348, →unique −814, →clean −15
-    * docs at sf0.1).
+    * GUARDED fuzzy dedup of the canonicals (d12's hot-band-guarded
+    * pair generation + d6's min-label connected components; survivor =
+    * component min) → eval-set decontamination of the fuzzy survivors
+    * (pl14's 13-gram overlap against the held-out doc_id % 7 slice,
+    * which is excluded from the training corpus at stage zero). This
+    * is the published curation-funnel shape (Gopher §A1.2, RefinedWeb,
+    * FineWeb: quality → exact dedup → FUZZY dedup → decontaminate),
+    * and the fuzzy stage the end-to-end story exercises is the GUARDED
+    * generator — the unguarded d2/d3 self-joins stay registered only
+    * as recall models. Each stage's logic is the registered operator's
+    * own shared builders, so the funnel can never disagree with the
+    * stages it composes; every stage drops documents on this corpus at
+    * all three scales (DuckDB-probed before registration,
+    * scripts/probe_fuzzy_stage.py: raw→quality −2348, →unique −814,
+    * →fuzzy −72, →clean −13 docs at sf0.1; fuzzy drops 5/4/72 at
+    * sf0.001/0.01/0.1).
     *
-    * Scale shape: one enriched doc-level pass (cached — four
-    * consumers), the d1-style groupBy+join-back for canonicals (no
-    * fp window), the pl14 broadcast gram probe (no corpus shuffle),
-    * then ONE per-language aggregate over a per-doc stage number —
-    * joins are equi or broadcast throughout. Retention uses the
-    * integer micro-unit rounding (the pl12/pl14 discipline). */
+    * Fuzzy-stage semantics: candidate pairs come from
+    * [[graft.functions.DedupEnrich.guardedCandidatePairs]] over the
+    * exact-canonicals' MinHash band keys with H = [[FunnelHotBands]],
+    * verified at Jaccard >= [[FunnelMinJaccard]]; components from the
+    * SHARED [[graft.functions.DedupEnrich.minLabelComponents]]; the
+    * deterministic canonical-survivor rule is "component minimum
+    * survives". A BAND-SATURATED doc is NOT a survivor: the guard
+    * suppresses a hot band's pairs, so a saturated doc's true
+    * component is unknown — dropping it is the over-approximation-safe
+    * routing (may drop a would-be survivor of a templated cluster,
+    * never lets a hidden near-dup through; both endpoints of every
+    * suppressed pair are flagged, per the d12 contract). H = 3 is the
+    * fixture threshold (smallest non-vacuous: any pair-producing band
+    * holds >= 2 docs); the saturated leg is non-vacuous at sf0.1 only
+    * (0/0/24 docs) — the pair leg at all scales (5/4/48 verified
+    * pairs).
+    *
+    * Scale shape: one enriched doc-level pass (cached — the shingle
+    * set rides it so the fuzzy stage re-reads NO corpus data), the
+    * d1-style groupBy+join-back for canonicals (no fp window), band
+    * keys computed on the (much smaller) canonical-survivor set only,
+    * the guard's counts-aggregate-then-semi/anti discipline (O(h²) on
+    * a hot band structurally unproducible), a CC loop over the
+    * verified-pair graph only (orders of magnitude smaller than the
+    * corpus), the pl14 broadcast gram probe (no corpus shuffle), then
+    * ONE per-language aggregate over a per-doc stage number — joins
+    * are equi or broadcast throughout. Retention uses the integer
+    * micro-unit rounding (the pl12/pl14 discipline). */
+  /** Hot-band threshold of the funnel's fuzzy stage (the d12
+    * discipline at the funnel's scope — see [[funnelStaged]]'s
+    * scaladoc for the probe numbers and the production-threshold
+    * note on `Dedup.BatchHotBands`). */
+  private val FunnelHotBands = 3
+
+  /** Exact-Jaccard verification threshold of the fuzzy stage (the d3
+    * family threshold). */
+  private val FunnelMinJaccard = 0.3
+
   /** DuckDB mirror of [[funnelStaged]]: the CTE chain `enriched` →
-    * `staged(doc_id, lang, stage)`, requiring `$toksSql` in scope.
-    * Shared verbatim by the pl16 and pl18 oracles — one source of
-    * funnel truth per engine. */
-  private val funnelStagedSql: String = """enriched AS (
+    * `staged(doc_id, lang, stage)`, requiring `$toksSql` in scope and
+    * `WITH RECURSIVE` on the enclosing chain (the fuzzy stage's
+    * `freach` reachability CTE). Shared verbatim by the pl16, pl18 and
+    * pl19 oracles — one source of funnel truth per engine; the shingle
+    * /minhash/band/jaccard SQL comes from the same generators the
+    * Dedup oracles use.
+    *
+    * GOTCHA (caught by the sf0.1 gate): under `WITH RECURSIVE`,
+    * DuckDB 1.0 does NOT deduplicate a plain `UNION` inside a
+    * NON-recursive CTE of the chain (`WITH RECURSIVE a AS (SELECT 1
+    * UNION SELECT 1)` yields 2 rows) — a doc in both guard legs came
+    * out of `fdrop` twice and duplicated its `staged` row through the
+    * join. Any set-op that must dedupe in this chain is therefore
+    * written `SELECT DISTINCT ... FROM (... UNION ALL ...)`. */
+  private val funnelStagedSql: String = s"""enriched AS (
         SELECT t.doc_id, t.lang,
                CAST(len(toks) AS BIGINT) AS n_words,
                CASE WHEN len(toks) > 0
@@ -1129,30 +1180,74 @@ object Pipeline extends QueryGroup {
       canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM q GROUP BY fp),
       uniq AS (SELECT q.doc_id, CAST(q.doc_id = canonical_id AS INT) AS canonical
                FROM q JOIN canon USING (fp)),
+      exact AS (SELECT doc_id FROM uniq WHERE canonical = 1),
+      fsh AS (
+        SELECT doc_id, ${TextOps.shingleSetSqlExpr("toks",
+          graft.functions.DedupEnrich.ShingleK)} AS sh
+        FROM toks JOIN exact USING (doc_id)),
+      ffp AS (SELECT doc_id, sh, ${MinHash.fingerprintsSql("sh")} AS fp FROM fsh),
+      fsigs AS (SELECT doc_id, sh, ${MinHash.signatureSql("fp",
+          graft.functions.DedupEnrich.NHashes)} AS sig FROM ffp),
+      fbands AS (
+        SELECT doc_id, ${MinHash.bandKeysSql("sig",
+          graft.functions.DedupEnrich.NHashes,
+          graft.functions.DedupEnrich.RowsPerBand)} AS bk
+        FROM fsigs),
+      fcounts AS (SELECT bk, COUNT(DISTINCT doc_id) AS cnt FROM fbands GROUP BY bk),
+      fhot AS (SELECT bk FROM fcounts WHERE cnt >= $FunnelHotBands),
+      fsat AS (SELECT DISTINCT doc_id FROM fbands JOIN fhot USING (bk)),
+      fcold AS (SELECT doc_id, bk FROM fbands WHERE bk NOT IN (SELECT bk FROM fhot)),
+      fcand AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM fcold a JOIN fcold b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      fver AS (
+        SELECT a, b FROM fcand
+        JOIN fsh sa ON sa.doc_id = fcand.a JOIN fsh sb ON sb.doc_id = fcand.b
+        WHERE ${TextOps.jaccardSqlExpr("sa.sh", "sb.sh")} >= $FunnelMinJaccard),
+      fedges AS (SELECT a, b FROM fver UNION ALL SELECT b, a FROM fver),
+      freach AS (
+        SELECT a AS node, a AS r FROM fedges
+        UNION
+        SELECT re.node, e.b FROM freach re JOIN fedges e ON re.r = e.a),
+      fcomp AS (SELECT node, MIN(r) AS component FROM freach GROUP BY node),
+      fdrop AS (SELECT DISTINCT doc_id FROM (
+                  SELECT doc_id FROM fsat
+                  UNION ALL SELECT node FROM fcomp WHERE node <> component)),
+      fsurv AS (SELECT doc_id FROM exact
+                WHERE doc_id NOT IN (SELECT doc_id FROM fdrop)),
       ev AS (SELECT DISTINCT unnest(grams) AS gram FROM k WHERE is_eval),
       flagged AS (
         SELECT DISTINCT tg.doc_id FROM (
           SELECT u.doc_id, unnest(t.grams) AS gram
-          FROM uniq u JOIN train t ON u.doc_id = t.doc_id
-          WHERE u.canonical = 1) tg
+          FROM fsurv u JOIN train t ON u.doc_id = t.doc_id) tg
         JOIN ev ON tg.gram = ev.gram),
       staged AS (
         SELECT t.doc_id, t.lang,
                CASE WHEN t.kept != 1 THEN 0
                     WHEN u.canonical IS NULL OR u.canonical != 1 THEN 1
-                    WHEN f.doc_id IS NOT NULL THEN 2
-                    ELSE 3 END AS stage
+                    WHEN fd.doc_id IS NOT NULL THEN 2
+                    WHEN f.doc_id IS NOT NULL THEN 3
+                    ELSE 4 END AS stage
         FROM train t LEFT JOIN uniq u ON t.doc_id = u.doc_id
+             LEFT JOIN fdrop fd ON t.doc_id = fd.doc_id
              LEFT JOIN flagged f ON t.doc_id = f.doc_id)"""
 
-  /** SHARED curation-funnel staging (pl16 reports it, pl18 trains on
-    * it): every TRAIN document (the doc_id % 7 eval slice excluded up
-    * front) with its furthest-surviving stage — 0 = failed Gopher
-    * quality, 1 = non-canonical exact dup, 2 = eval-contaminated,
-    * 3 = clean survivor. Every stage decision comes from the SHARED
-    * builders the stage operators themselves use (GopherRules == pl11,
-    * exactFp == d1, hashedNgrams == pl14) — composition, not
-    * reimplementation; [[funnelStagedSql]] is the DuckDB mirror. */
+  /** SHARED curation-funnel staging (pl16 reports it, pl18/pl19 train
+    * on it): every TRAIN document (the doc_id % 7 eval slice excluded
+    * up front) with its furthest-surviving stage — 0 = failed Gopher
+    * quality, 1 = non-canonical exact dup, 2 = fuzzy near-dup
+    * non-survivor (band-saturated OR a non-minimum member of a
+    * verified-pair component), 3 = eval-contaminated, 4 = clean
+    * survivor. Every stage decision comes from the SHARED builders the
+    * stage operators themselves use (GopherRules == pl11, exactFp ==
+    * d1, withBandKeys/guardedCandidatePairs == d12,
+    * minLabelComponents == d6, hashedNgrams == pl14) — composition,
+    * not reimplementation; [[funnelStagedSql]] is the DuckDB mirror.
+    *
+    * EAGER: the fuzzy stage's CC loop runs driver-controlled Spark
+    * jobs at build time (the pl18/pl19 build discipline — plan pins
+    * for these queries live in their executing PipelineSpec tests, not
+    * PlanSpec). */
   private def funnelStaged(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{DedupEnrich, GopherRules}
     val K = 13
@@ -1160,9 +1255,10 @@ object Pipeline extends QueryGroup {
       .select(col("doc_id"), col("lang"), col("text"),
         TextOps.tokens(col("text")).as("toks")))
       .withColumn("fp", DedupEnrich.exactFpFromToks(col("toks")))
+      .withColumn("sh", DedupEnrich.shingleSetFromToks(col("toks")))
       .withColumn("grams", TextOps.hashedNgrams(col("toks"), K))
       .withColumn("is_eval", col("doc_id") % 7 === 0)
-      .select("doc_id", "lang", "kept", "fp", "grams", "is_eval")
+      .select("doc_id", "lang", "kept", "fp", "sh", "grams", "is_eval")
       .cache()
     val train = enriched.filter(!col("is_eval"))
     val q = train.filter(col("kept") === 1)
@@ -1170,20 +1266,45 @@ object Pipeline extends QueryGroup {
     val uniq = q.join(DedupEnrich.joinBackBuild(canon), "fp")
       .withColumn("canonical",
         (col("doc_id") === col("canonical_id")).cast("int"))
+    // fuzzy stage: band keys on the exact-canonical survivors only
+    // (the shingle set rides the cached enriched pass — no corpus
+    // re-read); guard + pairs via the SHARED d12 core, components via
+    // the SHARED d6 loop; survivor = component min, saturated docs
+    // drop (over-approximation-safe — see the funnel scaladoc)
+    val banded = DedupEnrich.withBandKeys(
+      uniq.filter(col("canonical") === 1).select(col("doc_id"), col("sh")),
+      "sh").cache()
+    val fkeys = banded.select(col("doc_id").as("id"),
+      explode(col("bands")).as("key"))
+    val (fsat, fpairs) =
+      DedupEnrich.guardedCandidatePairs(fkeys, FunnelHotBands)
+    val fver = fpairs
+      .join(banded.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(banded.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .filter(TextOps.jaccard(col("sha"), col("shb")) >= FunnelMinJaccard)
+      .select("a", "b")
+    val fcomp = DedupEnrich.minLabelComponents(fver, IterSizing.iterParts(s))
+    val fdrop = fsat.select(col("id").as("doc_id"))
+      .unionAll(fcomp.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id")))
+      .distinct().withColumn("fuzzy_drop", lit(1))
     val evalGrams = enriched.filter(col("is_eval"))
       .select(explode(col("grams")).as("gram")).distinct()
     val flagged = uniq.filter(col("canonical") === 1)
+      .join(fdrop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .select("doc_id").distinct().withColumn("flag", lit(1))
     train
       .join(uniq.select(col("doc_id"), col("canonical")), Seq("doc_id"), "left")
+      .join(fdrop, Seq("doc_id"), "left")
       .join(flagged, Seq("doc_id"), "left")
       .withColumn("stage",
         when(col("kept") =!= 1, 0)
           .when(col("canonical").isNull || col("canonical") =!= 1, 1)
-          .when(col("flag") === 1, 2)
-          .otherwise(3))
+          .when(col("fuzzy_drop") === 1, 2)
+          .when(col("flag") === 1, 3)
+          .otherwise(4))
       .select("doc_id", "lang", "stage")
   }
 
@@ -1194,22 +1315,24 @@ object Pipeline extends QueryGroup {
         count(lit(1)).as("n_raw"),
         sum((col("stage") >= 1).cast("long")).as("n_quality"),
         sum((col("stage") >= 2).cast("long")).as("n_unique"),
-        sum((col("stage") >= 3).cast("long")).as("n_clean"))
+        sum((col("stage") >= 3).cast("long")).as("n_fuzzy"),
+        sum((col("stage") >= 4).cast("long")).as("n_clean"))
         .withColumn("retention",
           expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
             .cast("double") / lit(1000000.0))
         .orderBy("lang")
     },
     Some(s"""
-      WITH $toksSql,
+      WITH RECURSIVE $toksSql,
       $funnelStagedSql,
       agg AS (
         SELECT lang, COUNT(*) AS n_raw,
                CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
                CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-               CAST(SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+               CAST(SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
+               CAST(SUM(CASE WHEN stage >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
         FROM staged GROUP BY lang)
-      SELECT lang, n_raw, n_quality, n_unique, n_clean,
+      SELECT lang, n_raw, n_quality, n_unique, n_fuzzy, n_clean,
              CAST((2 * n_clean * 1000000 + n_raw) // (2 * n_raw) AS DOUBLE)
                / 1000000.0 AS retention
       FROM agg
@@ -1262,7 +1385,7 @@ object Pipeline extends QueryGroup {
     * (Sennrich et al. 2016; see [[graft.functions.BpeOps]] for the
     * algorithm/determinism contract), the step that closes the
     * training-data story: curate (pl16) → mix (pl15) → shard (pl17) →
-    * TRAIN TOKENIZER. Input is pl16's stage-3 survivors via the SHARED
+    * TRAIN TOKENIZER. Input is pl16's stage-4 (clean) survivors via the SHARED
     * [[funnelStaged]] builder (compose, never copy), so the tokenizer
     * is fit on exactly the corpus that survives curation — fitting on
     * raw data would spend merge budget on boilerplate the funnel
@@ -1334,7 +1457,7 @@ object Pipeline extends QueryGroup {
   /** The survivor word-frequency table — the ONE corpus-sized pass of
     * the BPE family (everything downstream is vocabulary-sized). */
   private def survivorWords(s: SparkSession, dir: String): DataFrame = {
-    val surv = funnelStaged(s, dir).filter(col("stage") === 3)
+    val surv = funnelStaged(s, dir).filter(col("stage") === 4)
       .select("doc_id")
     Tables.documents(s, dir)
       .join(surv, "doc_id")
@@ -1351,9 +1474,9 @@ object Pipeline extends QueryGroup {
         .orderBy("merge_rank")
     },
     Some(s"""
-      WITH $toksSql,
+      WITH RECURSIVE $toksSql,
       $funnelStagedSql,
-      surv AS (SELECT doc_id FROM staged WHERE stage = 3),
+      surv AS (SELECT doc_id FROM staged WHERE stage = 4),
       words AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(toks) AS word FROM toks JOIN surv USING (doc_id))
@@ -1384,7 +1507,7 @@ object Pipeline extends QueryGroup {
   private val q19 = QueryDef(
     "pl19_bpe_encode",
     (s, dir) => {
-      val surv = funnelStaged(s, dir).filter(col("stage") === 3)
+      val surv = funnelStaged(s, dir).filter(col("stage") === 4)
         .select("doc_id")
       // the ONE corpus-sized pass; cached because both the global
       // word-frequency derivation and the final encode join read it
@@ -1413,9 +1536,9 @@ object Pipeline extends QueryGroup {
         .orderBy("lang")
     },
     Some(s"""
-      WITH $toksSql,
+      WITH RECURSIVE $toksSql,
       $funnelStagedSql,
-      surv AS (SELECT doc_id FROM staged WHERE stage = 3),
+      surv AS (SELECT doc_id FROM staged WHERE stage = 4),
       wl AS MATERIALIZED (
         SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT t.lang, unnest(t.toks) AS word

@@ -295,15 +295,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no window belongs in a stateless sampler")
   }
 
-  test("pl16_curation_funnel: one cached doc pass, gram probe broadcast, no fp window anywhere") {
-    val p = plan("pl16_curation_funnel")
-    assert(p.contains("BroadcastHashJoin"), "the eval-gram probe must broadcast")
-    assert(!p.contains("Window"),
-      "the funnel composes the de-windowed stage shapes — no window belongs here")
-    assert(!p.contains("CartesianProduct"))
-    assert(p.contains("InMemoryTableScan"),
-      "the enriched doc pass must be shared via cache, not recomputed per stage")
-  }
+  // pl16's plan pins live in PipelineSpec's executing funnel test: the
+  // fuzzy stage's CC loop makes pl16's BUILD run driver jobs, which
+  // PlanSpec's build-only plan() must not pay (the pl18/pl19 rule).
 
   test("pl17_shuffle_shards: stateless map-side assignment — one scan, no join, no window") {
     val p = plan("pl17_shuffle_shards")

@@ -580,6 +580,45 @@ class StoreCompatSpec extends SparkSpec {
     assert(ManifestIO.read(dir).exists(_("k") == "healed"))
   }
 
+  test("pointer protocol: a head torn mid-unicode-escape (Properties.load THROWS) still falls back, not crashes") {
+    // the r14 advice class: Properties.load raises
+    // IllegalArgumentException — not FileNotFound — on a malformed
+    // \uXXXX escape, which is exactly what a truncation INSIDE an
+    // escaped non-Latin-1 value leaves behind; read() must treat the
+    // unparseable generation as torn and resolve the previous intact
+    // one instead of surfacing the parser crash
+    val dir = Files.createTempDirectory("compat-ptorn2").toFile.getAbsolutePath
+    withConf("graft.manifest.protocol" -> "pointer") {
+      ManifestIO.write(dir, Map("version" -> "3", "k" -> "good"))
+      // a value with a non-Latin-1 char serializes as a \uXXXX escape
+      ManifestIO.write(dir, Map("version" -> "3", "k" -> "head", "t" -> "προφίλ"))
+    }
+    assert(ManifestIO.read(dir).exists(_("k") == "head"))
+    val pdir = new java.io.File(dir, ManifestIO.PointerDir)
+    val head = pdir.listFiles().filter(_.getName.endsWith(".properties"))
+      .maxBy(_.getName)
+    val text = new String(Files.readAllBytes(head.toPath), "ISO-8859-1")
+    val escAt = text.indexOf("\\u")
+    assert(escAt > 0, "expected a \\uXXXX escape in the serialized head")
+    // truncate MID-escape: leaves "\u3B" — the malformed tail that
+    // makes Properties.load throw IllegalArgumentException
+    Files.write(head.toPath,
+      text.substring(0, escAt + 4).getBytes("ISO-8859-1"))
+    intercept[IllegalArgumentException] {
+      val p = new java.util.Properties()
+      val in = new java.io.FileInputStream(head)
+      try p.load(in) finally in.close()
+    } // precondition: this truncation really is the throwing class
+    val m = ManifestIO.read(dir).getOrElse(fail("store became unreadable"))
+    assert(m("k") == "good",
+      s"reader must fall back past the unparseable head: $m")
+    // and the store heals forward
+    withConf("graft.manifest.protocol" -> "pointer") {
+      ManifestIO.write(dir, Map("version" -> "3", "k" -> "healed"))
+    }
+    assert(ManifestIO.read(dir).exists(_("k") == "healed"))
+  }
+
   test("pointer protocol: a rename-layout store migrates on its first forced pointer commit") {
     val dir = Files.createTempDirectory("compat-pmig").toFile.getAbsolutePath
     ManifestIO.write(dir, Map("version" -> "3", "k" -> "old"))
