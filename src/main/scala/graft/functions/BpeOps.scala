@@ -36,8 +36,89 @@ import org.apache.spark.sql.functions._
   */
 object BpeOps {
 
-  /** Merges learned by `pl18_bpe_merges` (fixture-sized; see above). */
+  /** Merges learned by `pl18_bpe_merges` (fixture-sized; see above).
+    *
+    * JOB-CADENCE BOUND (the honest production constraint): each merge
+    * of the distributed loop is one full Spark job round — a pair-count
+    * aggregate, a 1-row argmax collect, and a checkpointed merge
+    * application — a FIXED ~0.3-0.4 s of scheduling latency at sf0.1
+    * regardless of data size (SCALING.json: pl18 is ~77% fixed
+    * overhead). At a production merge count (30k+ for a real
+    * vocabulary) that is HOURS of pure cadence no matter how small the
+    * corpus: the driver loop, not the data, is the bound. The
+    * production claw-back is [[learnBpeLocal]]: the vocabulary is
+    * BOUNDED by the language (the same argument that makes the d6 CC
+    * loop's collect legitimate), so after the one corpus-sized
+    * word-frequency pass the collected (word, freq) table fits the
+    * driver and the remaining 30k iterations are pure in-memory work.
+    * MEASURED (BENCH_AB, round-robin at sf0.1 local[32]): distributed
+    * loop 5.91 s min / 7.06 median vs collect-then-fit 5.24/5.44 —
+    * the shared corpus+funnel pass dominates both, and the delta is
+    * the loop itself, ~0.07-0.16 s PER MERGE of pure cadence on an
+    * idle local box (a real cluster's scheduling latency is higher):
+    * at 30k merges, 35 minutes to 1.4 hours of overhead that the
+    * local fit replaces with in-memory milliseconds. The registered
+    * query keeps the distributed loop because it is the
+    * oracle-checkable per-iteration cost model and exercises the
+    * map-side pair-count shape a sharded fit would reuse;
+    * PipelineSpec pins that both forms learn the identical table. */
   val NMerges = 10
+
+  /** Driver-local BPE fit over a COLLECTED (word, freq) vocabulary —
+    * the production form of the merge loop once the one corpus pass
+    * has reduced the data to its language-bounded vocabulary (see the
+    * cadence note on [[NMerges]]). Merge-for-merge identical to the
+    * distributed loop by construction: same pair counting (adjacent
+    * pairs, word-frequency weighted, multiplicity within a word), same
+    * total argmax order (count DESC, lhs ASC, rhs ASC — JVM String
+    * ordering is binary, matching both engines on this alphabet), same
+    * greedy left-to-right merge fold as [[applyMerge]]; PipelineSpec
+    * pins equality against the registered pl18 output on the real
+    * survivor vocabulary. Stops early when the pair space is exhausted
+    * (the loop's `live = false` semantics). */
+  def learnBpeLocal(vocab: Seq[(String, Long)], nMerges: Int = NMerges)
+      : Seq[(Int, String, String, Long)] = {
+    var syms: Array[(Array[String], Long)] = vocab.map { case (w, f) =>
+      (if (w.isEmpty) Array.empty[String] else w.map(_.toString).toArray, f)
+    }.toArray
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var live = true
+    while (k <= nMerges && live) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (ss, f) =>
+        var i = 0
+        while (i < ss.length - 1) {
+          val key = (ss(i), ss(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) live = false
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        merges += ((k, a, b, c))
+        syms = syms.map { case (ss, f) => (applyMergeLocal(ss, a, b), f) }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Driver-local mirror of [[applyMerge]]'s greedy fold. */
+  private def applyMergeLocal(ss: Array[String], lhs: String,
+      rhs: String): Array[String] =
+    if (ss.isEmpty) ss
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[String](ss(0))
+      var i = 1
+      while (i < ss.length) {
+        if (out.last == lhs && ss(i) == rhs) out(out.length - 1) = lhs + rhs
+        else out += ss(i)
+        i += 1
+      }
+      out.toArray
+    }
 
   /** Character-symbol array of a word — the level-0 BPE state. `word`
     * MUST be a bound attribute (the lambda re-evaluates non-attribute

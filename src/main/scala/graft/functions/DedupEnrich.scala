@@ -56,10 +56,23 @@ object DedupEnrich {
     * threshold (AQE's skew split structurally cannot engage on this
     * shape: the groups aggregate is co-partitioned with the join key,
     * which breaks OptimizeSkewedJoin's pattern — SkewJoinSpec pins
-    * both facts). Default `auto` leaves the planner's choice — at test
-    * scale the groups side broadcasts, which is strictly better (a
-    * hard-coded hint would PREEMPT size-based broadcast and regress
-    * the small case, which is why this is a conf, not a literal). */
+    * both facts).
+    *
+    * Default `auto` leaves the planner's size-based choice (broadcast
+    * at test scale). MEASURED caveat (BENCH_AB, round-robin reps at
+    * sf0.1 local[32]): the broadcast default is NOT locally fastest —
+    * d1 broadcast 0.58 s min / 0.68 median vs shuffle_hash 0.36/0.44
+    * and even sort-merge 0.47/0.61 — because local[32]'s "shuffle" is
+    * an in-process memory copy while broadcast pays a real
+    * collect-to-driver + rebuild. What broadcast buys is the
+    * ELIMINATED PROBE-SIDE EXCHANGE, a cost class that only exists on
+    * a real cluster where the probe is a corpus-wide network shuffle —
+    * exactly what a 1000-executor run avoids by broadcasting a
+    * fits-in-memory groups side. `auto` therefore stays the default
+    * (the planner's broadcast pick is right where it matters and its
+    * local premium is fractions of a second); the conf exists for the
+    * corpus-scale case where the groups side CANNOT broadcast and the
+    * planner would otherwise sort the mega-dup partition. */
   def joinBackBuild(groups: DataFrame): DataFrame =
     if (groups.sparkSession.conf
       .get("graft.joinback.strategy", "auto") == "shuffle_hash")

@@ -1455,8 +1455,11 @@ object Pipeline extends QueryGroup {
   }
 
   /** The survivor word-frequency table — the ONE corpus-sized pass of
-    * the BPE family (everything downstream is vocabulary-sized). */
-  private def survivorWords(s: SparkSession, dir: String): DataFrame = {
+    * the BPE family (everything downstream is vocabulary-sized).
+    * `private[graft]`: BenchAB's collect-then-fit adjudication and the
+    * PipelineSpec local-vs-distributed equality pin consume the same
+    * vocabulary the registered query trains on. */
+  private[graft] def survivorWords(s: SparkSession, dir: String): DataFrame = {
     val surv = funnelStaged(s, dir).filter(col("stage") === 4)
       .select("doc_id")
     Tables.documents(s, dir)

@@ -27,6 +27,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pl18: driver-local collect-then-fit learns the IDENTICAL merge table (the production cadence form)") {
+    // the BpeOps.NMerges cadence contract: after the one corpus pass,
+    // a fit over the collected (word, freq) vocabulary must be
+    // merge-for-merge identical to the distributed loop — counts,
+    // symbols, ranks, tie-breaks
+    import graft.functions.BpeOps
+    val dist = SparkEntry.queries("pl18_bpe_merges")(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val vocab = graft.queries.Pipeline.survivorWords(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val local = BpeOps.learnBpeLocal(vocab)
+    assert(local == dist,
+      s"local fit diverged from the distributed loop:\n local=$local\n dist=$dist")
+  }
+
   test("pl19 BPE encode: token counts sit between word and char counts, and the merges genuinely compress") {
     val df = SparkEntry.queries("pl19_bpe_encode")(spark, Sf)
     // plan pins ride the execution this test pays anyway (building the
