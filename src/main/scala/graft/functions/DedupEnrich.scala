@@ -232,6 +232,36 @@ object DedupEnrich {
     (sat, pairs)
   }
 
+  /** PRODUCTION derivation of a guard's hot threshold from the
+    * key-occupancy distribution — the formula the fixture constants
+    * (`Dedup.BatchHotBands` = 3, `Dedup.EmbHotBucket` = 8) stand in
+    * for at test scale:
+    *
+    *   H = max(floor, ceil(slack × quantile_q(occupancy)))
+    *
+    * with q = 0.5 (MEDIAN) and slack = 4 by default: the median is
+    * robust against the hot tail itself (a p99 on a corpus whose
+    * templates ARE the tail would chase the spike it is meant to
+    * catch), and 4× median occupancy is far outside natural bucket
+    * variance on a provisioned blocking scheme (median ≈ 1-2 when
+    * planes/bands are sized to the corpus) while orders of magnitude
+    * below a template flood. The occupancy frame is the SAME
+    * `(key → countDistinct id)` aggregate the guard computes — callers
+    * that cache `keys` (the d12/d13 discipline) pay one extra
+    * reduction over the cached frame, nothing corpus-sized. The
+    * quantile is exact (approxQuantile at zero error), one driver-side
+    * double. Queries expose this through
+    * `graft.dedup.hotThreshold=fixture|auto|<int>`; DedupSurfacesSpec
+    * pins that on a templated flood the derived H flags exactly the
+    * planted hot band's docs and no cold ones. */
+  def deriveHotThreshold(keys: DataFrame, floor: Long = 2,
+      quantile: Double = 0.5, slack: Double = 4.0): Long = {
+    val occ = keys.groupBy("key")
+      .agg(countDistinct(col("id")).cast("double").as("cnt"))
+    val q = occ.stat.approxQuantile("cnt", Array(quantile), 0.0).head
+    math.max(floor, math.ceil(q * slack).toLong)
+  }
+
   /** Min-label propagation to fixpoint over an undirected pair graph —
     * the connected-components step of a dedup pass (`d6_dedup_groups`,
     * the pl16 funnel's fuzzy stage): from verified pairs `(a, b)`,

@@ -237,7 +237,8 @@ object Dedup extends QueryGroup {
   // LshTables independent hash tables (seeds LshSeed..+L-1), each
   // hashing a vector to one of 2^LshPlanes sign buckets. Candidate
   // pairs = same (table, bucket); recall is tuned by L, bucket
-  // occupancy by planes (scale planes ~ log2 N to keep buckets O(1)).
+  // occupancy by planes (scale planes ~ log2 N to keep buckets O(1) —
+  // the rule is BEHAVIOR via graft.lsh.planes=auto, see lshPlanesFor).
   // Pair generation carries ONLY ids — vectors are joined back for the
   // exact cosine verify afterwards, so the blocking shuffle moves
   // (id, tbl, bkt) triples, never embeddings. Occupancy tuning is an
@@ -250,11 +251,45 @@ object Dedup extends QueryGroup {
   private val LshPlanes = 8
   private val LshSeed = 42L
 
-  private def lshKeys(e: DataFrame): DataFrame =
+  /** Hyperplane-count PROVISIONING — the planes~log2(N) rule as
+    * BEHAVIOR, not prose (the r14 verdict item: d13 measured that the
+    * planes=8 fixture pin saturates 1989/2000 vectors at sf0.1 — the
+    * guard is the instrument, this is the knob it instructs).
+    * `graft.lsh.planes` selects:
+    *  - unset (default): the [[LshPlanes]] fixture pin — the oracle
+    *    SQL embeds the same literal, so the gate stays cross-engine
+    *    exact;
+    *  - `auto`: `max(LshPlanes, ceil(log2 N) + 1)` — expected bucket
+    *    occupancy N/2^planes ≈ 1/2, the O(1)-per-cell target the d5
+    *    scaladoc's rule states; the fixture value floors it (never
+    *    FEWER buckets than the pinned recall analysis assumed) and 30
+    *    caps it (2^30 cells outgrows any real N/occupancy need and
+    *    keeps the bucket id well inside a BIGINT after the 4-table
+    *    posexplode);
+    *  - an integer: that many planes, verbatim (operator override).
+    * `n` is by-name: the sizing count() runs ONLY in auto mode —
+    * callers pass the frame's own count, one tiny job against a
+    * 2-column projection. DedupSurfacesSpec pins that auto
+    * de-saturates the sf0.1 fixture by an order of magnitude while
+    * the default stays at the oracle-pinned fixture behavior. */
+  private[graft] def lshPlanesFor(s: org.apache.spark.sql.SparkSession,
+      n: => Long): Int =
+    s.conf.get("graft.lsh.planes", "fixture") match {
+      case "fixture" => LshPlanes
+      case "auto" =>
+        val derived = math.ceil(math.log(math.max(2L, n).toDouble)
+          / math.log(2.0)).toInt + 1
+        math.min(30, math.max(LshPlanes, derived))
+      case v => v.toInt
+    }
+
+  private def lshKeys(e: DataFrame): DataFrame = {
+    val planes = lshPlanesFor(e.sparkSession, e.count())
     e.select(col("vec_id"),
       posexplode(array((0 until LshTables).map(t =>
-        VectorOps.hyperplaneBucket(col("embedding"), 64, LshPlanes, LshSeed + t)): _*))
+        VectorOps.hyperplaneBucket(col("embedding"), 64, planes, LshSeed + t)): _*))
         .as(Seq("tbl", "bkt")))
+  }
 
   private def lshCandidatePairs(e: DataFrame): DataFrame = {
     val keys = lshKeys(e)
@@ -753,12 +788,32 @@ object Dedup extends QueryGroup {
     * cold pairs = 13/19 at sf0.001, 9/23 at sf0.01, 225/228 at sf0.1;
     * H = 2 would blank the pair leg entirely — any pair-producing band
     * holds >= 2 docs). Production thresholds are orders of magnitude
-    * higher; the semantics are threshold-independent.
+    * higher; the semantics are threshold-independent. The production
+    * DERIVATION of the threshold is
+    * [[graft.functions.DedupEnrich.deriveHotThreshold]] (median
+    * occupancy x slack, floor-bounded), reachable here via
+    * `graft.dedup.hotThreshold=auto` — DedupSurfacesSpec pins that it
+    * flags a planted template flood and no cold bands.
     *
     * Output is the d11 per-doc rollup over the whole corpus: every doc
     * with any signal reports its saturation flag and its verified
     * (J >= 0.3, the d3 threshold) cold-band partners. */
   private val BatchHotBands = 3
+
+  /** Conf-gated threshold resolution for the guard family:
+    * `graft.dedup.hotThreshold` = `fixture` (default — the pinned
+    * constant, which the oracle SQL embeds), `auto` (the
+    * [[graft.functions.DedupEnrich.deriveHotThreshold]] median-
+    * occupancy formula over the SAME counts aggregate the guard
+    * computes), or an integer override. `keys` is by-name: the
+    * derivation's reduction runs only in auto mode. */
+  private def hotThresholdFor(s: org.apache.spark.sql.SparkSession,
+      fixture: Long, keys: => DataFrame): Long =
+    s.conf.get("graft.dedup.hotThreshold", "fixture") match {
+      case "fixture" => fixture
+      case "auto" => DedupEnrich.deriveHotThreshold(keys)
+      case v => v.toLong
+    }
 
   private val q12 = QueryDef(
     "d12_guarded_batch_pairs",
@@ -775,7 +830,9 @@ object Dedup extends QueryGroup {
           "text"),
         "sh")
         .cache()
-      DedupEnrich.guardedBatchRollup(base, BatchHotBands)
+      DedupEnrich.guardedBatchRollup(base,
+        hotThresholdFor(s, BatchHotBands,
+          base.select(col("doc_id").as("id"), explode(col("bands")).as("key"))))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -838,8 +895,12 @@ object Dedup extends QueryGroup {
     * honest at-scale signal: with [[LshPlanes]] = 8 fixed while N
     * grows 4x, nearly EVERY vector already touches an overloaded
     * cell — the guard is the instrument that tells an operator the
-    * planes knob must scale ~ log2 N (the d5 scaladoc's provisioning
-    * rule) BEFORE the pair join melts down, rather than after. */
+    * planes knob must scale ~ log2 N (lshPlanesFor's conf-gated auto
+    * derivation — QueriesSpec pins the 10x de-saturation; the d5 provisioning
+    * rule) BEFORE the pair join melts down, rather than after.
+    * Production threshold derivation: `graft.dedup.hotThreshold=auto`
+    * applies [[graft.functions.DedupEnrich.deriveHotThreshold]] over
+    * the same cached keys frame. */
   private val EmbHotBucket = 8
 
   private val q13 = QueryDef(
@@ -859,7 +920,8 @@ object Dedup extends QueryGroup {
         .select(col("vec_id").as("id"),
           concat_ws(":", col("tbl"), col("bkt")).as("key"))
         .cache()
-      val (sat, pairs) = DedupEnrich.guardedCandidatePairs(keys, EmbHotBucket)
+      val (sat, pairs) = DedupEnrich.guardedCandidatePairs(keys,
+        hotThresholdFor(s, EmbHotBucket, keys))
       val vecs = e.select(col("vec_id"), col("embedding"))
       val ver = pairs
         .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))

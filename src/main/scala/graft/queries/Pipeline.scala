@@ -1512,13 +1512,23 @@ object Pipeline extends QueryGroup {
     (s, dir) => {
       val surv = funnelStaged(s, dir).filter(col("stage") === 4)
         .select("doc_id")
-      // the ONE corpus-sized pass; cached because both the global
-      // word-frequency derivation and the final encode join read it
+      // the ONE corpus-sized pass; shared by the global word-frequency
+      // derivation and the final encode join. EAGER localCheckpoint,
+      // not cache (the r14 advice item): a cache() entry lives in the
+      // CacheManager until an explicit unpersist — which this build
+      // cannot issue, because its last consumer (the returned frame's
+      // final aggregate) runs after the build returns — so repeated
+      // invocations in one session would accumulate vocabulary-sized
+      // cached frames. A checkpointed RDD is ContextCleaner-collected
+      // once the invocation's frames are unreferenced, is equally
+      // compute-once (materialized here, vocabulary-sized), and
+      // truncates the corpus lineage like the learnBpe loop's own
+      // checkpoints.
       val wl = Tables.documents(s, dir)
         .join(surv, "doc_id")
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
         .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
-        .cache()
+        .localCheckpoint()
       val words = wl.groupBy("word").agg(sum(col("freq")).as("freq"))
       val (vocab, _) = learnBpe(s, words)
       val enc = vocab.select(col("word"),

@@ -350,6 +350,37 @@ class DedupSurfacesSpec extends SparkSpec {
       s"the index must also enumerate the cold near-dup: $idxPairs")
   }
 
+  test("derived saturation threshold: the median-occupancy formula flags the planted hot band and no cold ones") {
+    // the production form of the fixture constants (BatchHotBands/
+    // EmbHotBucket): H = max(floor, ceil(slack * median occupancy)).
+    // On a templated flood the planted band's occupancy (6) sits far
+    // above 4x the median (cold keys hold 1-2 docs), so the derived H
+    // lands between them: every template doc flags, the genuine cold
+    // near-dup pair still pairs, and no cold doc is flagged.
+    import spark.implicits._
+    val flood: Seq[(Long, String)] =
+      (1L to 6L).map(i => i -> baseText) ++
+        Seq(7L -> otherText, 8L -> (otherText + " indeed"),
+          9L -> "entirely novel text about sailing boats and tides",
+          10L -> "another unrelated document mentioning compilers")
+    val base = DedupEnrich.withBandKeys(
+      DedupEnrich.withShingleSet(flood.toDF("doc_id", "text"), "text"), "sh")
+    val keys = base.select(col("doc_id").as("id"),
+      explode(col("bands")).as("key"))
+    val h = DedupEnrich.deriveHotThreshold(keys)
+    assert(h > 2 && h <= 6,
+      s"derived H must separate cold occupancy (<= 2) from the flood (6): $h")
+    val (sat, pairs) = DedupEnrich.guardedCandidatePairs(keys, h)
+    val flagged = sat.collect().map(_.getLong(0)).toSet
+    assert(flagged == (1L to 6L).toSet,
+      s"derived H must flag exactly the planted flood: $flagged")
+    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((7L, 8L)),
+      s"the cold near-dup pair must survive the derived guard: $p")
+    assert(p.forall { case (a, b) => a >= 7L && b >= 7L },
+      s"no pair may involve a flagged flood doc: $p")
+  }
+
   test("short docs get per-doc shingles, never a shared degenerate band key") {
     val b = batchBands
     assert((b(6L) & b(7L)).isEmpty,

@@ -246,6 +246,30 @@ class QueriesSpec extends SparkSpec {
     assert(lost.isEmpty, s"pairs hidden by the guard with no saturation flag: $lost")
   }
 
+  test("lsh planes provisioning: auto derives ~log2 N planes and de-saturates the sf0.1 fixture 10x") {
+    // the d13 scaladoc's at-scale finding made executable: with the
+    // planes=8 fixture pin, 1989/2000 vectors touch an overloaded cell
+    // at sf0.1; graft.lsh.planes=auto applies the planes~log2(N)+1
+    // provisioning rule the d5 scaladoc states, and the saturated
+    // count must fall by AT LEAST an order of magnitude. The default
+    // (conf unset) stays at the fixture pin — the oracle gate depends
+    // on it, and this test re-checks that pinned run too.
+    val dir = "/root/testdata/sf0.1"
+    def saturated(): Long =
+      SparkEntry.queries("d13_guarded_embedding_pairs")(spark, dir)
+        .agg(sum(col("bucket_saturated"))).collect()(0).getLong(0)
+    val pinned = saturated()
+    assert(pinned > 1500,
+      s"fixture-pin saturation changed: expected the documented ~1989, got $pinned")
+    var auto = -1L
+    withConf("graft.lsh.planes" -> "auto") { auto = saturated() }
+    assert(auto >= 0 && auto * 10 <= pinned,
+      s"auto provisioning must de-saturate 10x: pinned=$pinned auto=$auto")
+    // the guard still catches the PLANTED hot clusters: some residual
+    // saturation should remain (a genuinely clustered cell is hot at
+    // any planes count — the knob fixes occupancy, not true dups)
+  }
+
   test("pl10 DSIR top-50 is enriched in the target source (the length-bias guard)") {
     // at Sf the target source is 25/500 docs, so a random top-50 holds
     // ~2.5; the per-token-mean weight must enrich it at least 2x over
