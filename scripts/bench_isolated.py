@@ -88,6 +88,15 @@ NEW_R14 = ["d12_guarded_batch_pairs", "pl18_bpe_merges", "pl19_bpe_encode",
            "d13_guarded_embedding_pairs",
            "v6_random_projection", "w4_hash_chain", "w8_payload_forge",
            "f1_filter_matrix", "w1_topk_per_group"]
+# round 15: no newborn queries — pl16/pl18/pl19 changed plan shape
+# (the funnel gained the guarded fuzzy-dedup stage + its CC loop) and
+# d6 re-composed onto the shared DedupEnrich.minLabelComponents (same
+# loop by construction — its row verifies performance-neutrality);
+# d12/d13 gained the conf-gated threshold resolution wrapper (fixture
+# path unchanged — rows verify that too)
+NEW_R15 = ["pl16_curation_funnel", "pl18_bpe_merges", "pl19_bpe_encode",
+           "d6_dedup_groups", "d12_guarded_batch_pairs",
+           "d13_guarded_embedding_pairs"]
 
 # round 12+: movers are detected AUTOMATICALLY — any query whose
 # time moved >1.5x in either direction between the two most recent
@@ -173,7 +182,7 @@ def auto_movers():
 # silently twice with the second run overwriting the first
 QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10 +
                              MOVERS_R11 + NEW_R12 + NEW_R13 + NEW_R14 +
-                             auto_movers()))
+                             NEW_R15 + auto_movers()))
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",

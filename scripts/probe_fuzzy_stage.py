@@ -99,8 +99,9 @@ freach AS (
   UNION
   SELECT re.node, e.b FROM freach re JOIN fedges e ON re.r = e.a),
 fcomp AS (SELECT node, MIN(r) AS component FROM freach GROUP BY node),
-fdrop AS (SELECT doc_id FROM fsat
-          UNION SELECT node FROM fcomp WHERE node <> component)
+fdrop AS (SELECT DISTINCT doc_id FROM (
+            SELECT doc_id FROM fsat
+            UNION ALL SELECT node FROM fcomp WHERE node <> component))
 """
 
 

@@ -199,6 +199,11 @@ object BenchAB {
       } finally c.confs.keys.foreach(spark.conf.unset)
     }
 
+    // plan capture EXECUTED builds (the pl18 cases run their whole
+    // training loop): clear every cache it left before the first timed
+    // rep, or case 0 pays the leftover memory pressure alone
+    spark.catalog.clearCache()
+
     // ROUND-ROBIN timing: rep r runs EVERY case once before any case
     // runs rep r+1. The r14 sequential loop let JIT/ambient warm-up
     // accumulate in later cases — the judge caught d1's broadcast

@@ -240,14 +240,16 @@ object ManifestIO {
           val m =
             try Some(loadProps(fs, new Path(pdir, pointerName(n))))
             catch {
-              // stale listing: escalate to the re-list retry below
-              case fnf: java.io.FileNotFoundException => throw fnf
               // unparseable generation = torn (Properties.load raises
-              // IllegalArgumentException on a malformed \uXXXX escape,
-              // IOException on stream-level damage): skip it like a
-              // sentinel-less one, and never use it as the fallback
+              // IllegalArgumentException on a malformed \uXXXX escape —
+              // the truncation-mid-escape class): skip it like a
+              // sentinel-less one, and never use it as the fallback.
+              // Everything else propagates: FileNotFound escalates to
+              // the re-list retry below, and a TRANSIENT stream error
+              // (connection reset, checksum failure) must surface as
+              // the error it is — swallowing it as "torn" would turn
+              // an infra blip into a silent stale read
               case _: IllegalArgumentException => None
-              case _: java.io.IOException => None
             }
           m match {
             case Some(mm) =>
@@ -265,6 +267,15 @@ object ManifestIO {
               "the newest VALIDATED generation instead; if a rolled-back " +
               "writer is live, its commits are being read as stale",
             storePath)
+        if (validated.isEmpty && newestRaw.isEmpty)
+          // every listed generation failed to parse: the resolve
+          // returns None and the caller falls through to the legacy
+          // rename-layout file — surface that a pointer layout EXISTS
+          // but yielded nothing, or the fallback reads as normal
+          Log.warn(
+            "maintained store at {}: pointer generations exist but " +
+              "none parsed — falling back to the legacy manifest " +
+              "file if present (pre-pointer state)", storePath)
         validated.map(_ - CommittedKey).orElse(newestRaw)
       } catch {
         case e: java.io.FileNotFoundException =>

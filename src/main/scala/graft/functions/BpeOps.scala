@@ -78,8 +78,15 @@ object BpeOps {
     * (the loop's `live = false` semantics). */
   def learnBpeLocal(vocab: Seq[(String, Long)], nMerges: Int = NMerges)
       : Seq[(Int, String, String, Long)] = {
+    // symbolize by CODE POINT, not UTF-16 unit: Spark's substr (and
+    // DuckDB's substr) count characters, so a supplementary-plane char
+    // is ONE symbol there — w.map(_.toString) would split it into two
+    // unpaired surrogate halves and silently break the equality
+    // contract off the fixture alphabet
     var syms: Array[(Array[String], Long)] = vocab.map { case (w, f) =>
-      (if (w.isEmpty) Array.empty[String] else w.map(_.toString).toArray, f)
+      (if (w.isEmpty) Array.empty[String]
+       else w.codePoints().toArray
+         .map(cp => new String(Character.toChars(cp))), f)
     }.toArray
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var k = 1

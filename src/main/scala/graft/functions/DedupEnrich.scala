@@ -60,11 +60,12 @@ object DedupEnrich {
     *
     * Default `auto` leaves the planner's size-based choice (broadcast
     * at test scale). MEASURED caveat (BENCH_AB, round-robin reps at
-    * sf0.1 local[32]): the broadcast default is NOT locally fastest —
-    * d1 broadcast 0.58 s min / 0.68 median vs shuffle_hash 0.36/0.44
-    * and even sort-merge 0.47/0.61 — because local[32]'s "shuffle" is
-    * an in-process memory copy while broadcast pays a real
-    * collect-to-driver + rebuild. What broadcast buys is the
+    * sf0.1 local[32] — the committed artifact's numbers): the
+    * broadcast default is NOT locally fastest — d1 broadcast 0.49 s
+    * min / 0.55 median vs shuffle_hash 0.32/0.34 and even sort-merge
+    * 0.43/0.46 — because local[32]'s "shuffle" is an in-process
+    * memory copy while broadcast pays a real collect-to-driver +
+    * rebuild. What broadcast buys is the
     * ELIMINATED PROBE-SIDE EXCHANGE, a cost class that only exists on
     * a real cluster where the probe is a corpus-wide network shuffle —
     * exactly what a 1000-executor run avoids by broadcasting a
@@ -258,8 +259,12 @@ object DedupEnrich {
       quantile: Double = 0.5, slack: Double = 4.0): Long = {
     val occ = keys.groupBy("key")
       .agg(countDistinct(col("id")).cast("double").as("cnt"))
-    val q = occ.stat.approxQuantile("cnt", Array(quantile), 0.0).head
-    math.max(floor, math.ceil(q * slack).toLong)
+    // approxQuantile returns an EMPTY array on an empty frame — an
+    // empty corpus slice must resolve to the floor, not crash
+    occ.stat.approxQuantile("cnt", Array(quantile), 0.0) match {
+      case Array(q) => math.max(floor, math.ceil(q * slack).toLong)
+      case _ => floor
+    }
   }
 
   /** Min-label propagation to fixpoint over an undirected pair graph —

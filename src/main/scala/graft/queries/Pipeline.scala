@@ -1092,8 +1092,9 @@ object Pipeline extends QueryGroup {
     * stages it composes; every stage drops documents on this corpus at
     * all three scales (DuckDB-probed before registration,
     * scripts/probe_fuzzy_stage.py: raw→quality −2348, →unique −814,
-    * →fuzzy −72, →clean −13 docs at sf0.1; fuzzy drops 5/4/72 at
-    * sf0.001/0.01/0.1).
+    * →fuzzy −69, →clean −13 docs at sf0.1; fuzzy drops 5/4/69 at
+    * sf0.001/0.01/0.1 — 3 sf0.1 docs sit in BOTH guard legs, so the
+    * leg sums 24+48 exceed the 69 distinct drops).
     *
     * Fuzzy-stage semantics: candidate pairs come from
     * [[graft.functions.DedupEnrich.guardedCandidatePairs]] over the
@@ -1454,6 +1455,10 @@ object Pipeline extends QueryGroup {
     (vocab, merges.result())
   }
 
+  /** The previous pl19 invocation's `wl` cache handle — unpersisted at
+    * the next build (see the cache-site comment in pl19). */
+  private var lastWl: Option[DataFrame] = None
+
   /** The survivor word-frequency table — the ONE corpus-sized pass of
     * the BPE family (everything downstream is vocabulary-sized).
     * `private[graft]`: BenchAB's collect-then-fit adjudication and the
@@ -1512,23 +1517,30 @@ object Pipeline extends QueryGroup {
     (s, dir) => {
       val surv = funnelStaged(s, dir).filter(col("stage") === 4)
         .select("doc_id")
-      // the ONE corpus-sized pass; shared by the global word-frequency
-      // derivation and the final encode join. EAGER localCheckpoint,
-      // not cache (the r14 advice item): a cache() entry lives in the
-      // CacheManager until an explicit unpersist — which this build
-      // cannot issue, because its last consumer (the returned frame's
-      // final aggregate) runs after the build returns — so repeated
-      // invocations in one session would accumulate vocabulary-sized
-      // cached frames. A checkpointed RDD is ContextCleaner-collected
-      // once the invocation's frames are unreferenced, is equally
-      // compute-once (materialized here, vocabulary-sized), and
-      // truncates the corpus lineage like the learnBpe loop's own
-      // checkpoints.
+      // the ONE corpus-sized pass; cached because both the global
+      // word-frequency derivation and the final encode join read it.
+      // The r14 advice item (explicit unpersist against
+      // multi-invocation accumulation) is ADJUDICATED here, measured:
+      // the build cannot unpersist its OWN cache (the last consumer —
+      // the returned frame's final aggregate — runs after the build
+      // returns), and the eager-localCheckpoint alternative measured
+      // ~2.2 s SLOWER per invocation at sf0.1 (TimeOne 9.6-10.4 vs
+      // 7.4-8.4 warm). CacheManager cannot dedupe wl across
+      // invocations either: its lineage passes through the fuzzy
+      // stage's checkpointed CC labels, whose RDD id is fresh per
+      // invocation. So the build unpersists the PREVIOUS invocation's
+      // wl instead — at most one entry is ever live (if a caller
+      // still holds an unexecuted older pl19 frame, that frame
+      // recomputes: correct, just uncached).
       val wl = Tables.documents(s, dir)
         .join(surv, "doc_id")
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
         .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
-        .localCheckpoint()
+        .cache()
+      Pipeline.synchronized {
+        lastWl.foreach(_.unpersist(false))
+        lastWl = Some(wl)
+      }
       val words = wl.groupBy("word").agg(sum(col("freq")).as("freq"))
       val (vocab, _) = learnBpe(s, words)
       val enc = vocab.select(col("word"),

@@ -274,4 +274,24 @@ class FunctionsSpec extends SparkSpec {
     assert(byWord("")._2 == Seq.empty && byWord("")._3 == Seq.empty,
       "empty symbol arrays must pass through applyMerge unchanged")
   }
+
+  test("BPE: learnBpeLocal symbolizes by CODE POINT, matching charSyms on supplementary-plane chars") {
+    import graft.functions.BpeOps
+    import spark.implicits._
+    // U+1D11E (musical G clef) is two UTF-16 units but ONE character
+    // to Spark's substr and DuckDB's substr; a UTF-16-unit split would
+    // yield unpaired surrogate halves and break the local-vs-
+    // distributed merge equality off the [a-z0-9] fixture alphabet
+    val clef = new String(Character.toChars(0x1D11E))
+    val word = "a" + clef + "b"
+    val sparkSyms = Seq(word).toDF("word")
+      .select(BpeOps.charSyms(col("word"))).collect()(0).getSeq[String](0)
+    assert(sparkSyms == Seq("a", clef, "b"),
+      s"charSyms must split by code point: $sparkSyms")
+    // the local fit's first merge operates on the same three symbols:
+    // pairs are (a, clef) and (clef, b), tie broken by lhs ASC
+    val merges = BpeOps.learnBpeLocal(Seq(word -> 1L), 1)
+    assert(merges.head._2 == "a" && merges.head._3 == clef,
+      s"local symbolization diverged from charSyms: ${merges.head}")
+  }
 }
