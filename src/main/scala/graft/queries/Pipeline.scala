@@ -1524,8 +1524,10 @@ object Pipeline extends QueryGroup {
       // the build cannot unpersist its OWN cache (the last consumer —
       // the returned frame's final aggregate — runs after the build
       // returns), and the eager-localCheckpoint alternative measured
-      // ~2.2 s SLOWER per invocation at sf0.1 (TimeOne 9.6-10.4 vs
-      // 7.4-8.4 warm). CacheManager cannot dedupe wl across
+      // no better (one TimeOne pairing read it ~2.2 s slower warm,
+      // 9.6-10.4 vs 7.4-8.4; a later Bench pairing read parity —
+      // within ambient, so cache keeps its columnar-pruning edge).
+      // CacheManager cannot dedupe wl across
       // invocations either: its lineage passes through the fuzzy
       // stage's checkpointed CC labels, whose RDD id is fresh per
       // invocation. So the build unpersists the PREVIOUS invocation's

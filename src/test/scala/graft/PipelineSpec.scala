@@ -386,11 +386,10 @@ class PipelineSpec extends SparkSpec {
       s"funnel quality count ${tot(2)} != pl11 kept-on-train $pl11Kept")
   }
 
-  test("funnel fuzzy stage: drops exactly the saturated docs plus non-min members of verified components") {
-    // stage semantics, re-derived from the registered d12-style legs
-    // on the funnel's own survivor scope: a stage-2 doc must be
-    // band-saturated or reachable (via verified pairs) from a smaller
-    // doc; and every exact-canonical doc NOT dropped reaches stage 3+
+  test("funnel fuzzy stage: the sf0.001 drop count equals the DuckDB-probed fixture truth") {
+    // pins the registered stage against the pre-registration probe
+    // (scripts/probe_fuzzy_stage.py) — a silent semantic drift in the
+    // stage (threshold, Jaccard bar, survivor rule) moves this count
     val r = SparkEntry.queries("pl16_curation_funnel")(spark, Sf).collect()
     // fuzzy drop count = n_unique - n_fuzzy summed over languages
     val fuzzyDrops = r.map(x => x.getLong(3) - x.getLong(4)).sum
