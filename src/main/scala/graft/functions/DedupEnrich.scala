@@ -276,14 +276,66 @@ object DedupEnrich {
     * min survives). Nodes in no pair are absent — trivially their own
     * survivors.
     *
-    * EAGER: runs a driver loop of Spark jobs (one join + one aggregate
-    * per iteration, over the pair graph only — at 100 TB that graph is
-    * orders of magnitude smaller than the corpus, since only verified
-    * near-dups appear). Each iteration localCheckpoints to truncate
-    * lineage; the convergence count is the one driver-side action (the
-    * d6 loop-control discipline). `parts` sizes the iteration frames
+    * EAGER, two execution paths with identical output (spec-pinned):
+    * a size-gated driver-local union-find when the whole edge list
+    * fits under `graft.cc.localEdgeLimit` (see the inline note — zero
+    * job rounds, exact at any diameter), else a driver loop of Spark
+    * jobs (one join + one aggregate per iteration, over the pair
+    * graph only — at 100 TB that graph is orders of magnitude smaller
+    * than the corpus, since only verified near-dups appear). Each
+    * distributed iteration localCheckpoints to truncate lineage; the
+    * convergence count is the one driver-side action (the d6
+    * loop-control discipline). `parts` sizes the iteration frames
     * (callers pass [[graft.queries.IterSizing.iterParts]]). */
   def minLabelComponents(pairs: DataFrame, parts: Int): DataFrame = {
+    // SIZE-GATED fast path (the learnBpeLocal discipline applied to
+    // the CC loop): each distributed iteration is a full Spark job
+    // round (join + aggregate + convergence count + checkpoint), pure
+    // cadence on the small graphs a verified near-dup pass usually
+    // yields (48 pairs at sf0.1). A bounded limit(N+1) collect probes
+    // the size WITHOUT a separate count pass: if the whole edge list
+    // fits under `graft.cc.localEdgeLimit` (default 100k pairs — a few
+    // MB), a driver-local min-rooted union-find produces the IDENTICAL
+    // (node, component) table in microseconds with ZERO further job
+    // rounds (and exactly, where the distributed loop is capped at 30
+    // iterations — a >30-diameter chain would converge only here).
+    // At 100 TB the verified graph CAN exceed any driver (billions of
+    // edges) — the distributed loop below stays the fallback, and
+    // conf=0 forces it (the equality spec drives both paths on one
+    // graph). Long-typed ids only (both current callers); other key
+    // types take the distributed path.
+    val s = pairs.sparkSession
+    val localLimit = s.conf.get("graft.cc.localEdgeLimit", "100000").toInt
+    val longTyped = pairs.schema.fields.take(2)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longTyped && localLimit > 0) {
+      val head = pairs.select(col("a"), col("b"))
+        .limit(localLimit + 1).collect()
+      if (head.length <= localLimit) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        head.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val nodes = head.iterator
+          .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+          .toArray.distinct
+        import s.implicits._
+        return nodes.map(n => (n, find(n))).toSeq.toDF("node", "component")
+      }
+    }
     val edges = pairs
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .coalesce(parts).cache()

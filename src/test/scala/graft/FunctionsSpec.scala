@@ -275,6 +275,26 @@ class FunctionsSpec extends SparkSpec {
       "empty symbol arrays must pass through applyMerge unchanged")
   }
 
+  test("minLabelComponents: the local union-find fast path equals the distributed loop exactly") {
+    import graft.functions.DedupEnrich
+    import spark.implicits._
+    // a 4-chain (diameter 3), a triangle, an isolated pair, and a
+    // duplicate edge — the component min must label every node on
+    // both paths identically
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (20L, 21L), (1L, 2L)).toDF("a", "b")
+    def run(): Set[(Long, Long)] =
+      DedupEnrich.minLabelComponents(pairs, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run() // default conf: the union-find path
+    var dist: Set[(Long, Long)] = Set.empty
+    withConf("graft.cc.localEdgeLimit" -> "0") { dist = run() }
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+    assert(local == expected, s"local union-find: $local")
+    assert(dist == expected, s"distributed loop: $dist")
+  }
+
   test("BPE: learnBpeLocal symbolizes by CODE POINT, matching charSyms on supplementary-plane chars") {
     import graft.functions.BpeOps
     import spark.implicits._
