@@ -128,40 +128,17 @@ object GraphOps extends QueryGroup {
   private val q3 = QueryDef(
     "g3_connected_components",
     (s, dir) => {
-      // min-label propagation to fixpoint — each iteration is one join +
-      // one aggregate; at scale this is the standard Pregel-style CC
-      // the modulo-sampled subgraph is tiny by construction, so the
-      // iteration runs on a handful of partitions (at full scale the same
-      // loop runs on the natural partitioning with periodic checkpoints
-      // to truncate lineage)
-      val np = IterSizing.iterParts(s)
-      val edges = coEdges(s, dir, 300).coalesce(np).cache()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("component", col("node"))
-        .coalesce(np).localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 50) {
-        val viaNeighbors = edges
-          .join(labels.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(min(col("component")).as("ncomp"))
-        // carry the did-anything-improve flag through the relabel, so
-        // convergence detection is a filter-count on the checkpointed
-        // result rather than an extra join against the old labels
-        // lazy checkpoint + one aggregate action: the convergence count
-        // itself materializes the checkpointed RDD, so each round costs a
-        // single job instead of eager-materialize + count
-        val next = labels.join(viaNeighbors, Seq("node"), "left")
-          .select(col("node"),
-            least(col("component"), coalesce(col("ncomp"), col("component")))
-              .as("component"),
-            (coalesce(col("ncomp"), col("component")) < col("component")).as("chg"))
-          .coalesce(np).localCheckpoint(false) // truncate lineage each round
-        changed = next.filter(col("chg")).count()
-        labels = next.drop("chg")
-        iter += 1
-      }
+      // min-label CC via the SHARED builder (DedupEnrich
+      // .minLabelComponents — the same implementation d6 and the pl16
+      // funnel run): the co-purchase edge list is already symmetric
+      // (the double-explode emits both directions), the
+      // modulo-sampled subgraph is tiny by construction so the
+      // size-gated union-find fast path labels it driver-locally;
+      // the Pregel-style distributed loop stays the at-scale fallback
+      // inside the builder (conf graft.cc.localEdgeLimit=0 forces it)
+      val labels = graft.functions.DedupEnrich.minLabelComponents(
+        coEdges(s, dir, 300).select(col("src").as("a"), col("dst").as("b")),
+        IterSizing.iterParts(s))
       labels.groupBy("component")
         .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
         .orderBy("component")
