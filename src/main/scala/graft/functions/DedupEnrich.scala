@@ -344,7 +344,12 @@ object DedupEnrich {
       .coalesce(parts).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 30) {
+    // runaway stop at 50 — covers every caller's historical cap (g3's
+    // inline loop ran 50 before composing here; d6/the funnel ran 30):
+    // min-label needs <= diameter iterations, real near-dup/co-purchase
+    // graphs converge in a handful, and a >50-diameter chain takes the
+    // exact local path anyway unless the graph also exceeds the driver
+    while (changed > 0 && iter < 50) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "a"), "a")
         .groupBy(col("b").as("node"))

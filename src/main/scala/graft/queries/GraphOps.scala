@@ -136,8 +136,13 @@ object GraphOps extends QueryGroup {
       // size-gated union-find fast path labels it driver-locally;
       // the Pregel-style distributed loop stays the at-scale fallback
       // inside the builder (conf graft.cc.localEdgeLimit=0 forces it)
+      // one direction only (src < dst): the builder symmetrizes
+      // internally, so passing the already-both-directions edge list
+      // would double every edge in the distributed fallback and halve
+      // the fast path's effective size gate (review finding)
       val labels = graft.functions.DedupEnrich.minLabelComponents(
-        coEdges(s, dir, 300).select(col("src").as("a"), col("dst").as("b")),
+        coEdges(s, dir, 300).filter(col("src") < col("dst"))
+          .select(col("src").as("a"), col("dst").as("b")),
         IterSizing.iterParts(s))
       labels.groupBy("component")
         .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))

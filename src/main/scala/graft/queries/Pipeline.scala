@@ -1539,8 +1539,18 @@ object Pipeline extends QueryGroup {
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
         .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
         .cache()
+      // sameResult guard (review finding): with the CC fast path the
+      // fuzzy labels are a deterministic LocalRelation, so a repeat
+      // invocation's wl plan canonicalizes EQUAL to the previous one —
+      // cache() then no-ops onto the shared entry, and unpersisting
+      // the "previous" frame would evict the entry the CURRENT
+      // invocation just adopted. Same plan ⇒ keep the shared entry
+      // (one entry, no accumulation); different plan (another sfdir,
+      // or the distributed-CC path's fresh RDD ids) ⇒ unpersist it.
       Pipeline.synchronized {
-        lastWl.foreach(_.unpersist(false))
+        lastWl.filterNot(_.queryExecution.analyzed
+            .sameResult(wl.queryExecution.analyzed))
+          .foreach(_.unpersist(false))
         lastWl = Some(wl)
       }
       val words = wl.groupBy("word").agg(sum(col("freq")).as("freq"))

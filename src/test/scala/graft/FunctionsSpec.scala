@@ -295,6 +295,31 @@ class FunctionsSpec extends SparkSpec {
     assert(dist == expected, s"distributed loop: $dist")
   }
 
+  test("minLabelComponents: local and distributed paths agree on a 400-edge randomized graph") {
+    // cross-IMPLEMENTATION equality is the membership pin for the
+    // survivor rule: a rooting bug in the union-find (e.g. max-rooted)
+    // cannot agree with the independent Spark min-label loop on a
+    // random graph, and vice versa — only "component = min node"
+    // satisfies both. Seeded, so failures reproduce.
+    import graft.functions.DedupEnrich
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed15)
+    val edges = Seq.fill(400) {
+      val a = rnd.nextInt(300).toLong
+      val b = rnd.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    val pairs = edges.toDF("a", "b")
+    def run(): Set[(Long, Long)] =
+      DedupEnrich.minLabelComponents(pairs, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run()
+    var dist: Set[(Long, Long)] = Set.empty
+    withConf("graft.cc.localEdgeLimit" -> "0") { dist = run() }
+    assert(local.nonEmpty && local == dist,
+      s"paths diverged: ${local.diff(dist)} vs ${dist.diff(local)}")
+  }
+
   test("BPE: learnBpeLocal symbolizes by CODE POINT, matching charSyms on supplementary-plane chars") {
     import graft.functions.BpeOps
     import spark.implicits._
