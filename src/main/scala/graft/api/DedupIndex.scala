@@ -64,6 +64,12 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     capacity: Long = 1000000L, windowCapacity: Long = 0L,
     hotBandThreshold: Long = DedupIndex.DefaultHotBandThreshold) {
 
+  require(hotBandThreshold >= 0 ||
+    hotBandThreshold == DedupIndex.AutoHotBandThreshold,
+    s"hotBandThreshold must be positive (a fixed threshold), 0 (opt " +
+      s"out), or DedupIndex.AutoHotBandThreshold (derive at first " +
+      s"fold) — got $hotBandThreshold")
+
   // the manifest is read ONCE per ingest and the parsed map threaded
   // through every helper — it cannot change mid-call (single writer),
   // and re-loading the properties file per derived value would put a
@@ -118,8 +124,14 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     * candidate list), never hide a duplicate — and the Bloom
     * `maybe_dup` leg is unaffected, so exact re-posts keep flagging.
     * The threshold is persisted at creation (`hot=`, like `m`) so
-    * every open routes identically; `hotBandThreshold <= 0` at
-    * creation opts the store out for life. Stores created before the
+    * every open routes identically; `hotBandThreshold = 0` at
+    * creation opts the store out for life, and
+    * [[DedupIndex.AutoHotBandThreshold]] defers the value to the
+    * FIRST fold's band occupancy (derived there via the SHARED
+    * [[DedupEnrich.deriveHotThreshold]], then persisted like any
+    * caller constant — see the resolution note in `ingestInternal`;
+    * until that first fold this accessor reports None, which is
+    * truthful: no threshold exists yet). Stores created before the
     * guard carry no counts state and stay unguarded for life (same
     * policy as v1 Bloom encoding: retrofitting means a rebuild).
     *
@@ -300,7 +312,6 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     val m = slotsOf(man)
     val ver = versionOf(man)
     val mwOpt = windowSlotsOf(man)
-    val hotOpt = hotOf(man)
     val segs0 = liveSegsOf(man)
     val hconf = spark.sessionState.newHadoopConf()
     val bloomSt = bloomState(segs0, ver, hconf)
@@ -344,6 +355,23 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // probes unconditionally — the safe direction.
     val batchBands = enriched
       .select(col("doc_id"), explode(col("bands")).as("bk"))
+    // threshold resolution: the persisted value for an existing store;
+    // at CREATION, either the caller's constant or — under
+    // [[DedupIndex.AutoHotBandThreshold]] — the SHARED
+    // DedupEnrich.deriveHotThreshold over the FIRST fold's band
+    // occupancy (the only occupancy evidence that exists at creation;
+    // one bounded extra aggregate over the cached batch keys, paid
+    // once per store lifetime). The derived value persists via `hot=`
+    // below exactly like a caller constant, so every later open routes
+    // with it — the persisted-parameter discipline `m`/`mw` follow.
+    val hotOpt: Option[Long] = man match {
+      case Some(mm) => mm.get("hot").map(_.toLong)
+      case None if hotBandThreshold == DedupIndex.AutoHotBandThreshold =>
+        Some(graft.functions.DedupEnrich.deriveHotThreshold(
+          batchBands.select(col("doc_id").as("id"), col("bk").as("key"))))
+      case None =>
+        if (hotBandThreshold > 0) Some(hotBandThreshold) else None
+    }
     val nPrev: Option[Long] = man.flatMap(_.get("n")).map(_.toLong)
     val probeHot = hotOpt.exists(hot => nPrev.forall(_ >= hot))
     val hotKeys: Option[DataFrame] =
@@ -596,6 +624,20 @@ object DedupIndex {
     * selectivity a HEALTHY LSH band exhibits (a band this hot is
     * boilerplate, not similarity signal). */
   val DefaultHotBandThreshold: Long = 10000L
+
+  /** Pass as `hotBandThreshold` at creation to DERIVE the threshold
+    * from the first fold's band occupancy instead of fixing it blind —
+    * the maintained-store twin of the query surface's
+    * `graft.dedup.hotThreshold=auto` (the same
+    * [[graft.functions.DedupEnrich.deriveHotThreshold]]
+    * median-occupancy × slack formula, the same rationale: the right
+    * threshold depends on the corpus the store will actually see, and
+    * the first fold is the earliest evidence of it). The derived value
+    * is persisted (`hot=`) and rules every later open; `describe()`
+    * reports it once the first fold commits (None before — no
+    * threshold exists yet). Only meaningful at creation: re-opens
+    * always route with the manifest. */
+  val AutoHotBandThreshold: Long = -1L
 
   /** Fill level below which the per-ingest `wbloom_fill` disclosure
     * may be the cheap counter-derived UPPER BOUND (k·nw/mw) instead of

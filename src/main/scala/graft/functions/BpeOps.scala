@@ -77,7 +77,18 @@ object BpeOps {
     * survivor vocabulary. Stops early when the pair space is exhausted
     * (the loop's `live = false` semantics). */
   def learnBpeLocal(vocab: Seq[(String, Long)], nMerges: Int = NMerges)
-      : Seq[(Int, String, String, Long)] = {
+      : Seq[(Int, String, String, Long)] =
+    fitBpeLocal(vocab, nMerges)._2
+
+  /** The full driver-local fit: [[learnBpeLocal]]'s loop, ALSO
+    * returning the final per-word (word, freq, syms) state — the
+    * encode table pl19 consumes. One return value per input word, in
+    * input order; the state falls out of the fit for free (each merge
+    * is applied to learn the next one), so the
+    * `graft.bpe.strategy=local` path never re-applies the merge table.
+    */
+  def fitBpeLocal(vocab: Seq[(String, Long)], nMerges: Int = NMerges)
+      : (Seq[(String, Long, Seq[String])], Seq[(Int, String, String, Long)]) = {
     // symbolize by CODE POINT, not UTF-16 unit: Spark's substr (and
     // DuckDB's substr) count characters, so a supplementary-plane char
     // is ONE symbol there — w.map(_.toString) would split it into two
@@ -109,7 +120,9 @@ object BpeOps {
         k += 1
       }
     }
-    merges.result()
+    val state = vocab.iterator.zip(syms.iterator)
+      .map { case ((w, f), (ss, _)) => (w, f, ss.toSeq) }.toSeq
+    (state, merges.result())
   }
 
   /** Driver-local mirror of [[applyMerge]]'s greedy fold. */

@@ -250,8 +250,13 @@ object DedupEnrich {
     * `(key → countDistinct id)` aggregate the guard computes — callers
     * that cache `keys` (the d12/d13 discipline) pay one extra
     * reduction over the cached frame, nothing corpus-sized. The
-    * quantile is exact (approxQuantile at zero error), one driver-side
-    * double. Queries expose this through
+    * quantile runs at a SMALL nonzero relative error (0.001 —
+    * Greenwald-Khanna's bounded-memory sketch; zero error forces the
+    * exact-quantile algorithm, which at corpus scale over all blocking
+    * keys is substantially heavier than the one driver-side double
+    * this is): `ceil(median × slack)` is insensitive to a 0.1%
+    * quantile perturbation, so the derived H is unchanged while the
+    * derivation stays cheap at 100 TB. Queries expose this through
     * `graft.dedup.hotThreshold=fixture|auto|<int>`; DedupSurfacesSpec
     * pins that on a templated flood the derived H flags exactly the
     * planted hot band's docs and no cold ones. */
@@ -261,51 +266,99 @@ object DedupEnrich {
       .agg(countDistinct(col("id")).cast("double").as("cnt"))
     // approxQuantile returns an EMPTY array on an empty frame — an
     // empty corpus slice must resolve to the floor, not crash
-    occ.stat.approxQuantile("cnt", Array(quantile), 0.0) match {
+    occ.stat.approxQuantile("cnt", Array(quantile), 0.001) match {
       case Array(q) => math.max(floor, math.ceil(q * slack).toLong)
       case _ => floor
     }
   }
 
-  /** Min-label propagation to fixpoint over an undirected pair graph —
-    * the connected-components step of a dedup pass (`d6_dedup_groups`,
-    * the pl16 funnel's fuzzy stage): from verified pairs `(a, b)`,
-    * returns one `(node, component)` row per node appearing in any
-    * pair, where `component` is the MINIMUM id reachable from the node
-    * (the deterministic canonical-survivor convention: the component
-    * min survives). Nodes in no pair are absent — trivially their own
+  /** Conf-gated hot-threshold resolution for the guard family — ONE
+    * resolver for every guarded surface (d12, d13, the pl16 funnel's
+    * fuzzy stage): `graft.dedup.hotThreshold` = `fixture` (default —
+    * the caller's pinned constant, which the oracle SQL embeds),
+    * `auto` (the [[deriveHotThreshold]] median-occupancy formula over
+    * the SAME `(id, key)` counts aggregate the guard computes), or an
+    * integer override. `keys` is by-name: the derivation's reduction
+    * runs only in auto mode. A malformed conf value falls back to the
+    * fixture constant rather than crashing the query (the
+    * localEdgeLimit parse discipline). */
+  def hotThresholdFor(s: org.apache.spark.sql.SparkSession,
+      fixture: Long, keys: => DataFrame): Long =
+    s.conf.get("graft.dedup.hotThreshold", "fixture") match {
+      case "fixture" => fixture
+      case "auto" => deriveHotThreshold(keys)
+      case v => scala.util.Try(v.trim.toLong).getOrElse(fixture)
+    }
+
+  /** Min-label propagation WITH POINTER DOUBLING to fixpoint over an
+    * undirected pair graph — the connected-components step of a dedup
+    * pass (`d6_dedup_groups`, the pl16 funnel's fuzzy stage,
+    * `g3_connected_components`): from verified pairs `(a, b)` — the
+    * first two columns MUST be literally named `a` and `b` (required,
+    * not assumed: every caller builds the frame, so a misnamed frame
+    * is a bug worth failing on, not silently mislabeling) — returns
+    * one `(node, component)` row per node appearing in any pair, where
+    * `component` is the MINIMUM id reachable from the node (the
+    * deterministic canonical-survivor convention: the component min
+    * survives). Nodes in no pair are absent — trivially their own
     * survivors.
     *
     * EAGER, two execution paths with identical output (spec-pinned):
     * a size-gated driver-local union-find when the whole edge list
     * fits under `graft.cc.localEdgeLimit` (see the inline note — zero
-    * job rounds, exact at any diameter), else a driver loop of Spark
-    * jobs (one join + one aggregate per iteration, over the pair
-    * graph only — at 100 TB that graph is orders of magnitude smaller
-    * than the corpus, since only verified near-dups appear). Each
-    * distributed iteration localCheckpoints to truncate lineage; the
-    * convergence count is the one driver-side action (the d6
+    * job rounds), else a driver loop of Spark jobs. Each distributed
+    * iteration takes the min over THREE candidates per node: its
+    * current label, its neighbors' labels (one join + one aggregate —
+    * classic min-label, O(diameter) alone), and its LABEL'S label
+    * (one self-equi-join of the label table — pointer doubling). The
+    * shortcut at least doubles the covered distance per round, so the
+    * loop converges in O(log diameter) rounds: a 10⁶-diameter chain
+    * (gradually-edited boilerplate is exactly how crawl corpora grow
+    * long thin near-dup chains) labels in ~21 rounds where linear
+    * propagation needs 10⁶. Every candidate label is an id REACHABLE
+    * from the node (reachability is transitive through the pointer
+    * hop), so the fixpoint is exactly the component min — and the two
+    * paths stay equality-pinned on randomized graphs.
+    *
+    * NON-CONVERGENCE IS LOUD: the 50-round cap is a runaway backstop
+    * (2⁵⁰ diameter — unreachable), and if the loop somehow exits with
+    * changes still pending it THROWS rather than returning silently
+    * SPLIT components (the r15 verdict's at-scale edge: split
+    * components mean over-retention in the funnel and wrong group
+    * sizes in d6/g3). Skew note: both per-round joins key on the
+    * current label, so a giant component concentrates its probe rows
+    * on one key late in the loop — the joins are plain shuffle
+    * equi-joins, which AQE's skew split handles (unlike the
+    * groupBy+join-back shape, there is no co-partitioned aggregate in
+    * the way). Each iteration localCheckpoints to truncate lineage;
+    * the convergence count is the one driver-side action (the d6
     * loop-control discipline). `parts` sizes the iteration frames
     * (callers pass [[graft.queries.IterSizing.iterParts]]). */
   def minLabelComponents(pairs: DataFrame, parts: Int): DataFrame = {
+    require(pairs.columns.length >= 2 &&
+      pairs.columns(0) == "a" && pairs.columns(1) == "b",
+      s"minLabelComponents requires the first two columns to be named " +
+        s"(a, b) — got (${pairs.columns.take(2).mkString(", ")})")
     // SIZE-GATED fast path (the learnBpeLocal discipline applied to
     // the CC loop): each distributed iteration is a full Spark job
-    // round (join + aggregate + convergence count + checkpoint), pure
+    // round (joins + aggregate + convergence count + checkpoint), pure
     // cadence on the small graphs a verified near-dup pass usually
     // yields (48 pairs at sf0.1). A bounded limit(N+1) collect probes
     // the size WITHOUT a separate count pass: if the whole edge list
     // fits under `graft.cc.localEdgeLimit` (default 100k pairs — a few
     // MB), a driver-local min-rooted union-find produces the IDENTICAL
     // (node, component) table in microseconds with ZERO further job
-    // rounds (and exactly, where the distributed loop is capped at 30
-    // iterations — a >30-diameter chain would converge only here).
-    // At 100 TB the verified graph CAN exceed any driver (billions of
-    // edges) — the distributed loop below stays the fallback, and
-    // conf=0 forces it (the equality spec drives both paths on one
-    // graph). Long-typed ids only (both current callers); other key
-    // types take the distributed path.
+    // rounds. At 100 TB the verified graph CAN exceed any driver
+    // (billions of edges) — the distributed loop below stays the
+    // fallback, and conf=0 forces it (the equality specs drive both
+    // paths on one graph). Long-typed ids only (all current callers);
+    // other key types take the distributed path.
     val s = pairs.sparkSession
-    val localLimit = s.conf.get("graft.cc.localEdgeLimit", "100000").toInt
+    // a malformed conf value falls back to the default limit rather
+    // than crashing every CC caller (d6, g3, pl16) — ADVICE r15
+    val localLimit = scala.util.Try(
+      s.conf.get("graft.cc.localEdgeLimit", "100000").trim.toInt)
+      .getOrElse(100000)
     val longTyped = pairs.schema.fields.take(2)
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (longTyped && localLimit > 0) {
@@ -344,27 +397,46 @@ object DedupEnrich {
       .coalesce(parts).localCheckpoint()
     var changed = 1L
     var iter = 0
-    // runaway stop at 50 — covers every caller's historical cap (g3's
-    // inline loop ran 50 before composing here; d6/the funnel ran 30):
-    // min-label needs <= diameter iterations, real near-dup/co-purchase
-    // graphs converge in a handful, and a >50-diameter chain takes the
-    // exact local path anyway unless the graph also exceeds the driver
-    while (changed > 0 && iter < 50) {
+    // 50 rounds is a RUNAWAY backstop, not a correctness bound: with
+    // the pointer-doubling shortcut the loop needs ~log2(diameter)
+    // rounds (50 covers diameter 2^50), where the pre-r16 linear loop
+    // needed one round PER unit of diameter and exited silently split
+    // past the cap — the r15 verdict's at-scale edge, now loud below
+    val maxIters = 50
+    while (changed > 0 && iter < maxIters) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "a"), "a")
         .groupBy(col("b").as("node"))
         .agg(min(col("component")).as("ncomp"))
+      // pointer doubling: adopt label(label(node)) too — every label
+      // value is itself a node in the table (labels start as node →
+      // node and only ever adopt other labels), so the self-equi-join
+      // resolves for every row; the left join + coalesce is belt and
+      // braces, not a reachable branch
+      val ptr = labels.select(col("node").as("component"),
+        col("component").as("pcomp"))
       // lazy checkpoint: the convergence-count action materializes it
       val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .join(ptr, Seq("component"), "left")
         .select(col("node"),
-          least(col("component"), coalesce(col("ncomp"), col("component")))
-            .as("component"),
-          (coalesce(col("ncomp"), col("component")) < col("component")).as("chg"))
+          least(col("component"),
+            coalesce(col("ncomp"), col("component")),
+            coalesce(col("pcomp"), col("component"))).as("component"),
+          (least(coalesce(col("ncomp"), col("component")),
+            coalesce(col("pcomp"), col("component"))) < col("component"))
+            .as("chg"))
         .coalesce(parts).localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"minLabelComponents did not converge within $maxIters rounds " +
+          s"($changed labels still changing) — refusing to return split " +
+          "components (they would silently over-retain near-dups); the " +
+          "pointer-doubled loop covers diameter 2^50, so this indicates " +
+          "a bug or non-Long id pathology, not a long chain")
     labels
   }
 

@@ -800,21 +800,6 @@ object Dedup extends QueryGroup {
     * (J >= 0.3, the d3 threshold) cold-band partners. */
   private val BatchHotBands = 3
 
-  /** Conf-gated threshold resolution for the guard family:
-    * `graft.dedup.hotThreshold` = `fixture` (default — the pinned
-    * constant, which the oracle SQL embeds), `auto` (the
-    * [[graft.functions.DedupEnrich.deriveHotThreshold]] median-
-    * occupancy formula over the SAME counts aggregate the guard
-    * computes), or an integer override. `keys` is by-name: the
-    * derivation's reduction runs only in auto mode. */
-  private def hotThresholdFor(s: org.apache.spark.sql.SparkSession,
-      fixture: Long, keys: => DataFrame): Long =
-    s.conf.get("graft.dedup.hotThreshold", "fixture") match {
-      case "fixture" => fixture
-      case "auto" => DedupEnrich.deriveHotThreshold(keys)
-      case v => v.toLong
-    }
-
   private val q12 = QueryDef(
     "d12_guarded_batch_pairs",
     (s, dir) => {
@@ -831,7 +816,7 @@ object Dedup extends QueryGroup {
         "sh")
         .cache()
       DedupEnrich.guardedBatchRollup(base,
-        hotThresholdFor(s, BatchHotBands,
+        DedupEnrich.hotThresholdFor(s, BatchHotBands,
           base.select(col("doc_id").as("id"), explode(col("bands")).as("key"))))
         .orderBy("doc_id")
     },
@@ -921,7 +906,7 @@ object Dedup extends QueryGroup {
           concat_ws(":", col("tbl"), col("bkt")).as("key"))
         .cache()
       val (sat, pairs) = DedupEnrich.guardedCandidatePairs(keys,
-        hotThresholdFor(s, EmbHotBucket, keys))
+        DedupEnrich.hotThresholdFor(s, EmbHotBucket, keys))
       val vecs = e.select(col("vec_id"), col("embedding"))
       val ver = pairs
         .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))

@@ -1127,7 +1127,14 @@ object Pipeline extends QueryGroup {
   /** Hot-band threshold of the funnel's fuzzy stage (the d12
     * discipline at the funnel's scope — see [[funnelStaged]]'s
     * scaladoc for the probe numbers and the production-threshold
-    * note on `Dedup.BatchHotBands`). */
+    * note on `Dedup.BatchHotBands`). This is the FIXTURE value the
+    * oracle SQL embeds; the funnel resolves the effective threshold
+    * through the SHARED [[graft.functions.DedupEnrich.hotThresholdFor]]
+    * (`graft.dedup.hotThreshold=fixture|auto|<int>`) exactly like
+    * d12/d13 — the funnel is the form most likely to meet a real
+    * templated corpus, so it must honor the auto derivation too
+    * (PipelineSpec pins that a planted template flood flags through
+    * the fuzzy stage under auto). */
   private val FunnelHotBands = 3
 
   /** Exact-Jaccard verification threshold of the fuzzy stage (the d3
@@ -1277,8 +1284,12 @@ object Pipeline extends QueryGroup {
       "sh").cache()
     val fkeys = banded.select(col("doc_id").as("id"),
       explode(col("bands")).as("key"))
-    val (fsat, fpairs) =
-      DedupEnrich.guardedCandidatePairs(fkeys, FunnelHotBands)
+    // threshold through the SHARED conf-gated resolver (fixture
+    // default = FunnelHotBands, which the oracle embeds; auto derives
+    // from the same keys frame — cheap: banded is cached, so the
+    // derivation's extra reduction re-reads no corpus data)
+    val (fsat, fpairs) = DedupEnrich.guardedCandidatePairs(fkeys,
+      DedupEnrich.hotThresholdFor(s, FunnelHotBands, fkeys))
     val fver = fpairs
       .join(banded.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(banded.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
@@ -1427,10 +1438,30 @@ object Pipeline extends QueryGroup {
     * (word, freq, syms) vocabulary and the learned merges.
     * Exhaustion semantics: the loop STOPS at the first empty pair
     * space and the vocabulary keeps its last state — the DuckDB level
-    * chain's LEFT-join pass-through mirrors this. */
+    * chain's LEFT-join pass-through mirrors this.
+    *
+    * `graft.bpe.strategy=distributed|local` (the joinback/cc
+    * conf-encoding precedent): `local` collects the language-bounded
+    * (word, freq) vocabulary ONCE and runs the whole loop driver-side
+    * via [[graft.functions.BpeOps.fitBpeLocal]] — the measured
+    * production form (BENCH_AB: the distributed loop costs ~0.07-0.16 s
+    * of pure job cadence PER MERGE, hours at a 30k production
+    * vocabulary; the local fit replaces that with in-memory
+    * milliseconds after the identical one corpus pass). Output is
+    * merge-for-merge and word-for-word IDENTICAL (PipelineSpec pins
+    * pl18/pl19 equality under both settings); `distributed` stays the
+    * default because it is the oracle-checkable per-iteration cost
+    * model and keeps the registered plan shape. */
   private def learnBpe(s: SparkSession, words: DataFrame)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     import graft.functions.BpeOps
+    if (s.conf.get("graft.bpe.strategy", "distributed") == "local") {
+      val local = words.select(col("word"), col("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (state, merges) = BpeOps.fitBpeLocal(local)
+      import s.implicits._
+      return (state.toDF("word", "freq", "syms"), merges)
+    }
     val np = IterSizing.iterParts(s)
     var vocab = words
       .select(col("word"), col("freq"), BpeOps.charSyms(col("word")).as("syms"))
@@ -1550,7 +1581,19 @@ object Pipeline extends QueryGroup {
       Pipeline.synchronized {
         lastWl.filterNot(_.queryExecution.analyzed
             .sameResult(wl.queryExecution.analyzed))
-          .foreach(_.unpersist(false))
+          .foreach { old =>
+            // stale-handle cleanup must never fail a LIVE build: the
+            // static handle can outlive its SparkSession (a later
+            // build on a fresh session meets a stopped context's
+            // frame, where unpersist throws) — skip stopped contexts
+            // and swallow anything else; the worst case of a skipped
+            // unpersist is one dead cache entry, not a wrong result
+            // (ADVICE r15)
+            try {
+              if (!old.sparkSession.sparkContext.isStopped)
+                old.unpersist(false)
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
         lastWl = Some(wl)
       }
       val words = wl.groupBy("word").agg(sum(col("freq")).as("freq"))

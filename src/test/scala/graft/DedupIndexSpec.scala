@@ -355,6 +355,45 @@ class DedupIndexSpec extends SparkSpec {
     assert(ManifestIO.read(dir).get("hot") == "2")
   }
 
+  test("creation-time AUTO hot threshold: derived from the first fold's occupancy, persisted, ruling every re-open") {
+    // the query surface's graft.dedup.hotThreshold=auto at the
+    // maintained store's scope: AutoHotBandThreshold defers the value
+    // to the FIRST fold, which derives H via the SHARED
+    // DedupEnrich.deriveHotThreshold (median occupancy x 4, floor 2)
+    // and persists it like any caller constant
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000,
+      hotBandThreshold = DedupIndex.AutoHotBandThreshold)
+    import spark.implicits._
+    // first fold: a 6-doc template flood (6 identical texts -> 4 band
+    // keys at occupancy 6) + two cold singletons (4 keys each at 1):
+    // median occupancy 1 -> derived H = max(2, ceil(4 x 1)) = 4
+    val flood = (1L to 6L).map(i => (i, base)) ++ Seq(
+      7L -> "entirely novel text about sailing boats and tides",
+      8L -> "another unrelated document mentioning compilers")
+    idx.ingest(flood.toDF("doc_id", "text")).collect()
+    assert(ManifestIO.read(dir).get("hot") == "4",
+      s"derived H must persist at first fold: ${ManifestIO.read(dir)}")
+    assert(idx.describe().hotBandThreshold.contains(4L),
+      "describe() must report the derived threshold")
+    // the derived threshold RULES the probe: a re-post faces 6 priors
+    // on the template bands (>= 4) and must flag, not enumerate
+    val v = idx.ingest(docs(100L -> base)).collect().head
+    assert(v.getAs[Int]("band_saturated") == 1 && v.getSeq[Long](2).isEmpty,
+      s"derived H=4 must saturate the 6-prior band: $v")
+    // re-open with a large constant: the persisted derived value wins
+    val reopened = new DedupIndex(spark, dir, capacity = 1000,
+      hotBandThreshold = 50)
+    val v2 = reopened.ingest(docs(101L -> base)).collect().head
+    assert(v2.getAs[Int]("band_saturated") == 1,
+      s"re-opens route with the persisted derived threshold: $v2")
+    // negatives other than the sentinel are typos, not policies
+    intercept[IllegalArgumentException] {
+      new DedupIndex(spark, freshDir(), capacity = 10L,
+        hotBandThreshold = -7L)
+    }
+  }
+
   test("hotBandThreshold <= 0 at creation opts out for life; pre-guard stores stay unguarded") {
     val dir = freshDir()
     val optOut = new DedupIndex(spark, dir, capacity = 1000, hotBandThreshold = 0)

@@ -320,6 +320,52 @@ class FunctionsSpec extends SparkSpec {
       s"paths diverged: ${local.diff(dist)} vs ${dist.diff(local)}")
   }
 
+  test("minLabelComponents: the FORCED-distributed loop converges on a >50-diameter chain (pointer doubling)") {
+    // the r15 verdict's at-scale edge: the pre-r16 linear min-label
+    // loop needed one round PER unit of diameter and exited SILENTLY
+    // SPLIT past its 50-round cap — and gradually-edited boilerplate
+    // chains are exactly how crawl corpora grow long thin near-dup
+    // components. The pointer-doubled loop labels a 200-diameter
+    // chain in ~8 rounds; forcing the distributed path (conf = 0)
+    // and pinning equality against the exact union-find answer is
+    // the regression gate: a loop that split the chain cannot agree.
+    import graft.functions.DedupEnrich
+    import spark.implicits._
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    def run(): Set[(Long, Long)] =
+      DedupEnrich.minLabelComponents(chain, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run() // union-find: exact at any diameter
+    var dist: Set[(Long, Long)] = Set.empty
+    withConf("graft.cc.localEdgeLimit" -> "0") { dist = run() }
+    val expected = (0L to 200L).map(n => (n, 0L)).toSet
+    assert(local == expected, s"union-find mislabeled the chain")
+    assert(dist == expected,
+      "the distributed loop must label a 200-diameter chain COMPLETELY " +
+        s"(split components = silent over-retention): ${dist.diff(expected)}")
+  }
+
+  test("minLabelComponents: malformed conf falls back to the default; misnamed columns fail loudly") {
+    import graft.functions.DedupEnrich
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    // a bad graft.cc.localEdgeLimit must not crash every CC caller
+    // (d6, g3, pl16) — it falls back to the default limit (ADVICE r15)
+    withConf("graft.cc.localEdgeLimit" -> "not-a-number") {
+      val got = DedupEnrich.minLabelComponents(pairs, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L)),
+        s"a malformed conf must degrade to the default, not throw: $got")
+    }
+    // the (a, b) column contract is REQUIRED, not assumed: the type
+    // gate checks fields positionally but every projection below is
+    // by name — a misnamed frame would mislabel silently otherwise
+    val e = intercept[IllegalArgumentException] {
+      DedupEnrich.minLabelComponents(Seq((1L, 2L)).toDF("src", "dst"), 2)
+    }
+    assert(e.getMessage.contains("(a, b)"), e.getMessage)
+  }
+
   test("BPE: learnBpeLocal symbolizes by CODE POINT, matching charSyms on supplementary-plane chars") {
     import graft.functions.BpeOps
     import spark.implicits._

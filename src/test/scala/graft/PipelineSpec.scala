@@ -425,4 +425,81 @@ class PipelineSpec extends SparkSpec {
       .groupBy(_.getInt(1) % 2).view.mapValues(_.length).toMap
     assert(keptFrac.values.forall(_ > 0), "salt independence sanity")
   }
+
+  test("funnel fuzzy stage honors graft.dedup.hotThreshold=auto: derived H separates a near-dup cluster from a template flood") {
+    // the r15 verdict item: the funnel — the form most likely to meet
+    // a real templated corpus — must route its guard threshold through
+    // the SHARED resolver like d12/d13, not hardcode the fixture.
+    // Three langs on a synthetic corpus (every doc passes the Gopher
+    // gate: 60+ words, alphabetic, stopword-bearing, no symbols):
+    //   aa — 12 distinct cold docs (band occupancy 1 -> the median)
+    //   bb — a 3-doc near-dup CLUSTER (shared bands at occupancy 3)
+    //   cc — an 8-doc template FLOOD  (shared bands at occupancy 8)
+    // Derived H = max(2, ceil(4 x median 1)) = 4 sits BETWEEN cluster
+    // and flood: under auto the cluster is genuine near-dup signal
+    // (pairs -> CC -> the component min SURVIVES) while the flood
+    // saturates (all drop); under the fixture default (H = 3) the
+    // cluster saturates too — the observable difference that pins the
+    // conf as actually routed through the funnel.
+    import spark.implicits._
+    val stops = "the a of and to in"
+    def words(seed: String, n: Int): String =
+      (1 to n).map(j => s"$seed$j").mkString(" ")
+    val cold = (0 until 12).map { i =>
+      (100L + i, s"$stops ${words(s"c${i}w", 60)}", "aa")
+    }
+    val cluster = (0 until 3).map { i =>
+      (200L + i, s"$stops ${words("sw", 60)} tail$i", "bb")
+    }
+    val floodIds = Seq(300L, 302L, 303L, 304L, 305L, 306L, 309L, 310L)
+    val flood = floodIds.zipWithIndex.map { case (id, i) =>
+      (id, s"$stops ${words("fw", 60)} end$i", "cc")
+    }
+    // cluster/flood ids avoid doc_id % 7 == 0 (the eval slice) so
+    // every planted doc reaches the fuzzy stage; a cold doc landing
+    // in eval (105) just thins the median mass, which stays 1
+    val dir = java.nio.file.Files.createTempDirectory("funnel-auto")
+      .toFile.getAbsolutePath
+    (cold ++ cluster ++ flood).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def byLang(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap // (n_unique, n_fuzzy, n_clean)
+    val fixture = byLang(
+      SparkEntry.queries("pl16_curation_funnel")(spark, dir).collect())
+    var auto = Map.empty[String, (Long, Long, Long)]
+    withConf("graft.dedup.hotThreshold" -> "auto") {
+      auto = byLang(
+        SparkEntry.queries("pl16_curation_funnel")(spark, dir).collect())
+    }
+    // flood: saturated under BOTH thresholds (8 >= 3 and 8 >= 4)
+    assert(fixture("cc") == ((8L, 0L, 0L)) && auto("cc") == ((8L, 0L, 0L)),
+      s"the flood must drop entirely on both: ${fixture("cc")} / ${auto("cc")}")
+    // cluster: saturated at the fixture H = 3 (all three drop) but
+    // COLD at the derived H = 4 — pairs verify, the component min
+    // survives, the other two drop as genuine near-dups
+    assert(fixture("bb") == ((3L, 0L, 0L)),
+      s"fixture H=3 must saturate the occupancy-3 cluster: ${fixture("bb")}")
+    assert(auto("bb") == ((3L, 1L, 1L)),
+      s"derived H=4 must keep the cluster's canonical survivor: ${auto("bb")}")
+    // cold docs never flag or pair under either threshold
+    assert(fixture("aa")._1 == fixture("aa")._3 && auto("aa") == fixture("aa"),
+      s"cold docs must ride through untouched: ${auto("aa")} vs ${fixture("aa")}")
+  }
+
+  test("graft.bpe.strategy=local produces IDENTICAL pl18/pl19 output to the distributed loop") {
+    // the conf-encoded production form (the joinback/cc precedent):
+    // collect-then-fit replaces the per-merge job cadence; the output
+    // contract is exact equality, merge table and encode alike
+    val d18 = SparkEntry.queries("pl18_bpe_merges")(spark, Sf).collect().toSeq
+    val d19 = SparkEntry.queries("pl19_bpe_encode")(spark, Sf).collect().toSeq
+    withConf("graft.bpe.strategy" -> "local") {
+      val l18 = SparkEntry.queries("pl18_bpe_merges")(spark, Sf).collect().toSeq
+      assert(l18 == d18,
+        s"pl18 diverged under the local strategy:\n local=$l18\n dist=$d18")
+      val l19 = SparkEntry.queries("pl19_bpe_encode")(spark, Sf).collect().toSeq
+      assert(l19 == d19,
+        s"pl19 diverged under the local strategy:\n local=$l19\n dist=$d19")
+    }
+  }
 }
