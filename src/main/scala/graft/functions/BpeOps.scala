@@ -58,10 +58,12 @@ object BpeOps {
     * idle local box (a real cluster's scheduling latency is higher):
     * at 30k merges, 35 minutes to 1.4 hours of overhead that the
     * local fit replaces with in-memory milliseconds. The registered
-    * query keeps the distributed loop because it is the
+    * query DEFAULTS to the distributed loop because it is the
     * oracle-checkable per-iteration cost model and exercises the
-    * map-side pair-count shape a sharded fit would reuse;
-    * PipelineSpec pins that both forms learn the identical table. */
+    * map-side pair-count shape a sharded fit would reuse — and since
+    * round 16 the production form is conf-reachable inside pl18/pl19
+    * (`graft.bpe.strategy=local`, via [[fitBpeLocal]]); PipelineSpec
+    * pins that both strategies produce identical query output. */
   val NMerges = 10
 
   /** Driver-local BPE fit over a COLLECTED (word, freq) vocabulary —

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * Scale design: every hop is one equi-join on the edge key — shuffle
   * partitioned by node id, no driver-side adjacency structure; bounded
   * depth (2–3) keeps the plan static, and the connected-components pass
-  * is min-label propagation, the standard large-graph formulation (one
-  * join + one aggregate per iteration, converges in diameter steps).
+  * is pointer-doubled min-label propagation (one neighbor join + one
+  * aggregate + one label self-join per iteration, converging in
+  * O(log diameter) rounds — see the shared builder's scaladoc).
   * The co-occurrence edge list is derived from `lineitem` with a
   * modulo-sampled order set so the test subgraph is deterministic.
   */

@@ -1098,7 +1098,9 @@ object Pipeline extends QueryGroup {
     *
     * Fuzzy-stage semantics: candidate pairs come from
     * [[graft.functions.DedupEnrich.guardedCandidatePairs]] over the
-    * exact-canonicals' MinHash band keys with H = [[FunnelHotBands]],
+    * exact-canonicals' MinHash band keys with H resolved through the
+    * SHARED [[graft.functions.DedupEnrich.hotThresholdFor]] (fixture
+    * default = [[FunnelHotBands]], which the oracle embeds),
     * verified at Jaccard >= [[FunnelMinJaccard]]; components from the
     * SHARED [[graft.functions.DedupEnrich.minLabelComponents]]; the
     * deterministic canonical-survivor rule is "component minimum

@@ -261,7 +261,19 @@ object TextAnalysis extends QueryGroup {
     * corpus-character sort (5.3-7.8 s warm at sf0.1 vs ~1.5 s for this
     * plan; at 100 TB the removed sort is the difference between a
     * per-document map and a corpus-wide exchange). The model side would
-    * be a materialized offline artifact at 100 TB. */
+    * be a materialized offline artifact at 100 TB.
+    *
+    * Cache granularity (the round-16 adjudication of this query's
+    * SCALING row — the decomposition numbers live in PLANS.md): the
+    * cache holds the PRE-explode `map<trigram, count>` column — ONE
+    * row per document — and each consumer explodes it on read.
+    * Caching the exploded rows instead materialized ~300 rows per doc
+    * into the columnar cache, and that write was the query's whole
+    * decade slope (cache build 0.24 → 0.75 s per 10× data, vs
+    * 0.22 → 0.38 for the map cache); the re-explode per consumer is
+    * the cheap side of the trade (a warm columnar scan + generator,
+    * no expression recompute — the trigram EXPRESSION still runs
+    * exactly once, in the cache build). */
   private val q6 = QueryDef(
     "t8_charlm_outliers",
     (s, dir) => {
@@ -269,14 +281,18 @@ object TextAnalysis extends QueryGroup {
       // semantics identical to the split-""+lead-window formulation it
       // replaces); explode emits exactly the distinct (doc, tri, n)
       // rows, so nothing corpus-character-sized is ever shuffled or
-      // sorted. Cached: the LM model and the per-doc scores both
-      // derive from it, and the score weights each distinct
-      // (doc, trigram) by its count instead of re-joining occurrences.
-      val docTri = Tables.documents(s, dir)
+      // sorted. The map column is cached (one row per doc — see the
+      // cache-granularity note above); the LM model and the per-doc
+      // scores both explode it on read, and the score weights each
+      // distinct (doc, trigram) by its count instead of re-joining
+      // occurrences.
+      val docMap = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
-          explode(TextOps.charTrigramCounts(lower(col("text"))))
-            .as(Seq("tri", "n")))
+          TextOps.charTrigramCounts(lower(col("text"))).as("trim"))
         .cache()
+      val docTri = docMap
+        .select(col("doc_id"), col("lang"),
+          explode(col("trim")).as(Seq("tri", "n")))
       val model = docTri.groupBy("lang", "tri").agg(sum(col("n")).as("cnt"))
       val totals = model.groupBy("lang").agg(sum(col("cnt")).as("tot"))
       val logp = model.join(broadcast(totals), "lang")
