@@ -127,10 +127,11 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     * every open routes identically; `hotBandThreshold = 0` at
     * creation opts the store out for life, and
     * [[DedupIndex.AutoHotBandThreshold]] defers the value to the
-    * FIRST fold's band occupancy (derived there via the SHARED
+    * first fold WITH band-key evidence (derived there via the SHARED
     * [[DedupEnrich.deriveHotThreshold]], then persisted like any
-    * caller constant — see the resolution note in `ingestInternal`;
-    * until that first fold this accessor reports None, which is
+    * caller constant; key-less folds persist the `hot=auto` marker
+    * and keep waiting — see the resolution note in `ingestInternal`;
+    * until evidence arrives this accessor reports None, which is
     * truthful: no threshold exists yet). Stores created before the
     * guard carry no counts state and stay unguarded for life (same
     * policy as v1 Bloom encoding: retrofitting means a rebuild).
@@ -143,11 +144,31 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     * contract is the recent window; bands cool as entries age out);
     * within one horizon on a fresh history the two flag identically
     * (DedupSurfacesSpec pins it on a saturating flood). */
-  private def hotOf(man: Option[Map[String, String]]): Option[Long] =
+  private def hotOf(man: Option[Map[String, String]],
+      derive: => Option[Long] = None): Option[Long] =
     man match {
-      case Some(m) => m.get("hot").map(_.toLong)
+      case Some(m) => m.get("hot") match {
+        // an AUTO store still awaiting occupancy evidence (every fold
+        // so far carried no band keys): resolve through `derive` —
+        // None outside ingest, so describe() truthfully reports that
+        // no threshold exists yet
+        case Some(DedupIndex.AutoMarker) => derive
+        case Some(v) => Some(v.toLong)
+        case None => None
+      }
       case None =>
-        if (hotBandThreshold > 0) Some(hotBandThreshold) else None
+        if (hotBandThreshold == DedupIndex.AutoHotBandThreshold) derive
+        else if (hotBandThreshold > 0) Some(hotBandThreshold)
+        else None
+    }
+
+  /** True when this call's state is an AUTO threshold still awaiting
+    * its first occupancy evidence — the manifest marker for an
+    * existing store, the constructor sentinel at creation. */
+  private def hotPending(man: Option[Map[String, String]]): Boolean =
+    man match {
+      case Some(m) => m.get("hot").contains(DedupIndex.AutoMarker)
+      case None => hotBandThreshold == DedupIndex.AutoHotBandThreshold
     }
 
   /** Bloom state encoding: the manifest's persisted version for an
@@ -355,23 +376,26 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // probes unconditionally — the safe direction.
     val batchBands = enriched
       .select(col("doc_id"), explode(col("bands")).as("bk"))
-    // threshold resolution: the persisted value for an existing store;
-    // at CREATION, either the caller's constant or — under
-    // [[DedupIndex.AutoHotBandThreshold]] — the SHARED
-    // DedupEnrich.deriveHotThreshold over the FIRST fold's band
-    // occupancy (the only occupancy evidence that exists at creation;
-    // one bounded extra aggregate over the cached batch keys, paid
-    // once per store lifetime). The derived value persists via `hot=`
-    // below exactly like a caller constant, so every later open routes
-    // with it — the persisted-parameter discipline `m`/`mw` follow.
-    val hotOpt: Option[Long] = man match {
-      case Some(mm) => mm.get("hot").map(_.toLong)
-      case None if hotBandThreshold == DedupIndex.AutoHotBandThreshold =>
-        Some(graft.functions.DedupEnrich.deriveHotThreshold(
-          batchBands.select(col("doc_id").as("id"), col("bk").as("key"))))
-      case None =>
-        if (hotBandThreshold > 0) Some(hotBandThreshold) else None
-    }
+    // threshold resolution through the ONE shared resolver (review
+    // finding: an inline copy of hotOf's branches could drift from
+    // what describe() reports). Under AUTO, the FIRST fold that
+    // actually carries band keys derives H via the SHARED
+    // DedupEnrich.deriveHotThreshold (one bounded extra aggregate over
+    // the cached batch keys, paid once per store lifetime) and
+    // persists it below exactly like a caller constant — the
+    // persisted-parameter discipline `m`/`mw` follow. A fold with NO
+    // band keys (the empty first micro-batch of a stream — the common
+    // stream-start shape) DEFERS instead: deriving from zero keys
+    // would lock the floor in as the lifetime threshold (review
+    // finding), and a deferred fold folds no band counts either, so
+    // no guard state is missed while waiting — the `hot=auto` marker
+    // below keeps the store auto until evidence arrives.
+    val hotOpt: Option[Long] = hotOf(man, derive = {
+      val keyed = batchBands
+        .select(col("doc_id").as("id"), col("bk").as("key"))
+      if (keyed.isEmpty) None
+      else Some(DedupEnrich.deriveHotThreshold(keyed))
+    })
     val nPrev: Option[Long] = man.flatMap(_.get("n")).map(_.toLong)
     val probeHot = hotOpt.exists(hot => nPrev.forall(_ >= hot))
     val hotKeys: Option[DataFrame] =
@@ -504,6 +528,16 @@ final class DedupIndex(val spark: SparkSession, val path: String,
         bandCountState(segs0, hconf).unionByName(fresh)
           .groupBy("bk").agg(sum(col("cnt")).as("cnt"))
       else fresh
+    }.orElse {
+      // an AUTO-pending fold has no band keys to count, but its
+      // segment must still carry an (empty) bcnt dir: the read path
+      // deliberately treats a manifest-referenced segment missing a
+      // sub dir as corruption, so uniform segment shape is part of
+      // the guarded-store contract
+      if (hotPending(man))
+        Some(spark.range(0).select(col("id").cast("string").as("bk"),
+          col("id").as("cnt")))
+      else None
     }
     val wbloomOut: Option[DataFrame] = mwOpt.map { mw =>
       val words = packWords(enriched
@@ -548,7 +582,14 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       ++ nNew.map(n => Map("n" -> n.toString)).getOrElse(Map.empty)
       ++ nwNew.map(v => Map("nw" -> v.toString)).getOrElse(Map.empty)
       ++ mwOpt.map(mw => Map("mw" -> mw.toString)).getOrElse(Map.empty)
-      ++ hotOpt.map(h => Map("hot" -> h.toString)).getOrElse(Map.empty)
+      // a still-pending AUTO threshold persists as the literal marker,
+      // so the NEXT fold (on this or any re-opened handle) keeps
+      // trying to derive — a re-open with a constant cannot override
+      // a committed auto decision any more than it can override a
+      // committed constant
+      ++ hotOpt.map(h => Map("hot" -> h.toString)).getOrElse(
+        if (hotPending(man)) Map("hot" -> DedupIndex.AutoMarker)
+        else Map.empty)
       ++ batchId.map(id => Map(
         "batch" -> id.toString, "verdict_seg" -> newSeg)).getOrElse(Map.empty))
     // sweep superseded generations and any crashed writer's orphans
@@ -634,10 +675,22 @@ object DedupIndex {
     * threshold depends on the corpus the store will actually see, and
     * the first fold is the earliest evidence of it). The derived value
     * is persisted (`hot=`) and rules every later open; `describe()`
-    * reports it once the first fold commits (None before — no
-    * threshold exists yet). Only meaningful at creation: re-opens
-    * always route with the manifest. */
+    * reports it once a fold with evidence commits (None before — no
+    * threshold exists yet). Folds that carry NO band keys (the empty
+    * first micro-batches of a stream) DEFER the derivation — the
+    * manifest holds the literal `hot=auto` marker until the first fold
+    * with occupancy evidence, so a stream-start empty batch can never
+    * lock the formula's floor in as the lifetime threshold; deferred
+    * folds fold no band counts either, so the guard state stays
+    * complete. The `band_saturated` column appears on verdicts from
+    * the first derived fold onward (pre-evidence folds are empty
+    * frames without it). Only meaningful at creation: re-opens always
+    * route with the manifest. */
   val AutoHotBandThreshold: Long = -1L
+
+  /** Manifest value for an AUTO store still awaiting its first
+    * occupancy evidence (see [[AutoHotBandThreshold]]). */
+  private[graft] val AutoMarker: String = "auto"
 
   /** Fill level below which the per-ingest `wbloom_fill` disclosure
     * may be the cheap counter-derived UPPER BOUND (k·nw/mw) instead of

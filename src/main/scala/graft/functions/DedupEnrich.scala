@@ -254,9 +254,19 @@ object DedupEnrich {
     * Greenwald-Khanna's bounded-memory sketch; zero error forces the
     * exact-quantile algorithm, which at corpus scale over all blocking
     * keys is substantially heavier than the one driver-side double
-    * this is): `ceil(median × slack)` is insensitive to a 0.1%
-    * quantile perturbation, so the derived H is unchanged while the
-    * derivation stays cheap at 100 TB. Queries expose this through
+    * this is). Honesty note: the 0.001 bound is on RANK, not value —
+    * on a discrete occupancy distribution whose median rank sits
+    * within 0.1% of a mass boundary (e.g. a corpus that is ~half
+    * templated), the sketch may resolve to either side of the jump,
+    * and the result can vary with partition layout. That regime is
+    * ambiguous for ANY median-based provisioning rule (the "median" of
+    * such a corpus is a coin flip by construction); operators who need
+    * an exact, reproducible threshold there use the integer override —
+    * `graft.dedup.hotThreshold=<int>` — which is also the production
+    * answer once a corpus's occupancy profile is known. On every
+    * normal profile (cold mass far from hot tail) the 0.1% rank error
+    * cannot move the median off its plateau and the derivation is
+    * deterministic. Queries expose this through
     * `graft.dedup.hotThreshold=fixture|auto|<int>`; DedupSurfacesSpec
     * pins that on a templated flood the derived H flags exactly the
     * planted hot band's docs and no cold ones. */
@@ -284,10 +294,13 @@ object DedupEnrich {
     * localEdgeLimit parse discipline). */
   def hotThresholdFor(s: org.apache.spark.sql.SparkSession,
       fixture: Long, keys: => DataFrame): Long =
-    s.conf.get("graft.dedup.hotThreshold", "fixture") match {
+    // trimmed BEFORE matching: a conf set from a shell/yaml with
+    // trailing whitespace must not silently fall through "auto" into
+    // the fixture branch (review finding)
+    s.conf.get("graft.dedup.hotThreshold", "fixture").trim match {
       case "fixture" => fixture
       case "auto" => deriveHotThreshold(keys)
-      case v => scala.util.Try(v.trim.toLong).getOrElse(fixture)
+      case v => scala.util.Try(v.toLong).getOrElse(fixture)
     }
 
   /** Min-label propagation WITH POINTER DOUBLING to fixpoint over an
@@ -353,17 +366,21 @@ object DedupEnrich {
     // fallback, and conf=0 forces it (the equality specs drive both
     // paths on one graph). Long-typed ids only (all current callers);
     // other key types take the distributed path.
+    // project to the two contract columns ONCE, so a frame carrying
+    // extra columns behaves identically on both paths (the distributed
+    // unionAll below would otherwise reject what the fast path
+    // accepted — review finding)
+    val ab = pairs.select(col("a"), col("b"))
     val s = pairs.sparkSession
     // a malformed conf value falls back to the default limit rather
     // than crashing every CC caller (d6, g3, pl16) — ADVICE r15
     val localLimit = scala.util.Try(
       s.conf.get("graft.cc.localEdgeLimit", "100000").trim.toInt)
       .getOrElse(100000)
-    val longTyped = pairs.schema.fields.take(2)
+    val longTyped = ab.schema.fields.take(2)
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (longTyped && localLimit > 0) {
-      val head = pairs.select(col("a"), col("b"))
-        .limit(localLimit + 1).collect()
+      val head = ab.limit(localLimit + 1).collect()
       if (head.length <= localLimit) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
@@ -389,8 +406,8 @@ object DedupEnrich {
         return nodes.map(n => (n, find(n))).toSeq.toDF("node", "component")
       }
     }
-    val edges = pairs
-      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    val edges = ab
+      .unionAll(ab.select(col("b").as("a"), col("a").as("b")))
       .coalesce(parts).cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))

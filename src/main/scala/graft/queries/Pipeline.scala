@@ -1453,16 +1453,36 @@ object Pipeline extends QueryGroup {
     * merge-for-merge and word-for-word IDENTICAL (PipelineSpec pins
     * pl18/pl19 equality under both settings); `distributed` stays the
     * default because it is the oracle-checkable per-iteration cost
-    * model and keeps the registered plan shape. */
+    * model and keeps the registered plan shape.
+    *
+    * SIZE-GATED like the CC fast path: "language-bounded" is an
+    * assumption crawl corpora can violate (ids, hashes, URLs,
+    * concatenations make the vocabulary grow with the data), so the
+    * local path probes with a bounded `limit(L+1)` collect
+    * (`graft.bpe.localVocabLimit`, default 5M words — a few hundred
+    * MB of driver heap) and FALLS BACK to the distributed loop, with
+    * a warning, when the vocabulary exceeds it — an explicit `local`
+    * request must degrade to the safe engine choice, never OOM the
+    * driver. */
   private def learnBpe(s: SparkSession, words: DataFrame)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     import graft.functions.BpeOps
-    if (s.conf.get("graft.bpe.strategy", "distributed") == "local") {
-      val local = words.select(col("word"), col("freq"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val (state, merges) = BpeOps.fitBpeLocal(local)
-      import s.implicits._
-      return (state.toDF("word", "freq", "syms"), merges)
+    if (s.conf.get("graft.bpe.strategy", "distributed").trim == "local") {
+      val limit = scala.util.Try(
+        s.conf.get("graft.bpe.localVocabLimit", "5000000").trim.toInt)
+        .getOrElse(5000000)
+      val head = words.select(col("word"), col("freq"))
+        .limit(limit + 1).collect()
+      if (head.length <= limit) {
+        val local = head.map(r => (r.getString(0), r.getLong(1))).toSeq
+        val (state, merges) = BpeOps.fitBpeLocal(local)
+        import s.implicits._
+        return (state.toDF("word", "freq", "syms"), merges)
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"graft.bpe.strategy=local: vocabulary exceeds " +
+          s"graft.bpe.localVocabLimit=$limit words - falling back to " +
+          "the distributed merge loop")
     }
     val np = IterSizing.iterParts(s)
     var vocab = words

@@ -365,9 +365,19 @@ class DedupIndexSpec extends SparkSpec {
     val idx = new DedupIndex(spark, dir, capacity = 1000,
       hotBandThreshold = DedupIndex.AutoHotBandThreshold)
     import spark.implicits._
-    // first fold: a 6-doc template flood (6 identical texts -> 4 band
-    // keys at occupancy 6) + two cold singletons (4 keys each at 1):
-    // median occupancy 1 -> derived H = max(2, ceil(4 x 1)) = 4
+    // an EMPTY first batch (the stream-start shape) must DEFER the
+    // derivation, not lock the formula's floor in for life: the
+    // manifest carries the auto marker, describe() reports no
+    // threshold yet, and the verdict frame has no saturation column
+    val r0 = idx.ingest(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(r0.collect().isEmpty && !r0.columns.contains("band_saturated"))
+    assert(ManifestIO.read(dir).get("hot") == "auto",
+      s"empty evidence must keep the store auto: ${ManifestIO.read(dir)}")
+    assert(idx.describe().hotBandThreshold.isEmpty,
+      "no threshold exists before the first fold with evidence")
+    // first fold WITH evidence: a 6-doc template flood (6 identical
+    // texts -> 4 band keys at occupancy 6) + two cold singletons
+    // (4 keys each at 1): median occupancy 1 -> H = max(2, ceil(4x1)) = 4
     val flood = (1L to 6L).map(i => (i, base)) ++ Seq(
       7L -> "entirely novel text about sailing boats and tides",
       8L -> "another unrelated document mentioning compilers")
