@@ -65,6 +65,10 @@ QUERIES = [
     # round-14 newborns
     "d12_guarded_batch_pairs", "pl18_bpe_merges", "pl19_bpe_encode",
     "d13_guarded_embedding_pairs",
+    # round-16 addition: g3 composed onto the shared (now
+    # pointer-doubled) CC builder in r15/r16 — the scaling claim
+    # should cover the third CC surface directly
+    "g3_connected_components",
 ]
 
 ADD_OPENS = [

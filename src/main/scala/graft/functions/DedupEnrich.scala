@@ -418,8 +418,12 @@ object DedupEnrich {
     // the pointer-doubling shortcut the loop needs ~log2(diameter)
     // rounds (50 covers diameter 2^50), where the pre-r16 linear loop
     // needed one round PER unit of diameter and exited silently split
-    // past the cap — the r15 verdict's at-scale edge, now loud below
-    val maxIters = 50
+    // past the cap — the r15 verdict's at-scale edge, now loud below.
+    // Conf-able ONLY so the spec can PIN the loud-failure contract
+    // (an artificially small cap on a long chain must throw, never
+    // return split components); production has no reason to touch it
+    val maxIters = scala.util.Try(
+      s.conf.get("graft.cc.maxRounds", "50").trim.toInt).getOrElse(50)
     while (changed > 0 && iter < maxIters) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "a"), "a")
@@ -451,9 +455,10 @@ object DedupEnrich {
       throw new IllegalStateException(
         s"minLabelComponents did not converge within $maxIters rounds " +
           s"($changed labels still changing) — refusing to return split " +
-          "components (they would silently over-retain near-dups); the " +
-          "pointer-doubled loop covers diameter 2^50, so this indicates " +
-          "a bug or non-Long id pathology, not a long chain")
+          "components (they would silently over-retain near-dups); at " +
+          "the default cap the pointer-doubled loop covers diameter " +
+          "2^50, so this indicates a bug, a non-Long id pathology, or " +
+          "an artificially low graft.cc.maxRounds")
     labels
   }
 

@@ -345,6 +345,23 @@ class FunctionsSpec extends SparkSpec {
         s"(split components = silent over-retention): ${dist.diff(expected)}")
   }
 
+  test("minLabelComponents: non-convergence is LOUD — an exhausted round cap throws, never returns split components") {
+    // the (a) leg of the r15 verdict's done-criterion: the cap is
+    // conf-able solely so this spec can exhaust it — a 40-diameter
+    // chain cannot converge in 2 rounds, and the contract is an
+    // IllegalStateException, not a silently split labeling
+    import graft.functions.DedupEnrich
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    withConf("graft.cc.localEdgeLimit" -> "0",
+      "graft.cc.maxRounds" -> "2") {
+      val e = intercept[IllegalStateException] {
+        DedupEnrich.minLabelComponents(chain, 4)
+      }
+      assert(e.getMessage.contains("did not converge"), e.getMessage)
+    }
+  }
+
   test("minLabelComponents: malformed conf falls back to the default; misnamed columns fail loudly") {
     import graft.functions.DedupEnrich
     import spark.implicits._
