@@ -62,13 +62,20 @@ import graft.functions.DedupEnrich
   * LSM-ish bound as the memory store's buckets). */
 final class DedupIndex(val spark: SparkSession, val path: String,
     capacity: Long = 1000000L, windowCapacity: Long = 0L,
-    hotBandThreshold: Long = DedupIndex.DefaultHotBandThreshold) {
+    hotBandThreshold: Long = DedupIndex.DefaultHotBandThreshold,
+    autoHotThreshold: Boolean = false) {
 
-  require(hotBandThreshold >= 0 ||
-    hotBandThreshold == DedupIndex.AutoHotBandThreshold,
-    s"hotBandThreshold must be positive (a fixed threshold), 0 (opt " +
-      s"out), or DedupIndex.AutoHotBandThreshold (derive at first " +
-      s"fold) — got $hotBandThreshold")
+  // AUTO is its own FLAG, not a hotBandThreshold sentinel: the
+  // pre-auto contract was "<= 0 at creation opts out for life", so
+  // ANY reused negative value would silently invert an existing
+  // caller's opt-out into auto-guarding (review finding). Conflicting
+  // intent — auto plus an explicit threshold — throws instead of
+  // picking a winner.
+  require(!autoHotThreshold ||
+    hotBandThreshold == DedupIndex.DefaultHotBandThreshold,
+    s"autoHotThreshold = true derives the threshold from the first " +
+      s"fold's occupancy — do not also pass an explicit " +
+      s"hotBandThreshold (got $hotBandThreshold)")
 
   // the manifest is read ONCE per ingest and the parsed map threaded
   // through every helper — it cannot change mid-call (single writer),
@@ -124,9 +131,9 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     * candidate list), never hide a duplicate — and the Bloom
     * `maybe_dup` leg is unaffected, so exact re-posts keep flagging.
     * The threshold is persisted at creation (`hot=`, like `m`) so
-    * every open routes identically; `hotBandThreshold = 0` at
-    * creation opts the store out for life, and
-    * [[DedupIndex.AutoHotBandThreshold]] defers the value to the
+    * every open routes identically; `hotBandThreshold <= 0` at
+    * creation opts the store out for life (the pre-auto contract,
+    * unchanged), and `autoHotThreshold = true` defers the value to the
     * first fold WITH band-key evidence (derived there via the SHARED
     * [[DedupEnrich.deriveHotThreshold]], then persisted like any
     * caller constant; key-less folds persist the `hot=auto` marker
@@ -157,18 +164,18 @@ final class DedupIndex(val spark: SparkSession, val path: String,
         case None => None
       }
       case None =>
-        if (hotBandThreshold == DedupIndex.AutoHotBandThreshold) derive
+        if (autoHotThreshold) derive
         else if (hotBandThreshold > 0) Some(hotBandThreshold)
         else None
     }
 
   /** True when this call's state is an AUTO threshold still awaiting
     * its first occupancy evidence — the manifest marker for an
-    * existing store, the constructor sentinel at creation. */
+    * existing store, the constructor flag at creation. */
   private def hotPending(man: Option[Map[String, String]]): Boolean =
     man match {
       case Some(m) => m.get("hot").contains(DedupIndex.AutoMarker)
-      case None => hotBandThreshold == DedupIndex.AutoHotBandThreshold
+      case None => autoHotThreshold
     }
 
   /** Bloom state encoding: the manifest's persisted version for an
@@ -482,9 +489,16 @@ final class DedupIndex(val spark: SparkSession, val path: String,
             round(coalesce(col("n_shared_windows"), lit(0L)).cast("double")
               / size(col("ws")), 6))
             .otherwise(lit(0.0)).as("shared_window_frac")).toSeq
-        ++ hotOpt.map(_ =>
-          (if (probeHot) coalesce(col("_sat"), lit(0)) else lit(0))
-            .as("band_saturated")).toSeq
+        // present whenever the store is guarded OR auto-pending: an
+        // AUTO store's verdict schema must be stable for its LIFETIME
+        // (pre-evidence folds emit the column as 0), or a
+        // schema-strict sink created on the stream-start empty batch
+        // rejects every fold after the derivation (review finding)
+        ++ (if (hotOpt.isDefined || hotPending(man))
+          Seq((if (hotOpt.isDefined && probeHot)
+            coalesce(col("_sat"), lit(0)) else lit(0))
+            .as("band_saturated"))
+          else Nil)
         ++ wbloomFill.map(f =>
           lit(BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble).as("wbloom_fill")).toSeq: _*)
@@ -666,14 +680,18 @@ object DedupIndex {
     * boilerplate, not similarity signal). */
   val DefaultHotBandThreshold: Long = 10000L
 
-  /** Pass as `hotBandThreshold` at creation to DERIVE the threshold
+  /** `autoHotThreshold = true` at creation DERIVES the threshold
     * from the first fold's band occupancy instead of fixing it blind —
     * the maintained-store twin of the query surface's
     * `graft.dedup.hotThreshold=auto` (the same
     * [[graft.functions.DedupEnrich.deriveHotThreshold]]
     * median-occupancy × slack formula, the same rationale: the right
     * threshold depends on the corpus the store will actually see, and
-    * the first fold is the earliest evidence of it). The derived value
+    * the first fold is the earliest evidence of it). A dedicated
+    * BOOLEAN, not a `hotBandThreshold` sentinel: every non-positive
+    * threshold value already means "opt out for life" (the pre-auto
+    * contract), so a numeric sentinel would silently invert an
+    * existing caller's opt-out into auto-guarding. The derived value
     * is persisted (`hot=`) and rules every later open; `describe()`
     * reports it once a fold with evidence commits (None before — no
     * threshold exists yet). Folds that carry NO band keys (the empty
@@ -682,14 +700,13 @@ object DedupIndex {
     * with occupancy evidence, so a stream-start empty batch can never
     * lock the formula's floor in as the lifetime threshold; deferred
     * folds fold no band counts either, so the guard state stays
-    * complete. The `band_saturated` column appears on verdicts from
-    * the first derived fold onward (pre-evidence folds are empty
-    * frames without it). Only meaningful at creation: re-opens always
-    * route with the manifest. */
-  val AutoHotBandThreshold: Long = -1L
-
-  /** Manifest value for an AUTO store still awaiting its first
-    * occupancy evidence (see [[AutoHotBandThreshold]]). */
+    * complete. The `band_saturated` column is present on verdicts for
+    * the store's whole lifetime (pre-evidence folds emit it as 0 —
+    * schema-strict sinks must see one stable shape). Only meaningful
+    * at creation: re-opens always route with the manifest.
+    *
+    * Manifest value for an AUTO store still awaiting its first
+    * occupancy evidence. */
   private[graft] val AutoMarker: String = "auto"
 
   /** Fill level below which the per-ingest `wbloom_fill` disclosure

@@ -289,9 +289,13 @@ object DedupEnrich {
     * `auto` (the [[deriveHotThreshold]] median-occupancy formula over
     * the SAME `(id, key)` counts aggregate the guard computes), or an
     * integer override. `keys` is by-name: the derivation's reduction
-    * runs only in auto mode. A malformed conf value falls back to the
-    * fixture constant rather than crashing the query (the
-    * localEdgeLimit parse discipline). */
+    * runs only in auto mode. A malformed value THROWS (unlike the
+    * engine-choice confs below, where a parse failure degrades to a
+    * default with identical output): the threshold changes guard
+    * VERDICTS, so a typo like `Auto` or `10_000` silently running the
+    * fixture constant would be a silent semantic change — the one
+    * failure mode this family's fail-loudly discipline exists to
+    * prevent (review finding). */
   def hotThresholdFor(s: org.apache.spark.sql.SparkSession,
       fixture: Long, keys: => DataFrame): Long =
     // trimmed BEFORE matching: a conf set from a shell/yaml with
@@ -300,8 +304,30 @@ object DedupEnrich {
     s.conf.get("graft.dedup.hotThreshold", "fixture").trim match {
       case "fixture" => fixture
       case "auto" => deriveHotThreshold(keys)
-      case v => scala.util.Try(v.toLong).getOrElse(fixture)
+      case v => scala.util.Try(v.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.dedup.hotThreshold must be 'fixture', 'auto', or an " +
+            s"integer — got '$v'"))
     }
+
+  /** Defensive integer-conf parse for ENGINE-CHOICE knobs (size gates,
+    * iteration caps — settings where every value yields identical
+    * output): a malformed value logs a warning and falls back to the
+    * default rather than crashing every caller (the r15 ADVICE
+    * discipline for `graft.cc.localEdgeLimit`, now one helper instead
+    * of three drift-prone inline copies — review finding). Semantic
+    * confs (values that change RESULTS, e.g.
+    * `graft.dedup.hotThreshold`) must NOT route through this: they
+    * fail loudly instead (see [[hotThresholdFor]]). */
+  private[graft] def confInt(s: org.apache.spark.sql.SparkSession,
+      key: String, default: Int): Int =
+    scala.util.Try(s.conf.get(key, default.toString).trim.toInt)
+      .getOrElse {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"malformed $key='${s.conf.get(key, "")}' - falling back to " +
+            s"the default $default")
+        default
+      }
 
   /** Min-label propagation WITH POINTER DOUBLING to fixpoint over an
     * undirected pair graph — the connected-components step of a dedup
@@ -373,10 +399,11 @@ object DedupEnrich {
     val ab = pairs.select(col("a"), col("b"))
     val s = pairs.sparkSession
     // a malformed conf value falls back to the default limit rather
-    // than crashing every CC caller (d6, g3, pl16) — ADVICE r15
-    val localLimit = scala.util.Try(
-      s.conf.get("graft.cc.localEdgeLimit", "100000").trim.toInt)
-      .getOrElse(100000)
+    // than crashing every CC caller (d6, g3, pl16) — ADVICE r15;
+    // clamped so the +1 sentinel probe below cannot overflow when an
+    // operator disables the gate with Int.MaxValue (review finding)
+    val localLimit = math.min(
+      confInt(s, "graft.cc.localEdgeLimit", 100000), Int.MaxValue - 1)
     val longTyped = ab.schema.fields.take(2)
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (longTyped && localLimit > 0) {
@@ -422,8 +449,7 @@ object DedupEnrich {
     // Conf-able ONLY so the spec can PIN the loud-failure contract
     // (an artificially small cap on a long chain must throw, never
     // return split components); production has no reason to touch it
-    val maxIters = scala.util.Try(
-      s.conf.get("graft.cc.maxRounds", "50").trim.toInt).getOrElse(50)
+    val maxIters = confInt(s, "graft.cc.maxRounds", 50)
     while (changed > 0 && iter < maxIters) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "a"), "a")

@@ -1467,10 +1467,21 @@ object Pipeline extends QueryGroup {
   private def learnBpe(s: SparkSession, words: DataFrame)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     import graft.functions.BpeOps
-    if (s.conf.get("graft.bpe.strategy", "distributed").trim == "local") {
-      val limit = scala.util.Try(
-        s.conf.get("graft.bpe.localVocabLimit", "5000000").trim.toInt)
-        .getOrElse(5000000)
+    // enum conf validated up front: a near-miss like 'LOCAL' or
+    // 'locall' silently running the distributed loop would cost hours
+    // of job cadence at a production vocabulary with nothing logged —
+    // unknown values throw, matching Spark's own enum-conf discipline
+    // (review finding)
+    val strategy = s.conf.get("graft.bpe.strategy", "distributed").trim
+    require(strategy == "distributed" || strategy == "local",
+      s"graft.bpe.strategy must be 'distributed' or 'local' — got " +
+        s"'$strategy'")
+    if (strategy == "local") {
+      // clamped so the +1 sentinel probe cannot overflow when an
+      // operator disables the gate with Int.MaxValue (review finding)
+      val limit = math.min(
+        graft.functions.DedupEnrich.confInt(
+          s, "graft.bpe.localVocabLimit", 5000000), Int.MaxValue - 1)
       val head = words.select(col("word"), col("freq"))
         .limit(limit + 1).collect()
       if (head.length <= limit) {

@@ -357,20 +357,23 @@ class DedupIndexSpec extends SparkSpec {
 
   test("creation-time AUTO hot threshold: derived from the first fold's occupancy, persisted, ruling every re-open") {
     // the query surface's graft.dedup.hotThreshold=auto at the
-    // maintained store's scope: AutoHotBandThreshold defers the value
+    // maintained store's scope: autoHotThreshold defers the value
     // to the FIRST fold, which derives H via the SHARED
     // DedupEnrich.deriveHotThreshold (median occupancy x 4, floor 2)
     // and persists it like any caller constant
     val dir = freshDir()
     val idx = new DedupIndex(spark, dir, capacity = 1000,
-      hotBandThreshold = DedupIndex.AutoHotBandThreshold)
+      autoHotThreshold = true)
     import spark.implicits._
     // an EMPTY first batch (the stream-start shape) must DEFER the
     // derivation, not lock the formula's floor in for life: the
-    // manifest carries the auto marker, describe() reports no
-    // threshold yet, and the verdict frame has no saturation column
+    // manifest carries the auto marker and describe() reports no
+    // threshold yet — but the verdict SCHEMA already carries the
+    // saturation column (as 0), so a schema-strict sink created on
+    // this batch accepts every post-derivation fold
     val r0 = idx.ingest(Seq.empty[(Long, String)].toDF("doc_id", "text"))
-    assert(r0.collect().isEmpty && !r0.columns.contains("band_saturated"))
+    assert(r0.collect().isEmpty && r0.columns.contains("band_saturated"),
+      "an AUTO store's verdict schema must be stable from fold 0")
     assert(ManifestIO.read(dir).get("hot") == "auto",
       s"empty evidence must keep the store auto: ${ManifestIO.read(dir)}")
     assert(idx.describe().hotBandThreshold.isEmpty,
@@ -397,10 +400,13 @@ class DedupIndexSpec extends SparkSpec {
     val v2 = reopened.ingest(docs(101L -> base)).collect().head
     assert(v2.getAs[Int]("band_saturated") == 1,
       s"re-opens route with the persisted derived threshold: $v2")
-    // negatives other than the sentinel are typos, not policies
+    // auto is a FLAG, never a threshold value: combining it with an
+    // explicit threshold is conflicting intent and throws, and any
+    // negative threshold keeps its pre-auto meaning (opt out for
+    // life) instead of silently flipping to auto
     intercept[IllegalArgumentException] {
       new DedupIndex(spark, freshDir(), capacity = 10L,
-        hotBandThreshold = -7L)
+        hotBandThreshold = 5L, autoHotThreshold = true)
     }
   }
 
@@ -411,6 +417,15 @@ class DedupIndexSpec extends SparkSpec {
     assert(!r.columns.contains("band_saturated"),
       "an opted-out store must not grow the column")
     assert(!ManifestIO.read(dir).get.contains("hot"))
+    // NEGATIVE values keep their pre-auto meaning — opt out, never
+    // silently auto-guard (the -1-sentinel inversion class)
+    val negDir = freshDir()
+    val negOut = new DedupIndex(spark, negDir, capacity = 1000,
+      hotBandThreshold = -7L)
+    val rn = negOut.ingest(docs(1L -> base))
+    assert(!rn.columns.contains("band_saturated") &&
+      !ManifestIO.read(negDir).get.contains("hot"),
+      "a negative threshold is an opt-out, not an auto request")
     // a guarded re-open cannot enable it mid-life (no counts history)
     val reopened = new DedupIndex(spark, dir, capacity = 1000, hotBandThreshold = 5)
     val r2 = reopened.ingest(docs(2L -> base))

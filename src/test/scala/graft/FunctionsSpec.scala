@@ -383,6 +383,34 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("(a, b)"), e.getMessage)
   }
 
+  test("hotThresholdFor: a malformed SEMANTIC conf fails loudly, never silently runs the fixture") {
+    import graft.functions.DedupEnrich
+    import spark.implicits._
+    val keys = Seq((1L, "k1"), (2L, "k1")).toDF("id", "key")
+    // the threshold changes guard VERDICTS — unlike the engine-choice
+    // confs (localEdgeLimit/maxRounds, identical output under any
+    // value), a typo here must surface, not quietly run H=fixture
+    for (bad <- Seq("Auto", "10_000", "3.5")) {
+      withConf("graft.dedup.hotThreshold" -> bad) {
+        val e = intercept[IllegalArgumentException] {
+          DedupEnrich.hotThresholdFor(spark, 3L, keys)
+        }
+        assert(e.getMessage.contains(bad), e.getMessage)
+      }
+    }
+    // the three accepted forms still resolve
+    withConf("graft.dedup.hotThreshold" -> "17") {
+      assert(DedupEnrich.hotThresholdFor(spark, 3L, keys) == 17L)
+    }
+    withConf("graft.dedup.hotThreshold" -> "fixture") {
+      assert(DedupEnrich.hotThresholdFor(spark, 3L, keys) == 3L)
+    }
+    withConf("graft.dedup.hotThreshold" -> "auto") {
+      // two docs on one key: median occupancy 2 -> max(2, ceil(4*2)) = 8
+      assert(DedupEnrich.hotThresholdFor(spark, 3L, keys) == 8L)
+    }
+  }
+
   test("BPE: learnBpeLocal symbolizes by CODE POINT, matching charSyms on supplementary-plane chars") {
     import graft.functions.BpeOps
     import spark.implicits._

@@ -501,5 +501,14 @@ class PipelineSpec extends SparkSpec {
       assert(l19 == d19,
         s"pl19 diverged under the local strategy:\n local=$l19\n dist=$d19")
     }
+    // an ENUM conf near-miss ('LOCAL', 'locall') must throw, not
+    // silently run the distributed loop — hours of job cadence at a
+    // production vocabulary with nothing logged (review finding)
+    withConf("graft.bpe.strategy" -> "LOCAL") {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("pl18_bpe_merges")(spark, Sf).collect()
+      }
+      assert(e.getMessage.contains("graft.bpe.strategy"), e.getMessage)
+    }
   }
 }
