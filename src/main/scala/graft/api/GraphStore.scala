@@ -81,8 +81,19 @@ final class GraphStore(val spark: SparkSession, val path: String) {
     }
 
   /** Depth-bounded reachability over edges valid at `asOf`: iterative
-    * frontier expansion, each hop one broadcast semi-join against the
-    * (filtered) edge table. Returns (node, depth of first reach). */
+    * frontier expansion, each hop one equi-join against the (filtered,
+    * cached) edge table. Returns (node, depth of first reach).
+    *
+    * Join strategy is deliberately LEFT TO THE OPTIMIZER, not a forced
+    * `broadcast(frontier)`: a BFS frontier is unbounded — it grows
+    * with graph fan-out, and on a dense hop can approach the node
+    * count — so a forced broadcast is a driver OOM waiting for the
+    * first well-connected graph. Each frontier is an eagerly
+    * localCheckpoint'd frame with known size, so AQE picks the
+    * broadcast build side at runtime exactly when the frontier IS
+    * small (hop 1 from a single start node always is) and falls back
+    * to a shuffle join when it is not — the scale-safe version of the
+    * same plan. */
   def expandAt(start: String, maxDepth: Int, asOf: Timestamp): DataFrame = {
     import spark.implicits._
     val valid = edges()
@@ -94,7 +105,7 @@ final class GraphStore(val spark: SparkSession, val path: String) {
     var d = 0
     while (d < maxDepth && !frontier.isEmpty) {
       d += 1
-      val next = valid.join(broadcast(frontier), col("src") === col("node"))
+      val next = valid.join(frontier, col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
         .join(reached.select(col("node")), Seq("node"), "left_anti")
         .withColumn("depth", lit(d))
@@ -102,6 +113,10 @@ final class GraphStore(val spark: SparkSession, val path: String) {
       reached = reached.unionByName(next)
       frontier = next
     }
+    // every hop's output is an EAGER localCheckpoint, so nothing
+    // returned still depends on the cached edge projection — dropping
+    // it here keeps repeated expandAt calls from accumulating entries
+    valid.unpersist(false)
     reached
   }
 }

@@ -18,9 +18,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * semantics), which is how the specs drive it deterministically.
   *
   * Scale notes: all state is keyed by user/event-type — state store
-  * partitions shard by key; watermarks bound state size; the stateful
-  * session operator uses processing-timeout-free event-time logic so
-  * replays are deterministic.
+  * partitions shard by key. Watermarks/timeouts bound state size for
+  * the DATA-sized keys (dedup keys, band keys); [[sessionize]]'s
+  * state is deliberately timeout-free (see its scaladoc) and bounded
+  * by USER cardinality — an entity dimension, not a data-sized one.
   */
 object EventStream {
 
@@ -147,7 +148,7 @@ object EventStream {
     * live (post-eviction) entry list is at the cap stops enumerating:
     * an arrival there emits ONE `saturated = true` marker row
     * (`a = -1`, arriving doc in `b` as on pair rows) and is NOT added
-    * to the state, bounding both state.
+    * to the state, bounding both state size and output per band.
     *
     * TRIGGER SEMANTICS vs the maintained index's guard (deliberate,
     * not drift): the [[graft.api.DedupIndex]] saturates on LIFETIME
@@ -159,8 +160,7 @@ object EventStream {
     * history is the index's job, see the reconciliation spec). Within
     * one horizon against a fresh history the two surfaces flag the
     * SAME docs and emit the SAME pairs — DedupSurfacesSpec pins that
-    * equality on a saturating flood
-    * size and output per band. Over-approximation: the marker routes
+    * equality on a saturating flood. Over-approximation: the marker routes
     * the doc to the WIDE downstream exact-verify, so saturation can
     * never hide a duplicate (see [[NearDupCandidate]]); the
     * maintained [[graft.api.DedupIndex]] applies the same guard to
@@ -234,7 +234,18 @@ object EventStream {
     * per user via flatMapGroupsWithState — the reference's per-agent
     * stateful profile update re-expressed as managed streaming state.
     * Emits one update per closed session plus the live session on each
-    * batch. */
+    * batch.
+    *
+    * State discipline (deliberate NoTimeout, unlike the band-keyed
+    * operator above): one SessionState per user, i.e. state is bounded
+    * by user CARDINALITY — an entity dimension, like the profile store
+    * it feeds — not by stream length; an idle user's last session
+    * stays live (emitted `closed = false`) until a later event closes
+    * it — the same per-user-slot shape as the profile upsert (A6) this
+    * stream feeds. A deployment that must reclaim idle-user state instead
+    * attaches an event-time timeout and emits the final close on
+    * expiry — a semantics change (sessions would close without a
+    * successor event), not a drop-in. */
   def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
