@@ -84,7 +84,15 @@ final class DealLedger(val spark: SparkSession, val path: String,
       .select(col("deal_id"), col("ledger_id"), col("buyer"), col("seller"),
         col("terms"), col("signed_at"))
       .withColumn("content_hash", canonical(col("terms")))
-    val tails = table().groupBy("ledger_id").agg(
+    // pruned to the BATCH's ledgers before aggregating (the
+    // enrichChain discipline): the store holds a tail per ledger EVER
+    // seen — unbounded over a deployment's life — while this append
+    // only re-seeds the chains it touches, an O(batch) set, so the
+    // semi-join keeps the aggregate and the forced broadcast O(batch)
+    val batchLedgers = in.select(col("ledger_id")).distinct()
+    val tails = table()
+      .join(broadcast(batchLedgers), Seq("ledger_id"), "left_semi")
+      .groupBy("ledger_id").agg(
         max_by(struct(col("deal_offset"), col("content_hash")),
           col("deal_offset")).as("t"))
       .select(col("ledger_id"), col("t.deal_offset").as("tail_offset"),

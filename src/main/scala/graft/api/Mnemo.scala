@@ -1167,8 +1167,17 @@ final class MnemoStore(val spark: SparkSession, val path: String,
       .withColumn("access_count", lit(0L))
 
     // seed: tail content_hash per (agent, thread) already in the store
-    // (table() is typed even when never written, so one branch suffices)
-    val tails = table().groupBy("agent_id", "thread_id")
+    // (table() is typed even when never written, so one branch suffices).
+    // Pruned to the BATCH's keys before aggregating: the store holds a
+    // tail per (agent, thread) EVER seen — unbounded at corpus scale —
+    // while the append only needs the chains it touches, an O(batch)
+    // set. The batch-keys semi-join makes the aggregate and the forced
+    // broadcast below both O(batch); without it the broadcast grows
+    // with store history and eventually OOMs the driver.
+    val batchKeys = reqs.select(col("agent_id"), col("thread_id")).distinct()
+    val tails = table()
+      .join(broadcast(batchKeys), Seq("agent_id", "thread_id"), "left_semi")
+      .groupBy("agent_id", "thread_id")
       .agg(max_by(col("content_hash"),
         struct(col("created_at"), col("id"))).as("tail_hash"))
 
