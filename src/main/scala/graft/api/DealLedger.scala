@@ -80,10 +80,14 @@ final class DealLedger(val spark: SparkSession, val path: String,
     * per-ledger chains stay valid across batches because each append
     * re-seeds from the stored tails. */
   def append(reqs: DataFrame): Unit = {
+    // pinned: two consumers read the batch (the ledger-key prune and
+    // the chained write) — without the pin a non-trivial upstream
+    // micro-batch plan would be scanned twice per append
     val in = reqs
       .select(col("deal_id"), col("ledger_id"), col("buyer"), col("seller"),
         col("terms"), col("signed_at"))
       .withColumn("content_hash", canonical(col("terms")))
+      .localCheckpoint()
     // pruned to the BATCH's ledgers before aggregating (the
     // enrichChain discipline): the store holds a tail per ledger EVER
     // seen — unbounded over a deployment's life — while this append

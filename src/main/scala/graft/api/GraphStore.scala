@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * Spark-first: closes are one conditional column rewrite over the
   * edge table (no row-by-row probes); as-of reads are pure predicates,
   * so they pushdown to the scan; expansion is an iterative frontier
-  * broadcast-semi-join — the frontier is tiny relative to the edge
-  * table, which streams. As-of READ parity is already oracle-checked by
-  * j6/j9/g1; this class adds the missing write-side op.
+  * equi-join whose build side AQE picks per hop from the frontier's
+  * real size (see [[expandAt]] — a frontier is unbounded, so the
+  * strategy is deliberately not forced). As-of READ parity is already
+  * oracle-checked by j6/j9/g1; this class adds the missing write-side
+  * op.
   */
 final class GraphStore(val spark: SparkSession, val path: String) {
 
@@ -103,20 +105,25 @@ final class GraphStore(val spark: SparkSession, val path: String) {
     var reached = Seq((start, 0)).toDF("node", "depth")
     var frontier = reached
     var d = 0
-    while (d < maxDepth && !frontier.isEmpty) {
-      d += 1
-      val next = valid.join(frontier, col("src") === col("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(reached.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("depth", lit(d))
-        .localCheckpoint()
-      reached = reached.unionByName(next)
-      frontier = next
+    try {
+      while (d < maxDepth && !frontier.isEmpty) {
+        d += 1
+        val next = valid.join(frontier, col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(reached.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("depth", lit(d))
+          .localCheckpoint()
+        reached = reached.unionByName(next)
+        frontier = next
+      }
+    } finally {
+      // every hop's output is an EAGER localCheckpoint, so nothing
+      // returned still depends on the cached edge projection — and the
+      // finally keeps a mid-expansion failure (executor loss, corrupt
+      // segment) from leaking the entry, the accumulation this
+      // unpersist exists to stop
+      valid.unpersist(false)
     }
-    // every hop's output is an EAGER localCheckpoint, so nothing
-    // returned still depends on the cached edge projection — dropping
-    // it here keeps repeated expandAt calls from accumulating entries
-    valid.unpersist(false)
     reached
   }
 }

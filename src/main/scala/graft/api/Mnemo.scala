@@ -1155,8 +1155,15 @@ final class MnemoStore(val spark: SparkSession, val path: String,
     * hash, tombstone defaults, and per-(agent, thread) chain linkage
     * continued from the store's current tails — as a plan, unwritten,
     * so callers ([[ampMerge]]) can fold it into a single atomic
-    * commit alongside a bucket rewrite. */
-  private def enrichChain(reqs: DataFrame): DataFrame = {
+    * commit alongside a bucket rewrite. The INPUT is pinned
+    * (localCheckpoint) because two consumers read it — the batch-keys
+    * prune below and the enriched rows themselves — and re-running an
+    * arbitrary caller plan (remember's anomaly gate + index-probe
+    * joins) once per consumer would double the write path's gate
+    * cost; the OUTPUT stays a plan, preserving the atomic-fold
+    * contract. */
+  private def enrichChain(reqs0: DataFrame): DataFrame = {
+    val reqs = reqs0.localCheckpoint()
     val in = reqs
       .withColumn("embedding", hashEmbedding(col("content")))
       .withColumn("content_hash",

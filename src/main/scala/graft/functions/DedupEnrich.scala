@@ -315,19 +315,24 @@ object DedupEnrich {
     * output): a malformed value logs a warning and falls back to the
     * default rather than crashing every caller (the r15 ADVICE
     * discipline for `graft.cc.localEdgeLimit`, now one helper instead
-    * of three drift-prone inline copies — review finding). Semantic
-    * confs (values that change RESULTS, e.g.
-    * `graft.dedup.hotThreshold`) must NOT route through this: they
-    * fail loudly instead (see [[hotThresholdFor]]). */
+    * of three drift-prone inline copies — review finding). The result
+    * is clamped to Int.MaxValue - 1 HERE, not at call sites, because
+    * the size-gate callers all probe with `limit(n + 1)` and an
+    * un-clamped Int.MaxValue would overflow the sentinel into a
+    * negative limit (second review finding — the clamp itself was
+    * starting to copy-paste). Semantic confs (values that change
+    * RESULTS, e.g. `graft.dedup.hotThreshold`) must NOT route through
+    * this: they fail loudly instead (see [[hotThresholdFor]]). */
   private[graft] def confInt(s: org.apache.spark.sql.SparkSession,
       key: String, default: Int): Int =
-    scala.util.Try(s.conf.get(key, default.toString).trim.toInt)
-      .getOrElse {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"malformed $key='${s.conf.get(key, "")}' - falling back to " +
-            s"the default $default")
-        default
-      }
+    math.min(Int.MaxValue - 1,
+      scala.util.Try(s.conf.get(key, default.toString).trim.toInt)
+        .getOrElse {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"malformed $key='${s.conf.get(key, "")}' - falling back to " +
+              s"the default $default")
+          default
+        })
 
   /** Min-label propagation WITH POINTER DOUBLING to fixpoint over an
     * undirected pair graph — the connected-components step of a dedup
@@ -400,10 +405,8 @@ object DedupEnrich {
     val s = pairs.sparkSession
     // a malformed conf value falls back to the default limit rather
     // than crashing every CC caller (d6, g3, pl16) — ADVICE r15;
-    // clamped so the +1 sentinel probe below cannot overflow when an
-    // operator disables the gate with Int.MaxValue (review finding)
-    val localLimit = math.min(
-      confInt(s, "graft.cc.localEdgeLimit", 100000), Int.MaxValue - 1)
+    // confInt also clamps, so the +1 sentinel probe cannot overflow
+    val localLimit = confInt(s, "graft.cc.localEdgeLimit", 100000)
     val longTyped = ab.schema.fields.take(2)
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (longTyped && localLimit > 0) {

@@ -1477,23 +1477,28 @@ object Pipeline extends QueryGroup {
       s"graft.bpe.strategy must be 'distributed' or 'local' — got " +
         s"'$strategy'")
     if (strategy == "local") {
-      // clamped so the +1 sentinel probe cannot overflow when an
-      // operator disables the gate with Int.MaxValue (review finding)
-      val limit = math.min(
-        graft.functions.DedupEnrich.confInt(
-          s, "graft.bpe.localVocabLimit", 5000000), Int.MaxValue - 1)
-      val head = words.select(col("word"), col("freq"))
-        .limit(limit + 1).collect()
-      if (head.length <= limit) {
-        val local = head.map(r => (r.getString(0), r.getLong(1))).toSeq
-        val (state, merges) = BpeOps.fitBpeLocal(local)
-        import s.implicits._
-        return (state.toDF("word", "freq", "syms"), merges)
+      // confInt clamps the upper end (the +1 sentinel probe must not
+      // overflow); the > 0 gate below covers the lower end — a
+      // non-positive limit disables the local path and degrades to
+      // the distributed loop with a warning, never a negative-limit
+      // AnalysisException (the CC fast path's localLimit discipline)
+      val limit = graft.functions.DedupEnrich.confInt(
+        s, "graft.bpe.localVocabLimit", 5000000)
+      if (limit > 0) {
+        val head = words.select(col("word"), col("freq"))
+          .limit(limit + 1).collect()
+        if (head.length <= limit) {
+          val local = head.map(r => (r.getString(0), r.getLong(1))).toSeq
+          val (state, merges) = BpeOps.fitBpeLocal(local)
+          import s.implicits._
+          return (state.toDF("word", "freq", "syms"), merges)
+        }
       }
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"graft.bpe.strategy=local: vocabulary exceeds " +
-          s"graft.bpe.localVocabLimit=$limit words - falling back to " +
-          "the distributed merge loop")
+          s"graft.bpe.localVocabLimit=$limit words (non-positive " +
+          "disables the local path) - falling back to the distributed " +
+          "merge loop")
     }
     val np = IterSizing.iterParts(s)
     var vocab = words

@@ -510,5 +510,14 @@ class PipelineSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("graft.bpe.strategy"), e.getMessage)
     }
+    // a non-positive size-gate limit DISABLES the local path and
+    // degrades to the distributed loop — never a negative-limit
+    // AnalysisException (review finding); output stays identical
+    withConf("graft.bpe.strategy" -> "local",
+      "graft.bpe.localVocabLimit" -> "-5") {
+      val n18 = SparkEntry.queries("pl18_bpe_merges")(spark, Sf).collect().toSeq
+      assert(n18 == d18,
+        s"a disabled local gate must degrade to the distributed loop: $n18")
+    }
   }
 }
