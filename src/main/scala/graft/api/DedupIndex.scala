@@ -70,7 +70,14 @@ final class DedupIndex(val spark: SparkSession, val path: String,
   // ANY reused negative value would silently invert an existing
   // caller's opt-out into auto-guarding (review finding). Conflicting
   // intent — auto plus an explicit threshold — throws instead of
-  // picking a winner.
+  // picking a winner. KNOWN LIMIT (ADVICE r16, accepted): the guard
+  // compares against the compiled default, so `autoHotThreshold =
+  // true` plus an EXPLICIT threshold that happens to equal that
+  // default is indistinguishable from omitting the threshold and
+  // takes the auto path — detecting it would need an Option[Long]
+  // constructor, a source-breaking change not worth the edge
+  // (explicitly restating a default alongside auto expresses no
+  // coherent intent the throw would protect).
   require(!autoHotThreshold ||
     hotBandThreshold == DedupIndex.DefaultHotBandThreshold,
     s"autoHotThreshold = true derives the threshold from the first " +

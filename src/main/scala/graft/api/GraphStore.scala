@@ -95,7 +95,12 @@ final class GraphStore(val spark: SparkSession, val path: String) {
     * broadcast build side at runtime exactly when the frontier IS
     * small (hop 1 from a single start node always is) and falls back
     * to a shuffle join when it is not — the scale-safe version of the
-    * same plan. */
+    * same plan. This DEPENDS on AQE (`spark.sql.adaptive.enabled`, on
+    * by default since Spark 3.2): a session that disables it gets a
+    * shuffle join per hop even for a one-node frontier — correct, just
+    * slower; re-enable AQE rather than forcing a broadcast hint here
+    * (ADVICE r16 — the hint is the driver-OOM path this method
+    * deliberately removed). */
   def expandAt(start: String, maxDepth: Int, asOf: Timestamp): DataFrame = {
     import spark.implicits._
     val valid = edges()

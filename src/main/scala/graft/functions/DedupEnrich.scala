@@ -316,23 +316,27 @@ object DedupEnrich {
     * default rather than crashing every caller (the r15 ADVICE
     * discipline for `graft.cc.localEdgeLimit`, now one helper instead
     * of three drift-prone inline copies — review finding). The result
-    * is clamped to Int.MaxValue - 1 HERE, not at call sites, because
-    * the size-gate callers all probe with `limit(n + 1)` and an
-    * un-clamped Int.MaxValue would overflow the sentinel into a
-    * negative limit (second review finding — the clamp itself was
-    * starting to copy-paste). Semantic confs (values that change
+    * is parsed as a LONG and clamped to Int.MaxValue - 1 HERE, not at
+    * call sites, because the size-gate callers all probe with
+    * `limit(n + 1)` and an un-clamped Int.MaxValue would overflow the
+    * sentinel into a negative limit (second review finding — the clamp
+    * itself was starting to copy-paste; the long parse closes the r16
+    * ADVICE gap where an oversized value like '9999999999' failed
+    * toInt and took the malformed-fallback path instead of clamping).
+    * Semantic confs (values that change
     * RESULTS, e.g. `graft.dedup.hotThreshold`) must NOT route through
     * this: they fail loudly instead (see [[hotThresholdFor]]). */
   private[graft] def confInt(s: org.apache.spark.sql.SparkSession,
       key: String, default: Int): Int =
-    math.min(Int.MaxValue - 1,
-      scala.util.Try(s.conf.get(key, default.toString).trim.toInt)
-        .getOrElse {
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"malformed $key='${s.conf.get(key, "")}' - falling back to " +
-              s"the default $default")
-          default
-        })
+    scala.util.Try(s.conf.get(key, default.toString).trim.toLong)
+      .map(v =>
+        math.max(Int.MinValue.toLong, math.min(Int.MaxValue - 1L, v)).toInt)
+      .getOrElse {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"malformed $key='${s.conf.get(key, "")}' - falling back to " +
+            s"the default $default")
+        default
+      }
 
   /** Min-label propagation WITH POINTER DOUBLING to fixpoint over an
     * undirected pair graph — the connected-components step of a dedup
@@ -442,53 +446,76 @@ object DedupEnrich {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
       .coalesce(parts).localCheckpoint()
+    // deterministic checkpoint lifecycle (r16 verdict hygiene item):
+    // each round's localCheckpoint is a persisted RDD that Spark only
+    // reclaims when the ContextCleaner GCs the frame — a long loop
+    // would hold every superseded round's blocks in storage memory
+    // until then. Once `changed` has MATERIALIZED the next round's
+    // checkpoint, the previous round's blocks are unreachable from any
+    // live plan, so they are released explicitly; `edges` and (on a
+    // failure path only) the in-flight checkpoint release in the
+    // finally. The one survivor is the RETURNED frame's own
+    // checkpoint — the caller consumes it.
+    import org.apache.spark.sql.graftbridge.RddBridge
+    var prevCkpt = RddBridge.checkpointedRdd(labels)
+    var converged = false
     var changed = 1L
     var iter = 0
-    // 50 rounds is a RUNAWAY backstop, not a correctness bound: with
-    // the pointer-doubling shortcut the loop needs ~log2(diameter)
-    // rounds (50 covers diameter 2^50), where the pre-r16 linear loop
-    // needed one round PER unit of diameter and exited silently split
-    // past the cap — the r15 verdict's at-scale edge, now loud below.
-    // Conf-able ONLY so the spec can PIN the loud-failure contract
-    // (an artificially small cap on a long chain must throw, never
-    // return split components); production has no reason to touch it
-    val maxIters = confInt(s, "graft.cc.maxRounds", 50)
-    while (changed > 0 && iter < maxIters) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("node", "a"), "a")
-        .groupBy(col("b").as("node"))
-        .agg(min(col("component")).as("ncomp"))
-      // pointer doubling: adopt label(label(node)) too — every label
-      // value is itself a node in the table (labels start as node →
-      // node and only ever adopt other labels), so the self-equi-join
-      // resolves for every row; the left join + coalesce is belt and
-      // braces, not a reachable branch
-      val ptr = labels.select(col("node").as("component"),
-        col("component").as("pcomp"))
-      // lazy checkpoint: the convergence-count action materializes it
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
-        .join(ptr, Seq("component"), "left")
-        .select(col("node"),
-          least(col("component"),
-            coalesce(col("ncomp"), col("component")),
-            coalesce(col("pcomp"), col("component"))).as("component"),
-          (least(coalesce(col("ncomp"), col("component")),
-            coalesce(col("pcomp"), col("component"))) < col("component"))
-            .as("chg"))
-        .coalesce(parts).localCheckpoint(false)
-      changed = next.filter(col("chg")).count()
-      labels = next.drop("chg")
-      iter += 1
+    try {
+      // 50 rounds is a RUNAWAY backstop, not a correctness bound: with
+      // the pointer-doubling shortcut the loop needs ~log2(diameter)
+      // rounds (50 covers diameter 2^50), where the pre-r16 linear loop
+      // needed one round PER unit of diameter and exited silently split
+      // past the cap — the r15 verdict's at-scale edge, now loud below.
+      // Conf-able ONLY so the spec can PIN the loud-failure contract
+      // (an artificially small cap on a long chain must throw, never
+      // return split components); production has no reason to touch it
+      val maxIters = confInt(s, "graft.cc.maxRounds", 50)
+      while (changed > 0 && iter < maxIters) {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("node", "a"), "a")
+          .groupBy(col("b").as("node"))
+          .agg(min(col("component")).as("ncomp"))
+        // pointer doubling: adopt label(label(node)) too — every label
+        // value is itself a node in the table (labels start as node →
+        // node and only ever adopt other labels), so the self-equi-join
+        // resolves for every row; the left join + coalesce is belt and
+        // braces, not a reachable branch
+        val ptr = labels.select(col("node").as("component"),
+          col("component").as("pcomp"))
+        // lazy checkpoint: the convergence-count action materializes it
+        val next = labels.join(viaNeighbors, Seq("node"), "left")
+          .join(ptr, Seq("component"), "left")
+          .select(col("node"),
+            least(col("component"),
+              coalesce(col("ncomp"), col("component")),
+              coalesce(col("pcomp"), col("component"))).as("component"),
+            (least(coalesce(col("ncomp"), col("component")),
+              coalesce(col("pcomp"), col("component"))) < col("component"))
+              .as("chg"))
+          .coalesce(parts).localCheckpoint(false)
+        changed = next.filter(col("chg")).count()
+        // next's checkpoint is materialized — the previous round's
+        // blocks are now unreachable; release them
+        prevCkpt.foreach(_.unpersist(blocking = false))
+        prevCkpt = RddBridge.checkpointedRdd(next)
+        labels = next.drop("chg")
+        iter += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"minLabelComponents did not converge within $maxIters rounds " +
+            s"($changed labels still changing) — refusing to return split " +
+            "components (they would silently over-retain near-dups); at " +
+            "the default cap the pointer-doubled loop covers diameter " +
+            "2^50, so this indicates a bug, a non-Long id pathology, or " +
+            "an artificially low graft.cc.maxRounds")
+      converged = true
+      labels
+    } finally {
+      edges.unpersist(blocking = false)
+      if (!converged) prevCkpt.foreach(_.unpersist(blocking = false))
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"minLabelComponents did not converge within $maxIters rounds " +
-          s"($changed labels still changing) — refusing to return split " +
-          "components (they would silently over-retain near-dups); at " +
-          "the default cap the pointer-doubled loop covers diameter " +
-          "2^50, so this indicates a bug, a non-Long id pathology, or " +
-          "an artificially low graft.cc.maxRounds")
-    labels
   }
 
   /** Per-id rollup of a guard's two legs: `sat` (ids holding a hot

@@ -1494,11 +1494,19 @@ object Pipeline extends QueryGroup {
           return (state.toDF("word", "freq", "syms"), merges)
         }
       }
+      // branch the message on the actual cause (ADVICE r16): with a
+      // non-positive limit the vocabulary was never measured, so
+      // leading with "vocabulary exceeds -5 words" misdescribes why
+      // the local path was skipped
+      val why =
+        if (limit <= 0)
+          s"local path disabled (non-positive graft.bpe.localVocabLimit=" +
+            s"$limit)"
+        else
+          s"vocabulary exceeds graft.bpe.localVocabLimit=$limit words"
       org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"graft.bpe.strategy=local: vocabulary exceeds " +
-          s"graft.bpe.localVocabLimit=$limit words (non-positive " +
-          "disables the local path) - falling back to the distributed " +
-          "merge loop")
+        .warn(s"graft.bpe.strategy=local: $why - falling back to the " +
+          "distributed merge loop")
     }
     val np = IterSizing.iterParts(s)
     var vocab = words

@@ -362,6 +362,67 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("minLabelComponents: the FORCED-distributed loop releases every superseded checkpoint (no net persistent-RDD growth)") {
+    // the r16 verdict's hygiene item: each round localCheckpoints, and
+    // before this lifecycle fix every superseded round's blocks stayed
+    // persisted until the ContextCleaner GC'd the frames — storage
+    // memory a 100 TB run needs for real caches. Contract: after a
+    // forced-distributed run, at most ONE net new persistent RDD (the
+    // RETURNED frame's own checkpoint, which the caller consumes), and
+    // releasing that one restores the exact pre-call set.
+    import graft.functions.DedupEnrich
+    import org.apache.spark.sql.graftbridge.RddBridge
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    withConf("graft.cc.localEdgeLimit" -> "0") {
+      val before = sc.getPersistentRDDs.keySet
+      val labels = DedupEnrich.minLabelComponents(chain, 4)
+      assert(labels.count() == 65L)
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.size <= 1,
+        s"a multi-round distributed CC run must keep only the returned " +
+          s"frame's checkpoint persisted — leaked RDD ids: $leaked")
+      RddBridge.checkpointedRdd(labels)
+        .foreach(_.unpersist(blocking = false))
+      val after = sc.getPersistentRDDs.keySet -- before
+      assert(after.isEmpty, s"net persistent RDDs after release: $after")
+    }
+    // the failure path cleans up COMPLETELY: a throw returns no frame,
+    // so nothing may stay persisted — edges and the in-flight
+    // checkpoint release in the finally
+    withConf("graft.cc.localEdgeLimit" -> "0",
+      "graft.cc.maxRounds" -> "2") {
+      val before = sc.getPersistentRDDs.keySet
+      intercept[IllegalStateException] {
+        DedupEnrich.minLabelComponents(chain, 4)
+      }
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty,
+        s"the non-convergence throw must release edges AND the " +
+          s"in-flight checkpoint — leaked RDD ids: $leaked")
+    }
+  }
+
+  test("confInt: an oversized value CLAMPS (long parse), it does not fall back as malformed") {
+    // ADVICE r16: '9999999999' failed toInt and took the
+    // malformed-fallback path to the default — the doc promised a
+    // clamp. The long parse delivers it: any value >= Int.MaxValue
+    // clamps to Int.MaxValue - 1 (limit(n + 1) sentinel headroom).
+    import graft.functions.DedupEnrich
+    withConf("graft.cc.localEdgeLimit" -> "9999999999") {
+      assert(DedupEnrich.confInt(spark, "graft.cc.localEdgeLimit", 7)
+        == Int.MaxValue - 1)
+    }
+    withConf("graft.cc.localEdgeLimit" -> "2147483647") {
+      assert(DedupEnrich.confInt(spark, "graft.cc.localEdgeLimit", 7)
+        == Int.MaxValue - 1)
+    }
+    withConf("graft.cc.localEdgeLimit" -> "still-not-a-number") {
+      assert(DedupEnrich.confInt(spark, "graft.cc.localEdgeLimit", 7) == 7)
+    }
+  }
+
   test("minLabelComponents: malformed conf falls back to the default; misnamed columns fail loudly") {
     import graft.functions.DedupEnrich
     import spark.implicits._
