@@ -386,6 +386,37 @@ class PipelineSpec extends SparkSpec {
       s"funnel quality count ${tot(2)} != pl11 kept-on-train $pl11Kept")
   }
 
+  test("pl20 trained classifier: held-out accuracy beats every one-class baseline; predictions non-degenerate") {
+    // the trap this pins: plain full-batch GD on these features has a
+    // knife-edge (lr, epochs) regime — one setting "worked" only as a
+    // lucky snapshot of an oscillation and collapsed to a one-class
+    // predictor one epoch away. The registered Adagrad point sits on a
+    // probed PLATEAU (lr 0.5-0.7 x epochs 6-10 all land 0.86-0.95
+    // held-out accuracy at sf0.001-0.1), so a regression past 0.75, or
+    // any one-class prediction vector, means the optimizer drifted —
+    // not that the fixture got unlucky.
+    val rows = SparkEntry.queries("pl20_quality_classifier")(spark, Sf)
+      .collect()
+    assert(rows.length == 5, s"one row per language: ${rows.length}")
+    val nEval = rows.map(_.getLong(1)).sum
+    val nKeep = rows.map(_.getLong(2)).sum
+    val nAgree = rows.map(_.getLong(3)).sum
+    assert(nKeep > 0 && nKeep < nEval,
+      s"one-class prediction vector ($nKeep keeps of $nEval) — the " +
+        "degenerate regime the Adagrad step exists to escape")
+    // sf0.001 one-class ceilings (probed): all-negative 0.431,
+    // all-positive 0.569 of the 72 held-out docs
+    assert(nAgree.toDouble / nEval >= 0.75,
+      s"held-out agreement with the Gopher gate fell to " +
+        s"$nAgree/$nEval — below the plateau regression bar")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0,
+        s"${r.getString(0)}: mean_p ${r.getDouble(5)} is saturated — " +
+          "the optimizer left the calibrated regime")
+    }
+  }
+
   test("funnel fuzzy stage: the sf0.001 drop count equals the DuckDB-probed fixture truth") {
     // pins the registered stage against the pre-registration probe
     // (scripts/probe_fuzzy_stage.py) — a silent semantic drift in the

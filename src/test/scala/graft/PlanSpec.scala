@@ -194,6 +194,30 @@ class PlanSpec extends SparkSpec {
     assert(BpeOps.NMerges > 0 && BpeOps.NMerges <= 64)
   }
 
+  test("pl20 classifier: the epoch gradient is a map-side-combinable hash aggregate") {
+    // the registered query's EAGER training loop runs driver jobs, so
+    // the pin drives the SHARED per-epoch gradient builder directly
+    // (the pl18 pairCounts convention): the per-bucket gradient of a
+    // linear model is sum-decomposable, so the plan must partial-sum
+    // before the exchange — the shuffle then moves ClsDim rows per
+    // task, never the corpus-sized pair frame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tr = Seq((1L, 1, BigDecimal("0.5"), 3L), (2L, 0, BigDecimal("0.5"), 3L))
+      .toDF("doc_id", "y", "x", "bucket")
+      .select(col("doc_id"), col("y"),
+        col("x").cast("decimal(12,9)").as("x"), col("bucket"))
+    val scored = Seq((1L, BigDecimal("0.5")), (2L, BigDecimal("0.25")))
+      .toDF("doc_id", "p")
+      .select(col("doc_id"), col("p").cast("decimal(8,6)").as("p"))
+    val p = graft.queries.Pipeline.clsGradient(tr, scored, 10L).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_sum"),
+      "the gradient aggregate must map-side partial-sum before the exchange")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
   // pl19's plan pins live in PipelineSpec next to its semantic test:
   // building the registered frame RUNS the BPE training loop (driver
   // argmax collects + checkpoints), so asserting the plan here would
