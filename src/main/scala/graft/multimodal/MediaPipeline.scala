@@ -76,6 +76,44 @@ object MediaPipeline {
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(payload).map("%02x".format(_)).mkString
 
+    /** 64-bit aHash (average hash — the classic perceptual-hash
+      * family's simplest member, public knowledge) over the
+      * (stub-)decoded byte stream, returned as FOUR 16-bit band values
+      * — the Hamming-space LSH blocking form (two media within r
+      * differing bits agree on at least one of 4 bands whenever
+      * r < 4, and probabilistically far beyond): byte j belongs to
+      * block `j * 64 / n`, and bit i is set iff block i's mean
+      * EXCEEDS the whole-stream mean — compared EXACTLY in integers
+      * (`block_sum * n > total_sum * block_len`), so the hash is
+      * bit-reproducible in ANSI SQL with no float in sight. An empty
+      * block (n < 64) and an empty payload hash to 0 bits. A real
+      * build swaps the byte stream for decoded luma pixels (the
+      * pHash/aHash production form); everything downstream — banding,
+      * guard, Hamming verify — is byte-vs-pixel agnostic.
+      * Overflow note: `block_sum * n <= 255 * n^2` stays in Long for
+      * payloads to ~2^27 bytes; media beyond that should hash a
+      * sampled/decoded frame, not the container bytes. */
+    def aHashBands(payload: Array[Byte]): Array[Int] = {
+      val n = payload.length
+      val bs = new Array[Long](64)
+      val bl = new Array[Long](64)
+      var ts = 0L
+      var j = 0
+      while (j < n) {
+        val v = payload(j) & 0xff
+        val b = (j.toLong * 64 / n).toInt
+        bs(b) += v; bl(b) += 1; ts += v
+        j += 1
+      }
+      val bands = new Array[Int](4)
+      var i = 0
+      while (i < 64) {
+        if (bs(i) * n > ts * bl(i)) bands(i / 16) |= 1 << (i % 16)
+        i += 1
+      }
+      bands
+    }
+
     def extract(r: MediaRecord): MediaFeatures = {
       val (w, h, dur) = decodeStub(r.modality, r.payload)
       MediaFeatures(r.media_id, r.modality, r.source, r.payload.length,
@@ -97,6 +135,22 @@ object MediaPipeline {
         col("source"),
         col("n_chars").cast("long").as("declared_chars"))
       .as[MediaRecord]
+  }
+
+  /** One media record's perceptual hash as four 16-bit bands (see
+    * [[FeatureExtractor.aHashBands]]) — small, joinable, payload-free. */
+  case class MediaHash(media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** The perceptual-hash pass: partition-local like [[extractFeatures]]
+    * (payloads never shuffle; only the 4x16-bit hash leaves the scan). */
+  def perceptualHash(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val b = FeatureExtractor.aHashBands(r.payload)
+        MediaHash(r.media_id, b(0), b(1), b(2), b(3))
+      }
+    }
   }
 
   /** The feature-extraction pass: partition-local, decoder allocated

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.multimodal.MediaPipeline
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries. m1 verifies the binary-column plumbing
@@ -80,5 +81,153 @@ object Multimodal extends QueryGroup {
       ORDER BY h.media_id
       LIMIT 300"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2)
+  /** Hot-key threshold of the m3 perceptual-hash guard — the d12
+    * fixture discipline on the MEDIA key family (the probe numbers
+    * live in scripts/probe_phash.py's output, the pl11 convention):
+    * occupancy tops out at 4/4/19 per band key at sf0.001/0.01/0.1,
+    * and H = 4 is the smallest threshold where the saturated leg is
+    * non-vacuous at every scale (4/4/1498 flagged media). Production
+    * thresholds route through the SHARED conf-gated resolver exactly
+    * like d12/d13 (`graft.dedup.hotThreshold=fixture|auto|<int>`). */
+  private[graft] val PhashHotKeys = 4L
+
+  /** Hamming verification bar of the m3 pair verify: <= 12 of 64 bits.
+    * Probed (scripts/probe_phash.py): the smallest bar where the
+    * verified leg is non-vacuous at ALL three scales (2/1/104 pairs) —
+    * byte-stream aHashes of near-dup TEXT payloads sit farther apart
+    * than decoded-frame pHashes of near-dup images, so the fixture bar
+    * is looser than the classic <= 10; the semantics are
+    * bar-independent (the d11 argument). */
+  private[graft] val PhashHamMax = 12
+
+  /** m3 — perceptual-hash near-dup detection over the multimodal
+    * column: the media-corpus counterpart of d12's guarded text dedup
+    * (real multimodal curation dedups on perceptual hashes — pHash/
+    * aHash, public knowledge — because exact byte hashes miss
+    * re-encodes). The hash is [[MediaPipeline.FeatureExtractor
+    * .aHashBands]] (64-bit aHash over the stub-decoded stream, four
+    * 16-bit bands = Hamming-space LSH blocking); candidate generation
+    * and saturation ride the SHARED [[DedupEnrich
+    * .guardedCandidatePairs]] / [[DedupEnrich.saturationRollup]] guard
+    * core — one guard implementation across the shingle-band, embedding
+    * -bucket, and now MEDIA key families — and verification is the
+    * exact 64-bit Hamming distance over the four bands (integer xor +
+    * popcount in both engines; no float anywhere in the operator).
+    *
+    * Scale shape: payloads never leave the partition-local hash pass
+    * (only 4x16-bit bands shuffle); the per-key counts aggregate
+    * resolves the hot set BEFORE any pair join exists in the plan
+    * (PlanSpec pins the semi/anti structure), so a degenerate hash
+    * bucket — near-constant payloads, the media analogue of templated
+    * text — flags instead of exploding O(h²). */
+  /** The m3 guard composition over a `(media_id, b0..b3)` hash frame —
+    * factored so DedupSurfacesSpec drives the SAME builder the
+    * registered query runs (the guardedBatchRollup convention):
+    * band-key explode → SHARED guard core → Hamming verify → SHARED
+    * saturation rollup. */
+  private[graft] def phashRollup(hashes: DataFrame, hotThreshold: Long)
+      : DataFrame = {
+    import graft.functions.DedupEnrich
+    val keys = hashes.select(col("media_id").as("id"),
+      explode(array((0 to 3).map(b =>
+        lit(b * 65536L) + col(s"b$b").cast("long")): _*)).as("key"))
+    val (sat, pairs) = DedupEnrich.guardedCandidatePairs(keys, hotThreshold)
+    def side(as: String, px: String) = hashes.select(
+      col("media_id").as(as), col("b0").as(s"${px}0"),
+      col("b1").as(s"${px}1"), col("b2").as(s"${px}2"),
+      col("b3").as(s"${px}3"))
+    val ver = pairs
+      .join(side("a", "x"), Seq("a"))
+      .join(side("b", "y"), Seq("b"))
+      .filter((0 to 3).map(i =>
+          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i"))))
+        .reduce(_ + _) <= PhashHamMax)
+      .select("a", "b")
+    DedupEnrich.saturationRollup(sat, ver, "media_id", "phash_saturated")
+  }
+
+  private val q3 = QueryDef(
+    "m3_phash_neardup",
+    (s, dir) => {
+      import graft.functions.DedupEnrich
+      val hashes = MediaPipeline.perceptualHash(
+        MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
+      val keys = hashes.select(col("media_id").as("id"),
+        explode(array((0 to 3).map(b =>
+          lit(b * 65536L) + col(s"b$b").cast("long")): _*)).as("key"))
+      phashRollup(hashes,
+        DedupEnrich.hotThresholdFor(s, PhashHotKeys, keys))
+        .orderBy("media_id")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id AS media_id, encode(text) AS payload,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      bytes AS (
+        SELECT media_id, n,
+               ('0x' || substr(hex(payload), 2 * i + 1, 2))::INT AS byte,
+               CAST(i * 64 // n AS INT) AS blk
+        FROM m, unnest(range(0, n)) AS t(i)
+        WHERE n > 0),
+      tot AS (SELECT media_id, SUM(byte) AS ts FROM bytes GROUP BY 1),
+      blksums AS (
+        SELECT media_id, blk, SUM(byte) AS bs, COUNT(*) AS bl
+        FROM bytes GROUP BY 1, 2),
+      blocks AS (
+        SELECT m.media_id, m.n, CAST(j AS INT) AS blk
+        FROM m, unnest(range(0, 64)) AS r(j)),
+      bits AS (
+        SELECT b.media_id, b.blk,
+               CASE WHEN COALESCE(s.bs, 0) * b.n
+                         > COALESCE(t.ts, 0) * COALESCE(s.bl, 0)
+                    THEN 1 ELSE 0 END AS bit
+        FROM blocks b
+        LEFT JOIN blksums s USING (media_id, blk)
+        LEFT JOIN tot t USING (media_id)),
+      bands AS MATERIALIZED (
+        SELECT media_id, CAST(blk // 16 AS INT) AS band,
+               CAST(SUM(bit << (blk % 16)) AS INT) AS bv
+        FROM bits GROUP BY 1, 2),
+      keys AS (SELECT media_id AS id,
+                      CAST(band AS BIGINT) * 65536 + bv AS key
+               FROM bands),
+      counts AS (SELECT key, COUNT(DISTINCT id) AS cnt FROM keys GROUP BY key),
+      hot AS (SELECT key FROM counts WHERE cnt >= $PhashHotKeys),
+      sat AS (SELECT DISTINCT id FROM keys JOIN hot USING (key)),
+      cold AS (SELECT id, key FROM keys
+               WHERE key NOT IN (SELECT key FROM hot)),
+      cand AS (
+        SELECT DISTINCT a.id AS a, b.id AS b
+        FROM cold a JOIN cold b ON a.key = b.key AND a.id < b.id),
+      bw AS (SELECT media_id,
+               MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN band = 3 THEN bv END) AS b3
+             FROM bands GROUP BY 1),
+      ver AS (
+        SELECT a, b FROM cand
+        JOIN bw x ON x.media_id = cand.a
+        JOIN bw y ON y.media_id = cand.b
+        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          <= $PhashHamMax),
+      partners AS (
+        SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+               array_to_string(list_sort(list(p)), ',') AS partners
+        FROM (SELECT a AS media_id, b AS p FROM ver
+              UNION ALL SELECT b AS media_id, a AS p FROM ver)
+        GROUP BY media_id),
+      sig_docs AS (SELECT id AS media_id FROM sat
+                   UNION SELECT media_id FROM partners)
+      SELECT d.media_id,
+             CASE WHEN d.media_id IN (SELECT id FROM sat)
+                  THEN 1 ELSE 0 END AS phash_saturated,
+             COALESCE(n_dups, 0) AS n_dups,
+             COALESCE(partners, '') AS partners
+      FROM sig_docs d LEFT JOIN partners USING (media_id)
+      ORDER BY d.media_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3)
 }

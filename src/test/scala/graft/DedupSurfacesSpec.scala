@@ -350,6 +350,54 @@ class DedupSurfacesSpec extends SparkSpec {
       s"the index must also enumerate the cold near-dup: $idxPairs")
   }
 
+  test("media phash guard extends the over-approximation contract to the MEDIA key family: flood flags, cold pair survives") {
+    // the m3 rollup rides the SAME guard core as d12/d13
+    // (guardedCandidatePairs + saturationRollup), so the same contract
+    // must hold on perceptual-hash keys: every holder of a hot hash
+    // bucket FLAGS (order-independent, whole-corpus), any pair the
+    // guard suppresses has both endpoints flagged (never a hidden
+    // dup), and a cold near-dup pair still pairs. Flood = six
+    // byte-identical payloads (identical aHash -> all four of their
+    // band keys reach occupancy 6 >= 4); cold pair = two identical
+    // payloads of OTHER content (occupancy 2 < 4, Hamming 0 <= 12);
+    // plus an unrelated singleton that must not appear at all.
+    import graft.multimodal.MediaPipeline
+    import graft.queries.Multimodal
+    import spark.implicits._
+    val floodBytes = (0 until 1024).map(i => (i % 251).toByte).toArray
+    val pairBytes = (0 until 900).map(i => ((i * 7) % 256).toByte).toArray
+    val loneBytes = (0 until 700).map(i => ((i * i) % 256).toByte).toArray
+    val media = ((1L to 6L).map(i => (i, floodBytes)) ++
+      Seq(7L -> pairBytes, 8L -> pairBytes, 9L -> loneBytes))
+      .map { case (id, p) =>
+        MediaPipeline.MediaRecord(id, "image", p, "spec", p.length.toLong) }
+    val hashes = MediaPipeline.perceptualHash(
+      media.toDS()).toDF()
+    // the hash pass must not be degenerate: flood and pair hash apart
+    val hv = hashes.collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(hv(1L) != hv(7L), "flood and cold-pair payloads hash equal — fixture broken")
+    assert(hv(7L) == hv(8L) && hv(1L) == hv(6L))
+    val rollup = Multimodal.phashRollup(hashes, hotThreshold = 4).collect()
+    val flagged = rollup.filter(_.getAs[Int]("phash_saturated") == 1)
+      .map(_.getAs[Long]("media_id")).toSet
+    assert(flagged == (1L to 6L).toSet,
+      s"every holder of a hot hash bucket must flag: $flagged")
+    val pairs = rollup.flatMap { r =>
+      val ps = r.getAs[String]("partners")
+      if (ps.isEmpty) Nil
+      else ps.split(",").map(p => (r.getAs[Long]("media_id"), p.toLong)).toSeq
+    }.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+    assert(pairs == Set((7L, 8L)),
+      s"the cold near-dup pair must survive the guard: $pairs")
+    // over-approximation: every flood pair the guard suppressed has
+    // BOTH endpoints flagged — no hidden dup is possible
+    for (a <- 1L to 6L; b <- (a + 1) to 6L)
+      assert(flagged(a) && flagged(b), s"suppressed pair ($a,$b) unflagged")
+    assert(!rollup.exists(_.getAs[Long]("media_id") == 9L),
+      "a singleton with no signal must not appear in the rollup")
+  }
+
   test("derived saturation threshold: the median-occupancy formula flags the planted hot band and no cold ones") {
     // the production form of the fixture constants (BatchHotBands/
     // EmbHotBucket): H = max(floor, ceil(slack * median occupancy)).

@@ -252,6 +252,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "pair generation must stay keyed")
   }
 
+  test("m3_phash_neardup: the hot hash-bucket set resolves BEFORE the media pair self-join") {
+    // the guard core generalized to the MEDIA key family: same
+    // structural contract as d12/d13 — per-key counts aggregate, then
+    // an ANTI-join strips hot keys from both pair-join inputs and a
+    // SEMI-join flags their holders, so a degenerate perceptual-hash
+    // bucket (near-constant payloads) can never reach the pair join
+    val p = plan("m3_phash_neardup")
+    assert(p.contains("LeftAnti"),
+      "cold-remainder anti-join on the hot hash buckets disappeared")
+    assert(p.contains("LeftSemi"),
+      "saturated-media semi-join on the hot hash buckets disappeared")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "per-key counts aggregate disappeared")
+    assert(!p.contains("CartesianProduct"), "pair generation must stay keyed")
+  }
+
   test("d11_guarded_lsh: the hot set gates the candidate join; every join stays an equi-join") {
     val p = plan("d11_guarded_lsh")
     // the saturation guard resolves BEFORE the candidate join (an
