@@ -1044,6 +1044,22 @@ object Pipeline extends QueryGroup {
     * n_min/n_l is one IEEE division of two exact longs computed in the
     * same order in both engines; `u < rate` compares identical
     * doubles. No rounding anywhere (u is not emitted). */
+  /** The deterministic Bernoulli draw of the composition sampler — ONE
+    * definition shared by pl15 and the funnel's stage-5 mix (two
+    * drifted uniforms would sample different corpora for the same
+    * rate): an md5-derived 32-bit integer of the doc id, scaled into
+    * [0, 1) by an exact power of two, so the draw is reproducible,
+    * engine-identical (both divisions are exact), and independent of
+    * partitioning, ordering, and corpus content. */
+  private def mixUniform(docId: Column): Column =
+    conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** DuckDB mirror of [[mixUniform]]. */
+  private def mixUniformSql(docId: String): String =
+    s"""('0x' || substr(md5(CAST($docId AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0"""
+
   private val q15 = QueryDef(
     "pl15_domain_mix",
     (s, dir) => {
@@ -1054,15 +1070,13 @@ object Pipeline extends QueryGroup {
       val rates = counts.crossJoin(broadcast(nmin))
         .select(col("lang"),
           (col("n_min").cast("double") / col("n")).as("rate"))
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long").cast("double") / lit(4294967296.0)
       docs
         .join(broadcast(rates), Seq("lang"))
-        .filter(u < col("rate"))
+        .filter(mixUniform(col("doc_id")) < col("rate"))
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
       nmin AS (SELECT MIN(n) AS n_min FROM counts),
       rates AS (
@@ -1070,8 +1084,7 @@ object Pipeline extends QueryGroup {
         FROM counts CROSS JOIN nmin)
       SELECT doc_id, d.lang
       FROM documents d JOIN rates r ON d.lang = r.lang
-      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-              / 4294967296.0 < r.rate
+      WHERE ${mixUniformSql("doc_id")} < r.rate
       ORDER BY doc_id"""))
 
   /** End-to-end curation funnel — the per-language attrition report a
@@ -1231,7 +1244,7 @@ object Pipeline extends QueryGroup {
           SELECT u.doc_id, unnest(t.grams) AS gram
           FROM fsurv u JOIN train t ON u.doc_id = t.doc_id) tg
         JOIN ev ON tg.gram = ev.gram),
-      staged AS (
+      staged4 AS MATERIALIZED (
         SELECT t.doc_id, t.lang,
                CASE WHEN t.kept != 1 THEN 0
                     WHEN u.canonical IS NULL OR u.canonical != 1 THEN 1
@@ -1240,15 +1253,31 @@ object Pipeline extends QueryGroup {
                     ELSE 4 END AS stage
         FROM train t LEFT JOIN uniq u ON t.doc_id = u.doc_id
              LEFT JOIN fdrop fd ON t.doc_id = fd.doc_id
-             LEFT JOIN flagged f ON t.doc_id = f.doc_id)"""
+             LEFT JOIN flagged f ON t.doc_id = f.doc_id),
+      scnt AS (SELECT lang, COUNT(*) AS n FROM staged4
+               WHERE stage = 4 GROUP BY lang),
+      snmin AS (SELECT MIN(n) AS n_min FROM scnt),
+      srates AS (SELECT lang, CAST(n_min AS DOUBLE) / n AS rate
+                 FROM scnt CROSS JOIN snmin),
+      staged AS (
+        SELECT s.doc_id, s.lang,
+               CASE WHEN s.stage = 4
+                     AND ${mixUniformSql("s.doc_id")} < r.rate
+                    THEN 5 ELSE s.stage END AS stage
+        FROM staged4 s LEFT JOIN srates r ON s.lang = r.lang)"""
 
-  /** SHARED curation-funnel staging (pl16 reports it, pl18/pl19 train
-    * on it): every TRAIN document (the doc_id % 7 eval slice excluded
-    * up front) with its furthest-surviving stage — 0 = failed Gopher
-    * quality, 1 = non-canonical exact dup, 2 = fuzzy near-dup
+  /** SHARED curation-funnel staging (pl16 reports it, pl18/pl19/pl20
+    * train on it): every TRAIN document (the doc_id % 7 eval slice
+    * excluded up front) with its furthest-surviving stage — 0 = failed
+    * Gopher quality, 1 = non-canonical exact dup, 2 = fuzzy near-dup
     * non-survivor (band-saturated OR a non-minimum member of a
     * verified-pair component), 3 = eval-contaminated, 4 = clean
-    * survivor. Every stage decision comes from the SHARED builders the
+    * survivor, 5 = clean survivor SELECTED by the composition sampler
+    * (pl15's deterministic Bernoulli at survivor-derived per-language
+    * rates — the published pipelines' final MIX step; stages {4, 5}
+    * partition the clean survivors, so consumers of the full curated
+    * corpus filter stage >= 4 and consumers of the MIXED corpus filter
+    * stage >= 5). Every stage decision comes from the SHARED builders the
     * stage operators themselves use (GopherRules == pl11, exactFp ==
     * d1, withBandKeys/guardedCandidatePairs == d12,
     * minLabelComponents == d6, hashedNgrams == pl14) — composition,
@@ -1309,7 +1338,7 @@ object Pipeline extends QueryGroup {
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .select("doc_id").distinct().withColumn("flag", lit(1))
-    train
+    val staged4 = train
       .join(uniq.select(col("doc_id"), col("canonical")), Seq("doc_id"), "left")
       .join(fdrop, Seq("doc_id"), "left")
       .join(flagged, Seq("doc_id"), "left")
@@ -1319,6 +1348,27 @@ object Pipeline extends QueryGroup {
           .when(col("fuzzy_drop") === 1, 2)
           .when(col("flag") === 1, 3)
           .otherwise(4))
+      .select("doc_id", "lang", "stage")
+      .cache() // two consumers: the survivor-rate aggregate + the final mix
+    // STAGE 5 — composition sampling (the published pipelines' last
+    // step: quality -> dedup -> decontaminate -> MIX): pl15's
+    // deterministic Bernoulli applied to the stage-4 survivors, with
+    // per-language rates derived from the SURVIVOR counts (n_min/n),
+    // so the mixed corpus is balanced toward the smallest surviving
+    // language — whose rate is 1.0, so it advances whole (PipelineSpec
+    // pins both facts). The draw is the SHARED mixUniform, so pl15 and
+    // the funnel can never sample differently at the same rate; langs
+    // with no survivors are absent from the rates (left join -> null
+    // rate -> no stage-5 promotion to miss).
+    val survCounts = staged4.filter(col("stage") === 4)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val survMin = survCounts.agg(min(col("n")).as("n_min"))
+    val survRates = survCounts.crossJoin(broadcast(survMin))
+      .select(col("lang"), (col("n_min").cast("double") / col("n")).as("rate"))
+    staged4.join(broadcast(survRates), Seq("lang"), "left")
+      .withColumn("stage",
+        when(col("stage") === 4 && mixUniform(col("doc_id")) < col("rate"),
+          5).otherwise(col("stage")))
       .select("doc_id", "lang", "stage")
   }
 
@@ -1330,7 +1380,8 @@ object Pipeline extends QueryGroup {
         sum((col("stage") >= 1).cast("long")).as("n_quality"),
         sum((col("stage") >= 2).cast("long")).as("n_unique"),
         sum((col("stage") >= 3).cast("long")).as("n_fuzzy"),
-        sum((col("stage") >= 4).cast("long")).as("n_clean"))
+        sum((col("stage") >= 4).cast("long")).as("n_clean"),
+        sum((col("stage") >= 5).cast("long")).as("n_mixed"))
         .withColumn("retention",
           expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
             .cast("double") / lit(1000000.0))
@@ -1344,9 +1395,10 @@ object Pipeline extends QueryGroup {
                CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
                CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
                CAST(SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
-               CAST(SUM(CASE WHEN stage >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+               CAST(SUM(CASE WHEN stage >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+               CAST(SUM(CASE WHEN stage >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
         FROM staged GROUP BY lang)
-      SELECT lang, n_raw, n_quality, n_unique, n_fuzzy, n_clean,
+      SELECT lang, n_raw, n_quality, n_unique, n_fuzzy, n_clean, n_mixed,
              CAST((2 * n_clean * 1000000 + n_raw) // (2 * n_raw) AS DOUBLE)
                / 1000000.0 AS retention
       FROM agg
@@ -1542,7 +1594,7 @@ object Pipeline extends QueryGroup {
     * PipelineSpec local-vs-distributed equality pin consume the same
     * vocabulary the registered query trains on. */
   private[graft] def survivorWords(s: SparkSession, dir: String): DataFrame = {
-    val surv = funnelStaged(s, dir).filter(col("stage") === 4)
+    val surv = funnelStaged(s, dir).filter(col("stage") >= 4)
       .select("doc_id")
     Tables.documents(s, dir)
       .join(surv, "doc_id")
@@ -1561,7 +1613,7 @@ object Pipeline extends QueryGroup {
     Some(s"""
       WITH RECURSIVE $toksSql,
       $funnelStagedSql,
-      surv AS (SELECT doc_id FROM staged WHERE stage = 4),
+      surv AS (SELECT doc_id FROM staged WHERE stage >= 4),
       words AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(toks) AS word FROM toks JOIN surv USING (doc_id))
@@ -1592,7 +1644,7 @@ object Pipeline extends QueryGroup {
   private val q19 = QueryDef(
     "pl19_bpe_encode",
     (s, dir) => {
-      val surv = funnelStaged(s, dir).filter(col("stage") === 4)
+      val surv = funnelStaged(s, dir).filter(col("stage") >= 4)
         .select("doc_id")
       // the ONE corpus-sized pass; cached because both the global
       // word-frequency derivation and the final encode join read it.
@@ -1664,7 +1716,7 @@ object Pipeline extends QueryGroup {
     Some(s"""
       WITH RECURSIVE $toksSql,
       $funnelStagedSql,
-      surv AS (SELECT doc_id FROM staged WHERE stage = 4),
+      surv AS (SELECT doc_id FROM staged WHERE stage >= 4),
       wl AS MATERIALIZED (
         SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT t.lang, unnest(t.toks) AS word
@@ -1852,8 +1904,8 @@ object Pipeline extends QueryGroup {
       // were dropped for dedup/contamination reasons the classifier
       // must not learn as "low quality")
       val lab = funnelStaged(s, dir)
-        .filter(col("stage").isin(0, 4))
-        .select(col("doc_id"), (col("stage") === 4).cast("int").as("y"))
+        .filter(col("stage") === 0 || col("stage") >= 4)
+        .select(col("doc_id"), (col("stage") >= 4).cast("int").as("y"))
         .cache()
       val n = lab.count()
       val tr = feats.join(lab, "doc_id")
@@ -1974,8 +2026,8 @@ object Pipeline extends QueryGroup {
       feat AS MATERIALIZED (
         SELECT *, ${clsXNormSql("buckets")} AS x FROM featb),
       lab AS MATERIALIZED (
-        SELECT doc_id, CASE WHEN stage = 4 THEN 1 ELSE 0 END AS y
-        FROM staged WHERE stage IN (0, 4)),
+        SELECT doc_id, CASE WHEN stage >= 4 THEN 1 ELSE 0 END AS y
+        FROM staged WHERE stage = 0 OR stage >= 4),
       nn AS (SELECT COUNT(*) AS n FROM lab),
       tr AS MATERIALIZED (
         SELECT f.doc_id, l.y, f.x, unnest(f.buckets) AS bucket

@@ -366,16 +366,26 @@ class PipelineSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.length == 5, s"one row per language: ${rows.length}")
     rows.foreach { r =>
-      val counts = (1 to 5).map(r.getLong)
+      val counts = (1 to 6).map(r.getLong)
       assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
         s"${r.getString(0)}: funnel must be monotone: ${counts.mkString(" >= ")}")
-      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+      assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0)
     }
     def tot(i: Int) = rows.map(_.getLong(i)).sum
     assert(tot(1) > tot(2), "quality stage dropped nothing — vacuous")
     assert(tot(2) > tot(3), "exact-dedup stage dropped nothing — vacuous")
     assert(tot(3) > tot(4), "fuzzy-dedup stage dropped nothing — vacuous")
     assert(tot(4) > tot(5), "decontamination stage dropped nothing — vacuous")
+    assert(tot(5) > tot(6), "composition-sampling stage dropped nothing — vacuous")
+    // stage 5 == the pl15 sampler on the survivor counts: the smallest
+    // surviving language has rate n_min/n = 1.0, so it advances WHOLE —
+    // and only languages with more survivors attrite
+    val minClean = rows.map(_.getLong(5)).min
+    assert(rows.exists(r => r.getLong(5) == minClean && r.getLong(6) == minClean),
+      "the smallest surviving language must pass the mix whole (rate 1.0)")
+    rows.foreach { r =>
+      assert(r.getLong(5) > minClean || r.getLong(6) == r.getLong(5),
+        s"${r.getString(0)}: a rate-1.0 language lost docs in the mix") }
     // the funnel's quality stage must EQUAL the registered pl11
     // operator's verdicts on the same (non-eval) docs — composition,
     // not reimplementation drift
