@@ -392,23 +392,33 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       .select(col("doc_id"), explode(col("bands")).as("bk"))
     // threshold resolution through the ONE shared resolver (review
     // finding: an inline copy of hotOf's branches could drift from
-    // what describe() reports). Under AUTO, the FIRST fold that
-    // actually carries band keys derives H via the SHARED
-    // DedupEnrich.deriveHotThreshold (one bounded extra aggregate over
-    // the cached batch keys, paid once per store lifetime) and
-    // persists it below exactly like a caller constant — the
-    // persisted-parameter discipline `m`/`mw` follow. A fold with NO
-    // band keys (the empty first micro-batch of a stream — the common
-    // stream-start shape) DEFERS instead: deriving from zero keys
-    // would lock the floor in as the lifetime threshold (review
-    // finding), and a deferred fold folds no band counts either, so
-    // no guard state is missed while waiting — the `hot=auto` marker
-    // below keeps the store auto until evidence arrives.
+    // what describe() reports). Under AUTO, the threshold derives via
+    // the SHARED DedupEnrich formula over the CUMULATIVE per-band
+    // counts — prior `bcnt` state plus this batch (pending folds
+    // persist their counts below, so no evidence is ever lost while
+    // waiting) — and persists exactly like a caller constant (the
+    // `m`/`mw` discipline). Deriving from cumulative COUNTS, not the
+    // batch's raw (id, key) rows, is both the only option history
+    // allows (state holds counts, not ids) and the calibrated one:
+    // the guard triggers on the summed lifetime count, so H comes
+    // from that same distribution. The derivation DEFERS — `hot=auto`
+    // persists and the next fold retries — until the cumulative
+    // distinct-key count clears [[DedupIndex.MinAutoEvidenceKeys]]: an
+    // empty stream-start fold (the original r15 review finding) and a
+    // trivially small first fold (a 2-doc batch, ADVICE r16/verdict
+    // item) would otherwise lock a lifetime H from occupancy noise —
+    // the median of a handful of keys says nothing about the corpus.
     val hotOpt: Option[Long] = hotOf(man, derive = {
-      val keyed = batchBands
-        .select(col("doc_id").as("id"), col("bk").as("key"))
-      if (keyed.isEmpty) None
-      else Some(DedupEnrich.deriveHotThreshold(keyed))
+      val fresh = batchBands.groupBy("bk").agg(count(lit(1)).as("cnt"))
+      val cumulative =
+        if (segs0.isEmpty) fresh
+        else bandCountState(segs0, hconf).unionByName(fresh)
+          .groupBy("bk").agg(sum(col("cnt")).as("cnt"))
+      val probe = cumulative
+        .limit(DedupIndex.MinAutoEvidenceKeys.toInt).count()
+      if (probe < DedupIndex.MinAutoEvidenceKeys) None
+      else Some(DedupEnrich.deriveHotThresholdFromCounts(
+        cumulative.select(col("cnt").cast("double").as("cnt"))))
     })
     val nPrev: Option[Long] = man.flatMap(_.get("n")).map(_.toLong)
     val probeHot = hotOpt.exists(hot => nPrev.forall(_ >= hot))
@@ -543,23 +553,22 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // keep counting too (state stays COMPLETE; the guard is probe-side
     // only, and a count that stopped growing would let a band flap
     // back under the threshold)
-    val bcntOut: Option[DataFrame] = hotOpt.map { _ =>
-      val fresh = batchBands.groupBy("bk").agg(count(lit(1)).as("cnt"))
-      if (overBudget)
-        bandCountState(segs0, hconf).unionByName(fresh)
-          .groupBy("bk").agg(sum(col("cnt")).as("cnt"))
-      else fresh
-    }.orElse {
-      // an AUTO-pending fold has no band keys to count, but its
-      // segment must still carry an (empty) bcnt dir: the read path
-      // deliberately treats a manifest-referenced segment missing a
-      // sub dir as corruption, so uniform segment shape is part of
-      // the guarded-store contract
-      if (hotPending(man))
-        Some(spark.range(0).select(col("id").cast("string").as("bk"),
-          col("id").as("cnt")))
+    // guarded AND auto-pending folds persist their band counts: a
+    // pending fold's evidence must accumulate toward the derivation
+    // floor (and be part of the eventually-derived distribution) —
+    // deferring the THRESHOLD must never discard guard STATE. The
+    // uniform segment shape also matters structurally: the read path
+    // deliberately treats a manifest-referenced segment missing a sub
+    // dir as corruption.
+    val bcntOut: Option[DataFrame] =
+      if (hotOpt.isDefined || hotPending(man)) Some {
+        val fresh = batchBands.groupBy("bk").agg(count(lit(1)).as("cnt"))
+        if (overBudget)
+          bandCountState(segs0, hconf).unionByName(fresh)
+            .groupBy("bk").agg(sum(col("cnt")).as("cnt"))
+        else fresh
+      }
       else None
-    }
     val wbloomOut: Option[DataFrame] = mwOpt.map { mw =>
       val words = packWords(enriched
         .select(explode(col("ws")).as("wh"))
@@ -650,6 +659,7 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     val windowFill = mwOpt.map { mw =>
       if (segs.isEmpty) 0.0 else packedFill(wbloomState(segs, hconf), mw)
     }
+    val pending = hotPending(man)
     val (bandKeys, hotBands) = hotOpt match {
       case Some(hot) if segs.nonEmpty =>
         val totals = bandCountState(segs, hconf)
@@ -659,6 +669,14 @@ final class DedupIndex(val spark: SparkSession, val path: String,
         (Some(if (totals.isNullAt(0)) 0L else totals.getLong(0)),
           Some(if (totals.isNullAt(1)) 0L else totals.getLong(1)))
       case Some(_) => (Some(0L), Some(0L))
+      case None if pending && segs.nonEmpty =>
+        // an AUTO store still gathering derivation evidence: report
+        // how many distinct keys it has seen (the operator-facing
+        // "how far from the MinAutoEvidenceKeys floor am I" signal);
+        // no threshold exists, so no hot count can
+        val keys = bandCountState(segs, hconf)
+          .select("bk").distinct().count()
+        (Some(keys), None)
       case None => (None, None)
     }
     DedupIndex.Health(
@@ -670,6 +688,7 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       windowSlots = mwOpt,
       windowFill = windowFill,
       hotBandThreshold = hotOpt,
+      hotAutoPending = pending,
       bandKeys = bandKeys,
       hotBands = hotBands,
       lastBatchId = man.flatMap(_.get("batch")).map(_.toLong))
@@ -716,6 +735,15 @@ object DedupIndex {
     * occupancy evidence. */
   private[graft] val AutoMarker: String = "auto"
 
+  /** Minimum CUMULATIVE distinct band keys before an AUTO store locks
+    * its lifetime threshold (ADVICE r16 / verdict item 5): the
+    * median-occupancy formula over a handful of keys is noise — a
+    * 2-doc first fold (<= 8 keys) must keep deferring, while ~4+ docs
+    * of evidence (16 keys at 4 bands/doc) is enough for the median to
+    * sit on its plateau. Evidence accumulates across deferred folds
+    * (their counts persist), so slow streams converge too. */
+  private[graft] val MinAutoEvidenceKeys: Long = 16L
+
   /** Fill level below which the per-ingest `wbloom_fill` disclosure
     * may be the cheap counter-derived UPPER BOUND (k·nw/mw) instead of
     * the exact set-bit aggregate. At 1/8 fill the per-window FP bound
@@ -736,6 +764,7 @@ object DedupIndex {
       bloomSlots: Long, bloomFill: Double,
       windowSlots: Option[Long], windowFill: Option[Double],
       hotBandThreshold: Option[Long],
+      hotAutoPending: Boolean,
       bandKeys: Option[Long], hotBands: Option[Long],
       lastBatchId: Option[Long])
 }

@@ -271,16 +271,27 @@ object DedupEnrich {
     * pins that on a templated flood the derived H flags exactly the
     * planted hot band's docs and no cold ones. */
   def deriveHotThreshold(keys: DataFrame, floor: Long = 2,
-      quantile: Double = 0.5, slack: Double = 4.0): Long = {
-    val occ = keys.groupBy("key")
-      .agg(countDistinct(col("id")).cast("double").as("cnt"))
+      quantile: Double = 0.5, slack: Double = 4.0): Long =
+    deriveHotThresholdFromCounts(
+      keys.groupBy("key")
+        .agg(countDistinct(col("id")).cast("double").as("cnt")),
+      floor, quantile, slack)
+
+  /** [[deriveHotThreshold]] over an ALREADY-AGGREGATED per-key
+    * occupancy frame (one `cnt` row per key) — for callers that
+    * maintain the counts as state (the [[graft.api.DedupIndex]]
+    * lifetime `bcnt`), where re-deriving from raw (id, key) rows is
+    * impossible (history holds counts, not ids) and, calibration-wise,
+    * WRONG: the guard triggers on the summed lifetime count, so the
+    * threshold must be derived from that same distribution. */
+  def deriveHotThresholdFromCounts(occ: DataFrame, floor: Long = 2,
+      quantile: Double = 0.5, slack: Double = 4.0): Long =
     // approxQuantile returns an EMPTY array on an empty frame — an
     // empty corpus slice must resolve to the floor, not crash
     occ.stat.approxQuantile("cnt", Array(quantile), 0.001) match {
       case Array(q) => math.max(floor, math.ceil(q * slack).toLong)
       case _ => floor
     }
-  }
 
   /** Conf-gated hot-threshold resolution for the guard family — ONE
     * resolver for every guarded surface (d12, d13, the pl16 funnel's

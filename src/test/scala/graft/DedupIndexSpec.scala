@@ -378,17 +378,39 @@ class DedupIndexSpec extends SparkSpec {
       s"empty evidence must keep the store auto: ${ManifestIO.read(dir)}")
     assert(idx.describe().hotBandThreshold.isEmpty,
       "no threshold exists before the first fold with evidence")
-    // first fold WITH evidence: a 6-doc template flood (6 identical
-    // texts -> 4 band keys at occupancy 6) + two cold singletons
-    // (4 keys each at 1): median occupancy 1 -> H = max(2, ceil(4x1)) = 4
+    // a TRIVIALLY SMALL first evidence fold (2 docs -> 8 distinct
+    // keys, under the MinAutoEvidenceKeys floor of 16) must ALSO
+    // defer (ADVICE r16): the median of a handful of keys is noise,
+    // and locking it in would rule the store for life. The fold's
+    // counts still persist — deferred evidence accumulates — and
+    // describe() reports the pending state plus the keys seen so far.
+    idx.ingest(Seq(
+      201L -> "small first fold about gardening and soil",
+      202L -> "tiny second document concerning bridges").toDF(
+      "doc_id", "text")).collect()
+    assert(ManifestIO.read(dir).get("hot") == "auto",
+      s"a 2-doc fold must defer, not lock H: ${ManifestIO.read(dir)}")
+    val pendingHealth = idx.describe()
+    assert(pendingHealth.hotAutoPending && pendingHealth.hotBandThreshold.isEmpty,
+      s"describe() must report the pending derivation: $pendingHealth")
+    assert(pendingHealth.bandKeys.contains(8L),
+      s"deferred evidence must accumulate in state: $pendingHealth")
+    // representative fold: a 6-doc template flood (4 band keys at
+    // occupancy 6) + two cold singletons clears the cumulative floor
+    // (8 + 12 = 20 distinct keys >= 16); the derivation runs over the
+    // CUMULATIVE counts — 4 keys at 6, 16 at 1: median occupancy 1 ->
+    // H = max(2, ceil(4x1)) = 4
     val flood = (1L to 6L).map(i => (i, base)) ++ Seq(
       7L -> "entirely novel text about sailing boats and tides",
       8L -> "another unrelated document mentioning compilers")
     idx.ingest(flood.toDF("doc_id", "text")).collect()
     assert(ManifestIO.read(dir).get("hot") == "4",
-      s"derived H must persist at first fold: ${ManifestIO.read(dir)}")
-    assert(idx.describe().hotBandThreshold.contains(4L),
-      "describe() must report the derived threshold")
+      s"derived H must persist once evidence clears the floor: " +
+        s"${ManifestIO.read(dir)}")
+    val derivedHealth = idx.describe()
+    assert(derivedHealth.hotBandThreshold.contains(4L) &&
+      !derivedHealth.hotAutoPending,
+      s"describe() must report the derived threshold: $derivedHealth")
     // the derived threshold RULES the probe: a re-post faces 6 priors
     // on the template bands (>= 4) and must flag, not enumerate
     val v = idx.ingest(docs(100L -> base)).collect().head
