@@ -47,7 +47,7 @@ def main(sfdir):
         FROM bands GROUP BY 1) GROUP BY 1 ORDER BY 1 DESC LIMIT 8""").fetchall()
     print(f"{sfdir}: top band-key occupancies (cnt, n_keys): {occ}")
     for hot in (4, 8, 16, 32):
-        for ham in (4, 6, 10):
+        for ham in (4, 6, 10, 11, 12):
             r = con.execute(AHASH + f""",
               keys AS (SELECT media_id AS id, band * 65536 + bv AS key FROM bands),
               counts AS (SELECT key, COUNT(DISTINCT id) AS cnt FROM keys GROUP BY key),

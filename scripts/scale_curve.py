@@ -69,6 +69,9 @@ QUERIES = [
     # pointer-doubled) CC builder in r15/r16 — the scaling claim
     # should cover the third CC surface directly
     "g3_connected_components",
+    # round-17 newborns: the trained classifier (EAGER Adagrad epochs)
+    # and the media phash guard
+    "pl20_quality_classifier", "m3_phash_neardup",
 ]
 
 ADD_OPENS = [

@@ -408,17 +408,24 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // trivially small first fold (a 2-doc batch, ADVICE r16/verdict
     // item) would otherwise lock a lifetime H from occupancy noise —
     // the median of a handful of keys says nothing about the corpus.
+    // the per-key batch counts, built ONCE: the AUTO derivation (below)
+    // and the bcnt state fold (later) both consume them (review
+    // finding: three inline copies re-aggregated the batch per use)
+    lazy val freshBandCounts =
+      batchBands.groupBy("bk").agg(count(lit(1)).as("cnt"))
     val hotOpt: Option[Long] = hotOf(man, derive = {
-      val fresh = batchBands.groupBy("bk").agg(count(lit(1)).as("cnt"))
-      val cumulative =
-        if (segs0.isEmpty) fresh
-        else bandCountState(segs0, hconf).unionByName(fresh)
+      val cumulative = (
+        if (segs0.isEmpty) freshBandCounts
+        else bandCountState(segs0, hconf).unionByName(freshBandCounts)
           .groupBy("bk").agg(sum(col("cnt")).as("cnt"))
-      val probe = cumulative
-        .limit(DedupIndex.MinAutoEvidenceKeys.toInt).count()
-      if (probe < DedupIndex.MinAutoEvidenceKeys) None
-      else Some(DedupEnrich.deriveHotThresholdFromCounts(
-        cumulative.select(col("cnt").cast("double").as("cnt"))))
+      ).cache() // bounded by the store's distinct keys; two consumers
+      try {
+        val probe = cumulative
+          .limit(DedupIndex.MinAutoEvidenceKeys.toInt).count()
+        if (probe < DedupIndex.MinAutoEvidenceKeys) None
+        else Some(DedupEnrich.deriveHotThresholdFromCounts(
+          cumulative.select(col("cnt").cast("double").as("cnt"))))
+      } finally cumulative.unpersist(false)
     })
     val nPrev: Option[Long] = man.flatMap(_.get("n")).map(_.toLong)
     val probeHot = hotOpt.exists(hot => nPrev.forall(_ >= hot))
@@ -562,11 +569,10 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // dir as corruption.
     val bcntOut: Option[DataFrame] =
       if (hotOpt.isDefined || hotPending(man)) Some {
-        val fresh = batchBands.groupBy("bk").agg(count(lit(1)).as("cnt"))
         if (overBudget)
-          bandCountState(segs0, hconf).unionByName(fresh)
+          bandCountState(segs0, hconf).unionByName(freshBandCounts)
             .groupBy("bk").agg(sum(col("cnt")).as("cnt"))
-        else fresh
+        else freshBandCounts
       }
       else None
     val wbloomOut: Option[DataFrame] = mwOpt.map { mw =>

@@ -454,9 +454,6 @@ object DedupEnrich {
     val edges = ab
       .unionAll(ab.select(col("b").as("a"), col("a").as("b")))
       .coalesce(parts).cache()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .coalesce(parts).localCheckpoint()
     // deterministic checkpoint lifecycle (r16 verdict hygiene item):
     // each round's localCheckpoint is a persisted RDD that Spark only
     // reclaims when the ContextCleaner GCs the frame — a long loop
@@ -466,13 +463,19 @@ object DedupEnrich {
     // live plan, so they are released explicitly; `edges` and (on a
     // failure path only) the in-flight checkpoint release in the
     // finally. The one survivor is the RETURNED frame's own
-    // checkpoint — the caller consumes it.
+    // checkpoint — the caller consumes it. The try opens BEFORE the
+    // initial checkpoint job so a failure there cannot leak the
+    // already-computed edges cache (review finding).
     import org.apache.spark.sql.graftbridge.RddBridge
-    var prevCkpt = RddBridge.checkpointedRdd(labels)
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     var changed = 1L
     var iter = 0
     try {
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("component", col("node"))
+        .coalesce(parts).localCheckpoint()
+      prevCkpt = RddBridge.checkpointedRdd(labels)
       // 50 rounds is a RUNAWAY backstop, not a correctness bound: with
       // the pointer-doubling shortcut the loop needs ~log2(diameter)
       // rounds (50 covers diameter 2^50), where the pre-r16 linear loop

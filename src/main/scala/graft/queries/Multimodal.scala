@@ -125,13 +125,21 @@ object Multimodal extends QueryGroup {
     * registered query runs (the guardedBatchRollup convention):
     * band-key explode → SHARED guard core → Hamming verify → SHARED
     * saturation rollup. */
+  /** The ONE band-key encoding of the m3 guard (band index striped
+    * into the high bits, the 16 hash bits low) — the threshold
+    * derivation and the guard must key identically, so there is
+    * exactly one construction (review finding: a drifted copy would
+    * derive H on a different key family than the guard filters). */
+  private def phashKeys(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id").as("id"),
+      explode(array((0 to 3).map(b =>
+        lit(b * 65536L) + col(s"b$b").cast("long")): _*)).as("key"))
+
   private[graft] def phashRollup(hashes: DataFrame, hotThreshold: Long)
       : DataFrame = {
     import graft.functions.DedupEnrich
-    val keys = hashes.select(col("media_id").as("id"),
-      explode(array((0 to 3).map(b =>
-        lit(b * 65536L) + col(s"b$b").cast("long")): _*)).as("key"))
-    val (sat, pairs) = DedupEnrich.guardedCandidatePairs(keys, hotThreshold)
+    val (sat, pairs) =
+      DedupEnrich.guardedCandidatePairs(phashKeys(hashes), hotThreshold)
     def side(as: String, px: String) = hashes.select(
       col("media_id").as(as), col("b0").as(s"${px}0"),
       col("b1").as(s"${px}1"), col("b2").as(s"${px}2"),
@@ -152,11 +160,8 @@ object Multimodal extends QueryGroup {
       import graft.functions.DedupEnrich
       val hashes = MediaPipeline.perceptualHash(
         MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
-      val keys = hashes.select(col("media_id").as("id"),
-        explode(array((0 to 3).map(b =>
-          lit(b * 65536L) + col(s"b$b").cast("long")): _*)).as("key"))
       phashRollup(hashes,
-        DedupEnrich.hotThresholdFor(s, PhashHotKeys, keys))
+        DedupEnrich.hotThresholdFor(s, PhashHotKeys, phashKeys(hashes)))
         .orderBy("media_id")
     },
     Some(s"""

@@ -1013,6 +1013,22 @@ object Pipeline extends QueryGroup {
       FROM hits
       ORDER BY doc_id"""))
 
+  /** The deterministic Bernoulli draw of the composition sampler — ONE
+    * definition shared by pl15 and the funnel's stage-5 mix (two
+    * drifted uniforms would sample different corpora for the same
+    * rate): an md5-derived 32-bit integer of the doc id, scaled into
+    * [0, 1) by an exact power of two, so the draw is reproducible,
+    * engine-identical (both divisions are exact), and independent of
+    * partitioning, ordering, and corpus content. */
+  private def mixUniform(docId: Column): Column =
+    conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** DuckDB mirror of [[mixUniform]]. */
+  private def mixUniformSql(docId: String): String =
+    s"""('0x' || substr(md5(CAST($docId AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0"""
+
   /** Domain-mixture sampling — the corpus-composition step between
     * curation and training (the Pile / Llama / DoReMi pipelines all
     * end with one): re-weight the corpus toward a declared per-domain
@@ -1044,22 +1060,6 @@ object Pipeline extends QueryGroup {
     * n_min/n_l is one IEEE division of two exact longs computed in the
     * same order in both engines; `u < rate` compares identical
     * doubles. No rounding anywhere (u is not emitted). */
-  /** The deterministic Bernoulli draw of the composition sampler — ONE
-    * definition shared by pl15 and the funnel's stage-5 mix (two
-    * drifted uniforms would sample different corpora for the same
-    * rate): an md5-derived 32-bit integer of the doc id, scaled into
-    * [0, 1) by an exact power of two, so the draw is reproducible,
-    * engine-identical (both divisions are exact), and independent of
-    * partitioning, ordering, and corpus content. */
-  private def mixUniform(docId: Column): Column =
-    conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
-
-  /** DuckDB mirror of [[mixUniform]]. */
-  private def mixUniformSql(docId: String): String =
-    s"""('0x' || substr(md5(CAST($docId AS VARCHAR)), 1, 8))::BIGINT
-              / 4294967296.0"""
-
   private val q15 = QueryDef(
     "pl15_domain_mix",
     (s, dir) => {
