@@ -1286,8 +1286,18 @@ object Pipeline extends QueryGroup {
     * EAGER: the fuzzy stage's CC loop runs driver-controlled Spark
     * jobs at build time (the pl18/pl19 build discipline — plan pins
     * for these queries live in their executing PipelineSpec tests, not
-    * PlanSpec). */
-  private def funnelStaged(s: SparkSession, dir: String): DataFrame = {
+    * PlanSpec).
+    *
+    * THIS builder stops at stage 4 (no composition-mix columns) — the
+    * frame pl18/pl19/pl20 consume: they filter the clean-survivor set
+    * (staged stage >= 4 == staged4 stage == 4, since stages {4, 5}
+    * partition it), so computing the mix rates for them would be pure
+    * plan overhead (measured +1.3-1.7 s each at sf0.1 when stage 5
+    * first landed in their path). UNCACHED: each of those callers
+    * consumes it exactly once; [[funnelStaged]] — the 6-stage form
+    * pl16 reports — adds the cache itself because its mix stage reads
+    * the frame twice. */
+  private def funnelStaged4(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{DedupEnrich, GopherRules}
     val K = 13
     val enriched = GopherRules.withStats(Tables.documents(s, dir)
@@ -1338,7 +1348,7 @@ object Pipeline extends QueryGroup {
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .select("doc_id").distinct().withColumn("flag", lit(1))
-    val staged4 = train
+    train
       .join(uniq.select(col("doc_id"), col("canonical")), Seq("doc_id"), "left")
       .join(fdrop, Seq("doc_id"), "left")
       .join(flagged, Seq("doc_id"), "left")
@@ -1349,6 +1359,12 @@ object Pipeline extends QueryGroup {
           .when(col("flag") === 1, 3)
           .otherwise(4))
       .select("doc_id", "lang", "stage")
+  }
+
+  /** SHARED curation-funnel staging WITH the stage-5 composition mix —
+    * see the stage catalogue above; pl16 reports this frame. */
+  private def funnelStaged(s: SparkSession, dir: String): DataFrame = {
+    val staged4 = funnelStaged4(s, dir)
       .cache() // two consumers: the survivor-rate aggregate + the final mix
     // STAGE 5 — composition sampling (the published pipelines' last
     // step: quality -> dedup -> decontaminate -> MIX): pl15's
@@ -1594,7 +1610,7 @@ object Pipeline extends QueryGroup {
     * PipelineSpec local-vs-distributed equality pin consume the same
     * vocabulary the registered query trains on. */
   private[graft] def survivorWords(s: SparkSession, dir: String): DataFrame = {
-    val surv = funnelStaged(s, dir).filter(col("stage") >= 4)
+    val surv = funnelStaged4(s, dir).filter(col("stage") === 4)
       .select("doc_id")
     Tables.documents(s, dir)
       .join(surv, "doc_id")
@@ -1613,7 +1629,7 @@ object Pipeline extends QueryGroup {
     Some(s"""
       WITH RECURSIVE $toksSql,
       $funnelStagedSql,
-      surv AS (SELECT doc_id FROM staged WHERE stage >= 4),
+      surv AS (SELECT doc_id FROM staged4 WHERE stage = 4),
       words AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(toks) AS word FROM toks JOIN surv USING (doc_id))
@@ -1644,7 +1660,7 @@ object Pipeline extends QueryGroup {
   private val q19 = QueryDef(
     "pl19_bpe_encode",
     (s, dir) => {
-      val surv = funnelStaged(s, dir).filter(col("stage") >= 4)
+      val surv = funnelStaged4(s, dir).filter(col("stage") === 4)
         .select("doc_id")
       // the ONE corpus-sized pass; cached because both the global
       // word-frequency derivation and the final encode join read it.
@@ -1716,7 +1732,7 @@ object Pipeline extends QueryGroup {
     Some(s"""
       WITH RECURSIVE $toksSql,
       $funnelStagedSql,
-      surv AS (SELECT doc_id FROM staged WHERE stage >= 4),
+      surv AS (SELECT doc_id FROM staged4 WHERE stage = 4),
       wl AS MATERIALIZED (
         SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT t.lang, unnest(t.toks) AS word
@@ -1903,14 +1919,21 @@ object Pipeline extends QueryGroup {
       // (stages 1-3 are excluded — they passed the quality gate and
       // were dropped for dedup/contamination reasons the classifier
       // must not learn as "low quality")
-      val lab = funnelStaged(s, dir)
-        .filter(col("stage") === 0 || col("stage") >= 4)
-        .select(col("doc_id"), (col("stage") >= 4).cast("int").as("y"))
+      val lab = funnelStaged4(s, dir)
+        .filter(col("stage") === 0 || col("stage") === 4)
+        .select(col("doc_id"), (col("stage") === 4).cast("int").as("y"))
         .cache()
       val n = lab.count()
+      // the pair frame is REPARTITIONED BY doc_id before caching: the
+      // per-epoch gradient join keys on doc_id against `scored`, which
+      // is the output of a groupBy(doc_id) and therefore already
+      // hash-partitioned on the same key — with tr co-partitioned, no
+      // epoch ever exchanges the corpus-sized pair frame again (at
+      // 100 TB the alternative is 2 x epochs corpus shuffles)
       val tr = feats.join(lab, "doc_id")
         .select(col("doc_id"), col("y"), clsXNorm(col("buckets")).as("x"),
           explode(col("buckets")).as("bucket"))
+        .repartition(col("doc_id"))
         .cache()
       // driver-held optimizer state: per-bucket weight (9-dp decimal)
       // and Adagrad squared-gradient accumulator (18-dp decimal —
@@ -1921,8 +1944,10 @@ object Pipeline extends QueryGroup {
           lit(java.math.BigDecimal.ZERO).cast("decimal(30,18)").as("acc"))
       for (_ <- 1 to ClsEpochs) {
         val wb = broadcast(w)
+        // groupBy(doc_id) ALONE (y rides tr into the gradient): the
+        // aggregate's output partitioning then matches tr's exactly
         val scored = tr.join(wb.select("bucket", "w"), "bucket")
-          .groupBy("doc_id", "y")
+          .groupBy("doc_id")
           .agg(sum(col("w") * col("x")).as("margin"))
           .select(col("doc_id"), clsSigmoid(col("margin")).as("p"))
         val grad = clsGradient(tr, scored, n)
@@ -2026,8 +2051,8 @@ object Pipeline extends QueryGroup {
       feat AS MATERIALIZED (
         SELECT *, ${clsXNormSql("buckets")} AS x FROM featb),
       lab AS MATERIALIZED (
-        SELECT doc_id, CASE WHEN stage >= 4 THEN 1 ELSE 0 END AS y
-        FROM staged WHERE stage = 0 OR stage >= 4),
+        SELECT doc_id, CASE WHEN stage = 4 THEN 1 ELSE 0 END AS y
+        FROM staged4 WHERE stage IN (0, 4)),
       nn AS (SELECT COUNT(*) AS n FROM lab),
       tr AS MATERIALIZED (
         SELECT f.doc_id, l.y, f.x, unnest(f.buckets) AS bucket
