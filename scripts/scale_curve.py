@@ -71,7 +71,7 @@ QUERIES = [
     "g3_connected_components",
     # round-17 newborns: the trained classifier (EAGER Adagrad epochs)
     # and the media phash guard
-    "pl20_quality_classifier", "m3_phash_neardup",
+    "pl20_quality_classifier", "m3_phash_neardup", "m4_frame_sample",
 ]
 
 ADD_OPENS = [

@@ -76,6 +76,10 @@ object MediaPipeline {
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(payload).map("%02x".format(_)).mkString
 
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
     /** 64-bit aHash (average hash — the classic perceptual-hash
       * family's simplest member, public knowledge) over the
       * (stub-)decoded byte stream, returned as FOUR 16-bit band values
@@ -140,6 +144,56 @@ object MediaPipeline {
   /** One media record's perceptual hash as four 16-bit bands (see
     * [[FeatureExtractor.aHashBands]]) — small, joinable, payload-free. */
   case class MediaHash(media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** One SAMPLED frame of a media record — the unit a multimodal
+    * training pipeline actually trains on (a video contributes frames,
+    * not bytes). Small, groupable, payload-free. */
+  case class MediaFrame(
+      media_id: Long,
+      modality: String,
+      frame_idx: Int,
+      frame_ts_ms: Long,
+      frame_sha: String,
+      luma_mean: Int)
+
+  /** Deterministic uniform frame-sampling plan: a still image is its
+    * own single frame; audio/video sample one frame per started 10 s
+    * of (stub-)decoded duration, capped at [[MaxFrames]] — the
+    * standard budget-capped uniform sampler (WebVid/HowTo100M-style
+    * preprocessing), in pure integer arithmetic so the plan is
+    * reproducible in ANSI SQL. Frame i of n sits at
+    * `(i * duration_ms) / n` (integer division). */
+  val MaxFrames = 8
+  def framePlan(modality: String, durationMs: Long): Int =
+    if (modality == "image" || durationMs <= 0L) 1
+    else math.min(MaxFrames.toLong, 1L + durationMs / 10000L).toInt
+
+  /** The frame-sampling pass: partition-local flatMap (one decoder
+    * init per partition; a real build seeks the codec to each sampled
+    * timestamp — the stub derives the frame's pixels from the payload
+    * sha + frame index, so every per-frame feature is reproducible in
+    * SQL). Payloads never leave the scan; only ~[[MaxFrames]] small
+    * frame rows per record shuffle. */
+  def sampleFrames(media: Dataset[MediaRecord]): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder/codec context init would go here
+      val ex = FeatureExtractor
+      it.flatMap { r =>
+        val (_, _, dur) = ex.decodeStub(r.modality, r.payload)
+        val sha = ex.sha256Hex(r.payload)
+        val n = framePlan(r.modality, dur)
+        (0 until n).iterator.map { i =>
+          // stub "decoded frame": md5 of sha:idx stands in for the
+          // frame's pixel content (deterministic, SQL-mirrorable)
+          val fsha = ex.md5Hex(s"$sha:$i")
+          MediaFrame(r.media_id, r.modality, i,
+            i.toLong * dur / n, fsha,
+            (java.lang.Long.parseLong(fsha.substring(0, 4), 16) % 256).toInt)
+        }
+      }
+    }
+  }
 
   /** The perceptual-hash pass: partition-local like [[extractFeatures]]
     * (payloads never shuffle; only the 4x16-bit hash leaves the scan). */

@@ -234,5 +234,53 @@ object Multimodal extends QueryGroup {
       FROM sig_docs d LEFT JOIN partners USING (media_id)
       ORDER BY d.media_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3)
+  /** m4 — deterministic FRAME SAMPLING over the multimodal column: the
+    * step between decode and featurization in every video/audio
+    * training pipeline (a model trains on sampled frames, not
+    * containers). The sampling plan is [[MediaPipeline.framePlan]]
+    * (one frame per started 10 s, capped at [[MediaPipeline
+    * .MaxFrames]]; a still image is its own single frame), executed as
+    * the partition-local typed flatMap [[MediaPipeline.sampleFrames]]
+    * — the real production plumbing (per-partition decoder init,
+    * payloads never shuffle, ~MaxFrames small rows out per record)
+    * with the decode stubbed sha-deterministically, so every per-frame
+    * value is hash-checked against the SQL oracle end to end (the m2
+    * discipline; frame pixel content stands in as md5(sha:idx)). */
+  private val q4 = QueryDef(
+    "m4_frame_sample",
+    (s, dir) => {
+      MediaPipeline.sampleFrames(MediaPipeline.syntheticMedia(s, dir)).toDF()
+        .orderBy("media_id", "frame_idx")
+        .limit(400)
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+               sha256(text) AS sha
+        FROM documents),
+      h AS (SELECT *, ('0x' || substr(sha, 1, 12))::BIGINT AS h0 FROM m),
+      d AS (
+        SELECT media_id, modality, sha,
+               CASE WHEN modality = 'image' THEN 0
+                    ELSE 1000 + (h0 // 1048576) % 60000 END AS dur
+        FROM h),
+      plan AS (
+        SELECT *, CAST(CASE WHEN modality = 'image' OR dur <= 0 THEN 1
+               ELSE least(${MediaPipeline.MaxFrames}, 1 + dur // 10000)
+               END AS INT) AS n
+        FROM d),
+      frames AS (
+        SELECT media_id, modality, CAST(i AS INT) AS frame_idx,
+               CAST(i * dur // n AS BIGINT) AS frame_ts_ms,
+               md5(sha || ':' || i) AS frame_sha
+        FROM plan, unnest(range(0, n)) AS t(i))
+      SELECT media_id, modality, frame_idx, frame_ts_ms, frame_sha,
+             CAST(('0x' || substr(frame_sha, 1, 4))::INT % 256 AS INT)
+               AS luma_mean
+      FROM frames
+      ORDER BY media_id, frame_idx
+      LIMIT 400"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
 }

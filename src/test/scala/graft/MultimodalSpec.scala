@@ -45,4 +45,38 @@ class MultimodalSpec extends SparkSpec {
       .map(f => f.media_id -> f.payload_sha).toMap
     assert(viaSql == viaExtract)
   }
+
+  test("frame sampling: plan rule exact, frames contiguous and time-monotone, fully deterministic") {
+    import graft.multimodal.MediaPipeline
+    // the plan rule in isolation: still images are one frame; one
+    // frame per started 10 s; the MaxFrames cap binds
+    assert(MediaPipeline.framePlan("image", 999999L) == 1)
+    assert(MediaPipeline.framePlan("video", 0L) == 1)
+    assert(MediaPipeline.framePlan("video", 9999L) == 1)
+    assert(MediaPipeline.framePlan("video", 10000L) == 2)
+    assert(MediaPipeline.framePlan("audio", 60999L) == 7)
+    assert(MediaPipeline.framePlan("video", 10L * 1000L * 1000L)
+      == MediaPipeline.MaxFrames)
+    val media = MediaPipeline.syntheticMedia(spark, Sf)
+    val frames = MediaPipeline.sampleFrames(media).collect()
+    val byMedia = frames.groupBy(_.media_id)
+    assert(byMedia.nonEmpty)
+    byMedia.foreach { case (id, fs) =>
+      val sorted = fs.sortBy(_.frame_idx)
+      assert(sorted.map(_.frame_idx).toSeq == (0 until fs.length),
+        s"media $id: frame indices must be contiguous from 0")
+      val ts = sorted.map(_.frame_ts_ms)
+      assert(ts.zip(ts.tail).forall { case (a, b) => a <= b },
+        s"media $id: frame timestamps must be non-decreasing")
+      assert(sorted.head.frame_ts_ms == 0L,
+        s"media $id: the first sampled frame sits at t=0")
+      assert(fs.forall(f => f.luma_mean >= 0 && f.luma_mean < 256))
+      if (sorted.head.modality == "image")
+        assert(fs.length == 1, s"still image $id must be its own single frame")
+    }
+    // deterministic: a second pass is row-for-row identical
+    val again = MediaPipeline.sampleFrames(media).collect()
+    assert(frames.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
 }
