@@ -180,9 +180,12 @@ def auto_movers():
 # dedup while preserving order: a query listed in two groups (e.g. a
 # NEW_R9 query that becomes a mover next round) must run once, not
 # silently twice with the second run overwriting the first
+# round-17 newborns get their isolated baseline at birth
+NEW_R17 = ["pl20_quality_classifier", "m3_phash_neardup", "m4_frame_sample"]
+
 QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10 +
                              MOVERS_R11 + NEW_R12 + NEW_R13 + NEW_R14 +
-                             NEW_R15 + auto_movers()))
+                             NEW_R15 + NEW_R17 + auto_movers()))
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
