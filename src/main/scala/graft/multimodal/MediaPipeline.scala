@@ -94,11 +94,29 @@ object MediaPipeline {
       * build swaps the byte stream for decoded luma pixels (the
       * pHash/aHash production form); everything downstream — banding,
       * guard, Hamming verify — is byte-vs-pixel agnostic.
-      * Overflow note: `block_sum * n <= 255 * n^2` stays in Long for
-      * payloads to ~2^27 bytes; media beyond that should hash a
-      * sampled/decoded frame, not the container bytes. */
-    def aHashBands(payload: Array[Byte]): Array[Int] = {
-      val n = payload.length
+      *
+      * ENFORCED scan window (r17 verdict item): only the first
+      * [[MaxHashBytes]] bytes are hashed. The exact integer compare
+      * multiplies `block_sum * n` (≤ 255·n·(n/64+1)), which wraps
+      * Long past n ≈ 2^30.5 — inside the reachable JVM-array range,
+      * so real video containers would silently wrap; the cap keeps
+      * every product exactly representable (255·2^27·(2^21+1) ≪ 2^63
+      * with margin) AND bounds the per-record hash cost — the
+      * production remedy for large containers is hashing a decoded/
+      * sampled frame, not more container bytes (see [[sampleFrames]]).
+      * The m3 oracle SQL hashes all bytes; its fixtures are far below
+      * the cap, so the two agree everywhere the oracle runs. */
+    val MaxHashBytes: Int = 1 << 27
+    def aHashBands(payload: Array[Byte]): Array[Int] =
+      aHashBandsWindow(payload, MaxHashBytes)
+
+    /** [[aHashBands]] with an explicit scan window — package-visible so
+      * the boundary spec can pin the cap semantics (hash of an
+      * over-window payload == hash of its window prefix) without
+      * allocating a 128 MiB fixture. */
+    private[graft] def aHashBandsWindow(payload: Array[Byte],
+        window: Int): Array[Int] = {
+      val n = math.min(payload.length, window)
       val bs = new Array[Long](64)
       val bl = new Array[Long](64)
       var ts = 0L

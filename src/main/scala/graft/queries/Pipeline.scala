@@ -1873,8 +1873,9 @@ object Pipeline extends QueryGroup {
     * (the learnBpeLocal driver-state discipline: state is
     * DIMENSION-bounded, never corpus-bounded). The reference's own
     * quality scoring is a
-    * rule-based heuristic (reference `query/poisoning.rs:319-364`);
-    * the trained stage goes beyond it per the round brief.
+    * rule-based heuristic (`check_for_anomaly`'s additive indicator
+    * scoring, reference `query/poisoning.rs:156-262`); the trained
+    * stage goes beyond it per the round brief.
     *
     * Reported: per-language HELD-OUT generalization — the doc_id % 7
     * eval slice is excluded from the funnel (and therefore from
@@ -1886,12 +1887,19 @@ object Pipeline extends QueryGroup {
     * adds): every sum that ORDER could perturb is an EXACT DECIMAL
     * sum (9-dp weights, 6-dp probabilities, 9-dp L2 norms, 18-dp
     * Adagrad accumulators — order-independent in both engines); the
-    * only transcendentals (sigmoid, sqrt) are IEEE-deterministic per
-    * input and re-exactified by a round + decimal cast at every
-    * materialization boundary; the weight update runs the SAME double
-    * expression `w - lr * gn / sqrt(acc + eps)` in both engines. So
-    * the learned weights — not just the final report — are
-    * bit-identical across engines at every epoch.
+    * transcendentals (sigmoid's exp, sqrt) and the double→decimal
+    * re-exactification at each materialization boundary are
+    * boundary-safe in practice rather than provably tie-free —
+    * `exp()` is not required to be correctly rounded, and the
+    * `gn*gn → DECIMAL(20,18)` cast rounds Spark's shortest-decimal
+    * rendering where DuckDB rounds the exact binary value, so a value
+    * landing EXACTLY on a rounding boundary could in principle split
+    * the engines — and the correctness gate verifies no boundary is
+    * hit at any epoch on any tested scale; the weight update runs the
+    * SAME double expression `w - lr * gn / sqrt(acc + eps)` in both
+    * engines. Under that verified contract the learned weights — not
+    * just the final report — are bit-identical across engines at
+    * every epoch.
     *
     * Scale shape: ONE corpus pass builds the cached (doc_id, y, x,
     * bucket) pair frame (L2-normalized presence features — each pair

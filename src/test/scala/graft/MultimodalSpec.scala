@@ -79,4 +79,28 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.toString).sorted.toSeq ==
       again.map(_.toString).sorted.toSeq)
   }
+
+  test("aHash scan window: over-cap payloads hash their window prefix exactly (overflow bound enforced)") {
+    import graft.multimodal.MediaPipeline.FeatureExtractor
+    val rng = new scala.util.Random(42)
+    val full = Array.fill[Byte](100)((rng.nextInt(256) - 128).toByte)
+    // the cap semantics in miniature: a payload past the window hashes
+    // identically to its window-length prefix — the real cap at
+    // MaxHashBytes behaves the same way by the same code path
+    val w = 16
+    assert(FeatureExtractor.aHashBandsWindow(full, w).toSeq ==
+      FeatureExtractor.aHashBandsWindow(full.take(w), w).toSeq)
+    assert(FeatureExtractor.aHashBandsWindow(full, w).toSeq ==
+      FeatureExtractor.aHashBands(full.take(w)).toSeq)
+    // sub-window payloads are unaffected by the cap (the oracle-fixture
+    // regime): default-window hash == unbounded-window hash
+    assert(FeatureExtractor.aHashBands(full).toSeq ==
+      FeatureExtractor.aHashBandsWindow(full, Int.MaxValue).toSeq)
+    // the default window keeps the exact integer compare inside Long:
+    // max block_sum * n = 255 * (n/64 + 1) * n at n = MaxHashBytes
+    val n = FeatureExtractor.MaxHashBytes.toLong
+    val maxProduct = BigInt(255) * (n / 64 + 1) * n
+    assert(maxProduct < BigInt(Long.MaxValue),
+      "MaxHashBytes must keep block_sum * n exactly representable in Long")
+  }
 }
