@@ -213,6 +213,60 @@ object MediaPipeline {
     }
   }
 
+  /** One sampled frame's perceptual hash as four 16-bit bands plus the
+    * container's frame count — small, joinable, payload-free (the
+    * frame-level near-dup unit; see [[frameHashes]]). */
+  case class FrameHash(
+      media_id: Long,
+      frame_idx: Int,
+      n_frames: Int,
+      f0: Int, f1: Int, f2: Int, f3: Int)
+
+  /** Frame-UID packing width: `uid = media_id * FrameUidStride +
+    * frame_idx`, invertible by `uid >> 3` because [[MaxFrames]] = 8 —
+    * so frame uids order like (media_id, frame_idx) and the guard's
+    * `a < b` pair convention implies `media(a) <= media(b)`. Requires
+    * media ids below 2^60 (any realistic id space). */
+  val FrameUidStride = 8L
+
+  /** The FRAME-hash pass — m5's per-frame unit, composing the m4 frame
+    * plan with the m3 aHash family: frame i of a container is its i-th
+    * TEMPORAL SLICE of the (stub-)decoded stream (byte j belongs to
+    * frame `j * n / L`, the same uniform integer partition rule the
+    * aHash uses for its blocks), hashed with
+    * [[FeatureExtractor.aHashBands]]. A real build hashes the decoded
+    * pixels of the frame sampled at that timestamp (the m4 seek); the
+    * byte-slice stub preserves STREAM LOCALITY — a trimmed or
+    * re-encoded container shares most of its slices — which is exactly
+    * the property frame-level video dedup keys on, and it is
+    * reproducible in ANSI SQL end to end.
+    *
+    * The hashed frame count is `max(1, min(framePlan, L))` — a frame
+    * needs at least one byte of stream, so tiny containers hash fewer
+    * frames than the time-based plan (and an empty payload hashes one
+    * all-zero frame). Partition-local like every media pass: payloads
+    * never shuffle, only (id, 4x16-bit, counts) rows leave the scan. */
+  def frameHashes(media: Dataset[MediaRecord]): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder/codec context init would go here
+      val ex = FeatureExtractor
+      it.flatMap { r =>
+        val l = r.payload.length
+        val (_, _, dur) = ex.decodeStub(r.modality, r.payload)
+        val nf = math.max(1, math.min(framePlan(r.modality, dur), l))
+        // slice f = [ceil(f*L/nf), ceil((f+1)*L/nf)) — the start/end
+        // form of the membership rule frame(j) = j*nf DIV L
+        def start(f: Int): Int = ((f.toLong * l + nf - 1) / nf).toInt
+        (0 until nf).iterator.map { f =>
+          val b = ex.aHashBands(
+            java.util.Arrays.copyOfRange(r.payload, start(f), start(f + 1)))
+          FrameHash(r.media_id, f, nf, b(0), b(1), b(2), b(3))
+        }
+      }
+    }
+  }
+
   /** The perceptual-hash pass: partition-local like [[extractFeatures]]
     * (payloads never shuffle; only the 4x16-bit hash leaves the scan). */
   def perceptualHash(media: Dataset[MediaRecord]): Dataset[MediaHash] = {

@@ -282,5 +282,222 @@ object Multimodal extends QueryGroup {
       ORDER BY media_id, frame_idx
       LIMIT 400"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4)
+  /** m5 fixture thresholds, probed before registration
+    * (scripts/probe_frame_neardup.py, the probe_phash.py discipline):
+    * frame-band-key occupancy tops out at 13/9/76 at sf0.001/0.01/0.1;
+    * hot = 8 is the smallest grid point where BOTH guard legs are
+    * non-vacuous at every scale (53/33/3228 saturated media,
+    * 435-4458 verified frame pairs) without flagging over half the
+    * corpus the way hot = 4 does at the small scales. Production
+    * routes through the SHARED conf-gated resolver
+    * (`graft.dedup.hotThreshold=fixture|auto|<int>`), like m3/d12. */
+  private[graft] val FrameHotKeys = 8L
+
+  /** Hamming verification bar of the m5 frame-pair verify: <= 8 of 64
+    * bits — mid-grid with non-vacuous verified AND container-flagged
+    * legs at all three scales (probe grid committed; ham = 4 leaves
+    * only 12 flagged containers at sf0.01, ham = 12 admits 3x the
+    * pairs for the same flagged set within noise). */
+  private[graft] val FrameHamMax = 8
+
+  /** Container overlap bar: a pair of containers is a frame-level
+    * near-dup when at least HALF of EACH side's frames have a verified
+    * match on the other side (`2*m >= n` both ways — exact integer
+    * comparison, no float). Probed: tau = 1/2 flags 44/38/60 container
+    * pairs at the three scales; 1/3 floods at sf0.1 (1150 at the
+    * guard's hot = 8), 2/3 nearly vacates sf0.001. */
+  private[graft] val FrameOverlapNum = 2L
+
+  /** The ONE frame-band-key encoding of the m5 guard (the m3
+    * phashKeys discipline: threshold derivation and guard must key
+    * identically): frame uid = media_id * 8 + frame_idx (invertible by
+    * `>> 3`), key = band striped into the high bits, 16 hash bits
+    * low. */
+  private def frameKeys(fh: DataFrame): DataFrame =
+    fh.select((col("media_id") * lit(MediaPipeline.FrameUidStride)
+        + col("frame_idx")).as("id"),
+      explode(array((0 to 3).map(b =>
+        lit(b * 65536L) + col(s"f$b").cast("long")): _*)).as("key"))
+
+  /** The m5 composition over a frame-hash frame — factored so
+    * DedupSurfacesSpec drives the SAME builder the registered query
+    * runs (the phashRollup convention): frame band keys → SHARED guard
+    * core → exact frame-Hamming verify (cross-container only) →
+    * container-overlap aggregation → SHARED saturation rollup at
+    * CONTAINER granularity. */
+  private[graft] def frameNeardupRollup(fh: DataFrame, hotThreshold: Long)
+      : DataFrame = {
+    import graft.functions.DedupEnrich
+    val (sat, pairs) =
+      DedupEnrich.guardedCandidatePairs(frameKeys(fh), hotThreshold)
+    def side(as: String, px: String) = fh.select(
+      (col("media_id") * lit(MediaPipeline.FrameUidStride)
+        + col("frame_idx")).as(as),
+      col("f0").as(s"${px}0"), col("f1").as(s"${px}1"),
+      col("f2").as(s"${px}2"), col("f3").as(s"${px}3"))
+    // verified CROSS-container frame pairs; uid packing makes
+    // media(a) < media(b) whenever the containers differ (a < b)
+    val ver = pairs
+      .filter(shiftright(col("a"), 3) =!= shiftright(col("b"), 3))
+      .join(side("a", "x"), Seq("a"))
+      .join(side("b", "y"), Seq("b"))
+      .filter((0 to 3).map(i =>
+          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i"))))
+        .reduce(_ + _) <= FrameHamMax)
+      .select(col("a"), col("b"),
+        shiftright(col("a"), 3).as("ma"), shiftright(col("b"), 3).as("mb"))
+    // pair evidence → container level: m_a/m_b = DISTINCT matched
+    // frames per side, compared against the container's frame count in
+    // exact integers (2*m >= n both ways)
+    val nfr = fh.groupBy(col("media_id")).agg(max(col("n_frames")).as("nf"))
+    val dup = ver.groupBy("ma", "mb")
+      .agg(countDistinct(col("a")).as("m_a"),
+        countDistinct(col("b")).as("m_b"))
+      .join(nfr.select(col("media_id").as("ma"), col("nf").as("n_a")), "ma")
+      .join(nfr.select(col("media_id").as("mb"), col("nf").as("n_b")), "mb")
+      .filter(col("m_a") * FrameOverlapNum >= col("n_a") &&
+        col("m_b") * FrameOverlapNum >= col("n_b"))
+      .select(col("ma").as("a"), col("mb").as("b"))
+    // a container holding ANY saturated frame flags (its pair evidence
+    // may be incomplete — over-approximation, the guard contract)
+    val satm = sat.select(shiftright(col("id"), 3).as("id")).distinct()
+    DedupEnrich.saturationRollup(satm, dup, "media_id", "frame_saturated")
+  }
+
+  /** m5 — FRAME-level near-dup detection, composing m4 x m3 (the r17
+    * verdict's item 2): video dedup's real unit is the frame — a
+    * re-encoded or trimmed container shares most sampled frames with
+    * its source, so published video-corpus dedup keys on per-frame
+    * perceptual hashes and flags CONTAINERS by frame-overlap fraction.
+    * Frames come from the m4 sampling plan as temporal byte-slices
+    * ([[MediaPipeline.frameHashes]] — stream-locality-preserving stub
+    * for decoded pixels), hashed with the m3 aHash family; per-frame
+    * band keys ride the SHARED [[graft.functions.DedupEnrich
+    * .guardedCandidatePairs]] guard core; verification is the exact
+    * 64-bit frame Hamming (cross-container only); and pair evidence
+    * aggregates to container level by the exact-integer overlap bar
+    * ([[FrameOverlapNum]]). Output is the m3 rollup shape at container
+    * granularity: (media_id, frame_saturated, n_dups, partners).
+    *
+    * Scale shape: payloads never leave the partition-local frame-hash
+    * pass (only <= 8 x (id, 4x16-bit) rows per container shuffle);
+    * the guard resolves hot frame-keys BEFORE any pair join exists;
+    * the overlap aggregate runs on verified pairs only (probe-bounded:
+    * 4458 rows at sf0.1); the container rollup is the shared
+    * over-approximating saturation contract — a container with any
+    * guarded frame flags instead of silently missing evidence. */
+  private val q5 = QueryDef(
+    "m5_frame_neardup",
+    (s, dir) => {
+      import graft.functions.DedupEnrich
+      val fh = MediaPipeline.frameHashes(
+        MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
+      frameNeardupRollup(fh,
+        DedupEnrich.hotThresholdFor(s, FrameHotKeys, frameKeys(fh)))
+        .orderBy("media_id")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id AS media_id, encode(text) AS payload,
+               octet_length(encode(text)) AS L,
+               (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+               sha256(text) AS sha
+        FROM documents),
+      h AS (SELECT *, ('0x' || substr(sha, 1, 12))::BIGINT AS h0 FROM m),
+      d AS (
+        SELECT media_id, payload, L, modality,
+               CASE WHEN modality = 'image' THEN 0
+                    ELSE 1000 + (h0 // 1048576) % 60000 END AS dur
+        FROM h),
+      plan AS (
+        SELECT *, CAST(GREATEST(1, LEAST(
+                 CASE WHEN modality = 'image' OR dur <= 0 THEN 1
+                      ELSE LEAST(${MediaPipeline.MaxFrames}, 1 + dur // 10000) END,
+                 L)) AS INT) AS nf
+        FROM d),
+      bytes AS (
+        SELECT media_id, CAST(i * nf // L AS INT) AS f, i,
+               ('0x' || substr(hex(payload), 2 * i + 1, 2))::INT AS byte
+        FROM plan, unnest(range(0, L)) AS t(i)),
+      fr AS (
+        SELECT media_id, f, COUNT(*) AS fm, MIN(i) AS fstart,
+               SUM(byte) AS fts
+        FROM bytes GROUP BY 1, 2),
+      blksums AS (
+        SELECT b.media_id, b.f,
+               CAST((b.i - fr.fstart) * 64 // fr.fm AS INT) AS blk,
+               SUM(b.byte) AS bs, COUNT(*) AS bl
+        FROM bytes b JOIN fr USING (media_id, f)
+        GROUP BY 1, 2, 3),
+      frames AS (
+        SELECT media_id, nf, CAST(j AS INT) AS f
+        FROM plan, unnest(range(0, nf)) AS t(j)),
+      blocks AS (
+        SELECT fs.media_id, fs.f, COALESCE(fr.fm, 0) AS fm,
+               COALESCE(fr.fts, 0) AS fts, CAST(k AS INT) AS blk
+        FROM frames fs LEFT JOIN fr USING (media_id, f),
+             unnest(range(0, 64)) AS r(k)),
+      bits AS (
+        SELECT b.media_id, b.f, b.blk,
+               CASE WHEN COALESCE(s.bs, 0) * b.fm > b.fts * COALESCE(s.bl, 0)
+                    THEN 1 ELSE 0 END AS bit
+        FROM blocks b LEFT JOIN blksums s USING (media_id, f, blk)),
+      bands AS MATERIALIZED (
+        SELECT media_id, f, CAST(blk // 16 AS INT) AS band,
+               CAST(SUM(bit << (blk % 16)) AS INT) AS bv
+        FROM bits GROUP BY 1, 2, 3),
+      keys AS (
+        SELECT media_id * 8 + f AS id,
+               CAST(band AS BIGINT) * 65536 + bv AS key
+        FROM bands),
+      counts AS (SELECT key, COUNT(DISTINCT id) AS cnt FROM keys GROUP BY key),
+      hot AS (SELECT key FROM counts WHERE cnt >= $FrameHotKeys),
+      sat AS (SELECT DISTINCT id // 8 AS media_id
+              FROM keys JOIN hot USING (key)),
+      cold AS (SELECT id, key FROM keys
+               WHERE key NOT IN (SELECT key FROM hot)),
+      cand AS (
+        SELECT DISTINCT a.id AS a, b.id AS b
+        FROM cold a JOIN cold b ON a.key = b.key AND a.id < b.id
+        WHERE a.id // 8 <> b.id // 8),
+      fw AS (SELECT media_id * 8 + f AS id,
+               MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN band = 3 THEN bv END) AS b3
+             FROM bands GROUP BY 1),
+      ver AS (
+        SELECT a, b, a // 8 AS ma, b // 8 AS mb FROM cand
+        JOIN fw x ON x.id = cand.a
+        JOIN fw y ON y.id = cand.b
+        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          <= $FrameHamMax),
+      nfr AS (SELECT media_id, nf FROM plan),
+      dup AS (
+        SELECT ov.ma AS a, ov.mb AS b
+        FROM (SELECT ma, mb, COUNT(DISTINCT a) AS m_a,
+                     COUNT(DISTINCT b) AS m_b
+              FROM ver GROUP BY 1, 2) ov
+        JOIN nfr na ON na.media_id = ov.ma
+        JOIN nfr nb ON nb.media_id = ov.mb
+        WHERE ov.m_a * $FrameOverlapNum >= na.nf
+          AND ov.m_b * $FrameOverlapNum >= nb.nf),
+      partners AS (
+        SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+               array_to_string(list_sort(list(p)), ',') AS partners
+        FROM (SELECT a AS media_id, b AS p FROM dup
+              UNION ALL SELECT b AS media_id, a AS p FROM dup)
+        GROUP BY media_id),
+      sig_docs AS (SELECT media_id FROM sat
+                   UNION SELECT media_id FROM partners)
+      SELECT d.media_id,
+             CASE WHEN d.media_id IN (SELECT media_id FROM sat)
+                  THEN 1 ELSE 0 END AS frame_saturated,
+             COALESCE(n_dups, 0) AS n_dups,
+             COALESCE(partners, '') AS partners
+      FROM sig_docs d LEFT JOIN partners USING (media_id)
+      ORDER BY d.media_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5)
 }

@@ -398,6 +398,58 @@ class DedupSurfacesSpec extends SparkSpec {
       "a singleton with no signal must not appear in the rollup")
   }
 
+  test("frame-key guard (m5) extends the contract to FRAME granularity: flood flags containers, overlap bar gates pairs") {
+    // frameNeardupRollup rides the SAME guard core on per-frame keys
+    // and aggregates pair evidence to CONTAINER level, so the contract
+    // gains one clause: a container pairs only when >= half of EACH
+    // side's frames verified (2*m >= n), and a container holding ANY
+    // saturated frame flags (its evidence may be incomplete). Driven
+    // on a hand-built FrameHash frame so every leg is exact:
+    //  - containers 1..6: 2 frames each, ALL sharing one hash -> every
+    //    frame key occupancy 12 >= 4 -> all six containers flag, no pairs;
+    //  - containers 7, 8: 4 frames each, frames 0-2 identical across,
+    //    frame 3 disjoint -> m = 3 of n = 4 both ways -> dup pair;
+    //  - containers 10, 11: 4 frames each, ONE matching frame -> a
+    //    verified frame pair that FAILS the overlap bar -> absent;
+    //  - container 12: two identical frames of its own -> same-container
+    //    pair must not self-match -> absent.
+    import graft.queries.Multimodal
+    import spark.implicits._
+    def fh(media: Long, idx: Int, nf: Int, h: Int) =
+      (media, idx, nf, h, h + 1, h + 2, h + 3)
+    val rows =
+      (1L to 6L).flatMap(m => Seq(fh(m, 0, 2, 100), fh(m, 1, 2, 100))) ++
+        Seq(7L, 8L).flatMap(m => (0 to 2).map(i => fh(m, i, 4, 200 + i))) ++
+        Seq(fh(7L, 3, 4, 300), fh(8L, 3, 4, 400)) ++
+        Seq(10L, 11L).map(m => fh(m, 0, 4, 500)) ++
+        Seq(10L, 11L).flatMap(m =>
+          (1 to 3).map(i => fh(m, i, 4, 600 + 10 * i.toInt + m.toInt))) ++
+        Seq(fh(12L, 0, 2, 700), fh(12L, 1, 2, 700))
+    val frame = rows.toDF(
+      "media_id", "frame_idx", "n_frames", "f0", "f1", "f2", "f3")
+    val rollup = Multimodal.frameNeardupRollup(frame, hotThreshold = 4)
+      .collect()
+    val flagged = rollup.filter(_.getAs[Int]("frame_saturated") == 1)
+      .map(_.getAs[Long]("media_id")).toSet
+    assert(flagged == (1L to 6L).toSet,
+      s"every container holding a hot frame key must flag: $flagged")
+    val pairs = rollup.flatMap { r =>
+      val ps = r.getAs[String]("partners")
+      if (ps.isEmpty) Nil
+      else ps.split(",").map(p => (r.getAs[Long]("media_id"), p.toLong)).toSeq
+    }.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+    assert(pairs == Set((7L, 8L)),
+      s"only the >=half-overlap container pair may flag: $pairs")
+    // over-approximation: every flood pair suppressed by the guard has
+    // both endpoints flagged
+    for (a <- 1L to 6L; b <- (a + 1) to 6L)
+      assert(flagged(a) && flagged(b), s"suppressed pair ($a,$b) unflagged")
+    val present = rollup.map(_.getAs[Long]("media_id")).toSet
+    assert(!present(10L) && !present(11L),
+      "a one-frame overlap on 4-frame containers is below the bar")
+    assert(!present(12L), "same-container frame matches must not self-pair")
+  }
+
   test("derived saturation threshold: the median-occupancy formula flags the planted hot band and no cold ones") {
     // the production form of the fixture constants (BatchHotBands/
     // EmbHotBucket): H = max(floor, ceil(slack * median occupancy)).

@@ -80,6 +80,48 @@ class MultimodalSpec extends SparkSpec {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("frame hashes: temporal byte-slices follow the m4 plan, hash the exact slice, and stay deterministic") {
+    import graft.multimodal.MediaPipeline
+    import graft.multimodal.MediaPipeline.FeatureExtractor
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val img = Array.fill[Byte](333)((rng.nextInt(256) - 128).toByte)
+    val vid = Array.fill[Byte](501)((rng.nextInt(256) - 128).toByte)
+    val media = Seq(
+      MediaPipeline.MediaRecord(1L, "image", img, "spec", img.length.toLong),
+      MediaPipeline.MediaRecord(2L, "video", vid, "spec", vid.length.toLong))
+    val out = MediaPipeline.frameHashes(media.toDS()).collect()
+      .groupBy(_.media_id)
+    // a still image is one frame whose hash IS the container hash
+    val imgFrames = out(1L).sortBy(_.frame_idx)
+    assert(imgFrames.length == 1 && imgFrames.head.n_frames == 1)
+    val whole = FeatureExtractor.aHashBands(img)
+    assert(Seq(imgFrames.head.f0, imgFrames.head.f1,
+      imgFrames.head.f2, imgFrames.head.f3) == whole.toSeq)
+    // the video follows the m4 plan capped at the payload length, and
+    // each frame hashes EXACTLY its slice [ceil(f*L/nf), ceil((f+1)*L/nf))
+    val (_, _, dur) = FeatureExtractor.decodeStub("video", vid)
+    val nf = math.max(1, math.min(MediaPipeline.framePlan("video", dur),
+      vid.length))
+    val vidFrames = out(2L).sortBy(_.frame_idx)
+    assert(vidFrames.length == nf && vidFrames.forall(_.n_frames == nf))
+    assert(vidFrames.map(_.frame_idx).toSeq == (0 until nf))
+    def start(f: Int) = ((f.toLong * vid.length + nf - 1) / nf).toInt
+    vidFrames.foreach { fr =>
+      val exp = FeatureExtractor.aHashBands(
+        vid.slice(start(fr.frame_idx), start(fr.frame_idx + 1)))
+      assert(Seq(fr.f0, fr.f1, fr.f2, fr.f3) == exp.toSeq,
+        s"frame ${fr.frame_idx} hash != its slice hash")
+    }
+    // slices partition the payload: starts are monotone, cover [0, L)
+    assert(start(0) == 0 && start(nf) == vid.length)
+    assert((0 until nf).forall(f => start(f) < start(f + 1)))
+    // deterministic across passes
+    val again = MediaPipeline.frameHashes(media.toDS()).collect()
+    assert(again.map(_.toString).sorted.toSeq ==
+      (out(1L) ++ out(2L)).map(_.toString).sorted.toSeq)
+  }
+
   test("aHash scan window: over-cap payloads hash their window prefix exactly (overflow bound enforced)") {
     import graft.multimodal.MediaPipeline.FeatureExtractor
     val rng = new scala.util.Random(42)
