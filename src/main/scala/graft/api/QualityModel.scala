@@ -1,0 +1,105 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Pipeline
+
+/** Persisted quality-classifier model store — the TRAIN ONCE,
+  * BROADCAST THEREAFTER shape of the pl20/pl21 classifier family (the
+  * r17 verdict's composition item): a production funnel does not
+  * retrain the CCNet-style gate inside every consumer the way the
+  * REGISTERED queries do (their contract is a pure function of
+  * (session, dir) — the training run IS the report); it trains once,
+  * persists the [[graft.queries.Pipeline.ClsDim]]-row weight table,
+  * and every scoring pass thereafter is one broadcast join.
+  *
+  * Store layout = the [[ManifestIO]] maintained-store discipline
+  * (same protocol as the memory store, the dedup index, the
+  * orientation cache): immutable generation dirs `g<N>/weights`
+  * (parquet, (bucket BIGINT, w DECIMAL(20,9))), published by one
+  * atomic manifest commit carrying `gen=`, `segs=`, `dim=`, and
+  * `trained_on=` (provenance: the corpus dir the weights were fit
+  * on). A crash between the parquet write and the manifest publish
+  * leaves the previous model live; orphan dirs are swept by the next
+  * commit's gc. Re-fitting commits a new generation and supersedes —
+  * readers see old or new weights, never a mix.
+  *
+  * Training, featurization, and scoring are the SHARED pl20/pl21
+  * builders ([[graft.queries.Pipeline.clsFeatures]] /
+  * [[graft.queries.Pipeline.clsTrained]] /
+  * [[graft.queries.Pipeline.clsScoreAll]]) — the persisted model is
+  * bit-identical to what the registered queries train on the same
+  * corpus (QualityModelSpec pins it), because the weights are exact
+  * decimals under the pl20 determinism contract. Scale shape: the
+  * persisted state is dimension-bounded (273 rows), never
+  * corpus-bounded; `score` moves one broadcast of it and a map-side
+  * margin aggregate — no training jobs, no funnel build. */
+object QualityModel {
+
+  /** Fit the classifier on `sfDir`'s corpus and commit the weight
+    * table as a new generation. Returns the committed generation. */
+  def fit(spark: SparkSession, sfDir: String, storePath: String): Long = {
+    val man = ManifestIO.read(storePath)
+    val gen = man.flatMap(_.get("gen")).map(_.toLong).getOrElse(0L) + 1
+    val seg = s"g$gen"
+    val feats = Pipeline.clsFeatures(spark, sfDir).cache()
+    val w =
+      try Pipeline.clsTrained(spark, feats, Pipeline.funnelStaged4(spark, sfDir))
+      finally feats.unpersist(false)
+    w.write.mode(SaveMode.Overwrite).parquet(s"$storePath/$seg/weights")
+    ManifestIO.write(storePath, Map(
+      "gen" -> gen.toString,
+      "segs" -> seg,
+      "dim" -> Pipeline.ClsDim.toString,
+      "trained_on" -> sfDir))
+    // sweep superseded generations and any crashed writer's orphans
+    ManifestIO.gc(storePath, Set(seg))
+    gen
+  }
+
+  /** The committed weight table (bucket, w) — throws on a store that
+    * never committed (scoring against no model must be loud, not an
+    * all-zero margin). */
+  def weights(spark: SparkSession, storePath: String): DataFrame = {
+    val man = ManifestIO.read(storePath).getOrElse(
+      throw new IllegalStateException(
+        s"quality model at $storePath: no committed generation — fit() first"))
+    val seg = man.getOrElse("segs",
+      throw new IllegalStateException(
+        s"quality model at $storePath: manifest carries no segs entry"))
+    spark.read.schema("bucket BIGINT, w DECIMAL(20,9)")
+      .parquet(s"$storePath/$seg/weights")
+  }
+
+  /** Score a corpus with the PERSISTED model — no training jobs, one
+    * broadcast join + a map-side margin aggregate (the deployed CCNet
+    * scoring pass). Output: (doc_id, lang, kept, is_eval, p) — the
+    * [[graft.queries.Pipeline.clsScoreAll]] shape. */
+  def score(spark: SparkSession, sfDir: String, storePath: String): DataFrame =
+    Pipeline.clsScoreAll(Pipeline.clsFeatures(spark, sfDir),
+      weights(spark, storePath))
+
+  /** [[score]] + the pl21 quantile gate against a caller-provided
+    * funnel staging — per-(lang, tier) composition through the SAME
+    * [[graft.queries.Pipeline.clsGateBuckets]] builder the registered
+    * query runs, minus the in-query training. */
+  def gateReport(spark: SparkSession, sfDir: String,
+      storePath: String): DataFrame = {
+    val staged4 = Pipeline.funnelStaged4(spark, sfDir).cache()
+    val scored = Pipeline.clsScoreAll(Pipeline.clsFeatures(spark, sfDir),
+      weights(spark, storePath)).cache()
+    Pipeline.clsGateBuckets(scored, staged4).orderBy("lang", "bucket")
+  }
+
+  /** Operator-facing manifest facts. */
+  case class Health(generation: Long, dim: Int, trainedOn: Option[String])
+
+  def describe(spark: SparkSession, storePath: String): Health = {
+    val man = ManifestIO.read(storePath)
+    Health(
+      generation = man.flatMap(_.get("gen")).map(_.toLong).getOrElse(0L),
+      dim = man.flatMap(_.get("dim")).map(_.toInt).getOrElse(0),
+      trainedOn = man.flatMap(_.get("trained_on")))
+  }
+}

@@ -218,6 +218,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("pl21 gate: histogram total and cutoff table enter as BROADCAST joins") {
+    // the registered query's EAGER training runs driver jobs, so the
+    // pin drives the SHARED gate builder directly (the pl20 gradient
+    // convention): the per-language cutoff table is <= 2 rows per
+    // language BY CONSTRUCTION — demoting it to a shuffle join would
+    // re-exchange the whole scored corpus at 100 TB
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scored = Seq(
+      (1L, "en", 1, false, BigDecimal("0.9")),
+      (2L, "en", 0, true, BigDecimal("0.2")),
+      (3L, "de", 1, false, BigDecimal("0.7")))
+      .toDF("doc_id", "lang", "kept", "is_eval", "p")
+      .select(col("doc_id"), col("lang"), col("kept"), col("is_eval"),
+        col("p").cast("decimal(8,6)").as("p"))
+    val staged4 = Seq((1L, "en", 4), (3L, "de", 0))
+      .toDF("doc_id", "lang", "stage")
+    val p = graft.queries.Pipeline.clsGateBuckets(scored, staged4)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      "both the histogram-total join and the cutoff join must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(p.contains("HashAggregate"), "composition must hash-aggregate")
+  }
+
   // pl19's plan pins live in PipelineSpec next to its semantic test:
   // building the registered frame RUNS the BPE training loop (driver
   // argmax collects + checkpoints), so asserting the plan here would
