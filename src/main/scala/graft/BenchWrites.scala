@@ -394,6 +394,29 @@ object BenchWrites {
       })
     }.min
 
+    // -- dedup_index_media_ingest: the MEDIA key family's probe-then-
+    //    fold (r18: ingestMedia — perceptual-hash band keys against the
+    //    mbands/mcnt state). Same batch protocol as dedup_index_ingest:
+    //    `batches` sequential 1000-record batches, 10% of each batch
+    //    re-posts an earlier record's hash so the band probe does real
+    //    work; guarded (default threshold — the counter shortcut skips
+    //    the hot probe at this store size, like the text row).
+    val dedupMediaSec = (1 to reps).map { r =>
+      val idx = new graft.api.DedupIndex(spark, freshDir(s"didxm$r"),
+        capacity = (batches * batch).toLong)
+      import spark.implicits._
+      time((0 until batches).foreach { b =>
+        val hashes = (0 until batch).map { i =>
+          val n = b * batch + i
+          val src = if (i % 10 == 0 && b > 0) (b - 1) * batch + i else n
+          val h = src * 2654435761L
+          (n.toLong, (h % 65536).toInt.abs, ((h >> 16) % 65536).toInt.abs,
+            ((h >> 32) % 65536).toInt.abs, ((h >> 48) % 65536).toInt.abs)
+        }.toDF("media_id", "b0", "b1", "b2", "b3")
+        idx.ingestMedia(hashes).count()
+      })
+    }.min
+
     // -- dedup_index_state: on-disk footprint of the maintained Bloom
     //    leg after the full ingest above. The v2 packed encoding costs
     //    m = 16n BITS of set-membership state (2 bytes/element at
@@ -507,6 +530,7 @@ object BenchWrites {
       "dedup_index_unguarded_ingest" -> op(dedupUnguardedSec, dedupIngestRows),
       "guard_state_overhead" ->
         s"""{"x":${num("%.2f", dedupIngestSec / dedupUnguardedSec)}}""",
+      "dedup_index_media_ingest" -> op(dedupMediaSec, dedupIngestRows),
       "dedup_index_windows_ingest" -> op(dedupWindowsSec, dedupIngestRows),
       "dedup_index_windows_base" -> op(dedupWindowsBaseSec, dedupIngestRows),
       "window_leg_overhead" ->

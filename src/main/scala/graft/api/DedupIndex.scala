@@ -33,7 +33,12 @@ import graft.functions.DedupEnrich
   *    Carter-Wegman family) of every historical document;
   *  - `bcnt` (guarded stores): per-band prior-doc counts, the
   *    hot-band degradation guard's state (see [[hotOf]]) — O(batch)
-  *    delta per ingest, sum-merged on compaction.
+  *    delta per ingest, sum-merged on compaction;
+  *  - `mbands`/`mcnt` (media folds, on generation dirs listed under
+  *    the SEPARATE `msegs` manifest entry): the MEDIA key family —
+  *    perceptual-hash band keys and their guard counts (see
+  *    [[ingestMedia]]); the two families share one atomic manifest
+  *    and one generation counter but keep disjoint segment lists.
   * The manifest (`segs=g1,g2,…`, `m=<slots>`, `gen=`, `version=`,
   * plus `batch=`/`verdict_seg=` replay bookkeeping when driven through
   * the batchId overload) publishes which dirs are live; a crash
@@ -185,6 +190,48 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       case None => autoHotThreshold
     }
 
+  /** MEDIA-family twins of [[hotOf]]/[[hotPending]] (manifest key
+    * `mhot`): the media guard shares the store's creation POLICY
+    * (explicit threshold / auto / opt-out) but persists and derives
+    * its threshold SEPARATELY from media-key occupancy — perceptual-
+    * hash band keys and MinHash band keys live in different occupancy
+    * regimes (the probe_phash.py numbers vs the d12 fixtures), so one
+    * family's calibration must never rule the other's. Same AUTO
+    * evidence-floor discipline ([[DedupIndex.MinAutoEvidenceKeys]]),
+    * same defer-with-persisted-counts contract. */
+  private def mhotOf(man: Option[Map[String, String]],
+      derive: => Option[Long] = None): Option[Long] =
+    man match {
+      case Some(m) => m.get("mhot") match {
+        case Some(DedupIndex.AutoMarker) => derive
+        case Some(v) => Some(v.toLong)
+        case None =>
+          // no media fold has committed yet: route with the creation
+          // policy, exactly like a virgin store
+          if (autoHotThreshold) derive
+          else if (hotBandThreshold > 0) Some(hotBandThreshold)
+          else None
+      }
+      case None =>
+        if (autoHotThreshold) derive
+        else if (hotBandThreshold > 0) Some(hotBandThreshold)
+        else None
+    }
+
+  private def mhotPending(man: Option[Map[String, String]]): Boolean =
+    man match {
+      case Some(m) => m.get("mhot") match {
+        case Some(DedupIndex.AutoMarker) => true
+        case Some(_) => false
+        case None => autoHotThreshold
+      }
+      case None => autoHotThreshold
+    }
+
+  private def liveMediaSegsOf(man: Option[Map[String, String]]): Seq[String] =
+    man.flatMap(_.get("msegs")).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+
   /** Bloom state encoding: the manifest's persisted version for an
     * existing store (a v1 store keeps position-rows for life), v2
     * packed words for new stores. */
@@ -283,6 +330,174 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     readSub(segs, "bcnt", hconf, Some("bk STRING, cnt BIGINT"))
       .getOrElse(spark.range(0).select(col("id").cast("string").as("bk"),
         col("id").as("cnt")))
+
+  /** Media-family band state: (bk string, prior_id long) perceptual-
+    * hash band keys of every historical media record — the
+    * [[graft.queries.Multimodal.phashKeys]] encoding (band striped
+    * into the high bits), stringified to share the bands-state shape. */
+  private def mediaBandState(segs: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration): DataFrame =
+    readSub(segs, "mbands", hconf, Some("bk STRING, prior_id BIGINT"))
+      .getOrElse(spark.range(0).select(col("id").cast("string").as("bk"),
+        col("id").as("prior_id")))
+
+  /** Media-family per-key prior counts (the media guard's state). */
+  private def mediaCountState(segs: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration): DataFrame =
+    readSub(segs, "mcnt", hconf, Some("bk STRING, cnt BIGINT"))
+      .getOrElse(spark.range(0).select(col("id").cast("string").as("bk"),
+        col("id").as("cnt")))
+
+  /** Manifest entries a MEDIA fold must carry forward untouched (the
+    * whole text-family state), and vice versa — the two families share
+    * one manifest and one generation counter, so each fold re-publishes
+    * the other family's entries verbatim. On a VIRGIN store a media
+    * fold persists the text family's CREATION parameters (version, m,
+    * n=0, window sizing, guard policy) exactly as a text-first fold
+    * would, so whichever family folds first, every later open routes
+    * with the creator's sizing. */
+  private def textEntriesFor(man: Option[Map[String, String]])
+      : Map[String, String] =
+    man match {
+      case Some(m) => m -- Seq("gen", "msegs", "mhot", "mn")
+      case None =>
+        Map("version" -> "2", "m" -> slotsOf(None).toString, "n" -> "0")
+          .++(windowSlotsOf(None)
+            .map(mw => Map("mw" -> mw.toString, "nw" -> "0"))
+            .getOrElse(Map.empty))
+          .++(
+            if (autoHotThreshold) Map("hot" -> DedupIndex.AutoMarker)
+            else if (hotBandThreshold > 0)
+              Map("hot" -> hotBandThreshold.toString)
+            else Map.empty)
+    }
+
+  /** Probe a batch of MEDIA perceptual hashes (`media_id` long,
+    * `b0`..`b3` int — the [[graft.multimodal.MediaPipeline.MediaHash]]
+    * shape the partition-local hash pass emits; payloads never reach
+    * the store) against the accumulated media history, then commit the
+    * batch into it — the maintained-store form of the m3 batch guard,
+    * extending the index to the MEDIA key family (r17 verdict item 3).
+    * Returns one row per batch record: `media_id`,
+    * `near_candidate_ids` (sorted prior media ids sharing a cold
+    * perceptual-hash band — the downstream exact-Hamming verify's
+    * candidates), and — on guarded or auto-pending stores —
+    * `phash_saturated` (the record holds a band whose LIFETIME prior
+    * count reached the media threshold; its candidate list may be
+    * incomplete — over-approximation, same contract as the text
+    * family and the m3 batch rollup, which DedupSurfacesSpec pins as
+    * a flag superset of these arrival-order flags).
+    *
+    * State = `mbands`/`mcnt` sub-dirs of generation dirs listed in a
+    * SEPARATE `msegs` manifest entry (text segments carry no media
+    * sub-dirs and vice versa — the read path treats a missing
+    * referenced sub-dir as corruption, so the families keep disjoint
+    * segment lists under the one atomic manifest). Batch-internal
+    * duplicates are the next batch's history, like [[ingest]]. The
+    * media guard threshold persists as `mhot` at the first media fold
+    * (creation policy: this handle's explicit threshold / auto /
+    * opt-out), AUTO deferring on the cumulative evidence floor with
+    * counts persisted while pending — the text family's exact
+    * discipline, calibrated on the media key distribution. */
+  def ingestMedia(batch: DataFrame): DataFrame = {
+    val man = manifest
+    val hconf = spark.sessionState.newHadoopConf()
+    val gen = man.flatMap(_.get("gen")).map(_.toLong).getOrElse(0L) + 1
+    val msegs0 = liveMediaSegsOf(man)
+    // the ONE key encoding (Multimodal.phashKeys — the same striped
+    // keys the m3 batch guard blocks on), stringified into the shared
+    // bands-state shape; cached: probe legs + counts + fold consume it
+    val keys = graft.queries.Multimodal.phashKeys(batch)
+      .select(col("id").as("media_id"), col("key").cast("string").as("bk"))
+      .cache()
+    val mbandSt = mediaBandState(msegs0, hconf)
+    lazy val freshCounts = keys.groupBy("bk").agg(count(lit(1)).as("cnt"))
+    val mhotOpt: Option[Long] = mhotOf(man, derive = {
+      val cumulative = (
+        if (msegs0.isEmpty) freshCounts
+        else mediaCountState(msegs0, hconf).unionByName(freshCounts)
+          .groupBy("bk").agg(sum(col("cnt")).as("cnt"))
+      ).cache()
+      try {
+        val probe = cumulative
+          .limit(DedupIndex.MinAutoEvidenceKeys.toInt).count()
+        if (probe < DedupIndex.MinAutoEvidenceKeys) None
+        else Some(DedupEnrich.deriveHotThresholdFromCounts(
+          cumulative.select(col("cnt").cast("double").as("cnt"))))
+      } finally cumulative.unpersist(false)
+    })
+    val mnPrev: Option[Long] = man.flatMap(_.get("mn")).map(_.toLong)
+    // the n-counter shortcut, media edition: no key's lifetime count
+    // can exceed the media records ever folded
+    val probeHot = mhotOpt.exists(hot => mnPrev.forall(_ >= hot))
+    val hotKeys: Option[DataFrame] =
+      if (!probeHot) None
+      else mhotOpt.map { hot =>
+        mediaCountState(msegs0, hconf)
+          .join(broadcast(keys.select("bk").distinct()), Seq("bk"))
+          .groupBy("bk").agg(sum(col("cnt")).as("prior_n"))
+          .filter(col("prior_n") >= hot)
+          .select("bk")
+          .localCheckpoint()
+      }
+    val probeKeys = hotKeys.fold(keys.toDF())(hk =>
+      keys.join(broadcast(hk), Seq("bk"), "left_anti"))
+    val matches = probeKeys
+      .join(mbandSt, Seq("bk"))
+      .groupBy("media_id")
+      .agg(array_sort(collect_set(col("prior_id"))).as("near_candidate_ids"))
+    val satDocs: Option[DataFrame] = hotKeys.map(hk =>
+      keys.join(broadcast(hk), Seq("bk"), "left_semi")
+        .select("media_id").distinct().withColumn("_sat", lit(1)))
+    val joined0 = batch.select("media_id")
+      .join(matches, Seq("media_id"), "left")
+    val joined = satDocs.fold(joined0)(joined0.join(_, Seq("media_id"), "left"))
+    val result = joined
+      .select(Seq(col("media_id"),
+        coalesce(col("near_candidate_ids"),
+          array().cast("array<long>")).as("near_candidate_ids"))
+        // lifetime-stable verdict schema, like band_saturated
+        ++ (if (mhotOpt.isDefined || mhotPending(man))
+          Seq((if (mhotOpt.isDefined && probeHot)
+            coalesce(col("_sat"), lit(0)) else lit(0))
+            .as("phash_saturated"))
+          else Nil): _*)
+      .orderBy("media_id")
+      .localCheckpoint()
+    // fold: one new generation dir on the MEDIA segment list
+    val newSeg = s"g$gen"
+    val overBudget = msegs0.length + 1 > Mnemo.MaxSegments
+    val mbandOut =
+      if (overBudget)
+        mediaBandState(msegs0, hconf).unionByName(
+          keys.select(col("bk"), col("media_id").as("prior_id")))
+      else keys.select(col("bk"), col("media_id").as("prior_id"))
+    val mcntOut: Option[DataFrame] =
+      if (mhotOpt.isDefined || mhotPending(man)) Some {
+        if (overBudget)
+          mediaCountState(msegs0, hconf).unionByName(freshCounts)
+            .groupBy("bk").agg(sum(col("cnt")).as("cnt"))
+        else freshCounts
+      }
+      else None
+    mbandOut.write.mode(SaveMode.Overwrite).parquet(s"$path/$newSeg/mbands")
+    mcntOut.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/$newSeg/mcnt"))
+    val msegs = if (overBudget) Seq(newSeg) else msegs0 :+ newSeg
+    val mnNew: Option[Long] =
+      (if (man.isEmpty) Some(0L) else mnPrev).map(_ + result.count())
+    ManifestIO.write(path, textEntriesFor(man)
+      ++ Map("gen" -> gen.toString, "msegs" -> msegs.mkString(","))
+      ++ mnNew.map(n => Map("mn" -> n.toString)).getOrElse(Map.empty)
+      ++ mhotOpt.map(h => Map("mhot" -> h.toString)).getOrElse(
+        if (mhotPending(man)) Map("mhot" -> DedupIndex.AutoMarker)
+        else Map.empty))
+    // live set = BOTH families' segments (a media fold must never
+    // sweep text generations, nor vice versa)
+    ManifestIO.gc(path, (liveSegsOf(man) ++ msegs).toSet)
+    keys.unpersist()
+    result
+  }
 
   /** Probe `batch` (`doc_id` long, `text` string) against the
     * accumulated history, then commit the batch INTO the history —
@@ -627,9 +842,14 @@ final class DedupIndex(val spark: SparkSession, val path: String,
         if (hotPending(man)) Map("hot" -> DedupIndex.AutoMarker)
         else Map.empty)
       ++ batchId.map(id => Map(
-        "batch" -> id.toString, "verdict_seg" -> newSeg)).getOrElse(Map.empty))
-    // sweep superseded generations and any crashed writer's orphans
-    ManifestIO.gc(path, segs.toSet)
+        "batch" -> id.toString, "verdict_seg" -> newSeg)).getOrElse(Map.empty)
+      // the media family's state rides every text commit verbatim
+      // (shared manifest, disjoint segment lists — see ingestMedia)
+      ++ man.map(_.view.filterKeys(Set("msegs", "mhot", "mn")).toMap)
+        .getOrElse(Map.empty))
+    // sweep superseded generations and any crashed writer's orphans —
+    // BOTH families' live segments are off-limits
+    ManifestIO.gc(path, segs.toSet ++ liveMediaSegsOf(man))
     enriched.unpersist()
     result
   }
@@ -685,6 +905,25 @@ final class DedupIndex(val spark: SparkSession, val path: String,
         (Some(keys), None)
       case None => (None, None)
     }
+    // media-family facts (same shape as the text band stats, off the
+    // mcnt state; a store with no media folds reports zeros/Nones)
+    val msegs = liveMediaSegsOf(man)
+    val mhotOpt = mhotOf(man)
+    val mPending = mhotPending(man)
+    val (mediaKeys, hotMediaKeys) = mhotOpt match {
+      case Some(hot) if msegs.nonEmpty =>
+        val totals = mediaCountState(msegs, hconf)
+          .groupBy("bk").agg(sum(col("cnt")).as("n"))
+          .agg(count(lit(1)).as("keys"),
+            sum((col("n") >= hot).cast("long")).as("hot")).collect()(0)
+        (Some(if (totals.isNullAt(0)) 0L else totals.getLong(0)),
+          Some(if (totals.isNullAt(1)) 0L else totals.getLong(1)))
+      case Some(_) => (Some(0L), Some(0L))
+      case None if mPending && msegs.nonEmpty =>
+        (Some(mediaCountState(msegs, hconf)
+          .select("bk").distinct().count()), None)
+      case None => (None, None)
+    }
     DedupIndex.Health(
       version = ver,
       generation = man.flatMap(_.get("gen")).map(_.toLong).getOrElse(0L),
@@ -697,7 +936,12 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       hotAutoPending = pending,
       bandKeys = bandKeys,
       hotBands = hotBands,
-      lastBatchId = man.flatMap(_.get("batch")).map(_.toLong))
+      lastBatchId = man.flatMap(_.get("batch")).map(_.toLong),
+      mediaSegments = msegs.length,
+      mediaHotThreshold = mhotOpt,
+      mediaAutoPending = mPending,
+      mediaKeys = mediaKeys,
+      hotMediaKeys = hotMediaKeys)
   }
 }
 
@@ -772,5 +1016,10 @@ object DedupIndex {
       hotBandThreshold: Option[Long],
       hotAutoPending: Boolean,
       bandKeys: Option[Long], hotBands: Option[Long],
-      lastBatchId: Option[Long])
+      lastBatchId: Option[Long],
+      mediaSegments: Int = 0,
+      mediaHotThreshold: Option[Long] = None,
+      mediaAutoPending: Boolean = false,
+      mediaKeys: Option[Long] = None,
+      hotMediaKeys: Option[Long] = None)
 }

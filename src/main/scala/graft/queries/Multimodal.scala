@@ -130,7 +130,7 @@ object Multimodal extends QueryGroup {
     * derivation and the guard must key identically, so there is
     * exactly one construction (review finding: a drifted copy would
     * derive H on a different key family than the guard filters). */
-  private def phashKeys(hashes: DataFrame): DataFrame =
+  private[graft] def phashKeys(hashes: DataFrame): DataFrame =
     hashes.select(col("media_id").as("id"),
       explode(array((0 to 3).map(b =>
         lit(b * 65536L) + col(s"b$b").cast("long")): _*)).as("key"))

@@ -498,6 +498,81 @@ class DedupIndexSpec extends SparkSpec {
     assert(fill < DedupIndex.FillExactBound)
   }
 
+  private def mediaHashes(rows: (Long, Int, Int, Int, Int)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  test("media folds: probe-then-fold on perceptual-hash bands; text and media state coexist under one manifest") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000,
+      hotBandThreshold = 3)
+    // text history first, so the media folds must carry it forward
+    assert(idx.ingest(docs(1L -> base)).count() == 1)
+    val v1 = idx.ingestMedia(mediaHashes(
+      (101L, 10, 20, 30, 40), (102L, 50, 60, 70, 80))).collect()
+    assert(v1.forall(_.getSeq[Long](1).isEmpty), "first media fold is all-new")
+    // guarded store: the verdict schema carries phash_saturated = 0
+    assert(v1.forall(_.getAs[Int]("phash_saturated") == 0))
+    // 103 shares 3 of 4 bands with 101 -> candidate vs HISTORY only
+    val v2 = idx.ingestMedia(mediaHashes((103L, 10, 20, 30, 99))).collect()
+    assert(v2.map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap ==
+      Map(103L -> List(101L)))
+    // the text family is untouched by the media folds: an exact re-post
+    // still Bloom-flags against the text history
+    val v3 = idx.ingest(docs(2L -> base)).collect()
+    assert(v3.head.getAs[Int]("maybe_dup") == 1)
+    val h = idx.describe()
+    assert(h.segments == 2, s"text segments: ${h.segments}")
+    assert(h.mediaSegments == 2, s"media segments: ${h.mediaSegments}")
+    assert(h.mediaHotThreshold.contains(3L))
+    assert(h.mediaKeys.exists(_ >= 8L), s"media keys: ${h.mediaKeys}")
+    assert(h.hotMediaKeys.contains(0L))
+  }
+
+  test("media hot guard: LIFETIME counts flag arrivals past the threshold; candidates stop enumerating") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000,
+      hotBandThreshold = 3)
+    val flood = (1L to 6L).map(i => (i, 1000, 2000, 3000, 4000))
+    val verdicts = flood.map { case (i, a, b, c, d) =>
+      i -> idx.ingestMedia(mediaHashes((i, a, b, c, d))).collect().head
+    }
+    val flagged = verdicts.collect {
+      case (i, v) if v.getAs[Int]("phash_saturated") == 1 => i }.toSet
+    assert(flagged == Set(4L, 5L, 6L),
+      s"arrivals after the prior count reaches 3 must flag: $flagged")
+    // pre-threshold arrivals enumerated candidates; post-threshold
+    // arrivals' lists are suppressed (the flag replaces them)
+    assert(verdicts.toMap.apply(3L).getSeq[Long](1).toList == List(1L, 2L))
+    assert(verdicts.toMap.apply(5L).getSeq[Long](1).isEmpty)
+  }
+
+  test("media AUTO threshold: defers below the evidence floor (counts persisting), derives at it, persists for life") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000,
+      autoHotThreshold = true)
+    // 2 media = 8 distinct keys < MinAutoEvidenceKeys(16): defer
+    val v1 = idx.ingestMedia(mediaHashes(
+      (1L, 10, 20, 30, 40), (2L, 50, 60, 70, 80))).collect()
+    // stable verdict schema while pending
+    assert(v1.forall(_.getAs[Int]("phash_saturated") == 0))
+    val h1 = idx.describe()
+    assert(h1.mediaAutoPending && h1.mediaHotThreshold.isEmpty)
+    assert(h1.mediaKeys.contains(8L),
+      s"pending folds must persist their counts: ${h1.mediaKeys}")
+    // 3 more media, 12 fresh keys -> cumulative 20 >= 16: derive
+    idx.ingestMedia(mediaHashes(
+      (3L, 11, 21, 31, 41), (4L, 51, 61, 71, 81), (5L, 12, 22, 32, 42)))
+    val h2 = idx.describe()
+    assert(!h2.mediaAutoPending, "evidence floor cleared: threshold locks")
+    assert(h2.mediaHotThreshold.nonEmpty)
+    // a re-open with a CONSTANT cannot override the committed derivation
+    val reopened = new DedupIndex(spark, dir, capacity = 1000,
+      hotBandThreshold = 99)
+    assert(reopened.describe().mediaHotThreshold == h2.mediaHotThreshold)
+  }
+
   test("describe() reports the maintained state's health") {
     val dir = freshDir()
     val idx = new DedupIndex(spark, dir, capacity = 1000,

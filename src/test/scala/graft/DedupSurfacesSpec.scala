@@ -398,6 +398,53 @@ class DedupSurfacesSpec extends SparkSpec {
       "a singleton with no signal must not appear in the rollup")
   }
 
+  test("maintained index media flags are a SUBSET of the m3 batch flags; no suppressed pair loses both endpoints") {
+    // the batch-vs-incremental contract, MEDIA key family edition
+    // (r17 verdict item 3): the whole-corpus m3 rollup flags EVERY
+    // holder of a hot perceptual-hash band (order-independent), while
+    // the maintained index, driven arrival-by-arrival, flags only the
+    // arrivals after the LIFETIME count reaches the threshold — so
+    // index flags ⊆ batch flags, any pair either surface suppresses
+    // has both endpoints batch-flagged, and the genuine cold near-dup
+    // pair survives on BOTH surfaces.
+    import graft.queries.Multimodal
+    import spark.implicits._
+    val flood = (1L to 6L).map(i => (i, 1000, 2000, 3000, 4000))
+    val cold = Seq((7L, 5000, 6000, 7000, 8000), (8L, 5000, 6000, 7000, 8000))
+    val lone = Seq((9L, 111, 222, 333, 444))
+    val hashes = (flood ++ cold ++ lone)
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    val batch = Multimodal.phashRollup(hashes, hotThreshold = 3).collect()
+    val batchFlagged = batch.filter(_.getAs[Int]("phash_saturated") == 1)
+      .map(_.getAs[Long]("media_id")).toSet
+    val batchPairs = batch.flatMap { r =>
+      val ps = r.getAs[String]("partners")
+      if (ps.isEmpty) Nil
+      else ps.split(",").map(p => (r.getAs[Long]("media_id"), p.toLong)).toSeq
+    }.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+    assert(batchFlagged == (1L to 6L).toSet && batchPairs == Set((7L, 8L)))
+    // the index over the same hashes, arrival order 1..9, threshold 3
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000,
+      hotBandThreshold = 3)
+    val verdicts = (flood ++ cold ++ lone).map { case (i, a, b, c, d) =>
+      i -> idx.ingestMedia(Seq((i, a, b, c, d))
+        .toDF("media_id", "b0", "b1", "b2", "b3")).collect().head
+    }
+    val idxFlagged = verdicts.collect {
+      case (i, v) if v.getAs[Int]("phash_saturated") == 1 => i }.toSet
+    val idxPairs = verdicts.flatMap { case (i, v) =>
+      v.getSeq[Long](1).map(p => (math.min(p, i), math.max(p, i))) }.toSet
+    assert(idxFlagged.subsetOf(batchFlagged),
+      s"index flags must be contained in batch flags: $idxFlagged")
+    assert(idxFlagged == Set(4L, 5L, 6L), s"arrival-order flags: $idxFlagged")
+    val lost = idxPairs.filterNot { case (a, b) =>
+      batchPairs((a, b)) || batchFlagged(a) || batchFlagged(b) }
+    assert(lost.isEmpty,
+      s"pairs the batch guard suppressed without flagging an endpoint: $lost")
+    assert(idxPairs.contains((7L, 8L)),
+      s"the index must also enumerate the cold near-dup: $idxPairs")
+  }
+
   test("frame-key guard (m5) extends the contract to FRAME granularity: flood flags containers, overlap bar gates pairs") {
     // frameNeardupRollup rides the SAME guard core on per-frame keys
     // and aggregates pair evidence to CONTAINER level, so the contract
