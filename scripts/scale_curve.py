@@ -72,6 +72,10 @@ QUERIES = [
     # round-17 newborns: the trained classifier (EAGER Adagrad epochs)
     # and the media phash guard
     "pl20_quality_classifier", "m3_phash_neardup", "m4_frame_sample",
+    # round-18 newborns: frame-level near-dup (m4 x m3 composition) and
+    # the classifier-gated composition (pl20 re-measured too — it moved
+    # onto the shared cls builders this round)
+    "m5_frame_neardup", "pl21_classifier_gate",
 ]
 
 ADD_OPENS = [
