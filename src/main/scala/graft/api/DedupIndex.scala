@@ -199,31 +199,44 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     * family's calibration must never rule the other's. Same AUTO
     * evidence-floor discipline ([[DedupIndex.MinAutoEvidenceKeys]]),
     * same defer-with-persisted-counts contract. */
+  /** The media family's "creation" is its FIRST media fold (a text
+    * store may live long before media ever arrives), so every first
+    * media fold persists an `mhot` decision — a positive threshold,
+    * the auto marker, or `0` for opt-out — and re-opens route with it
+    * exactly like the text family's persisted parameters (review
+    * finding: without the persisted opt-out, a re-open with a default
+    * constructor would resurrect the guard and read counts state the
+    * opted-out segments never wrote). `creationFallback` gates the
+    * constructor-policy branch: TRUE only where a first fold may
+    * legitimately apply it (ingest, or describe() on a fully virgin
+    * store — mirroring the text family's creation-time sizing
+    * report); a manifest that carries media segments but no `mhot`
+    * (hand-built) reads as unguarded-for-life, the text discipline. */
   private def mhotOf(man: Option[Map[String, String]],
-      derive: => Option[Long] = None): Option[Long] =
+      derive: => Option[Long] = None,
+      creationFallback: Boolean = false): Option[Long] = {
+    def creation: Option[Long] =
+      if (autoHotThreshold) derive
+      else if (hotBandThreshold > 0) Some(hotBandThreshold)
+      else None
     man match {
       case Some(m) => m.get("mhot") match {
         case Some(DedupIndex.AutoMarker) => derive
-        case Some(v) => Some(v.toLong)
+        case Some(v) => Some(v.toLong).filter(_ > 0)
         case None =>
-          // no media fold has committed yet: route with the creation
-          // policy, exactly like a virgin store
-          if (autoHotThreshold) derive
-          else if (hotBandThreshold > 0) Some(hotBandThreshold)
+          if (creationFallback && liveMediaSegsOf(man).isEmpty) creation
           else None
       }
-      case None =>
-        if (autoHotThreshold) derive
-        else if (hotBandThreshold > 0) Some(hotBandThreshold)
-        else None
+      case None => if (creationFallback) creation else None
     }
+  }
 
   private def mhotPending(man: Option[Map[String, String]]): Boolean =
     man match {
       case Some(m) => m.get("mhot") match {
         case Some(DedupIndex.AutoMarker) => true
         case Some(_) => false
-        case None => autoHotThreshold
+        case None => liveMediaSegsOf(man).isEmpty && autoHotThreshold
       }
       case None => autoHotThreshold
     }
@@ -425,7 +438,7 @@ final class DedupIndex(val spark: SparkSession, val path: String,
         else Some(DedupEnrich.deriveHotThresholdFromCounts(
           cumulative.select(col("cnt").cast("double").as("cnt"))))
       } finally cumulative.unpersist(false)
-    })
+    }, creationFallback = true)
     val mnPrev: Option[Long] = man.flatMap(_.get("mn")).map(_.toLong)
     // the n-counter shortcut, media edition: no key's lifetime count
     // can exceed the media records ever folded
@@ -485,13 +498,16 @@ final class DedupIndex(val spark: SparkSession, val path: String,
       .parquet(s"$path/$newSeg/mcnt"))
     val msegs = if (overBudget) Seq(newSeg) else msegs0 :+ newSeg
     val mnNew: Option[Long] =
-      (if (man.isEmpty) Some(0L) else mnPrev).map(_ + result.count())
+      (if (msegs0.isEmpty && mnPrev.isEmpty) Some(0L) else mnPrev)
+        .map(_ + result.count())
     ManifestIO.write(path, textEntriesFor(man)
       ++ Map("gen" -> gen.toString, "msegs" -> msegs.mkString(","))
       ++ mnNew.map(n => Map("mn" -> n.toString)).getOrElse(Map.empty)
       ++ mhotOpt.map(h => Map("mhot" -> h.toString)).getOrElse(
         if (mhotPending(man)) Map("mhot" -> DedupIndex.AutoMarker)
-        else Map.empty))
+        // opt-out persists as mhot=0: a re-open must route opted-out
+        // for life, never resurrect the guard (review finding)
+        else Map("mhot" -> "0")))
     // live set = BOTH families' segments (a media fold must never
     // sweep text generations, nor vice versa)
     ManifestIO.gc(path, (liveSegsOf(man) ++ msegs).toSet)

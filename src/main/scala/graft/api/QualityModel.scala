@@ -43,10 +43,12 @@ object QualityModel {
     val man = ManifestIO.read(storePath)
     val gen = man.flatMap(_.get("gen")).map(_.toLong).getOrElse(0L) + 1
     val seg = s"g$gen"
-    val feats = Pipeline.clsFeatures(spark, sfDir).cache()
-    val w =
-      try Pipeline.clsTrained(spark, feats, Pipeline.funnelStaged4(spark, sfDir))
-      finally feats.unpersist(false)
+    // no cache on feats here: unlike the registered queries (which
+    // score with it AFTER training), fit consumes the feature pass
+    // exactly once — in the training pair frame (review finding)
+    val w = Pipeline.clsTrained(spark,
+      Pipeline.clsFeatures(spark, sfDir),
+      Pipeline.funnelStaged4(spark, sfDir))
     w.write.mode(SaveMode.Overwrite).parquet(s"$storePath/$seg/weights")
     ManifestIO.write(storePath, Map(
       "gen" -> gen.toString,
@@ -80,16 +82,21 @@ object QualityModel {
     Pipeline.clsScoreAll(Pipeline.clsFeatures(spark, sfDir),
       weights(spark, storePath))
 
-  /** [[score]] + the pl21 quantile gate against a caller-provided
-    * funnel staging — per-(lang, tier) composition through the SAME
+  /** [[score]] + the pl21 quantile gate against the corpus's funnel
+    * staging — per-(lang, tier) composition through the SAME
     * [[graft.queries.Pipeline.clsGateBuckets]] builder the registered
-    * query runs, minus the in-query training. */
+    * query runs, minus the in-query training. The scored frame is
+    * cached (the gate reads it twice: cutoff pass + bucketing pass);
+    * the cache is session-scoped per the QueryDef convention — a
+    * long-lived consumer clears at its own batch boundaries
+    * (`spark.catalog.clearCache()`). staged4 is consumed once here
+    * (no training leg) and deliberately uncached (review finding). */
   def gateReport(spark: SparkSession, sfDir: String,
       storePath: String): DataFrame = {
-    val staged4 = Pipeline.funnelStaged4(spark, sfDir).cache()
     val scored = Pipeline.clsScoreAll(Pipeline.clsFeatures(spark, sfDir),
       weights(spark, storePath)).cache()
-    Pipeline.clsGateBuckets(scored, staged4).orderBy("lang", "bucket")
+    Pipeline.clsGateBuckets(scored, Pipeline.funnelStaged4(spark, sfDir))
+      .orderBy("lang", "bucket")
   }
 
   /** Operator-facing manifest facts. */

@@ -228,6 +228,13 @@ object MediaPipeline {
     * `a < b` pair convention implies `media(a) <= media(b)`. Requires
     * media ids below 2^60 (any realistic id space). */
   val FrameUidStride = 8L
+  // the packing is only invertible while frame_idx < FrameUidStride;
+  // raising MaxFrames without widening the stride (and the hardcoded
+  // `>> 3` / `// 8` in the m5 rollup + oracle) would silently collide
+  // uids across containers (review finding)
+  require(MaxFrames <= FrameUidStride,
+    s"frame-uid packing requires MaxFrames ($MaxFrames) <= " +
+      s"FrameUidStride ($FrameUidStride)")
 
   /** The FRAME-hash pass — m5's per-frame unit, composing the m4 frame
     * plan with the m3 aHash family: frame i of a container is its i-th

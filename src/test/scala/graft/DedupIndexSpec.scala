@@ -573,6 +573,47 @@ class DedupIndexSpec extends SparkSpec {
     assert(reopened.describe().mediaHotThreshold == h2.mediaHotThreshold)
   }
 
+  test("media opt-out persists for life: a default-constructor re-open neither crashes nor resurrects the guard") {
+    // review finding: the first media fold persists its guard decision
+    // (mhot=0 for opt-out) exactly like a threshold — otherwise a
+    // re-open with the default constructor would resolve the compiled
+    // default and read mcnt state the opted-out segments never wrote
+    val dir = freshDir()
+    val optOut = new DedupIndex(spark, dir, capacity = 1000,
+      hotBandThreshold = 0)
+    val v1 = optOut.ingestMedia(mediaHashes(
+      (1L, 1, 2, 3, 4), (2L, 1, 2, 3, 4)))
+    assert(!v1.columns.contains("phash_saturated"),
+      "an opted-out store's verdicts carry no media flag column")
+    val reopened = new DedupIndex(spark, dir, capacity = 1000)
+    val h = reopened.describe()
+    assert(h.mediaHotThreshold.isEmpty && !h.mediaAutoPending,
+      s"opt-out must rule the re-open: $h")
+    val v2 = reopened.ingestMedia(mediaHashes((3L, 1, 2, 3, 4))).collect()
+    assert(v2.head.getSeq[Long](1).toList == List(1L, 2L),
+      "unguarded media probes keep enumerating candidates")
+    assert(ManifestIO.read(dir).get("mhot") == "0",
+      "the opt-out decision stays persisted across folds")
+  }
+
+  test("describe() on a media-less store asserts no media guard facts; the media counter starts at the family's first fold") {
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000,
+      hotBandThreshold = 3)
+    idx.ingest(docs(1L -> base))
+    val h = idx.describe()
+    assert(h.mediaSegments == 0 && h.mediaHotThreshold.isEmpty &&
+      h.mediaKeys.isEmpty && !h.mediaAutoPending,
+      s"no media fold ever committed — nothing to report: $h")
+    // review finding: `mn` must initialize at the MEDIA family's first
+    // fold (not only on a virgin manifest), or a text-first store pays
+    // the hot probe forever
+    idx.ingestMedia(mediaHashes((1L, 1, 2, 3, 4)))
+    val man = ManifestIO.read(dir).get
+    assert(man.get("mn").contains("1"), s"mn counter must start: $man")
+    assert(man.get("mhot").contains("3"))
+  }
+
   test("describe() reports the maintained state's health") {
     val dir = freshDir()
     val idx = new DedupIndex(spark, dir, capacity = 1000,
