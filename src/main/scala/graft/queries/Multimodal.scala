@@ -130,10 +130,16 @@ object Multimodal extends QueryGroup {
     * derivation and the guard must key identically, so there is
     * exactly one construction (review finding: a drifted copy would
     * derive H on a different key family than the guard filters). */
+  /** The band-striped key ARRAY over `b0..b3` columns — the single
+    * expression behind [[phashKeys]] (batch + maintained index) and
+    * the streaming media twin, so no surface can key differently. */
+  private[graft] def phashKeyArray: org.apache.spark.sql.Column =
+    array((0 to 3).map(b =>
+      lit(b * 65536L) + col(s"b$b").cast("long")): _*)
+
   private[graft] def phashKeys(hashes: DataFrame): DataFrame =
     hashes.select(col("media_id").as("id"),
-      explode(array((0 to 3).map(b =>
-        lit(b * 65536L) + col(s"b$b").cast("long")): _*)).as("key"))
+      explode(phashKeyArray).as("key"))
 
   private[graft] def phashRollup(hashes: DataFrame, hotThreshold: Long)
       : DataFrame = {

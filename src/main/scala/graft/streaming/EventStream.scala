@@ -168,15 +168,6 @@ object EventStream {
   def streamingNearDupCandidates(docs: DataFrame,
       horizonMs: Long = 6L * 3600 * 1000,
       maxBandDocs: Int = 1000): Dataset[NearDupCandidate] = {
-    // a non-positive cap would saturate EVERY band on its first
-    // arrival (held.size >= 0) and never hold state — and it is NOT
-    // the opt-out convention (that is DedupIndex's hotBandThreshold,
-    // which gates a probe; here the cap IS what bounds state). To run
-    // uncapped — the pre-guard behavior, unbounded state — pass
-    // Int.MaxValue explicitly.
-    require(maxBandDocs > 0,
-      s"maxBandDocs must be positive (got $maxBandDocs); " +
-        "pass Int.MaxValue to run uncapped (unbounded state)")
     import docs.sparkSession.implicits._
     import graft.functions.DedupEnrich
     // enrichment via the SHARED DedupEnrich path — identical band keys
@@ -191,6 +182,54 @@ object EventStream {
       "sh")
       .select(col("doc_id"), explode(col("bands")).as("bk"), col("ts"))
       .as[BandRow]
+    streamingBandCandidates(banded, horizonMs, maxBandDocs)
+  }
+
+  /** Streaming MEDIA near-dup candidates — the media-key-family twin
+    * of [[streamingNearDupCandidates]], closing the surface triangle
+    * the text family already has (batch m3 / maintained
+    * [[graft.api.DedupIndex.ingestMedia]] / this stream): input rows
+    * are the partition-local hash pass's shape plus event time
+    * (`media_id`, `ts`, `b0`..`b3` — payloads never enter the
+    * stream), keyed through the ONE [[graft.queries.Multimodal
+    * .phashKeyArray]] encoding (so a media pair crosses the
+    * streaming, batch, and index surfaces with identical blocking
+    * behaviour), and the stateful core is LITERALLY the same function
+    * — horizon eviction, live-held saturation cap, event-time GC and
+    * the over-approximating marker contract all apply verbatim (see
+    * the trigger-semantics note there: the stream saturates on
+    * horizon-LIVE held entries, the index on LIFETIME counts; within
+    * one horizon on a fresh history they flag identically).
+    * Emitted pairs are CANDIDATES — the exact-Hamming verify is the
+    * downstream batch join, same as m3. */
+  def streamingMediaNearDupCandidates(hashes: DataFrame,
+      horizonMs: Long = 6L * 3600 * 1000,
+      maxBandDocs: Int = 1000): Dataset[NearDupCandidate] = {
+    import hashes.sparkSession.implicits._
+    val banded = hashes.withWatermark("ts", "2 hours")
+      .select(col("media_id").as("doc_id"), col("ts"),
+        explode(graft.queries.Multimodal.phashKeyArray).as("key"))
+      .select(col("key").cast("string").as("bk"), col("doc_id"), col("ts"))
+      .as[BandRow]
+    streamingBandCandidates(banded, horizonMs, maxBandDocs)
+  }
+
+  /** The ONE stateful band-candidate core both streaming twins run —
+    * factored (not copied) so the text and media surfaces cannot
+    * drift: per-band held-entry state, horizon eviction, the live-held
+    * saturation cap, and event-time GC. */
+  private def streamingBandCandidates(banded: Dataset[BandRow],
+      horizonMs: Long, maxBandDocs: Int): Dataset[NearDupCandidate] = {
+    // a non-positive cap would saturate EVERY band on its first
+    // arrival (held.size >= 0) and never hold state — and it is NOT
+    // the opt-out convention (that is DedupIndex's hotBandThreshold,
+    // which gates a probe; here the cap IS what bounds state). To run
+    // uncapped — the pre-guard behavior, unbounded state — pass
+    // Int.MaxValue explicitly.
+    require(maxBandDocs > 0,
+      s"maxBandDocs must be positive (got $maxBandDocs); " +
+        "pass Int.MaxValue to run uncapped (unbounded state)")
+    import banded.sparkSession.implicits._
     banded.groupByKey(_.bk)
       .flatMapGroupsWithState[BandState, NearDupCandidate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

@@ -216,6 +216,63 @@ class DedupSurfacesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MEDIA twin: same stateful core on phash keys — cap markers, bounded pairs, and index parity within one horizon") {
+    // the media family's third surface (batch m3 / maintained
+    // ingestMedia / THIS stream): the stateful core is literally the
+    // text twin's function, keyed through the one phashKeyArray
+    // encoding — so the flood/cap/marker contract and the
+    // within-one-horizon index parity must hold verbatim on media keys
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = Timestamp.valueOf("2024-02-01 10:00:00")
+    val src = MemoryStream[(Long, Timestamp, Int, Int, Int, Int)]
+    val q = EventStream.streamingMediaNearDupCandidates(
+        src.toDF().toDF("media_id", "ts", "b0", "b1", "b2", "b3"),
+        horizonMs = 24L * 3600 * 1000, maxBandDocs = 3)
+      .writeStream.format("memory").queryName("sat_media_neardup")
+      .outputMode("append").start()
+    // 6 identical hashes (the re-encoded-template flood) + a cold pair
+    // (7, 8) that crosses the micro-batch state seam
+    val flood = (1L to 6L).map(i => (i, t0, 1000, 2000, 3000, 4000))
+    val cold = Seq((7L, t0, 5000, 6000, 7000, 8000),
+      (8L, t0, 5000, 6000, 7000, 8000))
+    try {
+      src.addData(flood.take(3) :+ cold.head: _*)
+      q.processAllAvailable()
+      src.addData(flood.drop(3) :+ cold.last: _*)
+      q.processAllAvailable()
+      val rows = spark.table("sat_media_neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+      val pairs = rows.filter(!_._3).map(r =>
+        (math.min(r._1, r._2), math.max(r._1, r._2)))
+      val sats = rows.filter(_._3).map(_._2)
+      assert(rows.filter(_._3).forall(_._1 == -1L))
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L)),
+        s"pairs must stop at the cap and keep the cold pair: $pairs")
+      assert(sats == Set(4L, 5L, 6L),
+        s"capped arrivals must flag, not enumerate: $sats")
+    } finally q.stop()
+    // index parity: the same hashes doc-by-doc at hotBandThreshold = 3
+    // (lifetime counts) flag the SAME media and enumerate the SAME
+    // candidate pairs — within one horizon on a fresh history the two
+    // trigger semantics coincide, the text family's pinned contract
+    val idx = new DedupIndex(spark, freshDir(), capacity = 1000,
+      hotBandThreshold = 3)
+    val verdicts = (flood ++ cold).map { case (i, _, a, b, c, d) =>
+      i -> idx.ingestMedia(Seq((i, a, b, c, d))
+        .toDF("media_id", "b0", "b1", "b2", "b3")).collect().head
+    }
+    val idxFlagged = verdicts.collect {
+      case (i, v) if v.getAs[Int]("phash_saturated") == 1 => i }.toSet
+    val idxPairs = verdicts.flatMap { case (i, v) =>
+      v.getSeq[Long](1).map(p => (math.min(p, i), math.max(p, i))) }.toSet
+    assert(idxFlagged == Set(4L, 5L, 6L),
+      s"index flags must match the stream's within one horizon: $idxFlagged")
+    assert(idxPairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L)),
+      s"index candidates must match the stream's: $idxPairs")
+  }
+
   test("saturated case crosses surfaces: index lifetime-count guard == streaming live-held cap within one horizon") {
     // same templated flood, same threshold: the index (hotBandThreshold
     // = 3, lifetime counts, driven doc-by-doc) and the stream
