@@ -2291,6 +2291,102 @@ object Pipeline extends QueryGroup {
       ORDER BY lang, bucket"""
     })
 
+  /** PII patterns of the pl22 scrub — one definition, embedded into
+    * BOTH engines' regex calls. Deliberately alternation-free with
+    * DISJOINT character classes between stages, so Java's
+    * leftmost-first backtracking and DuckDB's (RE2-style)
+    * leftmost-longest semantics provably agree on every match span:
+    * a greedy class run has exactly one maximal match either way, and
+    * no class overlaps another pattern's anchor characters (the phone
+    * class has no dot, so it can never eat an IP; an email's local
+    * part never satisfies the phone's 9-digit run). */
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhone = "\\+\\d[\\d -]{7,}\\d"
+  private val PiiIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** pl22 — PII detection + scrubbing, the redaction stage every
+    * published crawl pipeline runs before release (C4 strips lines by
+    * pattern; Dolma/RedPajama ship dedicated email/phone/IP taggers
+    * and masks — public knowledge): per-document match COUNTS per PII
+    * class and the globally REDACTED text, verified end to end by an
+    * exact md5 of the redacted string (not just counts — the oracle
+    * proves byte-identical redaction).
+    *
+    * The synthetic corpus carries no natural PII (probed: zero
+    * matches for all classes at every scale), so the fixture INJECTS
+    * deterministic doc_id-derived spans — an email every 3rd doc, a
+    * phone every 5th, an IPv4 every 7th (composable: doc 15 gets
+    * email + phone) — the m1 synthetic-media precedent: the fixture
+    * stands in for a crawl corpus, the MACHINERY (scan, count,
+    * ordered multi-class redaction) is the real operator. Redaction
+    * order email → phone → IP is part of the contract (stages see the
+    * previous stage's output; the disjoint classes make the result
+    * order-insensitive here, but the pinned order keeps it
+    * deterministic if a future class overlaps).
+    *
+    * Scale shape: a stateless map-side projection — regex count +
+    * replace are codegen'd string expressions, no join, no aggregate;
+    * the only exchange is the declared output ORDER BY. At 100 TB
+    * this is the textbook embarrassingly-parallel scan stage. */
+  private val q22 = QueryDef(
+    "pl22_pii_scrub",
+    (s, dir) => {
+      val raw = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call +1 555 "),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), raw.as("raw"))
+        .select(col("doc_id"), col("lang"),
+          regexp_count(col("raw"), lit(PiiEmail)).as("n_emails"),
+          regexp_count(col("raw"), lit(PiiPhone)).as("n_phones"),
+          regexp_count(col("raw"), lit(PiiIp)).as("n_ips"),
+          md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), PiiEmail, "<EMAIL>"),
+              PiiPhone, "<PHONE>"),
+            PiiIp, "<IP>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH raw AS (
+        SELECT doc_id, lang,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call +1 555 '
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                       ELSE '' END AS raw
+        FROM documents)
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(raw, '$PiiEmail')) AS INT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(raw, '$PiiPhone')) AS INT)
+               AS n_phones,
+             CAST(len(regexp_extract_all(raw, '$PiiIp')) AS INT) AS n_ips,
+             md5(regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw, '$PiiEmail', '<EMAIL>', 'g'),
+                 '$PiiPhone', '<PHONE>', 'g'),
+               '$PiiIp', '<IP>', 'g')) AS redacted_md5
+      FROM raw
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }

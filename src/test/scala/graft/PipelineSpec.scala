@@ -396,6 +396,61 @@ class PipelineSpec extends SparkSpec {
       s"funnel quality count ${tot(2)} != pl11 kept-on-train $pl11Kept")
   }
 
+  test("pl21 gate buckets the SAME scores pl20 evaluates: eval docs distribute over buckets, survivors skew head") {
+    // pl21's per-(lang, bucket) n_eval must sum to pl20's per-lang
+    // n_eval (the two queries score the same docs with the same
+    // trained weights — QualityModelSpec pins the bit-equality; this
+    // pins the report-level consistency), tertile buckets partition
+    // every language's corpus, and the head bucket's survivor DENSITY
+    // is at least the tail's (the whole point of the gate: the
+    // classifier's score must rank funnel survivors above fails)
+    val gate = SparkEntry.queries("pl21_classifier_gate")(spark, Sf)
+      .collect()
+    val cls = SparkEntry.queries("pl20_quality_classifier")(spark, Sf)
+      .collect()
+    val evalByLangGate = gate.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(6)).sum).toMap
+    val evalByLangCls = cls.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(evalByLangGate == evalByLangCls,
+      s"pl21 eval counts per lang must equal pl20's: $evalByLangGate vs $evalByLangCls")
+    // every lang has all three tiers and they partition the corpus
+    gate.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3),
+        s"$lang must carry head/middle/tail")
+      val headRow = rows.find(_.getInt(1) == 1).get
+      val tailRow = rows.find(_.getInt(1) == 3).get
+      def density(r: org.apache.spark.sql.Row) =
+        r.getLong(4).toDouble / r.getLong(3)
+      assert(density(headRow) >= density(tailRow),
+        s"$lang: head survivor density must be >= tail's")
+      assert(headRow.getDouble(7) >= tailRow.getDouble(7),
+        s"$lang: head mean_p must be >= tail's")
+    }
+  }
+
+  test("pl22 PII scrub: every injected class is detected exactly, nothing else fires, multi-class docs compose") {
+    val rows = SparkEntry.queries("pl22_pii_scrub")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      // the injection rule IS the expected count — and a zero on
+      // non-injected docs pins no false positives on the natural text
+      assert(r.getInt(2) == (if (id % 3 == 0) 1 else 0),
+        s"doc $id email count")
+      assert(r.getInt(3) == (if (id % 5 == 0) 1 else 0),
+        s"doc $id phone count")
+      assert(r.getInt(4) == (if (id % 7 == 0) 1 else 0),
+        s"doc $id ip count")
+    }
+    // composability: docs divisible by 105 carry all three classes
+    val all3 = rows.filter(_.getLong(0) % 105 == 0)
+    assert(all3.nonEmpty, "fixture must include multi-class docs")
+    all3.foreach(r =>
+      assert(r.getInt(2) == 1 && r.getInt(3) == 1 && r.getInt(4) == 1))
+    // redaction changes the text (md5 present, 32 hex chars)
+    rows.foreach(r => assert(r.getString(5).length == 32))
+  }
+
   test("pl20 trained classifier: held-out accuracy beats every one-class baseline; predictions non-degenerate") {
     // the trap this pins: plain full-batch GD on these features has a
     // knife-edge (lr, epochs) regime — one setting "worked" only as a

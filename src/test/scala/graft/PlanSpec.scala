@@ -218,6 +218,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("pl22 PII scrub: a stateless codegen scan — no join, no aggregate, no window") {
+    val p = plan("pl22_pii_scrub")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window") && !p.contains("CartesianProduct"),
+      "the scrub must stay an embarrassingly-parallel projection")
+    // exactly ONE exchange — the declared output ORDER BY; the scrub
+    // itself is projection-only (codegen'd string expressions; the
+    // pre-execution AQE explain doesn't mark codegen spans, so the
+    // structural shape is the pin)
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      "no exchange beyond the output sort may appear")
+  }
+
   test("pl21 gate: histogram total and cutoff table enter as BROADCAST joins") {
     // the registered query's EAGER training runs driver jobs, so the
     // pin drives the SHARED gate builder directly (the pl20 gradient
