@@ -75,7 +75,7 @@ QUERIES = [
     # round-18 newborns: frame-level near-dup (m4 x m3 composition) and
     # the classifier-gated composition (pl20 re-measured too — it moved
     # onto the shared cls builders this round)
-    "m5_frame_neardup", "pl21_classifier_gate",
+    "m5_frame_neardup", "pl21_classifier_gate", "pl22_pii_scrub",
 ]
 
 ADD_OPENS = [
