@@ -949,6 +949,121 @@ object Dedup extends QueryGroup {
       FROM sig s LEFT JOIN partners ON s.id = partners.id
       ORDER BY vec_id"""))
 
+  /** d14 — exact substring dedup REWRITE (Lee et al. 2022's deployed
+    * form, closing d9's detection→removal composition): every
+    * duplicated [[DedupEnrich.WindowW]]-token window keeps ONE
+    * canonical occurrence — the (min doc_id, then min position)
+    * convention, deterministic like the CC component-min — and every
+    * other occurrence's span is REMOVED from its document; overlapping
+    * removed spans merge by construction (a token survives iff NO
+    * removed span covers it). Repeats WITHIN one document dedup the
+    * same way (the second in-doc occurrence is non-canonical). The
+    * window identity is the d9/[[graft.api.DedupIndex]] window hash
+    * (md5 of the 16-token slice), so what d14 removes is exactly what
+    * d9 counts and the maintained window leg screens — the three
+    * surfaces can never disagree about what "a duplicated window" is.
+    *
+    * Output is the REWRITE, verified exactly: per doc, token counts
+    * before/after and the md5 of the surviving tokens joined in
+    * order — the oracle proves byte-identical reconstruction, not
+    * just matching counts.
+    *
+    * Scale shape: one tokenize pass; window occurrences are O(total
+    * tokens) rows of (16-byte hash, int pos) — never text; canonical
+    * resolution is two map-side-combinable aggregates keyed by the
+    * hash; the covered-position explode is bounded by W x the
+    * DUPLICATE occurrence count (only what gets removed pays); the
+    * rebuild is one groupBy(doc_id) whose in-order sort is per-doc
+    * (array_sort in the aggregate, no window function, no self-join).
+    * At 100 TB every shuffle keys on the window hash or doc_id —
+    * exactly the suffix-array-free formulation public implementations
+    * of Lee et al. run on MapReduce-class engines. */
+  private val q14 = QueryDef(
+    "d14_substring_rewrite",
+    (s, dir) => {
+      val W = DedupEnrich.WindowW
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .cache() // three consumers: occurrences, token explode, stats
+      // ALL window occurrences with 1-based start positions — the d9
+      // hash family (md5 of the space-joined W-token slice)
+      val occ = base.select(col("doc_id"),
+          explode(when(size(col("toks")) >= W,
+            transform(sequence(lit(0), size(col("toks")) - W), i =>
+              struct((i + 1).as("pos"),
+                md5(concat_ws(" ",
+                  (0 until W).map(j => element_at(col("toks"), i + j + 1)): _*))
+                  .as("h"))))
+            .otherwise(array().cast("array<struct<pos:int,h:string>>")))
+          .as("o"))
+        .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
+      // canonical occurrence per hash: min doc, then min pos there
+      val cdoc = occ.groupBy("h").agg(min(col("doc_id")).as("cdoc"))
+      val cpos = occ.join(cdoc, "h").filter(col("doc_id") === col("cdoc"))
+        .groupBy("h", "cdoc").agg(min(col("pos")).as("cpos"))
+      val marked = occ.join(cpos, "h")
+        .filter(col("doc_id") =!= col("cdoc") || col("pos") =!= col("cpos"))
+        .select(col("doc_id"), col("pos"))
+      // covered token positions (bounded: W x duplicate occurrences)
+      val covered = marked.select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (W - 1))).as("t"))
+        .distinct()
+      val tok = base.select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), (col("pos") + 1).as("t"), col("col").as("tok"))
+      val reb = tok.join(covered, Seq("doc_id", "t"), "left_anti")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+              x => x.getField("tok")))).as("kept_md5"))
+      base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .join(reb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $toksSql,
+      occ AS (
+        SELECT doc_id, CAST(i AS INT) + 1 AS pos,
+               md5(array_to_string(
+                 list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 16),
+                 ' ')) AS h
+        FROM toks, unnest(generate_series(0, len(toks) - 16)) AS t(i)
+        WHERE len(toks) >= 16),
+      cdoc AS (SELECT h, MIN(doc_id) AS cdoc FROM occ GROUP BY h),
+      cpos AS (
+        SELECT h, cdoc, MIN(pos) AS cpos
+        FROM occ JOIN cdoc USING (h)
+        WHERE doc_id = cdoc GROUP BY h, cdoc),
+      marked AS (
+        SELECT o.doc_id, o.pos
+        FROM occ o JOIN cpos c USING (h)
+        WHERE o.doc_id <> c.cdoc OR o.pos <> c.cpos),
+      covered AS (
+        SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS t
+        FROM marked, unnest(range(0, 16)) AS r(j)),
+      tok AS (
+        SELECT doc_id, CAST(k AS INT) AS t, toks[CAST(k AS INT)] AS tok
+        FROM toks, unnest(generate_series(1, len(toks))) AS s(k)),
+      kept AS (
+        SELECT tok.doc_id, tok.t, tok.tok
+        FROM tok LEFT JOIN covered
+          ON tok.doc_id = covered.doc_id AND tok.t = covered.t
+        WHERE covered.t IS NULL),
+      reb AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY t)) AS kept_md5
+        FROM kept GROUP BY doc_id)
+      SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+             CAST(len(b.toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+             CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+             COALESCE(kept_md5, md5('')) AS kept_md5
+      FROM toks b LEFT JOIN reb USING (doc_id)
+      ORDER BY b.doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14)
 }
