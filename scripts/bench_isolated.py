@@ -185,7 +185,7 @@ NEW_R17 = ["pl20_quality_classifier", "m3_phash_neardup", "m4_frame_sample"]
 # round-18 newborns (m5, pl21) at birth; pl20 is in NEW_R17 already and
 # re-baselines there (it moved onto the shared cls builders this round)
 NEW_R18 = ["m5_frame_neardup", "pl21_classifier_gate",
-           "pl22_pii_scrub"]
+           "pl22_pii_scrub", "d14_substring_rewrite"]
 
 QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10 +
                              MOVERS_R11 + NEW_R12 + NEW_R13 + NEW_R14 +

@@ -76,6 +76,7 @@ QUERIES = [
     # the classifier-gated composition (pl20 re-measured too — it moved
     # onto the shared cls builders this round)
     "m5_frame_neardup", "pl21_classifier_gate", "pl22_pii_scrub",
+    "d14_substring_rewrite",
 ]
 
 ADD_OPENS = [
