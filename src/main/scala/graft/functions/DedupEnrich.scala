@@ -131,22 +131,41 @@ object DedupEnrich {
       conv(substring(md5(concat(fp, lit(s":$i"))), 1, 8), 16, 10)
         .cast("long") % m): _*)
 
+  /** EVERY [[WindowW]]-token window occurrence over an already-bound
+    * token-array column, with its 1-based start position — an
+    * `array<struct<pos:int, h:string>>` (empty for docs shorter than
+    * W). This is the ONE window-hash construction (md5 of the
+    * space-joined W-token slice): [[windowHashesFromToks]] derives
+    * its distinct set from it, and the d14 rewrite consumes the
+    * positioned form directly — so the d9 counts, the maintained
+    * [[graft.api.DedupIndex]] window leg, and what d14 REMOVES can
+    * never disagree about what "a duplicated window" is (review
+    * finding: an inline copy of the hash expression was the exact
+    * drift class the phashKeyArray extraction fixed for media keys).
+    * `toks` MUST be an attribute (W element lookups per position
+    * re-evaluate it otherwise). */
+  def windowOccurrencesFromToks(toks: Column): Column =
+    when(size(toks) >= WindowW,
+      transform(sequence(lit(0), size(toks) - WindowW), i =>
+        struct((i + 1).as("pos"),
+          md5(concat_ws(" ",
+            (0 until WindowW).map(j => element_at(toks, i + j + 1)): _*))
+            .as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:string>>"))
+
   /** DISTINCT md5 hashes of every [[WindowW]]-token window over an
     * already-bound token-array column — the d9 / Lee et al. exact
     * substring-dedup granularity (a window repeated INSIDE one doc
     * counts once; a doc shorter than W tokens legitimately has zero
     * windows, unlike the shingle path, because a partial window is
-    * not an exact W-token match). `toks` MUST be an attribute (k
-    * element lookups per position re-evaluate it otherwise). Shared
+    * not an exact W-token match). Derived from
+    * [[windowOccurrencesFromToks]] — one construction. Shared
     * by the `d9_substring_dedup` query and the maintained
     * [[graft.api.DedupIndex]] window leg, so batch and incremental
     * window verdicts key identically. */
   def windowHashesFromToks(toks: Column): Column =
-    array_distinct(when(size(toks) >= WindowW,
-      transform(sequence(lit(0), size(toks) - WindowW), i =>
-        md5(concat_ws(" ",
-          (0 until WindowW).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>")))
+    array_distinct(transform(windowOccurrencesFromToks(toks),
+      x => x.getField("h")))
 
   /** Append the window-hash column `out` from raw text, binding the
     * token array to an attribute in between. */

@@ -969,9 +969,11 @@ object Dedup extends QueryGroup {
     * just matching counts.
     *
     * Scale shape: one tokenize pass; window occurrences are O(total
-    * tokens) rows of (16-byte hash, int pos) — never text; canonical
-    * resolution is two map-side-combinable aggregates keyed by the
-    * hash; the covered-position explode is bounded by W x the
+    * tokens) rows of (16-byte hash, int pos) — never text, cached once
+    * (the hashing pass is the dominant cost and two legs read it);
+    * canonical resolution is ONE map-side-combinable struct-min
+    * aggregate keyed by the hash (lexicographic (doc_id, pos) min in
+    * both engines); the covered-position explode is bounded by W x the
     * DUPLICATE occurrence count (only what gets removed pays); the
     * rebuild is one groupBy(doc_id) whose in-order sort is per-doc
     * (array_sort in the aggregate, no window function, no self-join).
@@ -985,24 +987,25 @@ object Dedup extends QueryGroup {
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .cache() // three consumers: occurrences, token explode, stats
-      // ALL window occurrences with 1-based start positions — the d9
-      // hash family (md5 of the space-joined W-token slice)
+      // ALL window occurrences with 1-based start positions, via the
+      // ONE shared construction (DedupEnrich.windowOccurrencesFromToks
+      // — the same hash family d9 counts and the DedupIndex window leg
+      // screens). CACHED: the canonical aggregate and the marked join
+      // both read it, and the per-window md5 pass is this query's
+      // dominant cost (review finding: the uncached form re-hashed the
+      // corpus per consumer).
       val occ = base.select(col("doc_id"),
-          explode(when(size(col("toks")) >= W,
-            transform(sequence(lit(0), size(col("toks")) - W), i =>
-              struct((i + 1).as("pos"),
-                md5(concat_ws(" ",
-                  (0 until W).map(j => element_at(col("toks"), i + j + 1)): _*))
-                  .as("h"))))
-            .otherwise(array().cast("array<struct<pos:int,h:string>>")))
-          .as("o"))
+          explode(DedupEnrich.windowOccurrencesFromToks(col("toks"))).as("o"))
         .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
-      // canonical occurrence per hash: min doc, then min pos there
-      val cdoc = occ.groupBy("h").agg(min(col("doc_id")).as("cdoc"))
-      val cpos = occ.join(cdoc, "h").filter(col("doc_id") === col("cdoc"))
-        .groupBy("h", "cdoc").agg(min(col("pos")).as("cpos"))
-      val marked = occ.join(cpos, "h")
-        .filter(col("doc_id") =!= col("cdoc") || col("pos") =!= col("cpos"))
+        .cache()
+      // canonical occurrence per hash — ONE map-side-combinable
+      // aggregate: min over (doc_id, pos) structs is lexicographic in
+      // both engines, which IS the min-doc-then-min-pos convention
+      val canon = occ.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      val marked = occ.join(canon, "h")
+        .filter(col("doc_id") =!= col("c.doc_id") ||
+          col("pos") =!= col("c.pos"))
         .select(col("doc_id"), col("pos"))
       // covered token positions (bounded: W x duplicate occurrences)
       val covered = marked.select(col("doc_id"),
@@ -1029,22 +1032,23 @@ object Dedup extends QueryGroup {
       occ AS (
         SELECT doc_id, CAST(i AS INT) + 1 AS pos,
                md5(array_to_string(
-                 list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 16),
+                 list_slice(toks, CAST(i AS INT) + 1,
+                   CAST(i AS INT) + ${DedupEnrich.WindowW}),
                  ' ')) AS h
-        FROM toks, unnest(generate_series(0, len(toks) - 16)) AS t(i)
-        WHERE len(toks) >= 16),
-      cdoc AS (SELECT h, MIN(doc_id) AS cdoc FROM occ GROUP BY h),
-      cpos AS (
-        SELECT h, cdoc, MIN(pos) AS cpos
-        FROM occ JOIN cdoc USING (h)
-        WHERE doc_id = cdoc GROUP BY h, cdoc),
+        FROM toks,
+             unnest(generate_series(0, len(toks) - ${DedupEnrich.WindowW}))
+               AS t(i)
+        WHERE len(toks) >= ${DedupEnrich.WindowW}),
+      canon AS (
+        SELECT h, MIN({'doc_id': doc_id, 'pos': pos}) AS c
+        FROM occ GROUP BY h),
       marked AS (
         SELECT o.doc_id, o.pos
-        FROM occ o JOIN cpos c USING (h)
-        WHERE o.doc_id <> c.cdoc OR o.pos <> c.cpos),
+        FROM occ o JOIN canon c USING (h)
+        WHERE o.doc_id <> c.c.doc_id OR o.pos <> c.c.pos),
       covered AS (
         SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS t
-        FROM marked, unnest(range(0, 16)) AS r(j)),
+        FROM marked, unnest(range(0, ${DedupEnrich.WindowW})) AS r(j)),
       tok AS (
         SELECT doc_id, CAST(k AS INT) AS t, toks[CAST(k AS INT)] AS tok
         FROM toks, unnest(generate_series(1, len(toks))) AS s(k)),

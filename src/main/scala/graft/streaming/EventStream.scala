@@ -165,6 +165,12 @@ object EventStream {
     * never hide a duplicate (see [[NearDupCandidate]]); the
     * maintained [[graft.api.DedupIndex]] applies the same guard to
     * its persistent band state. */
+  /** Watermark delay BOTH near-dup twins declare — one constant, not
+    * two literals: the delay interacts with the shared core's
+    * event-time GC and horizon eviction, so the text and media
+    * surfaces must tolerate late data identically (review finding). */
+  val NearDupWatermarkDelay = "2 hours"
+
   def streamingNearDupCandidates(docs: DataFrame,
       horizonMs: Long = 6L * 3600 * 1000,
       maxBandDocs: Int = 1000): Dataset[NearDupCandidate] = {
@@ -176,7 +182,7 @@ object EventStream {
     // candidate behaviour (DedupSurfacesSpec pins the equality)
     val banded = DedupEnrich.withBandKeys(
       DedupEnrich.withShingleSet(
-        docs.withWatermark("ts", "2 hours")
+        docs.withWatermark("ts", NearDupWatermarkDelay)
           .select(col("doc_id"), col("ts"), col("text")),
         "text"),
       "sh")
@@ -206,7 +212,7 @@ object EventStream {
       horizonMs: Long = 6L * 3600 * 1000,
       maxBandDocs: Int = 1000): Dataset[NearDupCandidate] = {
     import hashes.sparkSession.implicits._
-    val banded = hashes.withWatermark("ts", "2 hours")
+    val banded = hashes.withWatermark("ts", NearDupWatermarkDelay)
       .select(col("media_id").as("doc_id"), col("ts"),
         explode(graft.queries.Multimodal.phashKeyArray).as("key"))
       .select(col("key").cast("string").as("bk"), col("doc_id"), col("ts"))
