@@ -924,7 +924,13 @@ final class DedupIndex(val spark: SparkSession, val path: String,
     // media-family facts (same shape as the text band stats, off the
     // mcnt state; a store with no media folds reports zeros/Nones)
     val msegs = liveMediaSegsOf(man)
-    val mhotOpt = mhotOf(man)
+    // fully-virgin store (neither family has folded): report the
+    // creation-time policy this handle would apply, mirroring the
+    // text family's creation-time sizing report (and mhotOf's own
+    // contract — "describe() on a fully virgin store"). Once EITHER
+    // family has segments, only persisted decisions are reported.
+    val mhotOpt = mhotOf(man,
+      creationFallback = segs.isEmpty && msegs.isEmpty)
     val mPending = mhotPending(man)
     val (mediaKeys, hotMediaKeys) = mhotOpt match {
       case Some(hot) if msegs.nonEmpty =>

@@ -951,12 +951,17 @@ object Dedup extends QueryGroup {
 
   /** d14 — exact substring dedup REWRITE (Lee et al. 2022's deployed
     * form, closing d9's detection→removal composition): every
-    * duplicated [[DedupEnrich.WindowW]]-token window keeps ONE
+    * duplicated [[DedupEnrich.WindowW]]-token window elects ONE
     * canonical occurrence — the (min doc_id, then min position)
     * convention, deterministic like the CC component-min — and every
-    * other occurrence's span is REMOVED from its document; overlapping
+    * OTHER occurrence's span is REMOVED from its document; overlapping
     * removed spans merge by construction (a token survives iff NO
-    * removed span covers it). Repeats WITHIN one document dedup the
+    * removed span covers it). The canonical occurrence is exempt from
+    * its OWN window's removal, but is not guaranteed to survive
+    * intact: a removed span from an overlapping non-canonical window
+    * may still cover some of its tokens — the survives-iff-uncovered
+    * rule wins (the same behavior as Lee et al.'s span-merge form).
+    * Repeats WITHIN one document dedup the
     * same way (the second in-doc occurrence is non-canonical). The
     * window identity is the d9/[[graft.api.DedupIndex]] window hash
     * (md5 of the 16-token slice), so what d14 removes is exactly what

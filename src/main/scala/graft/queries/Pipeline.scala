@@ -2292,14 +2292,19 @@ object Pipeline extends QueryGroup {
     })
 
   /** PII patterns of the pl22 scrub — one definition, embedded into
-    * BOTH engines' regex calls. Deliberately alternation-free with
-    * DISJOINT character classes between stages, so Java's
-    * leftmost-first backtracking and DuckDB's (RE2-style)
+    * BOTH engines' regex calls. Deliberately alternation-free, so
+    * Java's leftmost-first backtracking and DuckDB's (RE2-style)
     * leftmost-longest semantics provably agree on every match span:
-    * a greedy class run has exactly one maximal match either way, and
-    * no class overlaps another pattern's anchor characters (the phone
-    * class has no dot, so it can never eat an IP; an email's local
-    * part never satisfies the phone's 9-digit run). */
+    * a greedy class run has exactly one maximal match either way.
+    * The classes are NOT fully disjoint — an email local part admits
+    * '+' and digits, so a string like 'a+1234567890@x.com' contains a
+    * phone-shaped span, and an IPv4 can ride inside an email domain.
+    * The scrub therefore counts each class on that STAGE'S input
+    * (after the prior classes' replacements), so per-class counts
+    * always equal the redactions actually applied, natural PII
+    * included. The replacement tokens themselves ('<EMAIL>',
+    * '<PHONE>') contain no digits, so they can never seed a
+    * later-stage match. */
   private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PiiPhone = "\\+\\d[\\d -]{7,}\\d"
   private val PiiIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
@@ -2319,10 +2324,12 @@ object Pipeline extends QueryGroup {
     * email + phone) — the m1 synthetic-media precedent: the fixture
     * stands in for a crawl corpus, the MACHINERY (scan, count,
     * ordered multi-class redaction) is the real operator. Redaction
-    * order email → phone → IP is part of the contract (stages see the
-    * previous stage's output; the disjoint classes make the result
-    * order-insensitive here, but the pinned order keeps it
-    * deterministic if a future class overlaps).
+    * order email → phone → IP is part of the contract: each stage
+    * (both its count AND its replace) runs on the previous stage's
+    * OUTPUT, so a phone-shaped run inside an email local part is
+    * counted zero times — the email stage already consumed it — and
+    * counts == redactions holds on natural PII, not just the
+    * fixture.
     *
     * Scale shape: a stateless map-side projection — regex count +
     * replace are codegen'd string expressions, no join, no aggregate;
@@ -2346,15 +2353,16 @@ object Pipeline extends QueryGroup {
           .otherwise(lit("")))
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), raw.as("raw"))
+        .select(col("doc_id"), col("lang"), col("raw"),
+          regexp_replace(col("raw"), PiiEmail, "<EMAIL>").as("s1"))
+        .select(col("doc_id"), col("lang"), col("raw"), col("s1"),
+          regexp_replace(col("s1"), PiiPhone, "<PHONE>").as("s2"))
         .select(col("doc_id"), col("lang"),
           regexp_count(col("raw"), lit(PiiEmail)).as("n_emails"),
-          regexp_count(col("raw"), lit(PiiPhone)).as("n_phones"),
-          regexp_count(col("raw"), lit(PiiIp)).as("n_ips"),
-          md5(regexp_replace(
-            regexp_replace(
-              regexp_replace(col("raw"), PiiEmail, "<EMAIL>"),
-              PiiPhone, "<PHONE>"),
-            PiiIp, "<IP>")).as("redacted_md5"))
+          regexp_count(col("s1"), lit(PiiPhone)).as("n_phones"),
+          regexp_count(col("s2"), lit(PiiIp)).as("n_ips"),
+          md5(regexp_replace(col("s2"), PiiIp, "<IP>"))
+            .as("redacted_md5"))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -2372,19 +2380,24 @@ object Pipeline extends QueryGroup {
                        THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                             || '.0.' || CAST(doc_id % 100 AS VARCHAR)
                        ELSE '' END AS raw
-        FROM documents)
+        FROM documents),
+      staged AS (
+        SELECT doc_id, lang, raw,
+               regexp_replace(raw, '$PiiEmail', '<EMAIL>', 'g') AS s1
+        FROM raw),
+      staged2 AS (
+        SELECT doc_id, lang, raw, s1,
+               regexp_replace(s1, '$PiiPhone', '<PHONE>', 'g') AS s2
+        FROM staged)
       SELECT doc_id, lang,
              CAST(len(regexp_extract_all(raw, '$PiiEmail')) AS INT)
                AS n_emails,
-             CAST(len(regexp_extract_all(raw, '$PiiPhone')) AS INT)
+             CAST(len(regexp_extract_all(s1, '$PiiPhone')) AS INT)
                AS n_phones,
-             CAST(len(regexp_extract_all(raw, '$PiiIp')) AS INT) AS n_ips,
-             md5(regexp_replace(
-               regexp_replace(
-                 regexp_replace(raw, '$PiiEmail', '<EMAIL>', 'g'),
-                 '$PiiPhone', '<PHONE>', 'g'),
-               '$PiiIp', '<IP>', 'g')) AS redacted_md5
-      FROM raw
+             CAST(len(regexp_extract_all(s2, '$PiiIp')) AS INT) AS n_ips,
+             md5(regexp_replace(s2, '$PiiIp', '<IP>', 'g'))
+               AS redacted_md5
+      FROM staged2
       ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,

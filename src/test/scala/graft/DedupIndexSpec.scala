@@ -596,6 +596,25 @@ class DedupIndexSpec extends SparkSpec {
       "the opt-out decision stays persisted across folds")
   }
 
+  test("describe() on a fully-virgin store reports BOTH families' creation-time guard policy") {
+    // review finding (r18 advice): a virgin store with an explicit
+    // threshold reported hotBandThreshold=Some(n) but
+    // mediaHotThreshold=None — describe() now applies mhotOf's own
+    // "fully virgin" creation fallback, so the two families' creation
+    // reports mirror each other
+    val dir = freshDir()
+    val idx = new DedupIndex(spark, dir, capacity = 1000,
+      hotBandThreshold = 7)
+    val h = idx.describe()
+    assert(h.hotBandThreshold.contains(7L))
+    assert(h.mediaHotThreshold.contains(7L),
+      s"virgin describe must mirror the text family's creation report: $h")
+    // once ANY family folds, only persisted media decisions are
+    // reported (the first media fold will persist its own)
+    idx.ingest(docs(1L -> base))
+    assert(idx.describe().mediaHotThreshold.isEmpty)
+  }
+
   test("describe() on a media-less store asserts no media guard facts; the media counter starts at the family's first fold") {
     val dir = freshDir()
     val idx = new DedupIndex(spark, dir, capacity = 1000,
