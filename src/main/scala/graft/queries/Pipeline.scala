@@ -1171,6 +1171,84 @@ object Pipeline extends QueryGroup {
     * out of `fdrop` twice and duplicated its `staged` row through the
     * join. Any set-op that must dedupe in this chain is therefore
     * written `SELECT DISTINCT ... FROM (... UNION ALL ...)`. */
+  /** Generator for the quality→stage-4 segment of the funnel CTE
+    * chain, parameterized for pl23's classifier-GATED twin: `p`
+    * prefixes every internal CTE name (so the gated chain can coexist
+    * with the label chain in one WITH), `qDef` is the quality-survivor
+    * definition, `stage0Arm` the matching stage-0 CASE arm (Gopher for
+    * the label funnel, the classifier gate for pl23 — the two must
+    * agree with `qDef` or staging and survivorship would diverge).
+    * `toks`, `train`, `ev` must be in scope. The original
+    * [[funnelStagedSql]] is this generator at prefix ""
+    * with the plain Gopher gate — ONE source of funnel-SQL truth. */
+  private def funnelChainSql(p: String, qDef: String,
+      stage0Arm: String): String = s"""${p}q AS ($qDef),
+      ${p}canon AS (SELECT fp, MIN(doc_id) AS canonical_id
+                    FROM ${p}q GROUP BY fp),
+      ${p}uniq AS (SELECT ${p}q.doc_id,
+                     CAST(${p}q.doc_id = canonical_id AS INT) AS canonical
+               FROM ${p}q JOIN ${p}canon USING (fp)),
+      ${p}exact AS (SELECT doc_id FROM ${p}uniq WHERE canonical = 1),
+      ${p}fsh AS (
+        SELECT doc_id, ${TextOps.shingleSetSqlExpr("toks",
+          graft.functions.DedupEnrich.ShingleK)} AS sh
+        FROM toks JOIN ${p}exact USING (doc_id)),
+      ${p}ffp AS (SELECT doc_id, sh, ${MinHash.fingerprintsSql("sh")} AS fp
+                  FROM ${p}fsh),
+      ${p}fsigs AS (SELECT doc_id, sh, ${MinHash.signatureSql("fp",
+          graft.functions.DedupEnrich.NHashes)} AS sig FROM ${p}ffp),
+      ${p}fbands AS (
+        SELECT doc_id, ${MinHash.bandKeysSql("sig",
+          graft.functions.DedupEnrich.NHashes,
+          graft.functions.DedupEnrich.RowsPerBand)} AS bk
+        FROM ${p}fsigs),
+      ${p}fcounts AS (SELECT bk, COUNT(DISTINCT doc_id) AS cnt
+                      FROM ${p}fbands GROUP BY bk),
+      ${p}fhot AS (SELECT bk FROM ${p}fcounts WHERE cnt >= $FunnelHotBands),
+      ${p}fsat AS (SELECT DISTINCT doc_id FROM ${p}fbands
+                   JOIN ${p}fhot USING (bk)),
+      ${p}fcold AS (SELECT doc_id, bk FROM ${p}fbands
+                    WHERE bk NOT IN (SELECT bk FROM ${p}fhot)),
+      ${p}fcand AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM ${p}fcold a JOIN ${p}fcold b
+          ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      ${p}fver AS (
+        SELECT a, b FROM ${p}fcand
+        JOIN ${p}fsh sa ON sa.doc_id = ${p}fcand.a
+        JOIN ${p}fsh sb ON sb.doc_id = ${p}fcand.b
+        WHERE ${TextOps.jaccardSqlExpr("sa.sh", "sb.sh")} >= $FunnelMinJaccard),
+      ${p}fedges AS (SELECT a, b FROM ${p}fver
+                     UNION ALL SELECT b, a FROM ${p}fver),
+      ${p}freach AS (
+        SELECT a AS node, a AS r FROM ${p}fedges
+        UNION
+        SELECT re.node, e.b FROM ${p}freach re
+        JOIN ${p}fedges e ON re.r = e.a),
+      ${p}fcomp AS (SELECT node, MIN(r) AS component
+                    FROM ${p}freach GROUP BY node),
+      ${p}fdrop AS (SELECT DISTINCT doc_id FROM (
+                  SELECT doc_id FROM ${p}fsat
+                  UNION ALL SELECT node FROM ${p}fcomp
+                  WHERE node <> component)),
+      ${p}fsurv AS (SELECT doc_id FROM ${p}exact
+                WHERE doc_id NOT IN (SELECT doc_id FROM ${p}fdrop)),
+      ${p}flagged AS (
+        SELECT DISTINCT tg.doc_id FROM (
+          SELECT u.doc_id, unnest(t.grams) AS gram
+          FROM ${p}fsurv u JOIN train t ON u.doc_id = t.doc_id) tg
+        JOIN ev ON tg.gram = ev.gram),
+      ${p}staged4 AS MATERIALIZED (
+        SELECT t.doc_id, t.lang,
+               CASE $stage0Arm
+                    WHEN u.canonical IS NULL OR u.canonical != 1 THEN 1
+                    WHEN fd.doc_id IS NOT NULL THEN 2
+                    WHEN f.doc_id IS NOT NULL THEN 3
+                    ELSE 4 END AS stage
+        FROM train t LEFT JOIN ${p}uniq u ON t.doc_id = u.doc_id
+             LEFT JOIN ${p}fdrop fd ON t.doc_id = fd.doc_id
+             LEFT JOIN ${p}flagged f ON t.doc_id = f.doc_id)"""
+
   private val funnelStagedSql: String = s"""enriched AS (
         SELECT t.doc_id, t.lang,
                CAST(len(toks) AS BIGINT) AS n_words,
@@ -1199,61 +1277,9 @@ object Pipeline extends QueryGroup {
               AND alpha_frac >= 0.8 AND n_stop_hits >= 2 AS INT) AS kept
         FROM enriched),
       train AS (SELECT * FROM k WHERE NOT is_eval),
-      q AS (SELECT * FROM train WHERE kept = 1),
-      canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM q GROUP BY fp),
-      uniq AS (SELECT q.doc_id, CAST(q.doc_id = canonical_id AS INT) AS canonical
-               FROM q JOIN canon USING (fp)),
-      exact AS (SELECT doc_id FROM uniq WHERE canonical = 1),
-      fsh AS (
-        SELECT doc_id, ${TextOps.shingleSetSqlExpr("toks",
-          graft.functions.DedupEnrich.ShingleK)} AS sh
-        FROM toks JOIN exact USING (doc_id)),
-      ffp AS (SELECT doc_id, sh, ${MinHash.fingerprintsSql("sh")} AS fp FROM fsh),
-      fsigs AS (SELECT doc_id, sh, ${MinHash.signatureSql("fp",
-          graft.functions.DedupEnrich.NHashes)} AS sig FROM ffp),
-      fbands AS (
-        SELECT doc_id, ${MinHash.bandKeysSql("sig",
-          graft.functions.DedupEnrich.NHashes,
-          graft.functions.DedupEnrich.RowsPerBand)} AS bk
-        FROM fsigs),
-      fcounts AS (SELECT bk, COUNT(DISTINCT doc_id) AS cnt FROM fbands GROUP BY bk),
-      fhot AS (SELECT bk FROM fcounts WHERE cnt >= $FunnelHotBands),
-      fsat AS (SELECT DISTINCT doc_id FROM fbands JOIN fhot USING (bk)),
-      fcold AS (SELECT doc_id, bk FROM fbands WHERE bk NOT IN (SELECT bk FROM fhot)),
-      fcand AS (
-        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-        FROM fcold a JOIN fcold b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-      fver AS (
-        SELECT a, b FROM fcand
-        JOIN fsh sa ON sa.doc_id = fcand.a JOIN fsh sb ON sb.doc_id = fcand.b
-        WHERE ${TextOps.jaccardSqlExpr("sa.sh", "sb.sh")} >= $FunnelMinJaccard),
-      fedges AS (SELECT a, b FROM fver UNION ALL SELECT b, a FROM fver),
-      freach AS (
-        SELECT a AS node, a AS r FROM fedges
-        UNION
-        SELECT re.node, e.b FROM freach re JOIN fedges e ON re.r = e.a),
-      fcomp AS (SELECT node, MIN(r) AS component FROM freach GROUP BY node),
-      fdrop AS (SELECT DISTINCT doc_id FROM (
-                  SELECT doc_id FROM fsat
-                  UNION ALL SELECT node FROM fcomp WHERE node <> component)),
-      fsurv AS (SELECT doc_id FROM exact
-                WHERE doc_id NOT IN (SELECT doc_id FROM fdrop)),
       ev AS (SELECT DISTINCT unnest(grams) AS gram FROM k WHERE is_eval),
-      flagged AS (
-        SELECT DISTINCT tg.doc_id FROM (
-          SELECT u.doc_id, unnest(t.grams) AS gram
-          FROM fsurv u JOIN train t ON u.doc_id = t.doc_id) tg
-        JOIN ev ON tg.gram = ev.gram),
-      staged4 AS MATERIALIZED (
-        SELECT t.doc_id, t.lang,
-               CASE WHEN t.kept != 1 THEN 0
-                    WHEN u.canonical IS NULL OR u.canonical != 1 THEN 1
-                    WHEN fd.doc_id IS NOT NULL THEN 2
-                    WHEN f.doc_id IS NOT NULL THEN 3
-                    ELSE 4 END AS stage
-        FROM train t LEFT JOIN uniq u ON t.doc_id = u.doc_id
-             LEFT JOIN fdrop fd ON t.doc_id = fd.doc_id
-             LEFT JOIN flagged f ON t.doc_id = f.doc_id),
+      ${funnelChainSql("", "SELECT * FROM train WHERE kept = 1",
+        "WHEN t.kept != 1 THEN 0")},
       scnt AS (SELECT lang, COUNT(*) AS n FROM staged4
                WHERE stage = 4 GROUP BY lang),
       snmin AS (SELECT MIN(n) AS n_min FROM scnt),
@@ -1297,10 +1323,14 @@ object Pipeline extends QueryGroup {
     * consumes it exactly once; [[funnelStaged]] — the 6-stage form
     * pl16 reports — adds the cache itself because its mix stage reads
     * the frame twice. */
-  private[graft] def funnelStaged4(s: SparkSession, dir: String): DataFrame = {
+  /** The ONE enriched corpus pass of the funnel family — tokens,
+    * Gopher stats, exact fingerprint, shingle set, hashed grams, eval
+    * flag. UNCACHED: each caller caches it (every funnel build
+    * consumes it at least twice: staging + eval grams). */
+  private[graft] def funnelEnriched(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{DedupEnrich, GopherRules}
     val K = 13
-    val enriched = GopherRules.withStats(Tables.documents(s, dir)
+    GopherRules.withStats(Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         TextOps.tokens(col("text")).as("toks")))
       .withColumn("fp", DedupEnrich.exactFpFromToks(col("toks")))
@@ -1308,9 +1338,26 @@ object Pipeline extends QueryGroup {
       .withColumn("grams", TextOps.hashedNgrams(col("toks"), K))
       .withColumn("is_eval", col("doc_id") % 7 === 0)
       .select("doc_id", "lang", "kept", "fp", "sh", "grams", "is_eval")
-      .cache()
+  }
+
+  /** The quality→stage-4 core over a (caller-cached) enriched frame,
+    * parameterized for pl23's classifier-GATED twin: `gateDrop`, when
+    * present, REPLACES the Gopher rule gate as the quality stage (the
+    * deployed-CCNet shape — the trained classifier IS the quality
+    * filter in production; the rules remain the training teacher
+    * only): a document leaves at stage 0 iff its doc_id is in the
+    * gate frame, and every downstream stage (exact dedup, guarded
+    * fuzzy dedup, decontamination) runs on the gate's survivor set —
+    * including rule-fails the classifier rescued. `None` is
+    * byte-identical to the pre-pl23 funnel (the stage-5 lesson: the
+    * pl16/pl18/pl19/pl20/pl21 plans and hashes must not move).
+    * [[funnelChainSql]] at the same parameters is the DuckDB mirror. */
+  private[graft] def funnelStage4Core(s: SparkSession, enriched: DataFrame,
+      gateDrop: Option[DataFrame]): DataFrame = {
+    import graft.functions.DedupEnrich
     val train = enriched.filter(!col("is_eval"))
-    val q = train.filter(col("kept") === 1)
+    val q = gateDrop.fold(train.filter(col("kept") === 1))(g =>
+      train.join(g, Seq("doc_id"), "left_anti"))
     val canon = q.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
     val uniq = q.join(DedupEnrich.joinBackBuild(canon), "fp")
       .withColumn("canonical",
@@ -1348,18 +1395,31 @@ object Pipeline extends QueryGroup {
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .select("doc_id").distinct().withColumn("flag", lit(1))
-    train
+    val joined0 = train
       .join(uniq.select(col("doc_id"), col("canonical")), Seq("doc_id"), "left")
       .join(fdrop, Seq("doc_id"), "left")
       .join(flagged, Seq("doc_id"), "left")
+    val joined = gateDrop.fold(joined0)(g => joined0.join(
+      g.select(col("doc_id")).withColumn("gate_drop", lit(1)),
+      Seq("doc_id"), "left"))
+    val stage0 = gateDrop.fold(when(col("kept") =!= 1, 0))(_ =>
+      when(col("gate_drop") === 1, 0))
+    joined
       .withColumn("stage",
-        when(col("kept") =!= 1, 0)
+        stage0
           .when(col("canonical").isNull || col("canonical") =!= 1, 1)
           .when(col("fuzzy_drop") === 1, 2)
           .when(col("flag") === 1, 3)
           .otherwise(4))
       .select("doc_id", "lang", "stage")
   }
+
+  /** The ungated funnel staging — [[funnelStage4Core]] with the plain
+    * Gopher quality gate over a self-owned enriched cache; the frame
+    * pl16 reports (via [[funnelStaged]]) and pl18/pl19/pl20/pl21
+    * consume. */
+  private[graft] def funnelStaged4(s: SparkSession, dir: String): DataFrame =
+    funnelStage4Core(s, funnelEnriched(s, dir).cache(), None)
 
   /** SHARED curation-funnel staging WITH the stage-5 composition mix —
     * see the stage catalogue above; pl16 reports this frame. */
@@ -2145,8 +2205,13 @@ object Pipeline extends QueryGroup {
     * [[graft.api.QualityModel]] consumers bucket identically. Exact
     * pl12 cutoff machinery: histogram on (lang, p) bounded by the 6-dp
     * score value space, integer-rank tertiles, ties share a bucket. */
-  private[graft] def clsGateBuckets(scored: DataFrame,
-      staged4: DataFrame): DataFrame = {
+  /** Per-document tertile bucket assignment over a scored frame — the
+    * cutoff half of [[clsGateBuckets]], factored so pl23's gated
+    * funnel SELECTS on exactly the buckets pl21 reports (and the
+    * persisted [[graft.api.QualityModel]] path buckets identically):
+    * appends `bucket` (1=head, 2=middle, 3=tail; ties share a bucket,
+    * the pl12 cutoff semantics) plus the `c1`/`c2` cutoff columns. */
+  private[graft] def clsBucketAssign(scored: DataFrame): DataFrame = {
     val byVal = scored.groupBy("lang", "p").agg(count(lit(1)).as("cnt"))
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("p").desc)
@@ -2168,6 +2233,11 @@ object Pipeline extends QueryGroup {
       .withColumn("bucket",
         when(col("p") >= col("c1"), 1)
           .when(col("p") >= col("c2"), 2).otherwise(3))
+  }
+
+  private[graft] def clsGateBuckets(scored: DataFrame,
+      staged4: DataFrame): DataFrame = {
+    clsBucketAssign(scored)
       .join(staged4.select(col("doc_id"), col("stage")), Seq("doc_id"),
         "left")
       .groupBy("lang", "bucket").agg(
@@ -2400,6 +2470,154 @@ object Pipeline extends QueryGroup {
       FROM staged2
       ORDER BY doc_id"""))
 
+  /** pl23 — classifier-GATED corpus SELECTION: the funnel actually
+    * CONSUMES the pl21 gate (the r18 verdict's top item). pl21 buckets
+    * and reports, but pl16's quality stage is still the rule-based
+    * Gopher conjunction; the DEPLOYED CCNet pipeline (§4.3 — the pl21
+    * citation) runs the TRAINED model as the quality filter, keeps
+    * head+middle, and DROPS tail — the hand rules survive only as the
+    * training teacher. This query runs that deployment end to end:
+    * train the classifier via the SHARED [[clsTrained]]
+    * (funnel-distilled labels — bit-identical weights to pl20/pl21,
+    * the purity contract), score the full corpus ([[clsScoreAll]]),
+    * assign per-language tertile buckets via the SHARED
+    * [[clsBucketAssign]] cutoffs (exactly the buckets pl21 reports),
+    * then re-run the funnel with the gate REPLACING the rule gate at
+    * stage 0 — tail ⇒ quality-fail, head/middle pass to dedup — so
+    * exact dedup / guarded fuzzy dedup / decontamination all run on
+    * the TRAINED gate's survivor set ([[funnelStage4Core]] with the
+    * gate frame; the ungated builders and their plans are untouched —
+    * the stage-5 lesson). NOTE the naive composition (Gopher AND
+    * not-tail) was probed first and is VACUOUS on this corpus — the
+    * tail tertile sits entirely inside the Gopher fails at every
+    * scale, so it would drop zero extra documents; the replacement
+    * form is both the published deployment AND the non-vacuous one
+    * (scripts/probe_gate_selection.py).
+    *
+    * Reported per language, pl16's attrition shape: n_raw, n_quality
+    * (the gate's head+middle survivors), n_unique, n_fuzzy, n_clean,
+    * integer-micro retention — plus `n_rescued`, the documents the
+    * trained gate KEEPS that the rule gate would have dropped
+    * (Gopher-fail, head/middle): the deployment delta between student
+    * and teacher, non-vacuous alongside the gate's drop count
+    * (n_raw − n_quality, structurally ≈ the tail tertile) at every
+    * tested scale.
+    *
+    * Production consumers persist the weights once through
+    * [[graft.api.QualityModel]] and gate with the stored cutoffs; the
+    * REGISTERED query stays a pure function of (session, dir) — the
+    * oracle contract — so it trains in-query like pl20/pl21.
+    *
+    * Scale shape: the pl20 training contract (one cached feature pass,
+    * dimension-bounded driver state), one broadcast-join scoring pass,
+    * a ≤2-rows-per-language broadcast cutoff table, and TWO funnel
+    * stagings off ONE cached enriched pass (labels + gated); the gate
+    * frame is corpus/3 doc_ids entering as one anti-join — every join
+    * equi or broadcast, nothing corpus-sized moves twice. */
+  private val q23 = QueryDef(
+    "pl23_gated_funnel",
+    (s, dir) => {
+      val feats = clsFeatures(s, dir).cache()
+      val enriched = funnelEnriched(s, dir).cache()
+      // the label funnel (the pl20/pl21 teacher) — consumed once, by
+      // clsTrained's label projection
+      val staged4 = funnelStage4Core(s, enriched, None)
+      val w = clsTrained(s, feats, staged4)
+      // cutoff pass + bucket join both read the scored frame
+      val scored = clsScoreAll(feats, w).cache()
+      // tail doc_ids: consumed three times (gated q anti-join, the
+      // stage-0 arm's left join, the n_gate_drop report)
+      val tail = clsBucketAssign(scored).filter(col("bucket") === 3)
+        .select("doc_id").cache()
+      val gated = funnelStage4Core(s, enriched, Some(tail))
+      // the deployment delta: rule-gate fails the trained gate keeps
+      val rescued = enriched
+        .filter(!col("is_eval") && col("kept") =!= 1)
+        .join(tail, Seq("doc_id"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_rescued"))
+      gated.groupBy("lang").agg(
+        count(lit(1)).as("n_raw"),
+        sum((col("stage") >= 1).cast("long")).as("n_quality"),
+        sum((col("stage") >= 2).cast("long")).as("n_unique"),
+        sum((col("stage") >= 3).cast("long")).as("n_fuzzy"),
+        sum((col("stage") >= 4).cast("long")).as("n_clean"))
+        .join(rescued, Seq("lang"), "left")
+        .withColumn("n_rescued", coalesce(col("n_rescued"), lit(0L)))
+        .withColumn("retention",
+          expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
+            .cast("double") / lit(1000000.0))
+        .select("lang", "n_raw", "n_quality", "n_rescued", "n_unique",
+          "n_fuzzy", "n_clean", "retention")
+        .orderBy("lang")
+    },
+    Some {
+      s"""
+      WITH RECURSIVE $toksSql,
+      $funnelStagedSql,
+      $clsTrainSql,
+      sall AS (
+        SELECT f.doc_id, f.lang, f.is_eval, f.x, unnest(f.buckets) AS bucket
+        FROM feat f),
+      smargin AS (
+        SELECT doc_id, lang, is_eval, SUM(w.w * sall.x) AS margin
+        FROM sall JOIN w$ClsEpochs w USING (bucket)
+        GROUP BY doc_id, lang, is_eval),
+      scored AS MATERIALIZED (
+        SELECT doc_id, lang, is_eval,
+               CAST(ROUND(1.0 / (1.0 + EXP(-CAST(margin AS DOUBLE))), 6)
+                 AS DECIMAL(8,6)) AS p
+        FROM smargin),
+      byval AS (SELECT lang, p, COUNT(*) AS cnt FROM scored GROUP BY ALL),
+      ranked AS (
+        SELECT lang, p,
+               COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY p DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                 AS first_rank
+        FROM byval),
+      nper AS (SELECT lang, COUNT(*) AS n FROM scored GROUP BY lang),
+      vb AS (
+        SELECT ranked.lang, p,
+               CASE WHEN first_rank <= (n + 2) // 3 THEN 1
+                    WHEN first_rank <= (2 * n + 2) // 3 THEN 2
+                    ELSE 3 END AS vbucket
+        FROM ranked JOIN nper ON ranked.lang = nper.lang),
+      cuts AS (
+        SELECT lang, MIN(CASE WHEN vbucket = 1 THEN p END) AS c1,
+               MIN(CASE WHEN vbucket <= 2 THEN p END) AS c2
+        FROM vb GROUP BY lang),
+      gtail AS MATERIALIZED (
+        SELECT s.doc_id FROM scored s JOIN cuts c ON s.lang = c.lang
+        WHERE s.p < c.c2),
+      ${funnelChainSql("g",
+        "SELECT * FROM train WHERE doc_id NOT IN " +
+          "(SELECT doc_id FROM gtail)",
+        "WHEN t.doc_id IN (SELECT doc_id FROM gtail) THEN 0")},
+      rescued AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rescued
+        FROM train
+        WHERE kept != 1
+          AND doc_id NOT IN (SELECT doc_id FROM gtail)
+        GROUP BY lang),
+      agg AS (
+        SELECT lang, COUNT(*) AS n_raw,
+               CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_quality,
+               CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unique,
+               CAST(SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fuzzy,
+               CAST(SUM(CASE WHEN stage >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clean
+        FROM gstaged4 GROUP BY lang)
+      SELECT lang, n_raw, n_quality,
+             CAST(COALESCE(n_rescued, 0) AS BIGINT) AS n_rescued,
+             n_unique, n_fuzzy, n_clean,
+             CAST((2 * n_clean * 1000000 + n_raw) // (2 * n_raw) AS DOUBLE)
+               / 1000000.0 AS retention
+      FROM agg LEFT JOIN rescued USING (lang)
+      ORDER BY lang"""
+    })
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 }

@@ -428,6 +428,49 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pl23 gated funnel: monotone attrition, the gate drops EXACTLY pl21's train-side tail, rescues are real and bounded") {
+    val gated = SparkEntry.queries("pl23_gated_funnel")(spark, Sf).collect()
+    val gate = SparkEntry.queries("pl21_classifier_gate")(spark, Sf).collect()
+    val funnel = SparkEntry.queries("pl16_curation_funnel")(spark, Sf)
+      .collect()
+    assert(gated.length == 5, s"one row per language: ${gated.length}")
+    // columns: lang, n_raw, n_quality, n_rescued, n_unique, n_fuzzy,
+    // n_clean, retention — attrition reads raw >= quality >= unique >=
+    // fuzzy >= clean
+    gated.foreach { r =>
+      val counts = Seq(1, 2, 4, 5, 6).map(r.getLong)
+      assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+        s"${r.getString(0)}: gated funnel must be monotone: " +
+          counts.mkString(" >= "))
+      assert(r.getLong(1) > r.getLong(2),
+        s"${r.getString(0)}: the classifier gate dropped nothing — vacuous")
+      assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0)
+    }
+    // the gate's stage-0 drop is EXACTLY pl21's tail bucket restricted
+    // to train docs (n_docs - n_eval): pl23 selects on the same
+    // clsBucketAssign cutoffs pl21 reports — composition, not drift
+    val tailTrainByLang = gate.filter(_.getInt(1) == 3)
+      .map(r => r.getString(0) -> (r.getLong(3) - r.getLong(6))).toMap
+    gated.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) == tailTrainByLang(r.getString(0)),
+        s"${r.getString(0)}: gate drop != pl21 tail∩train")
+    }
+    // same train partition as the ungated funnel; rescues (rule-fails
+    // the trained gate keeps) are non-vacuous in total and can never
+    // exceed the language's rule fails
+    val funnelByLang = funnel.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    gated.foreach { r =>
+      val (nRaw, nQual) = funnelByLang(r.getString(0))
+      assert(r.getLong(1) == nRaw,
+        s"${r.getString(0)}: pl23 n_raw != pl16 n_raw")
+      assert(r.getLong(3) <= nRaw - nQual,
+        s"${r.getString(0)}: rescued exceeds the rule gate's fail count")
+    }
+    assert(gated.map(_.getLong(3)).sum > 0,
+      "the trained gate rescued no rule-fails — deployment delta vacuous")
+  }
+
   test("pl22 PII scrub: every injected class is detected exactly, nothing else fires, multi-class docs compose") {
     val rows = SparkEntry.queries("pl22_pii_scrub")(spark, Sf).collect()
     assert(rows.nonEmpty)
