@@ -145,4 +145,50 @@ class MultimodalSpec extends SparkSpec {
     assert(maxProduct < BigInt(Long.MaxValue),
       "MaxHashBytes must keep block_sum * n exactly representable in Long")
   }
+
+  test("m6 flag builder: exact leaks flag, far hashes don't, benchmark ids never flag themselves into the report") {
+    import spark.implicits._
+    def hf(rows: (Long, Int, Int, Int, Int)*) =
+      rows.toDF("media_id", "b0", "b1", "b2", "b3")
+    // train 1 == bench 100 (exact leak, ham 0); train 2 within the bar
+    // of bench 101 on a shared band (ham = 2); train 3 shares a band
+    // with bench 102 but sits past the bar (ham = 16 on the others);
+    // train 4 shares NO band (blocked — never a candidate)
+    val train = hf(
+      (1L, 10, 20, 30, 40),
+      (2L, 11, 21, 31, 41),
+      (3L, 5, 50, 60, 70),
+      (4L, 7, 8, 9, 12))
+    val bench = hf(
+      (100L, 10, 20, 30, 40),
+      (101L, 11, 21, 31, 43), // xor 41^43 = 2 -> ham 1
+      (102L, 5, 0xFF0F, 0xF0FF, 0x0F0F),
+      (103L, 1000, 2000, 3000, 4000))
+    val flagged = graft.queries.Multimodal
+      .mediaDecontamFlags(train, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 2L),
+      s"exact + in-bar leaks flag; far and band-blocked don't: $flagged")
+  }
+
+  test("m6 report: injected leaks make every modality's flag count non-vacuous; counts are internally consistent") {
+    val rows = SparkEntry.queries("m6_media_decontam")(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("audio", "image", "video"))
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0,
+        s"${r.getString(0)}: injected exact leaks must flag — vacuous")
+      assert(r.getLong(3) <= r.getLong(1),
+        s"${r.getString(0)}: flagged exceeds the training side")
+      assert(r.getLong(2) > 0, s"${r.getString(0)}: empty benchmark slice")
+    }
+    // the benchmark carries the eval slice PLUS the injected leaks
+    val media = MediaPipeline.syntheticMedia(spark, Sf).toDF().cache()
+    val nEval = media.filter(col("media_id") % 7 === 0).count() +
+      media.filter(col("media_id") % 7 =!= 0 &&
+        col("media_id") % 31 === 5).count()
+    assert(rows.map(_.getLong(2)).sum == nEval)
+    assert(rows.map(_.getLong(1)).sum ==
+      media.filter(col("media_id") % 7 =!= 0).count())
+  }
 }

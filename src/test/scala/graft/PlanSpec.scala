@@ -306,6 +306,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "pair generation must stay keyed")
   }
 
+  test("m6_media_decontam: the benchmark key probe BROADCASTS; no corpus self-join forms") {
+    // the pl14 structural contract on the media family: the benchmark
+    // side is fixed-size and broadcasts, so the 100 TB training side
+    // is probed in place — a demotion to a shuffle join would exchange
+    // the training keys; and no train×train pair join exists at all
+    // (the reason this one surface may skip the hot-key guard)
+    val p = plan("m6_media_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark key probe must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "the probe must stay an equi-join")
+  }
+
   test("d11_guarded_lsh: the hot set gates the candidate join; every join stays an equi-join") {
     val p = plan("d11_guarded_lsh")
     // the saturation guard resolves BEFORE the candidate join (an
