@@ -973,6 +973,21 @@ object Dedup extends QueryGroup {
     * order — the oracle proves byte-identical reconstruction, not
     * just matching counts.
     *
+    * PIPELINE POSITION (the published order): Lee et al. 2022 run
+    * exact-substring removal BEFORE fuzzy dedup — boilerplate spans
+    * removed first can no longer drive MinHash false near-dups, and
+    * full-text exact dups are already consumed by the rewrite. The
+    * composition is spec-pinned (DedupSpec "d14 before fuzzy dedup"):
+    * [[substringKeptTokens]] feeds the d12/funnel shingle machinery
+    * and the boilerplate-only pair disappears. Corpora routed through
+    * [[graft.queries.Pipeline]]'s funnel with heavy substring
+    * duplication should run this rewrite ahead of the funnel's fuzzy
+    * stage; the registered funnel keeps the Lee-compatible
+    * quality→exact→fuzzy order and stays rewrite-free because the
+    * fixture corpus carries no cross-doc window duplication that its
+    * exact-fp stage does not already fold (the d9/d1 scaladoc
+    * routing).
+    *
     * Scale shape: one tokenize pass; window occurrences are O(total
     * tokens) rows of (16-byte hash, int pos) — never text, cached once
     * (the hashing pass is the dominant cost and two legs read it);
@@ -985,40 +1000,53 @@ object Dedup extends QueryGroup {
     * At 100 TB every shuffle keys on the window hash or doc_id —
     * exactly the suffix-array-free formulation public implementations
     * of Lee et al. run on MapReduce-class engines. */
+  /** d14's occurrence→removal core over a (caller-cached) `(doc_id,
+    * toks)` frame: the surviving 1-based `(doc_id, t, tok)` rows after
+    * removing every NON-CANONICAL duplicated-window span. Factored so
+    * the composition spec (DedupSpec) can run Lee et al.'s published
+    * PIPELINE ORDER — exact-substring removal BEFORE fuzzy dedup —
+    * with the exact operator the registered query verifies: rewrite
+    * first, then shingle/MinHash the survivors, and boilerplate-driven
+    * false near-dup pairs disappear while the removal has already
+    * consumed true substring duplication. */
+  private[graft] def substringKeptTokens(base: DataFrame): DataFrame = {
+    val W = DedupEnrich.WindowW
+    // ALL window occurrences with 1-based start positions, via the
+    // ONE shared construction (DedupEnrich.windowOccurrencesFromToks
+    // — the same hash family d9 counts and the DedupIndex window leg
+    // screens). CACHED: the canonical aggregate and the marked join
+    // both read it, and the per-window md5 pass is this query's
+    // dominant cost (review finding: the uncached form re-hashed the
+    // corpus per consumer).
+    val occ = base.select(col("doc_id"),
+        explode(DedupEnrich.windowOccurrencesFromToks(col("toks"))).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
+      .cache()
+    // canonical occurrence per hash — ONE map-side-combinable
+    // aggregate: min over (doc_id, pos) structs is lexicographic in
+    // both engines, which IS the min-doc-then-min-pos convention
+    val canon = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val marked = occ.join(canon, "h")
+      .filter(col("doc_id") =!= col("c.doc_id") ||
+        col("pos") =!= col("c.pos"))
+      .select(col("doc_id"), col("pos"))
+    // covered token positions (bounded: W x duplicate occurrences)
+    val covered = marked.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("t"))
+      .distinct()
+    val tok = base.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("t"), col("col").as("tok"))
+    tok.join(covered, Seq("doc_id", "t"), "left_anti")
+  }
+
   private val q14 = QueryDef(
     "d14_substring_rewrite",
     (s, dir) => {
-      val W = DedupEnrich.WindowW
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .cache() // three consumers: occurrences, token explode, stats
-      // ALL window occurrences with 1-based start positions, via the
-      // ONE shared construction (DedupEnrich.windowOccurrencesFromToks
-      // — the same hash family d9 counts and the DedupIndex window leg
-      // screens). CACHED: the canonical aggregate and the marked join
-      // both read it, and the per-window md5 pass is this query's
-      // dominant cost (review finding: the uncached form re-hashed the
-      // corpus per consumer).
-      val occ = base.select(col("doc_id"),
-          explode(DedupEnrich.windowOccurrencesFromToks(col("toks"))).as("o"))
-        .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
-        .cache()
-      // canonical occurrence per hash — ONE map-side-combinable
-      // aggregate: min over (doc_id, pos) structs is lexicographic in
-      // both engines, which IS the min-doc-then-min-pos convention
-      val canon = occ.groupBy("h")
-        .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
-      val marked = occ.join(canon, "h")
-        .filter(col("doc_id") =!= col("c.doc_id") ||
-          col("pos") =!= col("c.pos"))
-        .select(col("doc_id"), col("pos"))
-      // covered token positions (bounded: W x duplicate occurrences)
-      val covered = marked.select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (W - 1))).as("t"))
-        .distinct()
-      val tok = base.select(col("doc_id"), posexplode(col("toks")))
-        .select(col("doc_id"), (col("pos") + 1).as("t"), col("col").as("tok"))
-      val reb = tok.join(covered, Seq("doc_id", "t"), "left_anti")
+      val reb = substringKeptTokens(base)
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_kept"),
           md5(concat_ws(" ",

@@ -49,6 +49,51 @@ class SubstringRewriteSpec extends SparkSpec {
     assert(n == 37L && rm == 16L && kp == 21L, s"in-doc repeat: ${r(10L)}")
   }
 
+  test("d14 BEFORE fuzzy dedup (Lee et al.'s published pipeline order): removal dissolves boilerplate-driven near-dup pairs and consumes exact dups") {
+    import graft.functions.{DedupEnrich, TextOps}
+    import spark.implicits._
+    // two docs sharing a 40-token boilerplate header plus distinct
+    // bodies (the false-near-dup class the published order exists
+    // for), and an exact-dup pair (true substring duplication)
+    val boiler = words("boiler", 40)
+    val docs = Seq(
+      (1L, boiler + " " + words("alpha", 15)),
+      (2L, boiler + " " + words("beta", 15)),
+      (3L, words("gamma", 30)),
+      (4L, words("gamma", 30))).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks")).cache()
+    def jac(df: org.apache.spark.sql.DataFrame, x: Long, y: Long): Double = {
+      val sh = df.select(col("doc_id"),
+        DedupEnrich.shingleSetFromToks(col("toks")).as("sh"))
+      sh.filter(col("doc_id") === x).select(col("sh").as("sa"))
+        .crossJoin(sh.filter(col("doc_id") === y).select(col("sh").as("sb")))
+        .select(TextOps.jaccard(col("sa"), col("sb")).cast("double"))
+        .collect()(0).getDouble(0)
+    }
+    // BEFORE removal the boilerplate drives a false near-dup pair past
+    // the d3/funnel verification bar
+    assert(jac(base, 1L, 2L) >= 0.3,
+      "fixture must present a boilerplate-driven near-dup before removal")
+    // the published order: rewrite FIRST, fuzzy on the survivors —
+    // the SAME builder the registered d14 verifies
+    val kept = graft.queries.Dedup.substringKeptTokens(base).cache()
+    val rebuilt = kept.groupBy("doc_id").agg(
+      transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+        x => x.getField("tok")).as("toks"))
+    assert(jac(rebuilt, 1L, 2L) < 0.3,
+      "after removal the boilerplate pair must dissolve — doc 2 lost the header")
+    // the canonical holder keeps everything (doc 1: min doc_id)
+    val counts = kept.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == 55L, s"canonical boilerplate holder: $counts")
+    // true substring duplication is CONSUMED by the rewrite: the
+    // non-canonical exact dup keeps nothing, so the fuzzy stage never
+    // sees it — exactly why Lee et al. order removal first
+    assert(counts(3L) == 30L && !counts.contains(4L),
+      s"exact dup must be fully consumed before fuzzy: $counts")
+  }
+
   test("registered corpus: non-vacuous, counts partition everywhere") {
     val rows = SparkEntry.queries("d14_substring_rewrite")(spark, Sf).collect()
     assert(rows.nonEmpty)
