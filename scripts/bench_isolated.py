@@ -186,10 +186,15 @@ NEW_R17 = ["pl20_quality_classifier", "m3_phash_neardup", "m4_frame_sample"]
 # re-baselines there (it moved onto the shared cls builders this round)
 NEW_R18 = ["m5_frame_neardup", "pl21_classifier_gate",
            "pl22_pii_scrub", "d14_substring_rewrite"]
+# round-19 newborns at birth (pl23, m6); d14 is in NEW_R18 — the r18
+# sweep predated it by one commit (the disclosed one-row hole), so a
+# r19 refresh closes it mechanically
+NEW_R19 = ["pl23_gated_funnel", "m6_media_decontam"]
 
 QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10 +
                              MOVERS_R11 + NEW_R12 + NEW_R13 + NEW_R14 +
-                             NEW_R15 + NEW_R17 + NEW_R18 + auto_movers()))
+                             NEW_R15 + NEW_R17 + NEW_R18 + NEW_R19 +
+                             auto_movers()))
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",

@@ -77,6 +77,9 @@ QUERIES = [
     # onto the shared cls builders this round)
     "m5_frame_neardup", "pl21_classifier_gate", "pl22_pii_scrub",
     "d14_substring_rewrite",
+    # round-19 newborns: the gated funnel (two funnel stagings + one
+    # training run) and the media decontamination broadcast screen
+    "pl23_gated_funnel", "m6_media_decontam",
 ]
 
 ADD_OPENS = [

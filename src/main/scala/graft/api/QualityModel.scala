@@ -99,6 +99,43 @@ object QualityModel {
       .orderBy("lang", "bucket")
   }
 
+  /** The tail-gate frame off the persisted model: doc_ids the stored
+    * classifier puts in the per-language tail tertile (the SHARED
+    * [[graft.queries.Pipeline.clsBucketAssign]] cutoffs — exactly the
+    * buckets pl21 reports and pl23 selects on). CACHED: the gated
+    * staging consumes it three times (quality anti-join, stage-0 arm,
+    * rescued count). */
+  private def tailGate(spark: SparkSession, sfDir: String,
+      storePath: String): DataFrame = {
+    val scored = score(spark, sfDir, storePath).cache()
+    Pipeline.clsBucketAssign(scored).filter(col("bucket") === 3)
+      .select("doc_id").cache()
+  }
+
+  /** The classifier-GATED funnel staging with the PERSISTED model —
+    * deployed pl23 (tail ⇒ quality-fail at stage 0, head/middle pass
+    * to exact dedup / guarded fuzzy dedup / decontamination): the
+    * per-document (doc_id, lang, stage) frame a training pipeline
+    * consumes (stage >= 3 survivors feed shard assembly). No training
+    * jobs — scoring is one broadcast of the stored 273-row weight
+    * table. */
+  def gatedStaging(spark: SparkSession, sfDir: String,
+      storePath: String): DataFrame =
+    Pipeline.funnelStage4Core(spark,
+      Pipeline.funnelEnriched(spark, sfDir).cache(),
+      Some(tailGate(spark, sfDir, storePath)))
+
+  /** pl23's per-language attrition report off the PERSISTED model —
+    * the SAME [[graft.queries.Pipeline.gatedFunnelReport]] builder the
+    * registered query runs, minus the in-query training
+    * (QualityModelSpec pins bit-equality against pl23 after a same-
+    * corpus fit). */
+  def gatedReport(spark: SparkSession, sfDir: String,
+      storePath: String): DataFrame =
+    Pipeline.gatedFunnelReport(spark,
+      Pipeline.funnelEnriched(spark, sfDir).cache(),
+      tailGate(spark, sfDir, storePath))
+
   /** Operator-facing manifest facts. */
   case class Health(generation: Long, dim: Int, trainedOn: Option[String])
 

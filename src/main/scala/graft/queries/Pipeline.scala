@@ -2514,6 +2514,38 @@ object Pipeline extends QueryGroup {
     * stagings off ONE cached enriched pass (labels + gated); the gate
     * frame is corpus/3 doc_ids entering as one anti-join — every join
     * equi or broadcast, nothing corpus-sized moves twice. */
+  /** The pl23 report over a (caller-cached) enriched frame and a tail
+    * gate frame — factored so [[graft.api.QualityModel]]'s
+    * persisted-weights path produces the IDENTICAL report minus the
+    * in-query training (QualityModelSpec pins the bit-equality, the
+    * pl20/pl21 convention): the gated staging, the per-language
+    * attrition aggregate, and the rescued count (rule-gate fails the
+    * trained gate keeps). `tail` is consumed twice here plus once in
+    * the gated core — callers cache it. */
+  private[graft] def gatedFunnelReport(s: SparkSession, enriched: DataFrame,
+      tail: DataFrame): DataFrame = {
+    val gated = funnelStage4Core(s, enriched, Some(tail))
+    // the deployment delta: rule-gate fails the trained gate keeps
+    val rescued = enriched
+      .filter(!col("is_eval") && col("kept") =!= 1)
+      .join(tail, Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_rescued"))
+    gated.groupBy("lang").agg(
+      count(lit(1)).as("n_raw"),
+      sum((col("stage") >= 1).cast("long")).as("n_quality"),
+      sum((col("stage") >= 2).cast("long")).as("n_unique"),
+      sum((col("stage") >= 3).cast("long")).as("n_fuzzy"),
+      sum((col("stage") >= 4).cast("long")).as("n_clean"))
+      .join(rescued, Seq("lang"), "left")
+      .withColumn("n_rescued", coalesce(col("n_rescued"), lit(0L)))
+      .withColumn("retention",
+        expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
+          .cast("double") / lit(1000000.0))
+      .select("lang", "n_raw", "n_quality", "n_rescued", "n_unique",
+        "n_fuzzy", "n_clean", "retention")
+      .orderBy("lang")
+  }
+
   private val q23 = QueryDef(
     "pl23_gated_funnel",
     (s, dir) => {
@@ -2529,26 +2561,7 @@ object Pipeline extends QueryGroup {
       // stage-0 arm's left join, the n_gate_drop report)
       val tail = clsBucketAssign(scored).filter(col("bucket") === 3)
         .select("doc_id").cache()
-      val gated = funnelStage4Core(s, enriched, Some(tail))
-      // the deployment delta: rule-gate fails the trained gate keeps
-      val rescued = enriched
-        .filter(!col("is_eval") && col("kept") =!= 1)
-        .join(tail, Seq("doc_id"), "left_anti")
-        .groupBy("lang").agg(count(lit(1)).as("n_rescued"))
-      gated.groupBy("lang").agg(
-        count(lit(1)).as("n_raw"),
-        sum((col("stage") >= 1).cast("long")).as("n_quality"),
-        sum((col("stage") >= 2).cast("long")).as("n_unique"),
-        sum((col("stage") >= 3).cast("long")).as("n_fuzzy"),
-        sum((col("stage") >= 4).cast("long")).as("n_clean"))
-        .join(rescued, Seq("lang"), "left")
-        .withColumn("n_rescued", coalesce(col("n_rescued"), lit(0L)))
-        .withColumn("retention",
-          expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
-            .cast("double") / lit(1000000.0))
-        .select("lang", "n_raw", "n_quality", "n_rescued", "n_unique",
-          "n_fuzzy", "n_clean", "retention")
-        .orderBy("lang")
+      gatedFunnelReport(s, enriched, tail)
     },
     Some {
       s"""

@@ -220,6 +220,51 @@ object EventStream {
     streamingBandCandidates(banded, horizonMs, maxBandDocs)
   }
 
+  /** Streaming MEDIA decontamination — the m6 benchmark screen at
+    * INGEST (the deployed position: a crawl pipeline screens arriving
+    * media against its evaluation sets BEFORE anything lands in the
+    * training store, the DataComp shape). Input rows are the hash
+    * pass's shape plus event time (`media_id`, `ts`, `b0`..`b3`);
+    * `benchHashes` is the STATIC benchmark hash table
+    * (`media_id`, `b0`..`b3`).
+    *
+    * STATELESS by design — the structural opposite of the near-dup
+    * twins: the benchmark is fixed-size and known up front (the
+    * pl14/m6 broadcast argument), so this is Spark's supported
+    * stream-static equi-join against a BROADCAST — no state store, no
+    * watermark, no timeout, nothing to GC; each arriving row probes
+    * the broadcast through the ONE [[graft.queries.Multimodal
+    * .phashKeyArray]] band-key encoding and verifies with the exact
+    * 64-bit Hamming bar the batch m6 registers
+    * ([[graft.queries.Multimodal.DecontamHamMax]]), so a media row
+    * flags on this surface iff the batch screen flags it
+    * (DedupSurfacesSpec pins the parity).
+    *
+    * Output: one `(media_id, ts, eval_id)` row per matched benchmark
+    * item; a pair agreeing on several bands emits once per shared band
+    * (the near-dup twins' multiplicity contract — downstream
+    * `dropDuplicates` collapses them; the SCREEN decision is "any row
+    * exists"). */
+  def streamingMediaDecontam(hashes: DataFrame,
+      benchHashes: DataFrame): DataFrame = {
+    val bkeys = graft.queries.Multimodal.phashKeys(benchHashes)
+      .select(col("id").as("eval_id"), col("key"))
+    val bside = benchHashes.select(col("media_id").as("eval_id"),
+      col("b0").as("y0"), col("b1").as("y1"),
+      col("b2").as("y2"), col("b3").as("y3"))
+    hashes
+      .select(col("media_id"), col("ts"),
+        col("b0").as("x0"), col("b1").as("x1"),
+        col("b2").as("x2"), col("b3").as("x3"),
+        explode(graft.queries.Multimodal.phashKeyArray).as("key"))
+      .join(broadcast(bkeys), Seq("key"))
+      .join(broadcast(bside), Seq("eval_id"))
+      .filter((0 to 3).map(i =>
+          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i"))))
+        .reduce(_ + _) <= graft.queries.Multimodal.DecontamHamMax)
+      .select(col("media_id"), col("ts"), col("eval_id"))
+  }
+
   /** The ONE stateful band-candidate core both streaming twins run —
     * factored (not copied) so the text and media surfaces cannot
     * drift: per-band held-entry state, horizon eviction, the live-held

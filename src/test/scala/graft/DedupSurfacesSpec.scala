@@ -273,6 +273,50 @@ class DedupSurfacesSpec extends SparkSpec {
       s"index candidates must match the stream's: $idxPairs")
   }
 
+  test("streaming media decontam: the stateless broadcast screen flags EXACTLY the batch m6 set") {
+    // the m6 screen's ingest surface: a stream-static broadcast probe,
+    // deliberately STATELESS (the benchmark is fixed and small — the
+    // pl14/m6 argument), so parity with the batch builder is the whole
+    // contract: a media row flags here iff batch m6 flags it
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = Timestamp.valueOf("2024-02-01 10:00:00")
+    val bench = Seq(
+      (100L, 10, 20, 30, 40),
+      (101L, 1000, 2000, 3000, 4000))
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    // 1 = exact leak of 100; 2 = in-bar near 101 (ham 2 on the last
+    // band); 3 = shares band 0 with 100 but sits far past the bar;
+    // 4 = shares no band with any benchmark item (blocked)
+    val arrivals = Seq(
+      (1L, t0, 10, 20, 30, 40),
+      (2L, t0, 1000, 2000, 3000, 4005),
+      (3L, t0, 10, 0xFF0F, 0xF0FF, 0x0F0F),
+      (4L, t0, 7, 8, 9, 12))
+    val src = MemoryStream[(Long, Timestamp, Int, Int, Int, Int)]
+    val q = EventStream.streamingMediaDecontam(
+        src.toDF().toDF("media_id", "ts", "b0", "b1", "b2", "b3"), bench)
+      .writeStream.format("memory").queryName("stream_decontam")
+      .outputMode("append").start()
+    val got = try {
+      src.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      src.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      spark.table("stream_decontam").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    } finally q.stop()
+    assert(got == Set((1L, 100L), (2L, 101L)),
+      s"exact + in-bar flag with their partners; far + blocked don't: $got")
+    val batch = graft.queries.Multimodal.mediaDecontamFlags(
+      arrivals.map { case (i, _, a, b, c, d) => (i, a, b, c, d) }
+        .toDF("media_id", "b0", "b1", "b2", "b3"),
+      bench).collect().map(_.getLong(0)).toSet
+    assert(batch == got.map(_._1),
+      s"stream and batch screens must flag identically: $batch vs $got")
+  }
+
   test("saturated case crosses surfaces: index lifetime-count guard == streaming live-held cap within one horizon") {
     // same templated flood, same threshold: the index (hotBandThreshold
     // = 3, lifetime counts, driven doc-by-doc) and the stream

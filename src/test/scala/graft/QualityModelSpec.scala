@@ -56,6 +56,19 @@ class QualityModelSpec extends SparkSpec {
     assert(rows(QualityModel.gateReport(spark, Sf, dir)) ==
       rows(SparkEntry.queries("pl21_classifier_gate")(spark, Sf)),
       "persisted-model gate report must equal pl21's in-query training")
+    // (c) the persisted model's gated SELECTION == the registered pl23
+    // query — the deployed path drops and rescues exactly the same
+    // documents the oracle-verified composition does
+    assert(rows(QualityModel.gatedReport(spark, Sf, dir)) ==
+      rows(SparkEntry.queries("pl23_gated_funnel")(spark, Sf)),
+      "persisted-model gated selection must equal pl23's in-query training")
+    // the staging the trainer consumes partitions the train corpus
+    val staging = QualityModel.gatedStaging(spark, Sf, dir)
+      .groupBy("stage").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(staging.keySet.subsetOf(Set(0, 1, 2, 3, 4)) &&
+      staging.getOrElse(0, 0L) > 0 && staging.getOrElse(4, 0L) > 0,
+      s"gated staging must carry both drops and survivors: $staging")
     scored.unpersist(false)
   }
 
