@@ -963,10 +963,17 @@ object Pipeline extends QueryGroup {
     * uses the pl12 integer micro-unit rounding (a double division +
     * engine ROUND would tie-break differently at exact .5 in the 7th
     * digit, e.g. n_grams = 128 with odd n_hit). */
+  /** Contamination gram width — the GPT-3 appendix-C 13-gram rule.
+    * ONE constant across pl14, the funnel's decontamination stage, and
+    * the streaming ingest screen
+    * ([[graft.streaming.EventStream.streamingDecontam]]), so the three
+    * surfaces can never screen on different gram widths. */
+  private[graft] val ContamGramK = 13
+
   private val q14 = QueryDef(
     "pl14_decontaminate",
     (s, dir) => {
-      val K = 13
+      val K = ContamGramK
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
@@ -1329,7 +1336,7 @@ object Pipeline extends QueryGroup {
     * consumes it at least twice: staging + eval grams). */
   private[graft] def funnelEnriched(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{DedupEnrich, GopherRules}
-    val K = 13
+    val K = ContamGramK
     GopherRules.withStats(Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         TextOps.tokens(col("text")).as("toks")))

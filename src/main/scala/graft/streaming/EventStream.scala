@@ -265,6 +265,39 @@ object EventStream {
       .select(col("media_id"), col("ts"), col("eval_id"))
   }
 
+  /** Streaming TEXT decontamination — pl14's eval-overlap screen at
+    * INGEST (the [[streamingMediaDecontam]] twin on the text family;
+    * GPT-3's appendix-C 13-gram rule applied before anything lands in
+    * the training store). Input rows carry (`doc_id`, `ts`, `text`);
+    * `evalGrams` is the STATIC benchmark gram table (`gram` BIGINT —
+    * the 60-bit md5-prefix hashes pl14 builds, e.g. its `evalGrams`
+    * leg materialized once per benchmark release).
+    *
+    * STATELESS like the media twin: a benchmark's gram set is
+    * fixed-size, so this is a stream-static equi-join against a
+    * BROADCAST — no state store, no watermark; grams are built with
+    * the SAME [[graft.functions.TextOps.hashedNgrams]] family at the
+    * SAME [[graft.queries.Pipeline.ContamGramK]] width pl14 and the
+    * funnel screen, so a document flags at ingest iff the batch
+    * pl14 would flag it (StreamingSpec pins the parity). Docs shorter
+    * than the gram width have no grams and cannot flag — the GPT-3
+    * rule, verbatim.
+    *
+    * Output: one `(doc_id, ts, gram)` row per matched benchmark gram
+    * (multiplicity: a doc sharing several grams emits several rows —
+    * the SCREEN decision is "any row exists"; downstream
+    * `dropDuplicates(doc_id)` collapses when the hit detail is not
+    * wanted). */
+  def streamingDecontam(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    import graft.functions.TextOps
+    docs
+      .select(col("doc_id"), col("ts"),
+        explode(TextOps.hashedNgrams(TextOps.tokens(col("text")),
+          graft.queries.Pipeline.ContamGramK)).as("gram"))
+      .join(broadcast(evalGrams.select(col("gram"))), Seq("gram"))
+      .select(col("doc_id"), col("ts"), col("gram"))
+  }
+
   /** The ONE stateful band-candidate core both streaming twins run —
     * factored (not copied) so the text and media surfaces cannot
     * drift: per-band held-entry state, horizon eviction, the live-held

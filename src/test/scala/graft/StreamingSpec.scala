@@ -372,4 +372,50 @@ class StreamingSpec extends SparkSpec {
       assert(later == Set((1L, 3L)), s"horizon eviction failed: $later")
     } finally q.stop()
   }
+
+  test("streaming text decontam: the stateless broadcast screen flags EXACTLY pl14's gram-overlap set") {
+    // pl14's ingest surface, the streamingMediaDecontam twin: grams at
+    // the ONE ContamGramK width against a static broadcast benchmark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.TextOps
+    import org.apache.spark.sql.functions._
+    val t0 = java.sql.Timestamp.valueOf("2024-02-01 10:00:00")
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val evalText = words("bench", 20)
+    // eval grams exactly as pl14 builds them (hashed 13-grams)
+    val evalGrams = Seq(evalText).toDF("text")
+      .select(explode(TextOps.hashedNgrams(
+        TextOps.tokens(col("text")), 13)).as("gram"))
+      .distinct()
+    val docs = Seq(
+      // doc 1 embeds a full 13-gram of the benchmark -> flags
+      (1L, words("a", 5) + " " + words("bench", 14), t0),
+      // doc 2 shares vocabulary but no contiguous 13-gram
+      (2L, (1 to 20).map(i => s"bench$i other$i").mkString(" "), t0),
+      // doc 3 is sub-width (12 tokens): no grams, can never flag
+      (3L, words("bench", 12), t0))
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.EventStream.streamingDecontam(
+        src.toDF().toDF("doc_id", "text", "ts"), evalGrams)
+      .writeStream.format("memory").queryName("stream_text_decontam")
+      .outputMode("append").start()
+    val got = try {
+      src.addData(docs: _*)
+      q.processAllAvailable()
+      spark.table("stream_text_decontam").collect()
+        .map(_.getLong(0)).toSet
+    } finally q.stop()
+    assert(got == Set(1L),
+      s"only the doc embedding a benchmark 13-gram flags: $got")
+    // batch parity: pl14's own formulation on the same docs
+    val batch = docs.toDF("doc_id", "text", "ts")
+      .select(col("doc_id"), explode(TextOps.hashedNgrams(
+        TextOps.tokens(col("text")), 13)).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(batch == got,
+      s"stream and batch screens must flag identically: $batch vs $got")
+  }
 }
