@@ -196,6 +196,16 @@ QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10 +
                              NEW_R15 + NEW_R17 + NEW_R18 + NEW_R19 +
                              auto_movers()))
 
+# --all (round 19): sweep the ENTIRE registered-query set instead of
+# the curated top-15+movers list, enumerated from the committed
+# BENCH_HEAD's query map — the r18 verdict's "isolated baseline for
+# every query" contract, closed mechanically so future rounds diff
+# any row without a hand-measured reproduction.
+if "--all" in sys.argv:
+    sys.argv.remove("--all")
+    with open("BENCH_HEAD.json") as f:
+        QUERIES = sorted(json.load(f)["queries"])
+
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
