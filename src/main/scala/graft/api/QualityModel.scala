@@ -116,7 +116,8 @@ object QualityModel {
     * deployed pl23 (tail ⇒ quality-fail at stage 0, head/middle pass
     * to exact dedup / guarded fuzzy dedup / decontamination): the
     * per-document (doc_id, lang, stage) frame a training pipeline
-    * consumes (stage >= 3 survivors feed shard assembly). No training
+    * consumes (stage 4 = clean survivor feeds shard assembly; stage 3
+    * is the eval-CONTAMINATED bucket and must never ship). No training
     * jobs — scoring is one broadcast of the stored 273-row weight
     * table. */
   def gatedStaging(spark: SparkSession, sfDir: String,

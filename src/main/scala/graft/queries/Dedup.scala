@@ -949,6 +949,46 @@ object Dedup extends QueryGroup {
       FROM sig s LEFT JOIN partners ON s.id = partners.id
       ORDER BY vec_id"""))
 
+  /** d14's occurrence→removal core over a (caller-cached) `(doc_id,
+    * toks)` frame: the surviving 1-based `(doc_id, t, tok)` rows after
+    * removing every NON-CANONICAL duplicated-window span. Factored so
+    * the composition spec (SubstringRewriteSpec) can run Lee et al.'s
+    * published PIPELINE ORDER — exact-substring removal BEFORE fuzzy
+    * dedup — with the exact operator the registered query verifies:
+    * rewrite first, then shingle/MinHash the survivors, and
+    * boilerplate-driven false near-dup pairs disappear while the
+    * removal has already consumed true substring duplication. */
+  private[graft] def substringKeptTokens(base: DataFrame): DataFrame = {
+    val W = DedupEnrich.WindowW
+    // ALL window occurrences with 1-based start positions, via the
+    // ONE shared construction (DedupEnrich.windowOccurrencesFromToks
+    // — the same hash family d9 counts and the DedupIndex window leg
+    // screens). CACHED: the canonical aggregate and the marked join
+    // both read it, and the per-window md5 pass is this query's
+    // dominant cost (review finding: the uncached form re-hashed the
+    // corpus per consumer).
+    val occ = base.select(col("doc_id"),
+        explode(DedupEnrich.windowOccurrencesFromToks(col("toks"))).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
+      .cache()
+    // canonical occurrence per hash — ONE map-side-combinable
+    // aggregate: min over (doc_id, pos) structs is lexicographic in
+    // both engines, which IS the min-doc-then-min-pos convention
+    val canon = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val marked = occ.join(canon, "h")
+      .filter(col("doc_id") =!= col("c.doc_id") ||
+        col("pos") =!= col("c.pos"))
+      .select(col("doc_id"), col("pos"))
+    // covered token positions (bounded: W x duplicate occurrences)
+    val covered = marked.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("t"))
+      .distinct()
+    val tok = base.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("t"), col("col").as("tok"))
+    tok.join(covered, Seq("doc_id", "t"), "left_anti")
+  }
+
   /** d14 — exact substring dedup REWRITE (Lee et al. 2022's deployed
     * form, closing d9's detection→removal composition): every
     * duplicated [[DedupEnrich.WindowW]]-token window elects ONE
@@ -1000,46 +1040,6 @@ object Dedup extends QueryGroup {
     * At 100 TB every shuffle keys on the window hash or doc_id —
     * exactly the suffix-array-free formulation public implementations
     * of Lee et al. run on MapReduce-class engines. */
-  /** d14's occurrence→removal core over a (caller-cached) `(doc_id,
-    * toks)` frame: the surviving 1-based `(doc_id, t, tok)` rows after
-    * removing every NON-CANONICAL duplicated-window span. Factored so
-    * the composition spec (DedupSpec) can run Lee et al.'s published
-    * PIPELINE ORDER — exact-substring removal BEFORE fuzzy dedup —
-    * with the exact operator the registered query verifies: rewrite
-    * first, then shingle/MinHash the survivors, and boilerplate-driven
-    * false near-dup pairs disappear while the removal has already
-    * consumed true substring duplication. */
-  private[graft] def substringKeptTokens(base: DataFrame): DataFrame = {
-    val W = DedupEnrich.WindowW
-    // ALL window occurrences with 1-based start positions, via the
-    // ONE shared construction (DedupEnrich.windowOccurrencesFromToks
-    // — the same hash family d9 counts and the DedupIndex window leg
-    // screens). CACHED: the canonical aggregate and the marked join
-    // both read it, and the per-window md5 pass is this query's
-    // dominant cost (review finding: the uncached form re-hashed the
-    // corpus per consumer).
-    val occ = base.select(col("doc_id"),
-        explode(DedupEnrich.windowOccurrencesFromToks(col("toks"))).as("o"))
-      .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
-      .cache()
-    // canonical occurrence per hash — ONE map-side-combinable
-    // aggregate: min over (doc_id, pos) structs is lexicographic in
-    // both engines, which IS the min-doc-then-min-pos convention
-    val canon = occ.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
-    val marked = occ.join(canon, "h")
-      .filter(col("doc_id") =!= col("c.doc_id") ||
-        col("pos") =!= col("c.pos"))
-      .select(col("doc_id"), col("pos"))
-    // covered token positions (bounded: W x duplicate occurrences)
-    val covered = marked.select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (W - 1))).as("t"))
-      .distinct()
-    val tok = base.select(col("doc_id"), posexplode(col("toks")))
-      .select(col("doc_id"), (col("pos") + 1).as("t"), col("col").as("tok"))
-    tok.join(covered, Seq("doc_id", "t"), "left_anti")
-  }
-
   private val q14 = QueryDef(
     "d14_substring_rewrite",
     (s, dir) => {

@@ -141,6 +141,18 @@ object Multimodal extends QueryGroup {
     hashes.select(col("media_id").as("id"),
       explode(phashKeyArray).as("key"))
 
+  /** The ONE 64-bit band-wise Hamming-within test (sum of per-band
+    * xor popcounts <= bar) every media verify runs — the m3/m5/m6
+    * batch verifies and the streaming decontam screen — so no surface
+    * can verify with drifted arithmetic (the phashKeyArray
+    * discipline). Operands are the four 16-bit band columns named
+    * `<px>0..<px>3` vs `<py>0..<py>3`. */
+  private[graft] def hammingWithin(px: String, py: String,
+      bar: Int): org.apache.spark.sql.Column =
+    (0 to 3).map(i =>
+      bit_count(col(s"$px$i").bitwiseXOR(col(s"$py$i"))))
+      .reduce(_ + _) <= bar
+
   private[graft] def phashRollup(hashes: DataFrame, hotThreshold: Long)
       : DataFrame = {
     import graft.functions.DedupEnrich
@@ -153,9 +165,7 @@ object Multimodal extends QueryGroup {
     val ver = pairs
       .join(side("a", "x"), Seq("a"))
       .join(side("b", "y"), Seq("b"))
-      .filter((0 to 3).map(i =>
-          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i"))))
-        .reduce(_ + _) <= PhashHamMax)
+      .filter(hammingWithin("x", "y", PhashHamMax))
       .select("a", "b")
     DedupEnrich.saturationRollup(sat, ver, "media_id", "phash_saturated")
   }
@@ -347,9 +357,7 @@ object Multimodal extends QueryGroup {
       .filter(shiftright(col("a"), 3) =!= shiftright(col("b"), 3))
       .join(side("a", "x"), Seq("a"))
       .join(side("b", "y"), Seq("b"))
-      .filter((0 to 3).map(i =>
-          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i"))))
-        .reduce(_ + _) <= FrameHamMax)
+      .filter(hammingWithin("x", "y", FrameHamMax))
       .select(col("a"), col("b"),
         shiftright(col("a"), 3).as("ma"), shiftright(col("b"), 3).as("mb"))
     // pair evidence → container level: m_a/m_b = DISTINCT matched
@@ -513,6 +521,28 @@ object Multimodal extends QueryGroup {
     * at sf0.1). */
   private[graft] val DecontamHamMax = 8
 
+  /** The m6 flag builder over two `(media_id, b0..b3)` hash frames —
+    * factored so MultimodalSpec drives the SAME builder the registered
+    * query runs (the phashRollup convention): band-key candidate probe
+    * against the BROADCAST benchmark → exact 64-bit Hamming verify →
+    * distinct flagged training ids. */
+  private[graft] def mediaDecontamFlags(train: DataFrame,
+      bench: DataFrame): DataFrame = {
+    val cand = phashKeys(train).select(col("id").as("t"), col("key"))
+      .join(broadcast(phashKeys(bench)
+        .select(col("id").as("e"), col("key"))), Seq("key"))
+      .select("t", "e").distinct()
+    def side(df: DataFrame, idc: String, px: String) = df.select(
+      col("media_id").as(idc), col("b0").as(s"${px}0"),
+      col("b1").as(s"${px}1"), col("b2").as(s"${px}2"),
+      col("b3").as(s"${px}3"))
+    cand
+      .join(side(train, "t", "x"), Seq("t"))
+      .join(side(bench, "e", "y"), Seq("e"))
+      .filter(hammingWithin("x", "y", DecontamHamMax))
+      .select(col("t").as("media_id")).distinct()
+  }
+
   /** m6 — MEDIA decontamination, the pl14 twin for the multimodal
     * column (the r18 verdict's item 2): benchmark-image leakage is the
     * published decontamination problem for multimodal corpora —
@@ -544,7 +574,7 @@ object Multimodal extends QueryGroup {
     * Scale shape — why the benchmark side may SKIP the hot-key guard
     * the other media surfaces require: the guard exists to stop a
     * degenerate band from forming O(h²) TRAIN×TRAIN pairs in a
-    * self-join; here there is no self-join — the benchmark is
+    * self-join; here there is no self-join — a REAL benchmark is
     * fixed-size (thousands of items regardless of corpus size, the
     * pl14 argument), it BROADCASTS, and the per-training-row fan-out
     * is bounded by the benchmark keys sharing a band (≤ |benchmark|),
@@ -552,31 +582,13 @@ object Multimodal extends QueryGroup {
     * shuffle of the training side at all — the pair join's output is
     * only (train_id, eval_id) collisions, a vanishing fraction. The
     * 100 TB plan: hash partition-locally, probe the broadcast, emit
-    * flags. */
-  /** The m6 flag builder over two `(media_id, b0..b3)` hash frames —
-    * factored so MultimodalSpec drives the SAME builder the registered
-    * query runs (the phashRollup convention): band-key candidate probe
-    * against the BROADCAST benchmark → exact 64-bit Hamming verify →
-    * distinct flagged training ids. */
-  private[graft] def mediaDecontamFlags(train: DataFrame,
-      bench: DataFrame): DataFrame = {
-    val cand = phashKeys(train).select(col("id").as("t"), col("key"))
-      .join(broadcast(phashKeys(bench)
-        .select(col("id").as("e"), col("key"))), Seq("key"))
-      .select("t", "e").distinct()
-    def side(df: DataFrame, idc: String, px: String) = df.select(
-      col("media_id").as(idc), col("b0").as(s"${px}0"),
-      col("b1").as(s"${px}1"), col("b2").as(s"${px}2"),
-      col("b3").as(s"${px}3"))
-    cand
-      .join(side(train, "t", "x"), Seq("t"))
-      .join(side(bench, "e", "y"), Seq("e"))
-      .filter((0 to 3).map(i =>
-          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i"))))
-        .reduce(_ + _) <= DecontamHamMax)
-      .select(col("t").as("media_id")).distinct()
-  }
-
+    * flags. NOTE the fixture benchmark (the %7 slice + injected
+    * leaks, ~17% of the corpus) is CORPUS-PROPORTIONAL and therefore
+    * a stand-in that does not itself satisfy this argument — the
+    * broadcast/no-guard shape is justified by the deployed contract
+    * (a fixed eval set), not by the fixture; a consumer whose
+    * "benchmark" grows with the corpus should route to the guarded
+    * m3 pair machinery instead. */
   private val q6 = QueryDef(
     "m6_media_decontam",
     (s, dir) => {

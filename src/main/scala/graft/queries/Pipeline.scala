@@ -924,6 +924,13 @@ object Pipeline extends QueryGroup {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** Contamination gram width — the GPT-3 appendix-C 13-gram rule.
+    * ONE constant across pl14, the funnel's decontamination stage, and
+    * the streaming ingest screen
+    * ([[graft.streaming.EventStream.streamingDecontam]]), so the three
+    * surfaces can never screen on different gram widths. */
+  private[graft] val ContamGramK = 13
+
   /** Eval-set decontamination — the overlap screen every LLM training
     * pipeline runs before training (GPT-3's appendix-C 13-gram filter;
     * PaLM/Llama run the same shape): flag every training document that
@@ -963,12 +970,6 @@ object Pipeline extends QueryGroup {
     * uses the pl12 integer micro-unit rounding (a double division +
     * engine ROUND would tie-break differently at exact .5 in the 7th
     * digit, e.g. n_grams = 128 with odd n_hit). */
-  /** Contamination gram width — the GPT-3 appendix-C 13-gram rule.
-    * ONE constant across pl14, the funnel's decontamination stage, and
-    * the streaming ingest screen
-    * ([[graft.streaming.EventStream.streamingDecontam]]), so the three
-    * surfaces can never screen on different gram widths. */
-  private[graft] val ContamGramK = 13
 
   private val q14 = QueryDef(
     "pl14_decontaminate",
@@ -1299,37 +1300,6 @@ object Pipeline extends QueryGroup {
                     THEN 5 ELSE s.stage END AS stage
         FROM staged4 s LEFT JOIN srates r ON s.lang = r.lang)"""
 
-  /** SHARED curation-funnel staging (pl16 reports it, pl18/pl19/pl20
-    * train on it): every TRAIN document (the doc_id % 7 eval slice
-    * excluded up front) with its furthest-surviving stage — 0 = failed
-    * Gopher quality, 1 = non-canonical exact dup, 2 = fuzzy near-dup
-    * non-survivor (band-saturated OR a non-minimum member of a
-    * verified-pair component), 3 = eval-contaminated, 4 = clean
-    * survivor, 5 = clean survivor SELECTED by the composition sampler
-    * (pl15's deterministic Bernoulli at survivor-derived per-language
-    * rates — the published pipelines' final MIX step; stages {4, 5}
-    * partition the clean survivors, so consumers of the full curated
-    * corpus filter stage >= 4 and consumers of the MIXED corpus filter
-    * stage >= 5). Every stage decision comes from the SHARED builders the
-    * stage operators themselves use (GopherRules == pl11, exactFp ==
-    * d1, withBandKeys/guardedCandidatePairs == d12,
-    * minLabelComponents == d6, hashedNgrams == pl14) — composition,
-    * not reimplementation; [[funnelStagedSql]] is the DuckDB mirror.
-    *
-    * EAGER: the fuzzy stage's CC loop runs driver-controlled Spark
-    * jobs at build time (the pl18/pl19 build discipline — plan pins
-    * for these queries live in their executing PipelineSpec tests, not
-    * PlanSpec).
-    *
-    * THIS builder stops at stage 4 (no composition-mix columns) — the
-    * frame pl18/pl19/pl20 consume: they filter the clean-survivor set
-    * (staged stage >= 4 == staged4 stage == 4, since stages {4, 5}
-    * partition it), so computing the mix rates for them would be pure
-    * plan overhead (measured +1.3-1.7 s each at sf0.1 when stage 5
-    * first landed in their path). UNCACHED: each of those callers
-    * consumes it exactly once; [[funnelStaged]] — the 6-stage form
-    * pl16 reports — adds the cache itself because its mix stage reads
-    * the frame twice. */
   /** The ONE enriched corpus pass of the funnel family — tokens,
     * Gopher stats, exact fingerprint, shingle set, hashed grams, eval
     * flag. UNCACHED: each caller caches it (every funnel build
@@ -1421,10 +1391,37 @@ object Pipeline extends QueryGroup {
       .select("doc_id", "lang", "stage")
   }
 
-  /** The ungated funnel staging — [[funnelStage4Core]] with the plain
-    * Gopher quality gate over a self-owned enriched cache; the frame
-    * pl16 reports (via [[funnelStaged]]) and pl18/pl19/pl20/pl21
-    * consume. */
+  /** SHARED curation-funnel staging (pl16 reports it, pl18/pl19/pl20
+    * train on it): every TRAIN document (the doc_id % 7 eval slice
+    * excluded up front) with its furthest-surviving stage — 0 = failed
+    * Gopher quality, 1 = non-canonical exact dup, 2 = fuzzy near-dup
+    * non-survivor (band-saturated OR a non-minimum member of a
+    * verified-pair component), 3 = eval-contaminated, 4 = clean
+    * survivor, 5 = clean survivor SELECTED by the composition sampler
+    * (pl15's deterministic Bernoulli at survivor-derived per-language
+    * rates — the published pipelines' final MIX step; stages {4, 5}
+    * partition the clean survivors, so consumers of the full curated
+    * corpus filter stage >= 4 and consumers of the MIXED corpus filter
+    * stage >= 5). Every stage decision comes from the SHARED builders the
+    * stage operators themselves use (GopherRules == pl11, exactFp ==
+    * d1, withBandKeys/guardedCandidatePairs == d12,
+    * minLabelComponents == d6, hashedNgrams == pl14) — composition,
+    * not reimplementation; [[funnelStagedSql]] is the DuckDB mirror.
+    *
+    * EAGER: the fuzzy stage's CC loop runs driver-controlled Spark
+    * jobs at build time (the pl18/pl19 build discipline — plan pins
+    * for these queries live in their executing PipelineSpec tests, not
+    * PlanSpec).
+    *
+    * THIS builder stops at stage 4 (no composition-mix columns) — the
+    * frame pl18/pl19/pl20 consume: they filter the clean-survivor set
+    * (staged stage >= 4 == staged4 stage == 4, since stages {4, 5}
+    * partition it), so computing the mix rates for them would be pure
+    * plan overhead (measured +1.3-1.7 s each at sf0.1 when stage 5
+    * first landed in their path). UNCACHED: each of those callers
+    * consumes it exactly once; [[funnelStaged]] — the 6-stage form
+    * pl16 reports — adds the cache itself because its mix stage reads
+    * the frame twice. */
   private[graft] def funnelStaged4(s: SparkSession, dir: String): DataFrame =
     funnelStage4Core(s, funnelEnriched(s, dir).cache(), None)
 
@@ -2202,16 +2199,6 @@ object Pipeline extends QueryGroup {
       ORDER BY lang"""
     })
 
-  /** The pl21 quantile-gate + composition report over a scored frame
-    * ((doc_id, lang, is_eval, p) — [[clsScoreAll]]'s shape) and the
-    * funnel staging — factored so PlanSpec can pin the broadcast
-    * structure (both the histogram-total and the cutoff table enter as
-    * BROADCAST joins — the per-language cutoff table is <= 2 rows per
-    * language BY CONSTRUCTION, so a refactor that demotes it to a
-    * shuffle join would re-exchange the whole scored corpus) and so
-    * [[graft.api.QualityModel]] consumers bucket identically. Exact
-    * pl12 cutoff machinery: histogram on (lang, p) bounded by the 6-dp
-    * score value space, integer-rank tertiles, ties share a bucket. */
   /** Per-document tertile bucket assignment over a scored frame — the
     * cutoff half of [[clsGateBuckets]], factored so pl23's gated
     * funnel SELECTS on exactly the buckets pl21 reports (and the
@@ -2242,6 +2229,16 @@ object Pipeline extends QueryGroup {
           .when(col("p") >= col("c2"), 2).otherwise(3))
   }
 
+  /** The pl21 quantile-gate + composition report over a scored frame
+    * ((doc_id, lang, is_eval, p) — [[clsScoreAll]]'s shape) and the
+    * funnel staging — factored so PlanSpec can pin the broadcast
+    * structure (both the histogram-total and the cutoff table enter as
+    * BROADCAST joins — the per-language cutoff table is <= 2 rows per
+    * language BY CONSTRUCTION, so a refactor that demotes it to a
+    * shuffle join would re-exchange the whole scored corpus) and so
+    * [[graft.api.QualityModel]] consumers bucket identically. Exact
+    * pl12 cutoff machinery: histogram on (lang, p) bounded by the 6-dp
+    * score value space, integer-rank tertiles, ties share a bucket. */
   private[graft] def clsGateBuckets(scored: DataFrame,
       staged4: DataFrame): DataFrame = {
     clsBucketAssign(scored)
@@ -2297,23 +2294,13 @@ object Pipeline extends QueryGroup {
     * <= 2 rows per language and broadcasts; the composition report is
     * one map-side-combinable aggregate over the scored frame joined to
     * the (already-computed, cached) funnel staging. */
-  private val q21 = QueryDef(
-    "pl21_classifier_gate",
-    (s, dir) => {
-      val feats = clsFeatures(s, dir).cache()
-      // cached: labels (training) + composition (report) both read it
-      val staged4 = funnelStaged4(s, dir).cache()
-      val w = clsTrained(s, feats, staged4)
-      // cutoff pass + bucketing pass both read the scored frame
-      val scored = clsScoreAll(feats, w).cache()
-      clsGateBuckets(scored, staged4).orderBy("lang", "bucket")
-    },
-    Some {
-      s"""
-      WITH RECURSIVE $toksSql,
-      $funnelStagedSql,
-      $clsTrainSql,
-      sall AS (
+  /** The ONE DuckDB mirror of full-corpus scoring + per-language
+    * tertile cutoffs ([[clsScoreAll]] + [[clsBucketAssign]]'s cutoff
+    * half) — shared verbatim by the q21 and q23 oracles so the gate
+    * report and the gated selection can never cut on different buckets
+    * (the clsTrainSql one-source discipline). Requires `feat` and
+    * `w$ClsEpochs` in scope; defines `scored` and `cuts`. */
+  private def clsScoreCutoffSql: String = s"""sall AS (
         SELECT f.doc_id, f.lang, f.is_eval, f.x, unnest(f.buckets) AS bucket
         FROM feat f),
       smargin AS (
@@ -2342,7 +2329,25 @@ object Pipeline extends QueryGroup {
       cuts AS (
         SELECT lang, MIN(CASE WHEN vbucket = 1 THEN p END) AS c1,
                MIN(CASE WHEN vbucket <= 2 THEN p END) AS c2
-        FROM vb GROUP BY lang),
+        FROM vb GROUP BY lang)"""
+
+  private val q21 = QueryDef(
+    "pl21_classifier_gate",
+    (s, dir) => {
+      val feats = clsFeatures(s, dir).cache()
+      // cached: labels (training) + composition (report) both read it
+      val staged4 = funnelStaged4(s, dir).cache()
+      val w = clsTrained(s, feats, staged4)
+      // cutoff pass + bucketing pass both read the scored frame
+      val scored = clsScoreAll(feats, w).cache()
+      clsGateBuckets(scored, staged4).orderBy("lang", "bucket")
+    },
+    Some {
+      s"""
+      WITH RECURSIVE $toksSql,
+      $funnelStagedSql,
+      $clsTrainSql,
+      $clsScoreCutoffSql,
       b AS (
         SELECT s.*, CASE WHEN s.p >= c.c1 THEN 1
                          WHEN s.p >= c.c2 THEN 2 ELSE 3 END AS bucket
@@ -2477,6 +2482,38 @@ object Pipeline extends QueryGroup {
       FROM staged2
       ORDER BY doc_id"""))
 
+  /** The pl23 report over a (caller-cached) enriched frame and a tail
+    * gate frame — factored so [[graft.api.QualityModel]]'s
+    * persisted-weights path produces the IDENTICAL report minus the
+    * in-query training (QualityModelSpec pins the bit-equality, the
+    * pl20/pl21 convention): the gated staging, the per-language
+    * attrition aggregate, and the rescued count (rule-gate fails the
+    * trained gate keeps). `tail` is consumed twice here plus once in
+    * the gated core — callers cache it. */
+  private[graft] def gatedFunnelReport(s: SparkSession, enriched: DataFrame,
+      tail: DataFrame): DataFrame = {
+    val gated = funnelStage4Core(s, enriched, Some(tail))
+    // the deployment delta: rule-gate fails the trained gate keeps
+    val rescued = enriched
+      .filter(!col("is_eval") && col("kept") =!= 1)
+      .join(tail, Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_rescued"))
+    gated.groupBy("lang").agg(
+      count(lit(1)).as("n_raw"),
+      sum((col("stage") >= 1).cast("long")).as("n_quality"),
+      sum((col("stage") >= 2).cast("long")).as("n_unique"),
+      sum((col("stage") >= 3).cast("long")).as("n_fuzzy"),
+      sum((col("stage") >= 4).cast("long")).as("n_clean"))
+      .join(rescued, Seq("lang"), "left")
+      .withColumn("n_rescued", coalesce(col("n_rescued"), lit(0L)))
+      .withColumn("retention",
+        expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
+          .cast("double") / lit(1000000.0))
+      .select("lang", "n_raw", "n_quality", "n_rescued", "n_unique",
+        "n_fuzzy", "n_clean", "retention")
+      .orderBy("lang")
+  }
+
   /** pl23 — classifier-GATED corpus SELECTION: the funnel actually
     * CONSUMES the pl21 gate (the r18 verdict's top item). pl21 buckets
     * and reports, but pl16's quality stage is still the rule-based
@@ -2521,38 +2558,6 @@ object Pipeline extends QueryGroup {
     * stagings off ONE cached enriched pass (labels + gated); the gate
     * frame is corpus/3 doc_ids entering as one anti-join — every join
     * equi or broadcast, nothing corpus-sized moves twice. */
-  /** The pl23 report over a (caller-cached) enriched frame and a tail
-    * gate frame — factored so [[graft.api.QualityModel]]'s
-    * persisted-weights path produces the IDENTICAL report minus the
-    * in-query training (QualityModelSpec pins the bit-equality, the
-    * pl20/pl21 convention): the gated staging, the per-language
-    * attrition aggregate, and the rescued count (rule-gate fails the
-    * trained gate keeps). `tail` is consumed twice here plus once in
-    * the gated core — callers cache it. */
-  private[graft] def gatedFunnelReport(s: SparkSession, enriched: DataFrame,
-      tail: DataFrame): DataFrame = {
-    val gated = funnelStage4Core(s, enriched, Some(tail))
-    // the deployment delta: rule-gate fails the trained gate keeps
-    val rescued = enriched
-      .filter(!col("is_eval") && col("kept") =!= 1)
-      .join(tail, Seq("doc_id"), "left_anti")
-      .groupBy("lang").agg(count(lit(1)).as("n_rescued"))
-    gated.groupBy("lang").agg(
-      count(lit(1)).as("n_raw"),
-      sum((col("stage") >= 1).cast("long")).as("n_quality"),
-      sum((col("stage") >= 2).cast("long")).as("n_unique"),
-      sum((col("stage") >= 3).cast("long")).as("n_fuzzy"),
-      sum((col("stage") >= 4).cast("long")).as("n_clean"))
-      .join(rescued, Seq("lang"), "left")
-      .withColumn("n_rescued", coalesce(col("n_rescued"), lit(0L)))
-      .withColumn("retention",
-        expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
-          .cast("double") / lit(1000000.0))
-      .select("lang", "n_raw", "n_quality", "n_rescued", "n_unique",
-        "n_fuzzy", "n_clean", "retention")
-      .orderBy("lang")
-  }
-
   private val q23 = QueryDef(
     "pl23_gated_funnel",
     (s, dir) => {
@@ -2575,36 +2580,7 @@ object Pipeline extends QueryGroup {
       WITH RECURSIVE $toksSql,
       $funnelStagedSql,
       $clsTrainSql,
-      sall AS (
-        SELECT f.doc_id, f.lang, f.is_eval, f.x, unnest(f.buckets) AS bucket
-        FROM feat f),
-      smargin AS (
-        SELECT doc_id, lang, is_eval, SUM(w.w * sall.x) AS margin
-        FROM sall JOIN w$ClsEpochs w USING (bucket)
-        GROUP BY doc_id, lang, is_eval),
-      scored AS MATERIALIZED (
-        SELECT doc_id, lang, is_eval,
-               CAST(ROUND(1.0 / (1.0 + EXP(-CAST(margin AS DOUBLE))), 6)
-                 AS DECIMAL(8,6)) AS p
-        FROM smargin),
-      byval AS (SELECT lang, p, COUNT(*) AS cnt FROM scored GROUP BY ALL),
-      ranked AS (
-        SELECT lang, p,
-               COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY p DESC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
-                 AS first_rank
-        FROM byval),
-      nper AS (SELECT lang, COUNT(*) AS n FROM scored GROUP BY lang),
-      vb AS (
-        SELECT ranked.lang, p,
-               CASE WHEN first_rank <= (n + 2) // 3 THEN 1
-                    WHEN first_rank <= (2 * n + 2) // 3 THEN 2
-                    ELSE 3 END AS vbucket
-        FROM ranked JOIN nper ON ranked.lang = nper.lang),
-      cuts AS (
-        SELECT lang, MIN(CASE WHEN vbucket = 1 THEN p END) AS c1,
-               MIN(CASE WHEN vbucket <= 2 THEN p END) AS c2
-        FROM vb GROUP BY lang),
+      $clsScoreCutoffSql,
       gtail AS MATERIALIZED (
         SELECT s.doc_id FROM scored s JOIN cuts c ON s.lang = c.lang
         WHERE s.p < c.c2),

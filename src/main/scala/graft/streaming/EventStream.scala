@@ -259,9 +259,8 @@ object EventStream {
         explode(graft.queries.Multimodal.phashKeyArray).as("key"))
       .join(broadcast(bkeys), Seq("key"))
       .join(broadcast(bside), Seq("eval_id"))
-      .filter((0 to 3).map(i =>
-          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i"))))
-        .reduce(_ + _) <= graft.queries.Multimodal.DecontamHamMax)
+      .filter(graft.queries.Multimodal.hammingWithin("x", "y",
+        graft.queries.Multimodal.DecontamHamMax))
       .select(col("media_id"), col("ts"), col("eval_id"))
   }
 
