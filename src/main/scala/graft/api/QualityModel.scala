@@ -99,6 +99,20 @@ object QualityModel {
       .orderBy("lang", "bucket")
   }
 
+  /** The per-language (lang, c1, c2) tertile cutoff table off the
+    * PERSISTED model scored against `sfDir`'s corpus — the SECOND
+    * training artifact of a deployed gate (CCNet ships perplexity
+    * thresholds with the model, not per-batch): computed through the
+    * SAME [[graft.queries.Pipeline.clsBucketAssign]] machinery pl21
+    * reports and pl23 selects on, so a head/middle/tail decision made
+    * at ingest ([[graft.streaming.EventStream.streamingQualityGate]])
+    * is the decision the batch gate would make. ≤2 values per
+    * language — broadcast-sized at any corpus size. */
+  def cutoffs(spark: SparkSession, sfDir: String,
+      storePath: String): DataFrame =
+    Pipeline.clsBucketAssign(score(spark, sfDir, storePath))
+      .select("lang", "c1", "c2").distinct()
+
   /** The tail-gate frame off the persisted model: doc_ids the stored
     * classifier puts in the per-language tail tertile (the SHARED
     * [[graft.queries.Pipeline.clsBucketAssign]] cutoffs — exactly the

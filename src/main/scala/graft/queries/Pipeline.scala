@@ -1862,7 +1862,7 @@ object Pipeline extends QueryGroup {
     * the DedupEnrich discipline). DuckDB mirror in [[clsBucketsSql]];
     * both engines derive the SAME bucket ids from the same md5-prefix
     * integer family as [[TextOps.hashedNgrams]]. */
-  private def clsBuckets(toks: Column): Column =
+  private[graft] def clsBuckets(toks: Column): Column =
     concat(
       array_distinct(transform(toks, t =>
         conv(substring(md5(t), 1, 15), 16, 10).cast("long") % ClsD)),
@@ -1888,7 +1888,7 @@ object Pipeline extends QueryGroup {
     * discipline). IEEE-754 requires a correctly-rounded sqrt, and the
     * 9-dp round + decimal cast re-exactifies the division, so x is
     * engine-identical. */
-  private def clsXNorm(buckets: Column): Column =
+  private[graft] def clsXNorm(buckets: Column): Column =
     round(lit(1.0) / sqrt(size(buckets)), 9).cast("decimal(12,9)")
 
   /** DuckDB mirror of [[clsXNorm]]. */
@@ -1917,7 +1917,7 @@ object Pipeline extends QueryGroup {
     * is computed in double, and the 6-dp round + decimal cast makes
     * the stored probability identical across engines (the QueryDef
     * transcendental discipline). */
-  private def clsSigmoid(margin: Column): Column =
+  private[graft] def clsSigmoid(margin: Column): Column =
     round(lit(1.0) / (lit(1.0) + exp(-margin.cast("double"))), 6)
       .cast("decimal(8,6)")
 

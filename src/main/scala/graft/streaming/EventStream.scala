@@ -297,6 +297,71 @@ object EventStream {
       .select(col("doc_id"), col("ts"), col("gram"))
   }
 
+  /** Streaming QUALITY GATE — the pl20/pl21/pl23 trained-classifier
+    * family's INGEST surface (its third surface, completing the
+    * batch / persisted-store / streaming triangle the dedup and
+    * decontamination families already have): score every arriving
+    * document with the PERSISTED model and assign its head/middle/tail
+    * tier, so tail documents can be routed away before they ever land
+    * in the training store — the deployed CCNet position (the model
+    * and its cutoffs are TRAINING ARTIFACTS computed once per model
+    * release, never per batch).
+    *
+    * `weights` is the stored 273-row (bucket, w DECIMAL(20,9)) table
+    * ([[graft.api.QualityModel.weights]]) — collected driver-side here
+    * (dimension-bounded, the pl20 convention) into a literal map, so
+    * scoring is a PURE PROJECTION: no state store, no watermark, no
+    * stream-side aggregate. `cuts` is the per-language (lang, c1, c2)
+    * cutoff table ([[graft.api.QualityModel.cutoffs]]) — a broadcast
+    * stream-static left join (≤2 values per language); a language
+    * absent from `cuts` gets NULL cutoffs and falls through to tier 3
+    * (tail) — the conservative route for a language the model was
+    * never calibrated on.
+    *
+    * Determinism: the margin equals
+    * [[graft.queries.Pipeline.clsScoreAll]]'s exact-decimal
+    * Σ w_b·x BIT-FOR-BIT — here computed as (Σ w_b)·x, which is the
+    * same rational value because every step is EXACT decimal
+    * arithmetic (the fold accumulates 9-dp weights at 14 integer
+    * digits of headroom — casts are exact for any |Σw| < 10^14, and
+    * ANSI mode throws rather than rounds beyond it — and the one
+    * final multiply is the native exact decimal(24,9)×decimal(12,9));
+    * sigmoid + 6-dp round at the end, so a document scores and
+    * buckets IDENTICALLY at ingest and in the batch gate
+    * (StreamingSpec pins bit-equality).
+    *
+    * Output: (doc_id, ts, lang, p DECIMAL(8,6), bucket INT 1|2|3). */
+  def streamingQualityGate(docs: DataFrame, weights: DataFrame,
+      cuts: DataFrame): DataFrame = {
+    import graft.functions.TextOps
+    import graft.queries.Pipeline
+    // dimension-bounded driver collect (ClsDim = 273 rows) — the
+    // literal IS the broadcast; a missing bucket contributes 0, the
+    // same as clsScoreAll's inner join dropping the term
+    val wMap = weights.collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val wLit = typedlit(wMap)
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(23,9)")
+    val scored = docs
+      .select(col("doc_id"), col("ts"), col("lang"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("ts"), col("lang"),
+        Pipeline.clsBuckets(col("toks")).as("buckets"))
+      .select(col("doc_id"), col("ts"), col("lang"), col("buckets"),
+        Pipeline.clsXNorm(col("buckets")).as("x"))
+      .select(col("doc_id"), col("ts"), col("lang"),
+        Pipeline.clsSigmoid((aggregate(col("buckets"), zero,
+          (acc, b) => (acc +
+            coalesce(element_at(wLit, b), lit(java.math.BigDecimal.ZERO))
+              .cast("decimal(23,9)")).cast("decimal(23,9)"))
+          .cast("decimal(24,9)") * col("x"))).as("p"))
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .withColumn("bucket",
+        when(col("p") >= col("c1"), 1)
+          .when(col("p") >= col("c2"), 2).otherwise(3))
+      .select("doc_id", "ts", "lang", "p", "bucket")
+  }
+
   /** The ONE stateful band-candidate core both streaming twins run —
     * factored (not copied) so the text and media surfaces cannot
     * drift: per-band held-entry state, horizon eviction, the live-held

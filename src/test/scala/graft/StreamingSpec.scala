@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import graft.api.QualityModel
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -417,5 +418,54 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(batch == got,
       s"stream and batch screens must flag identically: $batch vs $got")
+  }
+
+  test("streaming quality gate: every doc scores and buckets bit-identically to the batch classifier") {
+    // the classifier family's INGEST surface: persisted weights +
+    // persisted cutoffs -> stateless score-and-tier projection; parity
+    // pin is EXACT (p to the 6-dp decimal, bucket integer) against
+    // QualityModel.score + clsBucketAssign on the same corpus
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val storeDir = {
+      val d = java.nio.file.Files.createTempDirectory("stream-qgate").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    QualityModel.fit(spark, Sf, storeDir)
+    val weights = QualityModel.weights(spark, storeDir)
+    val cuts = QualityModel.cutoffs(spark, Sf, storeDir)
+    // batch truth: the persisted-model scoring + the SAME cutoff
+    // machinery the registered gate queries run
+    val batch = graft.queries.Pipeline.clsBucketAssign(
+        QualityModel.score(spark, Sf, storeDir))
+      .select(col("doc_id"), col("p").cast("string"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet
+    // stream the corpus documents through the ingest gate
+    val t0 = java.sql.Timestamp.valueOf("2024-02-01 10:00:00")
+    val docRows = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), t0)).toSeq
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val q = graft.streaming.EventStream.streamingQualityGate(
+        src.toDF().toDF("doc_id", "lang", "text", "ts"), weights, cuts)
+      .writeStream.format("memory").queryName("stream_quality_gate")
+      .outputMode("append").start()
+    val got = try {
+      src.addData(docRows: _*)
+      q.processAllAvailable()
+      spark.table("stream_quality_gate")
+        .select(col("doc_id"), col("p").cast("string"), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .toSet
+    } finally q.stop()
+    assert(got.size == batch.size && got == batch,
+      s"ingest gate must equal the batch gate bit-for-bit; " +
+        s"stream-only=${(got -- batch).take(3)} batch-only=${(batch -- got).take(3)}")
+    // the gate is live: all three tiers occur on the fixture
+    assert(got.map(_._3) == Set(1, 2, 3),
+      s"fixture must exercise head/middle/tail: ${got.map(_._3)}")
   }
 }
