@@ -400,18 +400,14 @@ object Multimodal extends QueryGroup {
     * 4458 rows at sf0.1); the container rollup is the shared
     * over-approximating saturation contract — a container with any
     * guarded frame flags instead of silently missing evidence. */
-  private val q5 = QueryDef(
-    "m5_frame_neardup",
-    (s, dir) => {
-      import graft.functions.DedupEnrich
-      val fh = MediaPipeline.frameHashes(
-        MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
-      frameNeardupRollup(fh,
-        DedupEnrich.hotThresholdFor(s, FrameHotKeys, frameKeys(fh)))
-        .orderBy("media_id")
-    },
-    Some(s"""
-      WITH m AS (
+  /** The ONE DuckDB mirror of the m4→aHash frame-hash pass (the
+    * byte-slice frame plan, per-frame 64-bit aHash as four 16-bit
+    * bands) — shared verbatim by the q5 and q7 oracles (the
+    * clsScoreCutoffSql one-source discipline), so frame near-dup and
+    * frame decontamination can never hash differently in the oracle
+    * either. Defines `plan` (media_id, nf), `bands` (media_id, f,
+    * band, bv), and `fw` (id = media_id*8+f, media_id, f, b0..b3). */
+  private def frameBandsSql: String = s"""m AS (
         SELECT doc_id AS media_id, encode(text) AS payload,
                octet_length(encode(text)) AS L,
                (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
@@ -460,6 +456,25 @@ object Multimodal extends QueryGroup {
         SELECT media_id, f, CAST(blk // 16 AS INT) AS band,
                CAST(SUM(bit << (blk % 16)) AS INT) AS bv
         FROM bits GROUP BY 1, 2, 3),
+      fw AS (SELECT media_id * 8 + f AS id, media_id, f,
+               MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN band = 3 THEN bv END) AS b3
+             FROM bands GROUP BY 1, 2, 3)"""
+
+  private val q5 = QueryDef(
+    "m5_frame_neardup",
+    (s, dir) => {
+      import graft.functions.DedupEnrich
+      val fh = MediaPipeline.frameHashes(
+        MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
+      frameNeardupRollup(fh,
+        DedupEnrich.hotThresholdFor(s, FrameHotKeys, frameKeys(fh)))
+        .orderBy("media_id")
+    },
+    Some(s"""
+      WITH $frameBandsSql,
       keys AS (
         SELECT media_id * 8 + f AS id,
                CAST(band AS BIGINT) * 65536 + bv AS key
@@ -474,12 +489,6 @@ object Multimodal extends QueryGroup {
         SELECT DISTINCT a.id AS a, b.id AS b
         FROM cold a JOIN cold b ON a.key = b.key AND a.id < b.id
         WHERE a.id // 8 <> b.id // 8),
-      fw AS (SELECT media_id * 8 + f AS id,
-               MAX(CASE WHEN band = 0 THEN bv END) AS b0,
-               MAX(CASE WHEN band = 1 THEN bv END) AS b1,
-               MAX(CASE WHEN band = 2 THEN bv END) AS b2,
-               MAX(CASE WHEN band = 3 THEN bv END) AS b3
-             FROM bands GROUP BY 1),
       ver AS (
         SELECT a, b, a // 8 AS ma, b // 8 AS mb FROM cand
         JOIN fw x ON x.id = cand.a
@@ -683,5 +692,150 @@ object Multimodal extends QueryGroup {
       FROM tm LEFT JOIN em USING (modality) LEFT JOIN fm USING (modality)
       ORDER BY modality"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6)
+  /** Hamming bar of the m7 frame-vs-benchmark match: <= 6 of 64 bits —
+    * probed before registration (scripts/probe_frame_decontam.py): 6
+    * is the SMALLEST grid point where the natural near-collision leg
+    * is non-vacuous at every scale (2/2/191 natural flags at
+    * sf0.001/0.01/0.1 on top of the 14/14/139 injected stills, all
+    * caught at every bar >= 0); 8 doubles sf0.1's flags to 413 media
+    * (9.6% of the corpus — a flood by the m6 standard) with no
+    * small-scale gain, and 4 vacates the natural leg at sf0.001.
+    * Frame slices are short, so their aHashes collide more readily
+    * than m6's whole-payload hashes — the bar is tighter than
+    * [[DecontamHamMax]] for the same flood control. */
+  private[graft] val FrameDecontamHamMax = 6
+
+  /** The m7 flag builder: training FRAME hashes (m5's
+    * [[MediaPipeline.FrameHash]] shape) probed against a BROADCAST
+    * benchmark hash set ((media_id, b0..b3) — the m6 shape; a
+    * benchmark still's single frame spans its whole payload, so its
+    * frame hash IS its m3 whole-media hash). Band-key candidates
+    * through the SHARED [[phashKeys]]/[[frameKeys]] encodings, exact
+    * 64-bit Hamming verify through the SHARED [[hammingWithin]],
+    * output one row per flagged (container, frame uid). Factored so
+    * MultimodalSpec drives the SAME builder the registered query runs
+    * (the mediaDecontamFlags convention). */
+  private[graft] def frameDecontamFlags(trainFrames: DataFrame,
+      bench: DataFrame): DataFrame = {
+    val cand = frameKeys(trainFrames).select(col("id").as("t"), col("key"))
+      .join(broadcast(phashKeys(bench)
+        .select(col("id").as("e"), col("key"))), Seq("key"))
+      .select("t", "e").distinct()
+    val tside = trainFrames.select(
+      (col("media_id") * lit(MediaPipeline.FrameUidStride)
+        + col("frame_idx")).as("t"),
+      col("f0").as("x0"), col("f1").as("x1"),
+      col("f2").as("x2"), col("f3").as("x3"))
+    val eside = bench.select(col("media_id").as("e"),
+      col("b0").as("y0"), col("b1").as("y1"),
+      col("b2").as("y2"), col("b3").as("y3"))
+    cand.join(tside, Seq("t")).join(eside, Seq("e"))
+      .filter(hammingWithin("x", "y", FrameDecontamHamMax))
+      .select(shiftright(col("t"), 3).as("media_id"),
+        col("t").as("frame_uid"))
+      .distinct()
+  }
+
+  /** m7 — FRAME-level decontamination, composing m4 × m6 (m6's
+    * benchmark probe at m5's frame granularity): a training VIDEO can
+    * leak a benchmark item as one embedded frame while its
+    * container-level hash matches nothing — the video analog of the
+    * published image-benchmark screens (DataComp §3 screens every
+    * training image against its eval sets; a video corpus must screen
+    * every SAMPLED FRAME the same way, which is exactly how
+    * CLIP-style benchmark stills surface inside scraped footage).
+    * Benchmark = the media_id % 7 slice's IMAGES (single-frame media,
+    * whose frame hash equals their m3 whole-media hash — so the
+    * benchmark artifact is the SAME hash-set shape m6 ships) PLUS
+    * injected leaked stills: frame 0 of the media_id % 31 == 5
+    * training slice re-appears as a benchmark item (the m6 injection
+    * convention — natural cross-slice frame collisions are near-zero
+    * at the small scales, probed, so the fixture injects the
+    * published contamination case: a benchmark still captured from
+    * footage that is also in training).
+    *
+    * Match rule: a training container is FLAGGED when ANY of its
+    * sampled frames sits within [[FrameDecontamHamMax]] Hamming bits
+    * of ANY benchmark hash, candidates by the SHARED band keys (the
+    * m3/m6 LSH blocking recall model). Report per training modality:
+    * containers, frames, flagged containers, flagged frames,
+    * integer-micro drop_frac.
+    *
+    * Scale shape: identical to m6 — the benchmark side BROADCASTS
+    * (fixed-size by the deployed contract; the fixture caveat in m6's
+    * scaladoc applies verbatim) and the training side is probed
+    * partition-locally with no self-join, so no hot-key guard leg is
+    * needed; the frame pass itself never shuffles payloads (<= 8
+    * (id, 4×16-bit) rows per container — the m5 contract). */
+  private val q7 = QueryDef(
+    "m7_frame_decontam",
+    (s, dir) => {
+      val fh = MediaPipeline.frameHashes(
+        MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
+      val train = fh.filter(col("media_id") % 7 =!= 0)
+      def asBench(df: DataFrame) = df.select(col("media_id"),
+        col("f0").as("b0"), col("f1").as("b1"),
+        col("f2").as("b2"), col("f3").as("b3"))
+      val bench = asBench(fh.filter(col("media_id") % 7 === 0 &&
+          col("media_id") % 3 === 0))
+        .unionAll(asBench(fh.filter(col("media_id") % 7 =!= 0 &&
+          col("media_id") % 31 === 5 && col("frame_idx") === 0)))
+      val flags = frameDecontamFlags(train, bench)
+      val modality = element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("media_id") % 3 + 1).cast("int"))
+      val tmod = train.select(modality.as("modality"), col("media_id"))
+        .groupBy("modality").agg(
+          countDistinct(col("media_id")).as("n_train"),
+          count(lit(1)).as("n_frames"))
+      val fmod = flags.select(modality.as("modality"), col("media_id"))
+        .groupBy("modality").agg(
+          countDistinct(col("media_id")).as("n_flagged"),
+          count(lit(1)).as("n_frames_flagged"))
+      tmod.join(fmod, Seq("modality"), "left")
+        .withColumn("n_flagged", coalesce(col("n_flagged"), lit(0L)))
+        .withColumn("n_frames_flagged",
+          coalesce(col("n_frames_flagged"), lit(0L)))
+        .withColumn("drop_frac",
+          expr("(2 * n_flagged * 1000000 + n_train) DIV (2 * n_train)")
+            .cast("double") / lit(1000000.0))
+        .select("modality", "n_train", "n_frames", "n_flagged",
+          "n_frames_flagged", "drop_frac")
+        .orderBy("modality")
+    },
+    Some(s"""
+      WITH $frameBandsSql,
+      tr AS (SELECT * FROM fw WHERE media_id % 7 != 0),
+      ev AS (
+        SELECT b0, b1, b2, b3 FROM fw
+        WHERE media_id % 7 = 0 AND media_id % 3 = 0
+        UNION ALL
+        SELECT b0, b1, b2, b3 FROM fw
+        WHERE media_id % 7 != 0 AND media_id % 31 = 5 AND f = 0),
+      fl AS (
+        SELECT DISTINCT t.id, t.media_id FROM tr t JOIN ev e
+          ON (t.b0 = e.b0 OR t.b1 = e.b1 OR t.b2 = e.b2 OR t.b3 = e.b3)
+        WHERE bit_count(xor(t.b0, e.b0)) + bit_count(xor(t.b1, e.b1))
+            + bit_count(xor(t.b2, e.b2)) + bit_count(xor(t.b3, e.b3))
+          <= $FrameDecontamHamMax),
+      tm AS (SELECT (['image','audio','video'])[CAST(media_id % 3 AS INT) + 1]
+                      AS modality,
+                    COUNT(DISTINCT media_id) AS n_train,
+                    COUNT(*) AS n_frames
+             FROM tr GROUP BY 1),
+      fm AS (SELECT (['image','audio','video'])[CAST(media_id % 3 AS INT) + 1]
+                      AS modality,
+                    COUNT(DISTINCT media_id) AS n_flagged,
+                    COUNT(*) AS n_frames_flagged
+             FROM fl GROUP BY 1)
+      SELECT modality, n_train, n_frames,
+             CAST(COALESCE(n_flagged, 0) AS BIGINT) AS n_flagged,
+             CAST(COALESCE(n_frames_flagged, 0) AS BIGINT)
+               AS n_frames_flagged,
+             CAST((2 * COALESCE(n_flagged, 0) * 1000000 + n_train)
+                  // (2 * n_train) AS DOUBLE) / 1000000.0 AS drop_frac
+      FROM tm LEFT JOIN fm USING (modality)
+      ORDER BY modality"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
 }

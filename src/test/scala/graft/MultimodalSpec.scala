@@ -191,4 +191,66 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum ==
       media.filter(col("media_id") % 7 =!= 0).count())
   }
+
+  test("m7 flag builder: an in-bar FRAME flags its container; far and band-blocked frames don't") {
+    import spark.implicits._
+    // container 1's frame 2 is an exact benchmark hit; container 2's
+    // frame 0 is within the bar on a shared band (ham 1); container
+    // 3's frame shares a band but sits far past the bar; container
+    // 4's frame shares no band (blocked — never a candidate)
+    val train = Seq(
+      (1L, 2, 3, 10, 20, 30, 40),
+      (2L, 0, 1, 11, 21, 31, 41),
+      (3L, 1, 4, 5, 50, 60, 70),
+      (4L, 0, 1, 7, 8, 9, 12))
+      .toDF("media_id", "frame_idx", "n_frames", "f0", "f1", "f2", "f3")
+    val bench = Seq(
+      (100L, 10, 20, 30, 40),
+      (101L, 11, 21, 31, 43), // xor 41^43 = 2 -> ham 1
+      (102L, 5, 0xFF0F, 0xF0FF, 0x0F0F),
+      (103L, 1000, 2000, 3000, 4000))
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    val flagged = graft.queries.Multimodal
+      .frameDecontamFlags(train, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((1L, 10L), (2L, 16L)),
+      s"exact + in-bar frames flag with invertible uids; far and " +
+        s"band-blocked don't: $flagged")
+  }
+
+  test("m7 report: every injected leaked still flags its training container; counts internally consistent") {
+    val rows = SparkEntry.queries("m7_frame_decontam")(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("audio", "image", "video"))
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0,
+        s"${r.getString(0)}: injected leaked stills must flag — vacuous")
+      assert(r.getLong(3) <= r.getLong(1),
+        s"${r.getString(0)}: flagged containers exceed the training side")
+      assert(r.getLong(4) >= r.getLong(3),
+        s"${r.getString(0)}: a flagged container needs >= 1 flagged frame")
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: sampled frames can't undercount containers")
+    }
+    // EVERY injected container (frame 0 re-appears as a benchmark
+    // still) is a distance-0 match and must be caught — recall pin
+    val fh = MediaPipeline.frameHashes(
+      MediaPipeline.syntheticMedia(spark, Sf)).toDF().cache()
+    val train = fh.filter(col("media_id") % 7 =!= 0)
+    def asBench(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("media_id"), col("f0").as("b0"), col("f1").as("b1"),
+        col("f2").as("b2"), col("f3").as("b3"))
+    val bench = asBench(fh.filter(col("media_id") % 7 === 0 &&
+        col("media_id") % 3 === 0))
+      .unionAll(asBench(fh.filter(col("media_id") % 7 =!= 0 &&
+        col("media_id") % 31 === 5 && col("frame_idx") === 0)))
+    val flaggedIds = graft.queries.Multimodal
+      .frameDecontamFlags(train, bench)
+      .select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val injected = train.filter(col("media_id") % 31 === 5)
+      .select("media_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(injected.nonEmpty && injected.subsetOf(flaggedIds),
+      s"missed injected stills: ${(injected -- flaggedIds).take(5)}")
+  }
 }

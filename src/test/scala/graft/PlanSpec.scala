@@ -319,6 +319,17 @@ class PlanSpec extends SparkSpec {
       "the probe must stay an equi-join")
   }
 
+  test("m7_frame_decontam: the benchmark key probe BROADCASTS; no corpus self-join forms") {
+    // the m6 structural contract at frame granularity: the benchmark
+    // hash set broadcasts, training frames are probed in place, and
+    // no train×train pair join exists (no guard leg needed)
+    val p = plan("m7_frame_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark key probe must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "the probe must stay an equi-join")
+  }
+
   test("d11_guarded_lsh: the hot set gates the candidate join; every join stays an equi-join") {
     val p = plan("d11_guarded_lsh")
     // the saturation guard resolves BEFORE the candidate join (an
