@@ -170,18 +170,12 @@ object Multimodal extends QueryGroup {
     DedupEnrich.saturationRollup(sat, ver, "media_id", "phash_saturated")
   }
 
-  private val q3 = QueryDef(
-    "m3_phash_neardup",
-    (s, dir) => {
-      import graft.functions.DedupEnrich
-      val hashes = MediaPipeline.perceptualHash(
-        MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
-      phashRollup(hashes,
-        DedupEnrich.hotThresholdFor(s, PhashHotKeys, phashKeys(hashes)))
-        .orderBy("media_id")
-    },
-    Some(s"""
-      WITH m AS (
+  /** The ONE DuckDB mirror of the whole-media aHash pass (payload
+    * bytes → 64 threshold bits → four 16-bit bands) — shared verbatim
+    * by the q3, q6, and q8 oracles (the frameBandsSql one-source
+    * discipline). Defines `bands` (media_id, band, bv) and `bw`
+    * (media_id, b0..b3). */
+  private def mediaBandsSql: String = s"""m AS (
         SELECT doc_id AS media_id, encode(text) AS payload,
                octet_length(encode(text)) AS n
         FROM documents),
@@ -210,6 +204,25 @@ object Multimodal extends QueryGroup {
         SELECT media_id, CAST(blk // 16 AS INT) AS band,
                CAST(SUM(bit << (blk % 16)) AS INT) AS bv
         FROM bits GROUP BY 1, 2),
+      bw AS (SELECT media_id,
+               MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN band = 3 THEN bv END) AS b3
+             FROM bands GROUP BY 1)"""
+
+  private val q3 = QueryDef(
+    "m3_phash_neardup",
+    (s, dir) => {
+      import graft.functions.DedupEnrich
+      val hashes = MediaPipeline.perceptualHash(
+        MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
+      phashRollup(hashes,
+        DedupEnrich.hotThresholdFor(s, PhashHotKeys, phashKeys(hashes)))
+        .orderBy("media_id")
+    },
+    Some(s"""
+      WITH $mediaBandsSql,
       keys AS (SELECT media_id AS id,
                       CAST(band AS BIGINT) * 65536 + bv AS key
                FROM bands),
@@ -221,12 +234,6 @@ object Multimodal extends QueryGroup {
       cand AS (
         SELECT DISTINCT a.id AS a, b.id AS b
         FROM cold a JOIN cold b ON a.key = b.key AND a.id < b.id),
-      bw AS (SELECT media_id,
-               MAX(CASE WHEN band = 0 THEN bv END) AS b0,
-               MAX(CASE WHEN band = 1 THEN bv END) AS b1,
-               MAX(CASE WHEN band = 2 THEN bv END) AS b2,
-               MAX(CASE WHEN band = 3 THEN bv END) AS b3
-             FROM bands GROUP BY 1),
       ver AS (
         SELECT a, b FROM cand
         JOIN bw x ON x.media_id = cand.a
@@ -628,41 +635,7 @@ object Multimodal extends QueryGroup {
         .orderBy("modality")
     },
     Some(s"""
-      WITH m AS (
-        SELECT doc_id AS media_id, encode(text) AS payload,
-               octet_length(encode(text)) AS n
-        FROM documents),
-      bytes AS (
-        SELECT media_id, n,
-               ('0x' || substr(hex(payload), 2 * i + 1, 2))::INT AS byte,
-               CAST(i * 64 // n AS INT) AS blk
-        FROM m, unnest(range(0, n)) AS t(i)
-        WHERE n > 0),
-      tot AS (SELECT media_id, SUM(byte) AS ts FROM bytes GROUP BY 1),
-      blksums AS (
-        SELECT media_id, blk, SUM(byte) AS bs, COUNT(*) AS bl
-        FROM bytes GROUP BY 1, 2),
-      blocks AS (
-        SELECT m.media_id, m.n, CAST(j AS INT) AS blk
-        FROM m, unnest(range(0, 64)) AS r(j)),
-      bits AS (
-        SELECT b.media_id, b.blk,
-               CASE WHEN COALESCE(s.bs, 0) * b.n
-                         > COALESCE(t.ts, 0) * COALESCE(s.bl, 0)
-                    THEN 1 ELSE 0 END AS bit
-        FROM blocks b
-        LEFT JOIN blksums s USING (media_id, blk)
-        LEFT JOIN tot t USING (media_id)),
-      bands AS MATERIALIZED (
-        SELECT media_id, CAST(blk // 16 AS INT) AS band,
-               CAST(SUM(bit << (blk % 16)) AS INT) AS bv
-        FROM bits GROUP BY 1, 2),
-      bw AS (SELECT media_id,
-               MAX(CASE WHEN band = 0 THEN bv END) AS b0,
-               MAX(CASE WHEN band = 1 THEN bv END) AS b1,
-               MAX(CASE WHEN band = 2 THEN bv END) AS b2,
-               MAX(CASE WHEN band = 3 THEN bv END) AS b3
-             FROM bands GROUP BY 1),
+      WITH $mediaBandsSql,
       tr AS (SELECT * FROM bw WHERE media_id % 7 != 0),
       ev AS (
         SELECT * FROM bw WHERE media_id % 7 = 0
@@ -837,5 +810,105 @@ object Multimodal extends QueryGroup {
       FROM tm LEFT JOIN fm USING (modality)
       ORDER BY modality"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7)
+  /** m8 — media DEDUP GROUPS with canonical election, composing m3 ×
+    * d6 (the published image-corpus shape: LAION/DataComp-class
+    * curation clusters near-duplicate images and keeps ONE canonical
+    * per cluster, exactly as the text funnel keeps d6's min-id
+    * survivor): m3's guarded verified pairs become the edge list, the
+    * SHARED [[graft.functions.DedupEnrich.minLabelComponents]] CC
+    * builder (the d6/pl16 fuzzy-stage core — one CC implementation
+    * across text and media) labels components, and the min-media_id
+    * member is elected canonical. Saturated media (hot-banded — their
+    * pair evidence is guard-truncated) that joined no component are
+    * reported as their own singleton group WITH the `saturated` flag
+    * up, never silently dropped — the m3 over-approximation contract
+    * carried to group granularity: a consumer must treat a saturated
+    * row's group as a lower bound, not an exhaustive cluster.
+    *
+    * Scale shape: the edge list is verified near-dup pairs only
+    * (probe-bounded: 2/1/104 at the three scales — orders of
+    * magnitude below the corpus, the d6 argument), so the CC loop
+    * iterates over a tiny frame; everything upstream is the m3 plan
+    * (partition-local hashing, guard before any pair join). */
+  private val q8 = QueryDef(
+    "m8_media_dedup_groups",
+    (s, dir) => {
+      import graft.functions.DedupEnrich
+      val hashes = MediaPipeline.perceptualHash(
+        MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
+      val (sat, pairs) = DedupEnrich.guardedCandidatePairs(
+        phashKeys(hashes),
+        DedupEnrich.hotThresholdFor(s, PhashHotKeys, phashKeys(hashes)))
+      def side(as: String, px: String) = hashes.select(
+        col("media_id").as(as), col("b0").as(s"${px}0"),
+        col("b1").as(s"${px}1"), col("b2").as(s"${px}2"),
+        col("b3").as(s"${px}3"))
+      val ver = pairs
+        .join(side("a", "x"), Seq("a"))
+        .join(side("b", "y"), Seq("b"))
+        .filter(hammingWithin("x", "y", PhashHamMax))
+        .select("a", "b")
+      val labels =
+        DedupEnrich.minLabelComponents(ver, IterSizing.iterParts(s))
+      val sizes = labels.groupBy("component")
+        .agg(count(lit(1)).as("group_size"))
+      val cc = labels.join(sizes, "component")
+        .select(col("node").as("media_id"),
+          col("component").as("canonical_id"), col("group_size"),
+          (col("node") === col("component")).as("is_canonical"))
+      val satm = sat.select(col("id").as("media_id")).distinct().cache()
+      val satOnly = satm
+        .join(cc.select("media_id"), Seq("media_id"), "left_anti")
+        .select(col("media_id"), col("media_id").as("canonical_id"),
+          lit(1L).as("group_size"), lit(true).as("is_canonical"))
+      cc.unionAll(satOnly)
+        .join(satm.withColumn("saturated", lit(1)),
+          Seq("media_id"), "left")
+        .withColumn("saturated", coalesce(col("saturated"), lit(0)))
+        .orderBy("media_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $mediaBandsSql,
+      keys AS (SELECT media_id AS id,
+                      CAST(band AS BIGINT) * 65536 + bv AS key
+               FROM bands),
+      counts AS (SELECT key, COUNT(DISTINCT id) AS cnt FROM keys GROUP BY key),
+      hot AS (SELECT key FROM counts WHERE cnt >= $PhashHotKeys),
+      sat AS (SELECT DISTINCT id FROM keys JOIN hot USING (key)),
+      cold AS (SELECT id, key FROM keys
+               WHERE key NOT IN (SELECT key FROM hot)),
+      cand AS (
+        SELECT DISTINCT a.id AS a, b.id AS b
+        FROM cold a JOIN cold b ON a.key = b.key AND a.id < b.id),
+      ver AS (
+        SELECT a, b FROM cand
+        JOIN bw x ON x.media_id = cand.a
+        JOIN bw y ON y.media_id = cand.b
+        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          <= $PhashHamMax),
+      edges AS (SELECT a, b FROM ver UNION ALL SELECT b, a FROM ver),
+      reach AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),
+      comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+      cc AS (
+        SELECT node AS media_id, component AS canonical_id,
+               COUNT(*) OVER (PARTITION BY component) AS group_size,
+               node = component AS is_canonical
+        FROM comp),
+      satonly AS (
+        SELECT id AS media_id, id AS canonical_id,
+               CAST(1 AS BIGINT) AS group_size, TRUE AS is_canonical
+        FROM sat WHERE id NOT IN (SELECT media_id FROM cc)),
+      allr AS (SELECT * FROM cc UNION ALL SELECT * FROM satonly)
+      SELECT media_id, canonical_id,
+             CAST(group_size AS BIGINT) AS group_size, is_canonical,
+             CASE WHEN media_id IN (SELECT id FROM sat)
+                  THEN 1 ELSE 0 END AS saturated
+      FROM allr
+      ORDER BY media_id"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
 }

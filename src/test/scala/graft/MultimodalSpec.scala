@@ -253,4 +253,36 @@ class MultimodalSpec extends SparkSpec {
     assert(injected.nonEmpty && injected.subsetOf(flaggedIds),
       s"missed injected stills: ${(injected -- flaggedIds).take(5)}")
   }
+
+  test("m8 groups: canonical is the min member, partners share a canonical, saturated rows are honest singletons") {
+    val rows = SparkEntry.queries("m8_media_dedup_groups")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getInt(4)))
+    assert(rows.nonEmpty, "fixture must produce dedup groups")
+    val byGroup = rows.groupBy(_._2)
+    byGroup.foreach { case (canon, members) =>
+      // exactly one canonical per group, and it is the min member
+      assert(members.count(_._4) == 1,
+        s"group $canon: ${members.count(_._4)} canonicals")
+      assert(members.filter(_._4).head._1 == members.map(_._1).min,
+        s"group $canon: canonical is not the min member")
+      assert(members.map(_._1).min == canon,
+        s"group $canon: canonical_id != min member id")
+      // group_size is consistent across members
+      assert(members.map(_._3).distinct.size == 1 &&
+        members.head._3 == members.size,
+        s"group $canon: inconsistent group_size")
+    }
+    // a multi-member group exists (the CC leg is live) and a
+    // saturated row exists (the guard leg is live)
+    assert(byGroup.exists(_._2.size > 1), "no multi-member group — CC vacuous")
+    assert(rows.exists(_._5 == 1), "no saturated row — guard leg vacuous")
+    // m3 and m8 agree on who is "interesting": m8's row set is exactly
+    // m3's rollup population (saturated ∪ paired) — the composition pin
+    val m3ids = SparkEntry.queries("m3_phash_neardup")(spark, Sf)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == m3ids,
+      "m8 must cover exactly m3's saturated-or-paired population")
+  }
 }
