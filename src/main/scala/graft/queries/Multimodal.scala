@@ -910,5 +910,171 @@ object Multimodal extends QueryGroup {
       FROM allr
       ORDER BY media_id"""))
 
-  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8)
+  /** Quality floor of the m9 media funnel: payloads under 50 bytes
+    * fail (the DataComp-class basic min-size filter — tiny payloads
+    * are tracking pixels / truncated downloads, not trainable
+    * content). Probed (scripts/probe_media_funnel.py): 50 drops
+    * 1/2/10 media at the three scales (non-vacuous everywhere, the
+    * registration bar), 40 vacates sf0.001/0.01, 60 starts eating
+    * ordinary content (73 at sf0.1's p01). A degenerate-bits rule
+    * (all-zero aHash = flat content) was probed and NOT registered:
+    * zero occurrences at every scale (min set-bits 15), so it would
+    * be dead fixture code. */
+  private[graft] val MediaMinBytes = 50L
+
+  /** m9 — the MEDIA CURATION FUNNEL, composing m3 × m8 × m6 into the
+    * published multimodal-corpus pipeline (DataComp's filtering
+    * track: basic filters → perceptual dedup → benchmark
+    * decontamination → pool; the pl16 twin for the media column):
+    * every training container (the media_id % 7 eval slice excluded
+    * up front, the m6 convention) gets its furthest-surviving stage —
+    * 0 = failed the quality floor ([[MediaMinBytes]]), 1 = near-dup
+    * non-survivor (band-saturated OR a non-canonical member of a
+    * verified component — the pl16 fuzzy-stage rule on the m8
+    * machinery, recomputed over QUALITY SURVIVORS because the pair
+    * graph is set-dependent), 2 = benchmark-contaminated (the m6
+    * probe over near-dup survivors), 3 = clean survivor. No exact
+    * stage: for media, exact duplicates ARE Hamming-0 near-dups, so
+    * the perceptual stage subsumes it (and the published pipelines
+    * dedup perceptually for exactly that reason; probed: zero exact
+    * payload dups below sf0.1 — a separate exact stage would be
+    * vacuous fixture code). Every stage decision comes from the
+    * SHARED builders the standalone operators run (guard core ==
+    * m3/m8, CC == m8/d6, decontam flags == m6) — composition, not
+    * reimplementation. Report: per-modality attrition (n_raw,
+    * n_quality, n_neardup, n_clean, integer-micro retention).
+    *
+    * EAGER: the CC loop runs driver-controlled jobs at build time
+    * (the d6/pl16 discipline — plan pins live in the executing spec).
+    * Scale shape: one partition-local hash pass feeds every stage;
+    * the guard resolves hot keys before any pair join; the benchmark
+    * probes broadcast; the only corpus-sized shuffles key on band-key
+    * or media_id. */
+  private val q9 = QueryDef(
+    "m9_media_funnel",
+    (s, dir) => {
+      import graft.functions.DedupEnrich
+      val base = MediaPipeline.syntheticMedia(s, dir).toDF()
+        .filter(col("media_id") % 7 =!= 0)
+        .select(col("media_id"), col("modality"),
+          length(col("payload")).as("len"))
+        .cache()
+      val hashes = MediaPipeline.perceptualHash(
+        MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
+      val qok = base.filter(col("len") >= MediaMinBytes)
+        .select("media_id")
+      val hq = hashes.join(qok, "media_id")
+      val (sat, pairs) = DedupEnrich.guardedCandidatePairs(
+        phashKeys(hq),
+        DedupEnrich.hotThresholdFor(s, PhashHotKeys, phashKeys(hq)))
+      def side(as: String, px: String) = hq.select(
+        col("media_id").as(as), col("b0").as(s"${px}0"),
+        col("b1").as(s"${px}1"), col("b2").as(s"${px}2"),
+        col("b3").as(s"${px}3"))
+      val ver = pairs
+        .join(side("a", "x"), Seq("a"))
+        .join(side("b", "y"), Seq("b"))
+        .filter(hammingWithin("x", "y", PhashHamMax))
+        .select("a", "b")
+      val labels =
+        DedupEnrich.minLabelComponents(ver, IterSizing.iterParts(s))
+      val nds = sat.select(col("id").as("media_id"))
+        .unionAll(labels.filter(col("node") =!= col("component"))
+          .select(col("node").as("media_id")))
+        .distinct()
+      val s1 = qok.join(nds, Seq("media_id"), "left_anti")
+      val bench = hashes.filter(col("media_id") % 7 === 0)
+        .unionAll(hashes.filter(col("media_id") % 7 =!= 0 &&
+          col("media_id") % 31 === 5))
+      val contam = mediaDecontamFlags(hashes.join(s1, "media_id"), bench)
+      val staged = base
+        .join(nds.withColumn("nd", lit(1)), Seq("media_id"), "left")
+        .join(contam.withColumn("ct", lit(1)).select("media_id", "ct"),
+          Seq("media_id"), "left")
+        .withColumn("stage",
+          when(col("len") < MediaMinBytes, 0)
+            .when(col("nd") === 1, 1)
+            .when(col("ct") === 1, 2)
+            .otherwise(3))
+      staged.groupBy("modality").agg(
+        count(lit(1)).as("n_raw"),
+        sum((col("stage") >= 1).cast("long")).as("n_quality"),
+        sum((col("stage") >= 2).cast("long")).as("n_neardup"),
+        sum((col("stage") >= 3).cast("long")).as("n_clean"))
+        .withColumn("retention",
+          expr("(2 * n_clean * 1000000 + n_raw) DIV (2 * n_raw)")
+            .cast("double") / lit(1000000.0))
+        .select("modality", "n_raw", "n_quality", "n_neardup",
+          "n_clean", "retention")
+        .orderBy("modality")
+    },
+    Some(s"""
+      WITH RECURSIVE $mediaBandsSql,
+      mt AS (SELECT media_id, n,
+                    (['image','audio','video'])[CAST(media_id % 3 AS INT) + 1]
+                      AS modality
+             FROM m WHERE media_id % 7 != 0),
+      qok AS (SELECT media_id FROM mt WHERE n >= $MediaMinBytes),
+      keys AS (SELECT media_id AS id,
+                      CAST(band AS BIGINT) * 65536 + bv AS key
+               FROM bands
+               WHERE media_id IN (SELECT media_id FROM qok)),
+      counts AS (SELECT key, COUNT(DISTINCT id) AS cnt FROM keys GROUP BY key),
+      hot AS (SELECT key FROM counts WHERE cnt >= $PhashHotKeys),
+      sat AS (SELECT DISTINCT id FROM keys JOIN hot USING (key)),
+      cold AS (SELECT id, key FROM keys
+               WHERE key NOT IN (SELECT key FROM hot)),
+      cand AS (
+        SELECT DISTINCT a.id AS a, b.id AS b
+        FROM cold a JOIN cold b ON a.key = b.key AND a.id < b.id),
+      ver AS (
+        SELECT a, b FROM cand
+        JOIN bw x ON x.media_id = cand.a
+        JOIN bw y ON y.media_id = cand.b
+        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          <= $PhashHamMax),
+      edges AS (SELECT a, b FROM ver UNION ALL SELECT b, a FROM ver),
+      reach AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),
+      comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+      nds AS (SELECT id AS media_id FROM sat
+              UNION SELECT node FROM comp WHERE node != component),
+      s1 AS (SELECT media_id FROM qok
+             WHERE media_id NOT IN (SELECT media_id FROM nds)),
+      ev AS (
+        SELECT b0, b1, b2, b3 FROM bw WHERE media_id % 7 = 0
+        UNION ALL
+        SELECT b0, b1, b2, b3 FROM bw
+        WHERE media_id % 7 != 0 AND media_id % 31 = 5),
+      contam AS (
+        SELECT DISTINCT t.media_id FROM bw t JOIN ev e
+          ON (t.b0 = e.b0 OR t.b1 = e.b1 OR t.b2 = e.b2 OR t.b3 = e.b3)
+        WHERE t.media_id IN (SELECT media_id FROM s1)
+          AND bit_count(xor(t.b0, e.b0)) + bit_count(xor(t.b1, e.b1))
+            + bit_count(xor(t.b2, e.b2)) + bit_count(xor(t.b3, e.b3))
+          <= $DecontamHamMax),
+      staged AS (
+        SELECT modality,
+               CASE WHEN n < $MediaMinBytes THEN 0
+                    WHEN media_id IN (SELECT media_id FROM nds) THEN 1
+                    WHEN media_id IN (SELECT media_id FROM contam) THEN 2
+                    ELSE 3 END AS stage
+        FROM mt)
+      SELECT modality, COUNT(*) AS n_raw,
+             CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality,
+             CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neardup,
+             CAST(SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean,
+             CAST((2 * SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) * 1000000
+                   + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
+               AS retention
+      FROM staged GROUP BY modality
+      ORDER BY modality"""))
+
+  val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9)
 }

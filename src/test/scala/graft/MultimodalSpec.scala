@@ -285,4 +285,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_._1).toSet == m3ids,
       "m8 must cover exactly m3's saturated-or-paired population")
   }
+
+  test("m9 funnel: attrition is monotone per modality, every stage drops somewhere, totals cover the train corpus") {
+    val rows = SparkEntry.queries("m9_media_funnel")(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("audio", "image", "video"))
+    rows.foreach { case (mod, raw, q, nd, clean, ret) =>
+      assert(raw >= q && q >= nd && nd >= clean && clean >= 0,
+        s"$mod: attrition not monotone ($raw >= $q >= $nd >= $clean)")
+      assert(math.abs(ret - (2 * clean * 1000000 + raw) / (2 * raw)
+          / 1000000.0) < 1e-12,
+        s"$mod: retention is not the integer-micro ratio")
+    }
+    // each stage's drop is non-vacuous in aggregate (the probe's
+    // registration bar, re-checked in the engine)
+    assert(rows.map(r => r._2 - r._3).sum > 0, "quality stage vacuous")
+    assert(rows.map(r => r._3 - r._4).sum > 0, "near-dup stage vacuous")
+    assert(rows.map(r => r._4 - r._5).sum > 0, "decontam stage vacuous")
+    // the funnel covers exactly the training corpus
+    val nTrain = MediaPipeline.syntheticMedia(spark, Sf).toDF()
+      .filter(col("media_id") % 7 =!= 0).count()
+    assert(rows.map(_._2).sum == nTrain,
+      "per-modality n_raw must partition the training corpus")
+  }
 }
