@@ -189,7 +189,9 @@ NEW_R18 = ["m5_frame_neardup", "pl21_classifier_gate",
 # round-19 newborns at birth (pl23, m6); d14 is in NEW_R18 — the r18
 # sweep predated it by one commit (the disclosed one-row hole), so a
 # r19 refresh closes it mechanically
-NEW_R19 = ["pl23_gated_funnel", "m6_media_decontam"]
+NEW_R19 = ["pl23_gated_funnel", "m6_media_decontam",
+           "m7_frame_decontam", "m8_media_dedup_groups",
+           "m9_media_funnel"]
 
 QUERIES = list(dict.fromkeys(TOP15 + MOVERS_R9 + NEW_R9 + MOVERS_R10 +
                              MOVERS_R11 + NEW_R12 + NEW_R13 + NEW_R14 +

@@ -80,6 +80,9 @@ QUERIES = [
     # round-19 newborns: the gated funnel (two funnel stagings + one
     # training run) and the media decontamination broadcast screen
     "pl23_gated_funnel", "m6_media_decontam",
+    # round-19 late newborns: frame decontam (m4 x m6), media dedup
+    # groups (m3 x d6 CC), and the media funnel (m3 x m8 x m6 composed)
+    "m7_frame_decontam", "m8_media_dedup_groups", "m9_media_funnel",
 ]
 
 ADD_OPENS = [
