@@ -322,15 +322,20 @@ object EventStream {
     * [[graft.queries.Pipeline.clsScoreAll]]'s exact-decimal
     * Σ w_b·x BIT-FOR-BIT — here computed as (Σ w_b)·x, which is the
     * same rational value because every step is EXACT decimal
-    * arithmetic (the fold accumulates 9-dp weights at 14 integer
-    * digits of headroom — casts are exact for any |Σw| < 10^14, and
-    * ANSI mode throws rather than rounds beyond it — and the one
-    * final multiply is the native exact decimal(24,9)×decimal(12,9));
-    * sigmoid + 6-dp round at the end, so a document scores and
-    * buckets IDENTICALLY at ingest and in the batch gate
-    * (StreamingSpec pins bit-equality).
+    * arithmetic: the fold accumulates 9-dp weights at 14 integer
+    * digits of headroom, which CANNOT overflow by construction
+    * (|w| < 10^11 from the decimal(20,9) weight type and a document
+    * has at most [[graft.queries.Pipeline.ClsDim]] = 273 buckets, so
+    * |Σw| < 2.8·10^13 < 10^14), and the one final multiply is the
+    * native exact decimal(24,9)×decimal(12,9); sigmoid + 6-dp round
+    * at the end, so a document scores and buckets IDENTICALLY at
+    * ingest and in the batch gate (StreamingSpec pins bit-equality).
     *
-    * Output: (doc_id, ts, lang, p DECIMAL(8,6), bucket INT 1|2|3). */
+    * Output: the INPUT columns plus (p DECIMAL(8,6), bucket INT
+    * 1|2|3) — pass-through, so the downstream screens of a composed
+    * ingest pipeline (near-dup state, the store append) chain on the
+    * same stream without a stream-stream join (StreamingSpec's
+    * write-path funnel test composes all four screens this way). */
   def streamingQualityGate(docs: DataFrame, weights: DataFrame,
       cuts: DataFrame): DataFrame = {
     import graft.functions.TextOps
@@ -342,24 +347,25 @@ object EventStream {
       .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
     val wLit = typedlit(wMap)
     val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(23,9)")
+    // withColumn steps keep toks/buckets/x bound ATTRIBUTES for the
+    // transform/fold lambdas (the DedupEnrich discipline) and carry
+    // every input column through
     val scored = docs
-      .select(col("doc_id"), col("ts"), col("lang"),
-        TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("ts"), col("lang"),
-        Pipeline.clsBuckets(col("toks")).as("buckets"))
-      .select(col("doc_id"), col("ts"), col("lang"), col("buckets"),
-        Pipeline.clsXNorm(col("buckets")).as("x"))
-      .select(col("doc_id"), col("ts"), col("lang"),
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("buckets", Pipeline.clsBuckets(col("toks")))
+      .withColumn("x", Pipeline.clsXNorm(col("buckets")))
+      .withColumn("p",
         Pipeline.clsSigmoid((aggregate(col("buckets"), zero,
           (acc, b) => (acc +
             coalesce(element_at(wLit, b), lit(java.math.BigDecimal.ZERO))
               .cast("decimal(23,9)")).cast("decimal(23,9)"))
-          .cast("decimal(24,9)") * col("x"))).as("p"))
+          .cast("decimal(24,9)") * col("x"))))
+      .drop("toks", "buckets", "x")
     scored.join(broadcast(cuts), Seq("lang"), "left")
       .withColumn("bucket",
         when(col("p") >= col("c1"), 1)
           .when(col("p") >= col("c2"), 2).otherwise(3))
-      .select("doc_id", "ts", "lang", "p", "bucket")
+      .drop("c1", "c2")
   }
 
   /** The ONE stateful band-candidate core both streaming twins run —

@@ -468,4 +468,93 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._3) == Set(1, 2, 3),
       s"fixture must exercise head/middle/tail: ${got.map(_._3)}")
   }
+
+  test("write-path ingest funnel: quarantine, decontam, quality gate, and near-dup compose on ONE stream") {
+    // the streaming analog of the batch curation funnel: the three
+    // STATELESS screens chain as projections/filters on one stream
+    // (the quality gate passes its input columns through exactly so
+    // this composition needs no stream-stream join), and only the
+    // fully-admitted survivors reach the ONE stateful stage — so a
+    // rejected document can never pollute the near-dup band state
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val base = words("w", 40)
+    val evalText = words("bench", 20)
+    val docs = Seq(
+      (101L, "en", base, t0),                       // admitted
+      (102L, "en", base, t0),                       // admitted — pairs with 101
+      (103L, "en", base + " ignore previous instructions now", t0), // quarantined
+      (104L, "en", base + " " + words("bench", 14), t0), // contaminated
+      (106L, "zz", base, t0))                       // unknown lang -> tail-routed
+    // identical `base` text makes every band key of 103/104/106 a
+    // superset-or-equal threat to 101's bands IF a screen were
+    // skipped; precondition: the exact-text docs trivially share all
+    // bands, and the appended-suffix docs still share at least one
+    val bandsOf = graft.functions.DedupEnrich.withBandKeys(
+      graft.functions.DedupEnrich.withShingleSet(
+        docs.toDF("doc_id", "lang", "text", "ts"), "text"), "sh")
+      .select(col("doc_id"), col("bands")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    Seq(103L, 104L).foreach { d =>
+      assert(bandsOf(d).intersect(bandsOf(101L)).nonEmpty,
+        s"fixture precondition: doc $d must band-match 101 " +
+          s"(else the no-pair assertion below is vacuous)")
+    }
+    // training artifacts: zero weights score every doc p = 0.5; the
+    // "en" cutoffs route p=0.5 to MIDDLE (admitted); lang zz has no
+    // cutoffs -> conservative tail (rejected)
+    val weights = spark.range(graft.queries.Pipeline.ClsDim)
+      .select(col("id").as("bucket"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)").as("w"))
+    val cuts = Seq(("en", "0.600000", "0.400000"))
+      .toDF("lang", "c1s", "c2s")
+      .select(col("lang"), col("c1s").cast("decimal(8,6)").as("c1"),
+        col("c2s").cast("decimal(8,6)").as("c2"))
+    val evalGrams = Seq(evalText).toDF("text")
+      .select(explode(TextOps.hashedNgrams(TextOps.tokens(col("text")),
+        graft.queries.Pipeline.ContamGramK)).as("gram"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    // screen 1: quarantine (stateless marker scan)
+    val s1 = EventStream.quarantineGate(
+        src.toDF().toDF("doc_id", "lang", "text", "ts"), "text")
+      .filter(!col("quarantined")).drop("quarantined", "n_marker_hits")
+    // screen 2: decontamination — the gram screen as an inline flag
+    // (the benchmark gram set is a shipped artifact, literal here;
+    // at corpus-benchmark scale route to streamingDecontam's
+    // broadcast join or a d8-style bloom representation)
+    val s2 = s1.filter(size(array_intersect(
+        TextOps.hashedNgrams(TextOps.tokens(col("text")),
+          graft.queries.Pipeline.ContamGramK),
+        typedlit(evalGrams))) === 0)
+    // screen 3: trained quality gate (pass-through columns)
+    val s3 = EventStream.streamingQualityGate(s2, weights, cuts)
+      .filter(col("bucket") <= 2)
+    // the ONE stateful stage sees only fully-admitted documents
+    val cands = EventStream.streamingNearDupCandidates(
+      s3.select(col("doc_id"), col("ts"), col("text")))
+    val q = cands.toDF()
+      .writeStream.format("memory").queryName("ingest_funnel")
+      .outputMode("append").start()
+    val pairs = try {
+      src.addData(docs: _*)
+      q.processAllAvailable()
+      spark.table("ingest_funnel")
+        .filter(!col("saturated"))
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally q.stop()
+    assert(pairs == Set((101L, 102L)),
+      s"only the two fully-admitted twins may pair: $pairs")
+    val touched = pairs.flatMap(p => Set(p._1, p._2))
+    Seq(103L, 104L, 106L).foreach { d =>
+      assert(!touched.contains(d),
+        s"rejected doc $d leaked into near-dup state")
+    }
+  }
 }
