@@ -35,7 +35,7 @@ def main(sfdir):
              (SELECT COUNT(*) FROM ev)""").fetchone()
     print(f"{sfdir}: train media={base[0]} train frames={base[1]} "
           f"bench hashes={base[2]}")
-    for ham in (0, 4, 8, 12):
+    for ham in (0, 4, 5, 6, 7, 8, 12):
         r = con.execute(FRAME_BANDS + BENCH + f""",
           fl AS (
             SELECT DISTINCT t.id, t.media_id FROM tr t JOIN ev e

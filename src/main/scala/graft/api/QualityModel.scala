@@ -110,8 +110,7 @@ object QualityModel {
     * language — broadcast-sized at any corpus size. */
   def cutoffs(spark: SparkSession, sfDir: String,
       storePath: String): DataFrame =
-    Pipeline.clsBucketAssign(score(spark, sfDir, storePath))
-      .select("lang", "c1", "c2").distinct()
+    Pipeline.clsCutoffs(score(spark, sfDir, storePath))
 
   /** The tail-gate frame off the persisted model: doc_ids the stored
     * classifier puts in the per-language tail tertile (the SHARED

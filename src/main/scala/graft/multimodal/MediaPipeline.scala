@@ -286,6 +286,29 @@ object MediaPipeline {
     }
   }
 
+  /** One admission record per media: modality, payload byte length,
+    * and the perceptual-hash bands — everything the m9 funnel's
+    * quality + dedup + decontamination stages need, from a SINGLE
+    * partition-local pass (review finding: q9's first cut ran two
+    * separate syntheticMedia scans, re-encoding the corpus twice and
+    * holding two caches). Payload-free and small, like
+    * [[MediaHash]]. */
+  case class MediaAdmission(media_id: Long, modality: String, len: Int,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** The one-scan admission pass behind m9 (see [[MediaAdmission]]):
+    * partition-local, payloads never shuffle. */
+  def admissionPass(media: Dataset[MediaRecord]): Dataset[MediaAdmission] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val b = FeatureExtractor.aHashBands(r.payload)
+        MediaAdmission(r.media_id, r.modality, r.payload.length,
+          b(0), b(1), b(2), b(3))
+      }
+    }
+  }
+
   /** The feature-extraction pass: partition-local, decoder allocated
     * once per partition, no shuffle. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {

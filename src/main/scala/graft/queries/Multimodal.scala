@@ -153,8 +153,14 @@ object Multimodal extends QueryGroup {
       bit_count(col(s"$px$i").bitwiseXOR(col(s"$py$i"))))
       .reduce(_ + _) <= bar
 
-  private[graft] def phashRollup(hashes: DataFrame, hotThreshold: Long)
-      : DataFrame = {
+  /** The ONE guarded verified-pair core over a `(media_id, b0..b3)`
+    * hash frame — (saturated ids, exact-Hamming-verified cross pairs)
+    * shared by [[phashRollup]] (m3), m8's CC edge list, and m9's
+    * funnel near-dup stage (review finding: three hand-maintained
+    * copies of the side/join/verify block could drift; the
+    * hammingWithin discipline at pair granularity). */
+  private[graft] def verifiedPhashPairs(hashes: DataFrame,
+      hotThreshold: Long): (DataFrame, DataFrame) = {
     import graft.functions.DedupEnrich
     val (sat, pairs) =
       DedupEnrich.guardedCandidatePairs(phashKeys(hashes), hotThreshold)
@@ -167,6 +173,13 @@ object Multimodal extends QueryGroup {
       .join(side("b", "y"), Seq("b"))
       .filter(hammingWithin("x", "y", PhashHamMax))
       .select("a", "b")
+    (sat, ver)
+  }
+
+  private[graft] def phashRollup(hashes: DataFrame, hotThreshold: Long)
+      : DataFrame = {
+    import graft.functions.DedupEnrich
+    val (sat, ver) = verifiedPhashPairs(hashes, hotThreshold)
     DedupEnrich.saturationRollup(sat, ver, "media_id", "phash_saturated")
   }
 
@@ -836,18 +849,8 @@ object Multimodal extends QueryGroup {
       import graft.functions.DedupEnrich
       val hashes = MediaPipeline.perceptualHash(
         MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
-      val (sat, pairs) = DedupEnrich.guardedCandidatePairs(
-        phashKeys(hashes),
+      val (sat, ver) = verifiedPhashPairs(hashes,
         DedupEnrich.hotThresholdFor(s, PhashHotKeys, phashKeys(hashes)))
-      def side(as: String, px: String) = hashes.select(
-        col("media_id").as(as), col("b0").as(s"${px}0"),
-        col("b1").as(s"${px}1"), col("b2").as(s"${px}2"),
-        col("b3").as(s"${px}3"))
-      val ver = pairs
-        .join(side("a", "x"), Seq("a"))
-        .join(side("b", "y"), Seq("b"))
-        .filter(hammingWithin("x", "y", PhashHamMax))
-        .select("a", "b")
       val labels =
         DedupEnrich.minLabelComponents(ver, IterSizing.iterParts(s))
       val sizes = labels.groupBy("component")
@@ -954,28 +957,19 @@ object Multimodal extends QueryGroup {
     "m9_media_funnel",
     (s, dir) => {
       import graft.functions.DedupEnrich
-      val base = MediaPipeline.syntheticMedia(s, dir).toDF()
-        .filter(col("media_id") % 7 =!= 0)
-        .select(col("media_id"), col("modality"),
-          length(col("payload")).as("len"))
-        .cache()
-      val hashes = MediaPipeline.perceptualHash(
+      // ONE partition-local scan feeds every stage (review finding:
+      // two separate syntheticMedia lineages re-encoded the corpus
+      // twice); the cached admission frame is payload-free
+      val adm = MediaPipeline.admissionPass(
         MediaPipeline.syntheticMedia(s, dir)).toDF().cache()
+      val base = adm.filter(col("media_id") % 7 =!= 0)
+        .select("media_id", "modality", "len")
+      val hashes = adm.select("media_id", "b0", "b1", "b2", "b3")
       val qok = base.filter(col("len") >= MediaMinBytes)
         .select("media_id")
       val hq = hashes.join(qok, "media_id")
-      val (sat, pairs) = DedupEnrich.guardedCandidatePairs(
-        phashKeys(hq),
+      val (sat, ver) = verifiedPhashPairs(hq,
         DedupEnrich.hotThresholdFor(s, PhashHotKeys, phashKeys(hq)))
-      def side(as: String, px: String) = hq.select(
-        col("media_id").as(as), col("b0").as(s"${px}0"),
-        col("b1").as(s"${px}1"), col("b2").as(s"${px}2"),
-        col("b3").as(s"${px}3"))
-      val ver = pairs
-        .join(side("a", "x"), Seq("a"))
-        .join(side("b", "y"), Seq("b"))
-        .filter(hammingWithin("x", "y", PhashHamMax))
-        .select("a", "b")
       val labels =
         DedupEnrich.minLabelComponents(ver, IterSizing.iterParts(s))
       val nds = sat.select(col("id").as("media_id"))

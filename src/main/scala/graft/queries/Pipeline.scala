@@ -2205,14 +2205,23 @@ object Pipeline extends QueryGroup {
     * persisted [[graft.api.QualityModel]] path buckets identically):
     * appends `bucket` (1=head, 2=middle, 3=tail; ties share a bucket,
     * the pl12 cutoff semantics) plus the `c1`/`c2` cutoff columns. */
-  private[graft] def clsBucketAssign(scored: DataFrame): DataFrame = {
+  /** The per-language (lang, c1, c2) tertile cutoff table over a
+    * scored frame — the cutoff half of [[clsBucketAssign]], factored
+    * so [[graft.api.QualityModel.cutoffs]] ships the deployed-gate
+    * threshold artifact from ONE aggregation pass (review finding:
+    * distinct()-ing the per-document assignment evaluated the scoring
+    * lineage twice and shuffled a corpus-sized frame for a
+    * 2-values-per-language table). Histogram on (lang, p) bounded by
+    * the 6-dp score value space; integer-rank tertiles; ties share a
+    * bucket. */
+  private[graft] def clsCutoffs(scored: DataFrame): DataFrame = {
     val byVal = scored.groupBy("lang", "p").agg(count(lit(1)).as("cnt"))
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("p").desc)
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val nPer = byVal.groupBy("lang").agg(sum(col("cnt")).as("n"))
-    val cuts = byVal
+    byVal
       .withColumn("first_rank",
         coalesce(sum(col("cnt")).over(wv), lit(0L)) + 1)
       .join(broadcast(nPer), "lang")
@@ -2223,11 +2232,13 @@ object Pipeline extends QueryGroup {
       .groupBy("lang").agg(
         min(when(col("vbucket") === 1, col("p"))).as("c1"),
         min(when(col("vbucket") <= 2, col("p"))).as("c2"))
-    scored.join(broadcast(cuts), "lang")
+  }
+
+  private[graft] def clsBucketAssign(scored: DataFrame): DataFrame =
+    scored.join(broadcast(clsCutoffs(scored)), "lang")
       .withColumn("bucket",
         when(col("p") >= col("c1"), 1)
           .when(col("p") >= col("c2"), 2).otherwise(3))
-  }
 
   /** The pl21 quantile-gate + composition report over a scored frame
     * ((doc_id, lang, is_eval, p) — [[clsScoreAll]]'s shape) and the

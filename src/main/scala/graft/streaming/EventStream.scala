@@ -356,8 +356,13 @@ object EventStream {
       .withColumn("x", Pipeline.clsXNorm(col("buckets")))
       .withColumn("p",
         Pipeline.clsSigmoid((aggregate(col("buckets"), zero,
+          // try_element_at, NOT element_at: ANSI mode (Spark 4's
+          // default) makes element_at THROW on an absent map key, so
+          // the missing-bucket => contributes-0 contract (matching
+          // clsScoreAll's inner join dropping the term) needs the
+          // null-returning form (review finding)
           (acc, b) => (acc +
-            coalesce(element_at(wLit, b), lit(java.math.BigDecimal.ZERO))
+            coalesce(try_element_at(wLit, b), lit(java.math.BigDecimal.ZERO))
               .cast("decimal(23,9)")).cast("decimal(23,9)"))
           .cast("decimal(24,9)") * col("x"))))
       .drop("toks", "buckets", "x")

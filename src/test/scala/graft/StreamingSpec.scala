@@ -469,6 +469,41 @@ class StreamingSpec extends SparkSpec {
       s"fixture must exercise head/middle/tail: ${got.map(_._3)}")
   }
 
+  test("streaming quality gate: a pruned weight table scores with missing buckets contributing 0, no ANSI throw") {
+    // a stored model artifact may drop exact-zero rows; under Spark
+    // 4's default ANSI mode element_at THROWS on an absent map key
+    // (review finding) — the gate uses try_element_at so a missing
+    // bucket contributes 0, exactly as clsScoreAll's inner join
+    // drops the term
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val weights = spark.range(1) // every other bucket id is ABSENT
+      .select(col("id").as("bucket"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)").as("w"))
+    val cuts = Seq(("en", "0.600000", "0.400000"))
+      .toDF("lang", "c1s", "c2s")
+      .select(col("lang"), col("c1s").cast("decimal(8,6)").as("c1"),
+        col("c2s").cast("decimal(8,6)").as("c2"))
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val q = graft.streaming.EventStream.streamingQualityGate(
+        src.toDF().toDF("doc_id", "lang", "text", "ts"), weights, cuts)
+      .writeStream.format("memory").queryName("pruned_gate")
+      .outputMode("append").start()
+    val got = try {
+      src.addData((1L, "en", "some ordinary words here",
+        java.sql.Timestamp.valueOf("2024-03-01 10:00:00")))
+      q.processAllAvailable()
+      spark.table("pruned_gate")
+        .select(col("doc_id"), col("p").cast("string"), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    } finally q.stop()
+    assert(got.toSeq == Seq((1L, "0.500000", 2)),
+      s"all-absent buckets must fold to margin 0 -> p 0.5 -> middle: " +
+        s"${got.toSeq}")
+  }
+
   test("write-path ingest funnel: quarantine, decontam, quality gate, and near-dup compose on ONE stream") {
     // the streaming analog of the batch curation funnel: the three
     // STATELESS screens chain as projections/filters on one stream
