@@ -1302,20 +1302,47 @@ object Pipeline extends QueryGroup {
 
   /** The ONE enriched corpus pass of the funnel family — tokens,
     * Gopher stats, exact fingerprint, shingle set, hashed grams, eval
-    * flag. UNCACHED: each caller caches it (every funnel build
-    * consumes it at least twice: staging + eval grams). */
-  private[graft] def funnelEnriched(s: SparkSession, dir: String): DataFrame = {
+    * flag; `withBuckets` additionally derives the classifier's hashed
+    * feature buckets off the SAME token binding (the pl20/pl21/pl23
+    * shape — those queries consume BOTH the funnel staging and the
+    * feature frame, and building them as two separate passes tokenized
+    * and Gopher-scanned the corpus TWICE per invocation; guide §1.2:
+    * remove redundant passes before tuning anything inside them).
+    * UNCACHED: each caller caches it (every funnel build consumes it
+    * at least twice: staging + eval grams). */
+  private def enrichedPass(s: SparkSession, dir: String,
+      withBuckets: Boolean): DataFrame = {
     import graft.functions.{DedupEnrich, GopherRules}
     val K = ContamGramK
-    GopherRules.withStats(Tables.documents(s, dir)
+    val base = GopherRules.withStats(Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         TextOps.tokens(col("text")).as("toks")))
       .withColumn("fp", DedupEnrich.exactFpFromToks(col("toks")))
       .withColumn("sh", DedupEnrich.shingleSetFromToks(col("toks")))
       .withColumn("grams", TextOps.hashedNgrams(col("toks"), K))
       .withColumn("is_eval", col("doc_id") % 7 === 0)
-      .select("doc_id", "lang", "kept", "fp", "sh", "grams", "is_eval")
+    if (withBuckets)
+      base.withColumn("buckets", clsBuckets(col("toks")))
+        .select("doc_id", "lang", "kept", "fp", "sh", "grams", "is_eval",
+          "buckets")
+    else
+      base.select("doc_id", "lang", "kept", "fp", "sh", "grams", "is_eval")
   }
+
+  /** The funnel-family enriched pass (no classifier columns) — see
+    * [[enrichedPass]]. */
+  private[graft] def funnelEnriched(s: SparkSession, dir: String): DataFrame =
+    enrichedPass(s, dir, withBuckets = false)
+
+  /** The classifier-family enriched pass: [[funnelEnriched]]'s column
+    * set PLUS the hashed feature `buckets`, one corpus read and one
+    * token binding for both consumers. [[funnelStage4Core]] projects
+    * the funnel columns it needs, so the staging built over this frame
+    * is identical to one built over [[funnelEnriched]]; the feature
+    * frame is the `(doc_id, lang, kept, is_eval, buckets)` projection
+    * ([[clsFeatures]]' exact column set). */
+  private[graft] def clsEnriched(s: SparkSession, dir: String): DataFrame =
+    enrichedPass(s, dir, withBuckets = true)
 
   /** The quality→stage-4 core over a (caller-cached) enriched frame,
     * parameterized for pl23's classifier-GATED twin: `gateDrop`, when
@@ -1895,18 +1922,25 @@ object Pipeline extends QueryGroup {
   private def clsXNormSql(buckets: String): String =
     s"CAST(ROUND(1.0 / SQRT(len($buckets)), 9) AS DECIMAL(12,9))"
 
-  /** One logistic-regression epoch's GRADIENT aggregate — factored so
-    * PipelineSpec can pin the plan shape (a map-side partial_sum
-    * before the exchange: the gradient of a linear model over sparse
-    * features is sum-decomposable per partition, so the shuffle moves
-    * [[ClsDim]] partial rows per task, never the corpus-sized pair
-    * frame). `tr` is (doc_id, y, x, bucket); `scored` is (doc_id, p);
-    * output is the 1/n-NORMALIZED per-bucket gradient `gn` — the sum
-    * is exact decimal (order-independent), the one cast to double and
-    * the division happen once per bucket, after aggregation. */
-  private[graft] def clsGradient(tr: DataFrame, scored: DataFrame,
-      n: Long): DataFrame =
-    tr.join(scored, "doc_id")
+  /** One logistic-regression epoch's GRADIENT aggregate over the
+    * per-doc training frame `tr` = (y, x, buckets) and the current
+    * weight-map literal — factored so PlanSpec can pin the plan shape:
+    * the per-doc probability is a pure map-side [[clsMarginFold]]
+    * projection (no join, no per-doc shuffle — the round-19 rewrite of
+    * the join+two-aggregate epoch), the explode and the partial_sum
+    * happen map-side, and the ONLY exchange of an epoch moves
+    * ≤ [[ClsDim]] partial rows per task — never the corpus. Output is
+    * the 1/n-NORMALIZED per-bucket gradient `gn`: the sum is exact
+    * decimal over addends identical to the former join form ((p−y)·x
+    * per (doc, bucket) pair — order-independent), the one cast to
+    * double and the division happen once per bucket, after
+    * aggregation, so the learned weights are bit-identical to the
+    * previous shape and to the DuckDB mirror. */
+  private[graft] def clsEpochGradient(tr: DataFrame,
+      w: Array[java.math.BigDecimal], n: Long): DataFrame =
+    tr.select(col("y"), col("x"),
+        clsSigmoid(clsMarginFold(col("buckets"), col("x"), w)).as("p"),
+        explode(col("buckets")).as("bucket"))
       .groupBy("bucket")
       .agg(sum((col("p") - col("y")) * col("x")).as("g"))
       .select(col("bucket"),
@@ -1920,6 +1954,48 @@ object Pipeline extends QueryGroup {
   private[graft] def clsSigmoid(margin: Column): Column =
     round(lit(1.0) / (lit(1.0) + exp(-margin.cast("double"))), 6)
       .cast("decimal(8,6)")
+
+  /** The trained weight table collected into a driver-side DENSE ARRAY
+    * indexed by bucket id — dimension-bounded ([[ClsDim]] slots, the
+    * streaming-gate / learnBpeLocal driver-state convention): the
+    * array embeds into the scoring expression
+    * ([[graft.plans.WeightedBucketSumExpr]]), so every scoring
+    * consumer becomes a pure map-side projection with no join and no
+    * per-doc shuffle. Bucket ids are 0-based and dense by construction
+    * ([[clsBuckets]] emits 0..[[ClsDim]]-1), so slot b holds w_b; a
+    * bucket absent from `w` (a pruned persisted table) holds exact 0 —
+    * the same contribution the join form's dropped term produced
+    * (StreamingSpec pins the pruned-table contract). */
+  private[graft] def clsWeightArray(w: DataFrame): Array[java.math.BigDecimal] = {
+    val m = w.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    (0L until ClsDim.toLong).map(b =>
+      m.getOrElse(b, java.math.BigDecimal.ZERO)).toArray
+  }
+
+  /** The ONE exact-decimal margin kernel over a bound `buckets`
+    * attribute, its L2 norm `x`, and a dense weight array — shared by
+    * [[clsScoreAll]], the per-epoch training gradient, and the
+    * streaming quality gate, so no surface can score differently.
+    * (Σ w_b)·x equals the join form's Σ(w_b·x) BIT-FOR-BIT: every
+    * weight is a scale-9 decimal so the sum is exact and
+    * order-independent (see [[graft.plans.WeightedBucketSumExpr]]'s
+    * exactness contract and the static overflow impossibility proof —
+    * |w| < 10^11 from the decimal(20,9) weight type × ≤ [[ClsDim]] =
+    * 273 buckets ⇒ |Σw| < 2.8·10^13), the final multiply is the
+    * native exact decimal(24,9)×decimal(12,9), and decimal
+    * distributivity is exact rational arithmetic. The sum runs as a
+    * NATIVE codegen expression, not a higher-order `aggregate` fold:
+    * Spark evaluates lambda folds as interpreted CodegenFallback
+    * trees, measured 20-40% slower than even the broadcast join this
+    * kernel replaces. StreamingSpec pins the bit-equality on the full
+    * sf0.001 corpus. */
+  private[graft] def clsMarginFold(buckets: Column, x: Column,
+      w: Array[java.math.BigDecimal]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.WeightedBucketSumExpr(
+      ColumnBridge.expression(buckets), w.toIndexedSeq))
+      .cast("decimal(24,9)") * x
+  }
 
   /** The pl20/pl21 TRAINED corpus-quality classifier family (the
     * builders below: [[clsFeatures]] → [[clsTrained]] →
@@ -1967,20 +2043,24 @@ object Pipeline extends QueryGroup {
     * just the final report — are bit-identical across engines at
     * every epoch.
     *
-    * Scale shape: ONE corpus pass builds the cached (doc_id, y, x,
-    * bucket) pair frame (L2-normalized presence features — each pair
-    * is ~25 bytes, ~200 pairs/doc); each epoch is two map-side-combinable
-    * aggregates over it (margins per doc, gradients per bucket — the
-    * shuffle moves n_docs + [[ClsDim]] rows, never the pair frame)
-    * plus one [[ClsDim]]-row collect; the weight table re-enters as a
-    * broadcast join. Nothing corpus-sized ever moves: at 100 TB the
-    * pair frame streams from the scan into partial aggregates and the
+    * Scale shape (round-19 rewrite): ONE corpus pass builds the cached
+    * per-doc (y, x, buckets) frame; each epoch is ONE map-side
+    * aggregate over it — the margin/probability is a pure projection
+    * against the weight-map LITERAL ([[clsMarginFold]]), the gradient
+    * explode partial-sums before its exchange, so the only shuffle of
+    * an epoch moves ≤ [[ClsDim]] partial rows per task — plus one
+    * [[ClsDim]]-row collect. Nothing corpus-sized ever moves, and
+    * nothing keyed on doc_id ever shuffles: at 100 TB the per-doc
+    * frame streams from the scan into partial aggregates and the
     * driver holds 273 decimals. */
-  /** The ONE feature pass of the pl20/pl21 classifier family: Gopher
-    * stats (the held-out reference label), the eval-slice flag, and
-    * the hashed feature buckets — (doc_id, lang, kept, is_eval,
-    * buckets). UNCACHED: each caller caches it (both consume it at
-    * least twice: training + scoring). */
+  /** The ONE feature pass of the classifier family: Gopher stats (the
+    * held-out reference label), the eval-slice flag, and the hashed
+    * feature buckets — (doc_id, lang, kept, is_eval, buckets). The
+    * registered queries now derive this projection from the fused
+    * [[clsEnriched]] pass (one corpus read for features AND funnel
+    * labels); this standalone builder remains the
+    * [[graft.api.QualityModel]] scoring-path input, where no funnel
+    * runs. UNCACHED: each caller caches it as needed. */
   private[graft] def clsFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GopherRules
     GopherRules.withStats(Tables.documents(s, dir)
@@ -2010,34 +2090,42 @@ object Pipeline extends QueryGroup {
       .select(col("doc_id"), (col("stage") === 4).cast("int").as("y"))
       .cache()
     val n = lab.count()
-    // the pair frame is REPARTITIONED BY doc_id before caching: the
-    // per-epoch gradient join keys on doc_id against `scored`, which
-    // is the output of a groupBy(doc_id) and therefore already
-    // hash-partitioned on the same key — with tr co-partitioned, no
-    // epoch ever exchanges the corpus-sized pair frame again (at
-    // 100 TB the alternative is 2 x epochs corpus shuffles)
+    // the cached training frame is PER-DOC (y, x, buckets) — the
+    // round-19 rewrite of the exploded, doc_id-repartitioned pair
+    // frame: with the margin computed as a map-side fold against the
+    // weight-map literal ([[clsMarginFold]] — bit-equal to the former
+    // broadcast-join Σ(w_b·x), see its scaladoc), an epoch needs
+    // neither the per-doc margin shuffle nor the gradient join, so
+    // nothing keyed on doc_id ever moves: each epoch is ONE scan of
+    // this frame into the [[clsEpochGradient]] partial aggregate
+    // (guide §2.4: two of the three per-epoch exchanges removed
+    // outright; at 100 TB an epoch shuffles ClsDim partial rows per
+    // task and nothing else). The explode happens inside the epoch
+    // aggregate, so the cache holds one array row per doc instead of
+    // ~200 exploded pair rows.
     val tr = feats.join(lab, "doc_id")
-      .select(col("doc_id"), col("y"), clsXNorm(col("buckets")).as("x"),
-        explode(col("buckets")).as("bucket"))
-      .repartition(col("doc_id"))
+      .select(col("y"), clsXNorm(col("buckets")).as("x"), col("buckets"))
       .cache()
     // driver-held optimizer state: per-bucket weight (9-dp decimal)
     // and Adagrad squared-gradient accumulator (18-dp decimal —
-    // EXACT accumulation, so epoch order can never perturb it)
-    var w = s.range(ClsDim)
-      .select(col("id").as("bucket"),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)").as("w"),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(30,18)").as("acc"))
+    // EXACT accumulation, so epoch order can never perturb it).
+    // Scala-local rows; the per-epoch update runs the SAME Spark
+    // expressions as before over a 273-row local frame joined to the
+    // epoch gradient — one distributed job per epoch, ending in the
+    // dimension-bounded collect.
+    var wRows: Seq[(Long, java.math.BigDecimal, java.math.BigDecimal)] =
+      (0L until ClsDim.toLong).map(b =>
+        (b, java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO))
     for (_ <- 1 to ClsEpochs) {
-      val wb = broadcast(w)
-      // groupBy(doc_id) ALONE (y rides tr into the gradient): the
-      // aggregate's output partitioning then matches tr's exactly
-      val scored = tr.join(wb.select("bucket", "w"), "bucket")
-        .groupBy("doc_id")
-        .agg(sum(col("w") * col("x")).as("margin"))
-        .select(col("doc_id"), clsSigmoid(col("margin")).as("p"))
-      val grad = clsGradient(tr, scored, n)
-      val wRows = wb.join(grad, Seq("bucket"), "left")
+      val wb = s.createDataFrame(wRows).toDF("bucket", "w", "acc")
+        .select(col("bucket"),
+          col("w").cast("decimal(20,9)").as("w"),
+          col("acc").cast("decimal(30,18)").as("acc"))
+      // dense weight array, slot b = w_b (the clsWeightArray layout —
+      // wRows carries every bucket 0..ClsDim-1 exactly once)
+      val wArr = wRows.sortBy(_._1).map(_._2).toArray
+      val grad = clsEpochGradient(tr, wArr, n)
+      wRows = wb.join(broadcast(grad), Seq("bucket"), "left")
         .withColumn("gnz", coalesce(col("gn"), lit(0.0)))
         .withColumn("accNew",
           (col("acc") + (col("gnz") * col("gnz")).cast("decimal(20,18)"))
@@ -2050,33 +2138,35 @@ object Pipeline extends QueryGroup {
           col("accNew").as("acc"))
         .collect()
         .map(r => (r.getLong(0), r.getDecimal(1), r.getDecimal(2)))
-      w = s.createDataFrame(wRows.toSeq).toDF("bucket", "w", "acc")
-        .select(col("bucket"),
-          col("w").cast("decimal(20,9)").as("w"),
-          col("acc").cast("decimal(30,18)").as("acc"))
+        .toSeq
     }
     // training temporaries are consumed — downstream consumers read
     // only the cached feature pass and the final weight literal
     tr.unpersist(false)
     lab.unpersist(false)
-    w.select("bucket", "w")
+    s.createDataFrame(wRows).toDF("bucket", "w", "acc")
+      .select(col("bucket"), col("w").cast("decimal(20,9)").as("w"))
   }
 
-  /** Score a feature frame with a trained weight table: one broadcast
-    * join + one map-side-combinable margin aggregate per doc — the
-    * deployed CCNet shape (train once, broadcast thereafter). Output:
-    * (doc_id, lang, kept, is_eval, p). Shared by q20's eval report,
-    * q21's full-corpus bucketing, and [[graft.api.QualityModel]]. */
-  private[graft] def clsScoreAll(feats: DataFrame, w: DataFrame): DataFrame =
-    feats
-      .select(col("doc_id"), col("lang"), col("kept"), col("is_eval"),
-        clsXNorm(col("buckets")).as("x"),
-        explode(col("buckets")).as("bucket"))
-      .join(broadcast(w), "bucket")
-      .groupBy("doc_id", "lang", "kept", "is_eval")
-      .agg(sum(col("w") * col("x")).as("margin"))
-      .select(col("doc_id"), col("lang"), col("kept"), col("is_eval"),
-        clsSigmoid(col("margin")).as("p"))
+  /** Score a feature frame with a trained weight table: the weight
+    * table collects into a map literal ([[clsWeightLit]] — the
+    * dimension-bounded train-once-broadcast-thereafter artifact) and
+    * every document's margin is the map-side [[clsMarginFold]], so
+    * scoring is a PURE PROJECTION — no explode, no join, no per-doc
+    * shuffle (the round-19 rewrite of the explode + broadcast-join +
+    * corpus-wide groupBy(doc_id) shape; guide §2.4 — at 100 TB the
+    * former shape re-exchanged every scored document). p is bit-equal
+    * to the former join form (the [[clsMarginFold]] distributivity
+    * contract, StreamingSpec-pinned). Output: (doc_id, lang, kept,
+    * is_eval, p). Shared by q20's eval report, q21's full-corpus
+    * bucketing, and [[graft.api.QualityModel]]. */
+  private[graft] def clsScoreAll(feats: DataFrame, w: DataFrame): DataFrame = {
+    val wArr = clsWeightArray(w)
+    feats.select(col("doc_id"), col("lang"), col("kept"), col("is_eval"),
+      clsSigmoid(
+        clsMarginFold(col("buckets"), clsXNorm(col("buckets")), wArr))
+        .as("p"))
+  }
 
   /** The ONE DuckDB mirror of the training run ([[clsTrained]]) — the
     * shared CTE block (features → labels → pair frame → epoch chain)
@@ -2147,8 +2237,13 @@ object Pipeline extends QueryGroup {
   private val q20 = QueryDef(
     "pl20_quality_classifier",
     (s, dir) => {
-      val feats = clsFeatures(s, dir).cache()
-      val wFinal = clsTrained(s, feats, funnelStaged4(s, dir))
+      // ONE cached corpus pass feeds BOTH the label funnel and the
+      // feature frame (clsEnriched — the former clsFeatures +
+      // funnelEnriched pair tokenized the corpus twice per invocation)
+      val enriched = clsEnriched(s, dir).cache()
+      val feats = enriched
+        .select("doc_id", "lang", "kept", "is_eval", "buckets")
+      val wFinal = clsTrained(s, feats, funnelStage4Core(s, enriched, None))
       val scoredEval = clsScoreAll(feats.filter(col("is_eval")), wFinal)
         .withColumn("pred", (col("p") >= lit(0.5)).cast("int"))
       scoredEval.groupBy("lang").agg(
@@ -2345,9 +2440,13 @@ object Pipeline extends QueryGroup {
   private val q21 = QueryDef(
     "pl21_classifier_gate",
     (s, dir) => {
-      val feats = clsFeatures(s, dir).cache()
+      // ONE cached corpus pass feeds the label funnel AND the feature
+      // frame (the pl20 clsEnriched note)
+      val enriched = clsEnriched(s, dir).cache()
+      val feats = enriched
+        .select("doc_id", "lang", "kept", "is_eval", "buckets")
       // cached: labels (training) + composition (report) both read it
-      val staged4 = funnelStaged4(s, dir).cache()
+      val staged4 = funnelStage4Core(s, enriched, None).cache()
       val w = clsTrained(s, feats, staged4)
       // cutoff pass + bucketing pass both read the scored frame
       val scored = clsScoreAll(feats, w).cache()
@@ -2572,8 +2671,12 @@ object Pipeline extends QueryGroup {
   private val q23 = QueryDef(
     "pl23_gated_funnel",
     (s, dir) => {
-      val feats = clsFeatures(s, dir).cache()
-      val enriched = funnelEnriched(s, dir).cache()
+      // ONE cached corpus pass feeds the label funnel, the gated
+      // funnel, AND the feature frame (the pl20 clsEnriched note —
+      // this query previously ran the corpus tokenize/enrich twice)
+      val enriched = clsEnriched(s, dir).cache()
+      val feats = enriched
+        .select("doc_id", "lang", "kept", "is_eval", "buckets")
       // the label funnel (the pl20/pl21 teacher) — consumed once, by
       // clsTrained's label projection
       val staged4 = funnelStage4Core(s, enriched, None)

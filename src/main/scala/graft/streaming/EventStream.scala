@@ -341,12 +341,12 @@ object EventStream {
     import graft.functions.TextOps
     import graft.queries.Pipeline
     // dimension-bounded driver collect (ClsDim = 273 rows) — the
-    // literal IS the broadcast; a missing bucket contributes 0, the
-    // same as clsScoreAll's inner join dropping the term
-    val wMap = weights.collect()
-      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
-    val wLit = typedlit(wMap)
-    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(23,9)")
+    // dense array embeds into the native scoring kernel; a missing
+    // bucket reads an exact-0 slot (inside the SHARED
+    // Pipeline.clsMarginFold — since the round-19 factoring the batch
+    // clsScoreAll runs the SAME kernel, so the bit-equality this gate
+    // pins is structural, not merely proven)
+    val wArr = Pipeline.clsWeightArray(weights)
     // withColumn steps keep toks/buckets/x bound ATTRIBUTES for the
     // transform/fold lambdas (the DedupEnrich discipline) and carry
     // every input column through
@@ -355,16 +355,8 @@ object EventStream {
       .withColumn("buckets", Pipeline.clsBuckets(col("toks")))
       .withColumn("x", Pipeline.clsXNorm(col("buckets")))
       .withColumn("p",
-        Pipeline.clsSigmoid((aggregate(col("buckets"), zero,
-          // try_element_at, NOT element_at: ANSI mode (Spark 4's
-          // default) makes element_at THROW on an absent map key, so
-          // the missing-bucket => contributes-0 contract (matching
-          // clsScoreAll's inner join dropping the term) needs the
-          // null-returning form (review finding)
-          (acc, b) => (acc +
-            coalesce(try_element_at(wLit, b), lit(java.math.BigDecimal.ZERO))
-              .cast("decimal(23,9)")).cast("decimal(23,9)"))
-          .cast("decimal(24,9)") * col("x"))))
+        Pipeline.clsSigmoid(
+          Pipeline.clsMarginFold(col("buckets"), col("x"), wArr)))
       .drop("toks", "buckets", "x")
     scored.join(broadcast(cuts), Seq("lang"), "left")
       .withColumn("bucket",

@@ -194,27 +194,37 @@ class PlanSpec extends SparkSpec {
     assert(BpeOps.NMerges > 0 && BpeOps.NMerges <= 64)
   }
 
-  test("pl20 classifier: the epoch gradient is a map-side-combinable hash aggregate") {
+  test("pl20 classifier: the epoch gradient is ONE map-side pass — fold projection + partial_sum, no join") {
     // the registered query's EAGER training loop runs driver jobs, so
     // the pin drives the SHARED per-epoch gradient builder directly
-    // (the pl18 pairCounts convention): the per-bucket gradient of a
-    // linear model is sum-decomposable, so the plan must partial-sum
-    // before the exchange — the shuffle then moves ClsDim rows per
-    // task, never the corpus-sized pair frame
+    // (the pl18 pairCounts convention): the per-doc probability is a
+    // pure projection against the weight-map LITERAL (clsMarginFold —
+    // no broadcast join, no per-doc margin shuffle), and the
+    // per-bucket gradient of a linear model is sum-decomposable, so
+    // the plan must partial-sum before the exchange — the one shuffle
+    // of an epoch moves ClsDim partial rows per task, never the
+    // corpus, and NO JOIN of any kind may appear (a regression to the
+    // join+two-aggregate epoch re-exchanges every scored document at
+    // 100 TB)
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val tr = Seq((1L, 1, BigDecimal("0.5"), 3L), (2L, 0, BigDecimal("0.5"), 3L))
-      .toDF("doc_id", "y", "x", "bucket")
-      .select(col("doc_id"), col("y"),
-        col("x").cast("decimal(12,9)").as("x"), col("bucket"))
-    val scored = Seq((1L, BigDecimal("0.5")), (2L, BigDecimal("0.25")))
-      .toDF("doc_id", "p")
-      .select(col("doc_id"), col("p").cast("decimal(8,6)").as("p"))
-    val p = graft.queries.Pipeline.clsGradient(tr, scored, 10L).queryExecution
+    val tr = Seq((1, BigDecimal("0.5"), Seq(3L, 256L)),
+      (0, BigDecimal("0.5"), Seq(3L, 257L)))
+      .toDF("y", "x", "buckets")
+      .select(col("y"), col("x").cast("decimal(12,9)").as("x"),
+        col("buckets"))
+    val w = Seq((3L, BigDecimal("0.1")), (256L, BigDecimal("-0.2")))
+      .toDF("bucket", "w")
+      .select(col("bucket"), col("w").cast("decimal(20,9)").as("w"))
+    val p = graft.queries.Pipeline
+      .clsEpochGradient(tr, graft.queries.Pipeline.clsWeightArray(w), 10L)
+      .queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("partial_sum"),
       "the gradient aggregate must map-side partial-sum before the exchange")
     assert(p.contains("HashAggregate"))
+    assert(!p.contains("Join"),
+      "an epoch must not join — the weight table enters as a literal")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
