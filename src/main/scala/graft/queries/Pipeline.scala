@@ -1610,9 +1610,13 @@ object Pipeline extends QueryGroup {
     * vocabulary; the local fit replaces that with in-memory
     * milliseconds after the identical one corpus pass). Output is
     * merge-for-merge and word-for-word IDENTICAL (PipelineSpec pins
-    * pl18/pl19 equality under both settings); `distributed` stays the
-    * default because it is the oracle-checkable per-iteration cost
-    * model and keeps the registered plan shape.
+    * pl18/pl19 equality under both settings); since round 19 `local`
+    * IS the default — it is the measured production form on both axes
+    * (BENCH_AB's per-merge job-cadence cost, re-measured this round:
+    * pl18 3.8 s → 1.65 s warm at sf0.1), the size gate below degrades
+    * it safely to the distributed loop on corpora that violate the
+    * language-bounded-vocabulary assumption, and the oracle checks the
+    * OUTPUT, which is equality-pinned across both engines' strategies.
     *
     * SIZE-GATED like the CC fast path: "language-bounded" is an
     * assumption crawl corpora can violate (ids, hashes, URLs,
@@ -1631,7 +1635,7 @@ object Pipeline extends QueryGroup {
     // of job cadence at a production vocabulary with nothing logged —
     // unknown values throw, matching Spark's own enum-conf discipline
     // (review finding)
-    val strategy = s.conf.get("graft.bpe.strategy", "distributed").trim
+    val strategy = s.conf.get("graft.bpe.strategy", "local").trim
     require(strategy == "distributed" || strategy == "local",
       s"graft.bpe.strategy must be 'distributed' or 'local' — got " +
         s"'$strategy'")
@@ -1938,11 +1942,17 @@ object Pipeline extends QueryGroup {
     * previous shape and to the DuckDB mirror. */
   private[graft] def clsEpochGradient(tr: DataFrame,
       w: Array[java.math.BigDecimal], n: Long): DataFrame =
-    tr.select(col("y"), col("x"),
-        clsSigmoid(clsMarginFold(col("buckets"), col("x"), w)).as("p"),
+    tr.select(
+        // the per-doc gradient factor (p − y)·x is computed ONCE per
+        // document BEFORE the bucket explode (identical addends, so
+        // the exact-decimal per-bucket sum is bit-equal; the explode
+        // then carries one narrow decimal instead of re-running the
+        // decimal multiply per (doc, bucket) pair — guide §2.3)
+        ((clsSigmoid(clsMarginFold(col("buckets"), col("x"), w))
+          - col("y")) * col("x")).as("gd"),
         explode(col("buckets")).as("bucket"))
       .groupBy("bucket")
-      .agg(sum((col("p") - col("y")) * col("x")).as("g"))
+      .agg(sum(col("gd")).as("g"))
       .select(col("bucket"),
         (col("g").cast("double") / lit(n.toDouble)).as("gn"))
 
@@ -2103,48 +2113,72 @@ object Pipeline extends QueryGroup {
     // task and nothing else). The explode happens inside the epoch
     // aggregate, so the cache holds one array row per doc instead of
     // ~200 exploded pair rows.
+    // coalesced to the shared iteration sizing (the d6/pl18 loop-frame
+    // discipline): the epoch job re-reads this cache 8 times, so its
+    // task count is pure per-epoch cadence; iterParts scales with
+    // spark.sql.shuffle.partitions, so cluster runs keep proportional
+    // parallelism
     val tr = feats.join(lab, "doc_id")
       .select(col("y"), clsXNorm(col("buckets")).as("x"), col("buckets"))
+      .coalesce(IterSizing.iterParts(s))
       .cache()
     // driver-held optimizer state: per-bucket weight (9-dp decimal)
     // and Adagrad squared-gradient accumulator (18-dp decimal —
     // EXACT accumulation, so epoch order can never perturb it).
-    // Scala-local rows; the per-epoch update runs the SAME Spark
-    // expressions as before over a 273-row local frame joined to the
-    // epoch gradient — one distributed job per epoch, ending in the
-    // dimension-bounded collect.
-    var wRows: Seq[(Long, java.math.BigDecimal, java.math.BigDecimal)] =
-      (0L until ClsDim.toLong).map(b =>
-        (b, java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO))
+    // Scala-local rows, bucket-ordered (slot b = bucket b throughout).
+    //
+    // Each epoch is exactly ONE Spark job (the measured cost at test
+    // scale was per-job cadence, not data): the Adagrad update runs as
+    // the SAME Spark expressions as the former 273-row join form, but
+    // INSIDE the gradient job's final projection — the current w/acc
+    // enter as bucket-indexed array literals — so the epoch's plan is
+    // scan → partial agg → ClsDim-row exchange → agg+update → collect.
+    //
+    // Buckets with NO occurrence this epoch are absent from the
+    // gradient output and their state is carried over UNCHANGED on the
+    // driver. That is bit-identical to the former left-join arm
+    // (gnz = 0): accNew = acc + 0 = acc exactly, and
+    // round(toDouble(w), 9) = w because |w| < ClsEpochs × ClsLr < 6
+    // (weights start at 0 and each step moves < ClsLr since
+    // |gn|/sqrt(acc_new + eps) < |gn|/sqrt(gn²) = 1), so the 9-dp
+    // value round-trips the double exactly (38 mantissa bits needed,
+    // 52 available); the require below fails loudly if the bound is
+    // ever violated rather than silently diverging.
+    var wRows: IndexedSeq[(java.math.BigDecimal, java.math.BigDecimal)] =
+      IndexedSeq.fill(ClsDim)(
+        (java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO))
     for (_ <- 1 to ClsEpochs) {
-      val wb = s.createDataFrame(wRows).toDF("bucket", "w", "acc")
-        .select(col("bucket"),
-          col("w").cast("decimal(20,9)").as("w"),
-          col("acc").cast("decimal(30,18)").as("acc"))
-      // dense weight array, slot b = w_b (the clsWeightArray layout —
-      // wRows carries every bucket 0..ClsDim-1 exactly once)
-      val wArr = wRows.sortBy(_._1).map(_._2).toArray
-      val grad = clsEpochGradient(tr, wArr, n)
-      wRows = wb.join(broadcast(grad), Seq("bucket"), "left")
+      val wArr = wRows.map(_._1).toArray
+      val wTl = typedlit(wRows.map(t => BigDecimal(t._1)))
+      val accTl = typedlit(wRows.map(t => BigDecimal(t._2)))
+      val slot = (col("bucket") + 1).cast("integer")
+      val updated = clsEpochGradient(tr, wArr, n)
         .withColumn("gnz", coalesce(col("gn"), lit(0.0)))
+        .withColumn("acc0", element_at(accTl, slot).cast("decimal(30,18)"))
         .withColumn("accNew",
-          (col("acc") + (col("gnz") * col("gnz")).cast("decimal(20,18)"))
+          (col("acc0") + (col("gnz") * col("gnz")).cast("decimal(20,18)"))
             .cast("decimal(30,18)"))
         .select(col("bucket"),
-          round(col("w").cast("double")
+          round(element_at(wTl, slot).cast("decimal(20,9)").cast("double")
             - lit(ClsLr) * col("gnz")
               / sqrt(col("accNew").cast("double") + lit(ClsEps)), 9)
             .cast("decimal(20,9)").as("w"),
           col("accNew").as("acc"))
         .collect()
         .map(r => (r.getLong(0), r.getDecimal(1), r.getDecimal(2)))
-        .toSeq
+      val upd = updated.map(t => t._1 -> ((t._2, t._3))).toMap
+      wRows = (0 until ClsDim).map(b => upd.getOrElse(b.toLong, wRows(b)))
+      wRows.foreach { case (w0, _) =>
+        require(w0.abs.doubleValue < ClsEpochs * ClsLr + 1,
+          s"classifier weight $w0 escaped the no-op-carryover bound") }
     }
     // training temporaries are consumed — downstream consumers read
     // only the cached feature pass and the final weight literal
     tr.unpersist(false)
     lab.unpersist(false)
-    s.createDataFrame(wRows).toDF("bucket", "w", "acc")
+    s.createDataFrame(wRows.zipWithIndex
+        .map { case ((w0, _), b) => (b.toLong, w0) })
+      .toDF("bucket", "w")
       .select(col("bucket"), col("w").cast("decimal(20,9)").as("w"))
   }
 
