@@ -100,7 +100,17 @@ object DedupEnrich {
     * shared degenerate key. `toks` MUST be an attribute (the shingle
     * lambda re-evaluates it per element otherwise) — use
     * [[withShingleSet]] when starting from raw text. */
-  def shingleSetFromToks(toks: Column): Column =
+  def shingleSetFromToks(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.ShingleSetExpr(
+      ColumnBridge.expression(toks), ShingleK))
+  }
+
+  /** The pre-round-19 higher-order-function composition of
+    * [[shingleSetFromToks]] — retained as the equality REFERENCE the
+    * NativeKernelsSpec pins the native kernel against (the oracle SQL
+    * mirrors THIS construction). */
+  private[graft] def shingleSetFromToksComposed(toks: Column): Column =
     array_distinct(TextOps.shingles(toks, ShingleK))
 
   /** Append the shingle-set column `out` from raw text, binding the
@@ -144,7 +154,17 @@ object DedupEnrich {
     * drift class the phashKeyArray extraction fixed for media keys).
     * `toks` MUST be an attribute (W element lookups per position
     * re-evaluate it otherwise). */
-  def windowOccurrencesFromToks(toks: Column): Column =
+  def windowOccurrencesFromToks(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.WindowOccurrencesExpr(
+      ColumnBridge.expression(toks), WindowW))
+  }
+
+  /** The pre-round-19 higher-order-function composition of
+    * [[windowOccurrencesFromToks]] — retained as the equality
+    * REFERENCE the NativeKernelsSpec pins the native kernel against
+    * (the d9/d14 oracle SQL mirrors THIS construction). */
+  private[graft] def windowOccurrencesFromToksComposed(toks: Column): Column =
     when(size(toks) >= WindowW,
       transform(sequence(lit(0), size(toks) - WindowW), i =>
         struct((i + 1).as("pos"),
@@ -163,8 +183,16 @@ object DedupEnrich {
     * by the `d9_substring_dedup` query and the maintained
     * [[graft.api.DedupIndex]] window leg, so batch and incremental
     * window verdicts key identically. */
-  def windowHashesFromToks(toks: Column): Column =
-    array_distinct(transform(windowOccurrencesFromToks(toks),
+  def windowHashesFromToks(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.WindowHashesExpr(
+      ColumnBridge.expression(toks), WindowW))
+  }
+
+  /** The pre-round-19 composition of [[windowHashesFromToks]] — the
+    * NativeKernelsSpec equality reference. */
+  private[graft] def windowHashesFromToksComposed(toks: Column): Column =
+    array_distinct(transform(windowOccurrencesFromToksComposed(toks),
       x => x.getField("h")))
 
   /** Append the window-hash column `out` from raw text, binding the
@@ -592,6 +620,20 @@ object DedupEnrich {
     * bucket in a maintained index. Guarded: those docs emit an EMPTY
     * band array (no keys, no candidates) instead. */
   def withBandKeys(df: DataFrame, shCol: String,
+      out: String = "bands"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (as, bs) = MinHash.coeffs(NHashes).unzip
+    df.withColumn(out, ColumnBridge.column(graft.plans.MinHashBandKeysExpr(
+      ColumnBridge.expression(col(shCol)),
+      as.toIndexedSeq, bs.toIndexedSeq, RowsPerBand, MinHash.Prime,
+      MinHash.Sep)))
+  }
+
+  /** The pre-round-19 higher-order-function composition of
+    * [[withBandKeys]] — retained as the equality REFERENCE the
+    * NativeKernelsSpec pins the native kernel against (the oracle SQL
+    * mirrors THIS fingerprints → signature → band-keys chain). */
+  private[graft] def withBandKeysComposed(df: DataFrame, shCol: String,
       out: String = "bands"): DataFrame =
     df.withColumn("_de_fpr", MinHash.shingleFingerprints(col(shCol)))
       .withColumn("_de_sig", MinHash.signature(col("_de_fpr"), NHashes))

@@ -25,7 +25,7 @@ object MinHash {
   // band-key separator: visible escape, NOT a raw control byte (an
   // invisible \x01 in source survives reads unseen and once cost a
   // debug round). Join-key only — never compared against oracle output.
-  private val Sep = "\u0001"
+  private[graft] val Sep = "\u0001"
 
   /** Modulus of the universal hash family: largest prime below 2³¹.
     * With a, b, x all < P, the update aᵢ·x + bᵢ stays well inside the
@@ -38,7 +38,7 @@ object MinHash {
   /** Deterministic (aᵢ, bᵢ) of the Carter-Wegman family, aᵢ ∈ [1, P-1],
     * bᵢ ∈ [0, P-1] — embedded as literals in both the Column expression
     * and the generated oracle SQL, so the engines can't drift. */
-  private def coeffs(nHashes: Int): Seq[(Long, Long)] =
+  private[graft] def coeffs(nHashes: Int): Seq[(Long, Long)] =
     (0 until nHashes).map { i =>
       val a = Math.floorMod(splitmix(0x5eedL + 2L * i), Prime - 1) + 1
       val b = Math.floorMod(splitmix(0x5eedL + 2L * i + 1), Prime)
@@ -121,6 +121,16 @@ object MinHash {
     * 4.4 s on d4 once the timed action stopped letting count() skip the
     * sketch entirely. */
   def simhash16(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.SimHash16Expr(
+      ColumnBridge.expression(toks)))
+  }
+
+  /** The pre-round-19 higher-order-function composition of
+    * [[simhash16]] — retained as the equality REFERENCE the
+    * NativeKernelsSpec pins the native kernel against (the oracle SQL
+    * mirrors THIS construction; the kernel must track it bit-for-bit). */
+  private[graft] def simhash16Composed(toks: Column): Column = {
     val xs = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
     val positions = sequence(lit(0), lit(15))
     val sums = aggregate(xs, array_repeat(lit(0L), 16), (acc, x) =>

@@ -80,7 +80,17 @@ object TextOps {
     * pl14 and the pl16 funnel's decontamination stage, so the two can
     * never hash differently; the DuckDB mirror is
     * `('0x' || substr(md5(g), 1, 15))::BIGINT`. */
-  def hashedNgrams(toks: Column, k: Int): Column =
+  def hashedNgrams(toks: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.HashedNgramsExpr(
+      ColumnBridge.expression(toks), k))
+  }
+
+  /** The pre-round-19 higher-order-function composition of
+    * [[hashedNgrams]] — retained as the equality REFERENCE the
+    * NativeKernelsSpec pins the native kernel against (the oracle SQL
+    * mirrors THIS construction). */
+  private[graft] def hashedNgramsComposed(toks: Column, k: Int): Column =
     array_distinct(transform(ngrams(toks, k),
       g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
 

@@ -1893,7 +1893,17 @@ object Pipeline extends QueryGroup {
     * the DedupEnrich discipline). DuckDB mirror in [[clsBucketsSql]];
     * both engines derive the SAME bucket ids from the same md5-prefix
     * integer family as [[TextOps.hashedNgrams]]. */
-  private[graft] def clsBuckets(toks: Column): Column =
+  private[graft] def clsBuckets(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.ClsBucketsExpr(
+      ColumnBridge.expression(toks), ClsD, ClsBias.toLong, ClsLenBase.toLong))
+  }
+
+  /** The pre-round-19 higher-order-function composition of
+    * [[clsBuckets]] — retained as the equality REFERENCE the
+    * NativeKernelsSpec pins the native kernel against
+    * ([[clsBucketsSql]] mirrors THIS construction). */
+  private[graft] def clsBucketsComposed(toks: Column): Column =
     concat(
       array_distinct(transform(toks, t =>
         conv(substring(md5(t), 1, 15), 16, 10).cast("long") % ClsD)),

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupEnrich, MinHash, TextOps}
+
+/** Equality pins for the round-19 native text kernels
+  * ([[graft.plans.TextKernels]]): each kernel must be VALUE-IDENTICAL
+  * to the higher-order-function composition it replaced, because the
+  * DuckDB oracle SQL mirrors the composed construction — a kernel that
+  * drifts by one bit desynchronizes band keys / gram hashes / feature
+  * buckets across every consuming query. Pinned on the full sf0.001
+  * corpus plus crafted edge cases (empty text, sub-k docs, repeated
+  * tokens). */
+class NativeKernelsSpec extends SparkSpec {
+
+  private def docToks: DataFrame =
+    Tables.documents(spark, Sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+
+  /** Edge corpus: empty, whitespace-only, shorter-than-k, exactly-k,
+    * repeated tokens (shingle/gram dup collapse), long repetitive. */
+  private def edgeToks: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, ""),
+      (2L, "   \n\t  "),
+      (3L, "one"),
+      (4L, "one two"),
+      (5L, "one two three"),
+      (6L, "a b a b a b a b a b a b a b a b a b"),
+      (7L, ("tok " * 200).trim),
+      (8L, "The QUICK brown-fox; jumps!! over 42 lazy dogs " * 10),
+      (9L, "null text sentinel"))
+      .toDF("doc_id", "text")
+      // doc 9 carries NULL text -> NULL toks: the kernels must
+      // reproduce the composed chains' when/otherwise null routing
+      .withColumn("text",
+        when(col("doc_id") === 9, lit(null)).otherwise(col("text")))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+  }
+
+  private def assertColsEqual(df: DataFrame, native: org.apache.spark.sql.Column,
+      composed: org.apache.spark.sql.Column): Unit = {
+    val bad = df.select(col("doc_id"), native.as("n"), composed.as("c"))
+      .filter(!(col("n") <=> col("c")))
+      .limit(5).collect()
+    assert(bad.isEmpty, s"native != composed on: ${bad.mkString("; ")}")
+  }
+
+  test("shingle_set kernel == array_distinct(shingles(k)) composition") {
+    for (df <- Seq(docToks, edgeToks))
+      assertColsEqual(df,
+        DedupEnrich.shingleSetFromToks(col("toks")),
+        DedupEnrich.shingleSetFromToksComposed(col("toks")))
+  }
+
+  test("minhash_band_keys kernel == fingerprints→signature→bandKeys composition") {
+    for (base <- Seq(docToks, edgeToks)) {
+      val sh = base.select(col("doc_id"),
+        DedupEnrich.shingleSetFromToks(col("toks")).as("sh"))
+      val n = DedupEnrich.withBandKeys(sh, "sh", "nb")
+      val c = DedupEnrich.withBandKeysComposed(n, "sh", "cb")
+      val bad = c.filter(!(col("nb") <=> col("cb"))).limit(5).collect()
+      assert(bad.isEmpty, s"band keys diverge: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("hashed_ngrams kernel == ngrams→md5-prefix→distinct composition") {
+    for (df <- Seq(docToks, edgeToks); k <- Seq(3, 13, 16))
+      assertColsEqual(df,
+        TextOps.hashedNgrams(col("toks"), k),
+        TextOps.hashedNgramsComposed(col("toks"), k))
+  }
+
+  test("cls_buckets kernel == distinct-bucket + bias + length-bin composition") {
+    for (df <- Seq(docToks, edgeToks))
+      assertColsEqual(df,
+        graft.queries.Pipeline.clsBuckets(col("toks")),
+        graft.queries.Pipeline.clsBucketsComposed(col("toks")))
+  }
+
+  test("window_occurrences kernel == transform/struct composition") {
+    for (df <- Seq(docToks, edgeToks))
+      assertColsEqual(df,
+        DedupEnrich.windowOccurrencesFromToks(col("toks")),
+        DedupEnrich.windowOccurrencesFromToksComposed(col("toks")))
+  }
+
+  test("window_hashes kernel == occurrences→h→distinct composition") {
+    for (df <- Seq(docToks, edgeToks))
+      assertColsEqual(df,
+        DedupEnrich.windowHashesFromToks(col("toks")),
+        DedupEnrich.windowHashesFromToksComposed(col("toks")))
+  }
+
+  test("simhash16 kernel == aggregate/zip_with composition") {
+    for (df <- Seq(docToks, edgeToks))
+      assertColsEqual(df,
+        MinHash.simhash16(col("toks")),
+        MinHash.simhash16Composed(col("toks")))
+  }
+}
