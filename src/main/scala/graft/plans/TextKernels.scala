@@ -207,6 +207,58 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** strict n-grams as STRINGS + distinct fused (the pl7 shape —
+    * DuckDB mirror: `list_distinct(list_transform(range(...), i ->
+    * toks[i] || ' ' || ...))`): distinct space-joined k-grams in
+    * first-occurrence order, EMPTY for docs shorter than k (no
+    * whole-doc fallback — the decontamination granularity). */
+  def ngramSet(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i <= n - k) { seen.add(joinSlice(toks, i, k)); i += 1 }
+    val out = new Array[Any](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Per-doc top bigram (the pl6 shape): bigram counts with
+    * multiplicity, winner = max count, ties broken by the BINARY-min
+    * bigram string (UTF8String order — the struct-min convention of
+    * the aggregate form it replaces). Null for docs with < 2 tokens
+    * (the aggregate form's n_tokens >= 2 gate). */
+  def topBigram(toks: ArrayData): Any = {
+    val n = toks.numElements()
+    if (n < 2) return null
+    val counts = new java.util.HashMap[UTF8String, Long]
+    var i = 0
+    while (i < n - 1) {
+      val bg = UTF8String.fromString(joinSlice(toks, i, 2))
+      val c = counts.get(bg)
+      counts.put(bg, if (c == null) 1L else c + 1L)
+      i += 1
+    }
+    var bestC = -1L
+    var bestBg: UTF8String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > bestC || (c == bestC && e.getKey.compareTo(bestBg) < 0)) {
+        bestC = c
+        bestBg = e.getKey
+      }
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(2)
+    row.setLong(0, bestC)
+    row.update(1, bestBg)
+    row
+  }
+
   /** Every W-token window occurrence with its 1-based start position
     * (the [[graft.functions.DedupEnrich.windowOccurrencesFromToks]]
     * chain): array<struct<pos:int, h:string>>, empty for docs shorter
@@ -416,6 +468,44 @@ case class SimHash16Expr(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): SimHash16Expr = copy(child = newChild)
   override def prettyName: String = "simhash16"
+}
+
+/** See [[TextKernels.ngramSet]]: distinct strict string n-grams. */
+case class NgramSetExpr(child: Expression, k: Int)
+    extends NullDefaultKernelExpr with StringArrayInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // strict-ngram composed chain on NULL tokens: empty array
+  override protected def onNullValue: Any =
+    new GenericArrayData(Array.empty[Any])
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.ngramSet(input.asInstanceOf[ArrayData], k)
+  override protected def kernelCall(arr: String): String =
+    s"graft.plans.TextKernels.ngramSet($arr, $k)"
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramSetExpr = copy(child = newChild)
+  override def prettyName: String = "ngram_set"
+}
+
+/** See [[TextKernels.topBigram]]: struct<top_c:bigint, bg:string>,
+  * null for docs with fewer than two tokens. */
+case class TopBigramExpr(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType =
+    StructType(Seq(StructField("top_c", LongType, nullable = false),
+      StructField("bg", StringType, nullable = false)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.topBigram(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => s"""
+      Object r = graft.plans.TextKernels.topBigram($arr);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+    """)
+  override protected def withNewChildInternal(
+      newChild: Expression): TopBigramExpr = copy(child = newChild)
+  override def prettyName: String = "top_bigram"
 }
 
 /** See [[TextKernels.windowOccurrences]]: every W-token window with

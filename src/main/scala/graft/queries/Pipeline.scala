@@ -276,31 +276,30 @@ object Pipeline extends QueryGroup {
   private val q6 = QueryDef(
     "pl6_repetition_stats",
     (s, dir) => {
-      // Structure note: tokens are EXPLODED once and bigrams built with a
-      // `lead` window over the narrow (doc_id, pos, tok) rows. The
-      // array-expression formulation (shingles + explode + a size>=2
-      // filter) is a trap: predicate pushdown inlines the shingle
-      // lambda into the scan filter, where every element_at re-executes
-      // the regex tokenizer — O(tokens²) regex work per document.
-      // Generate evaluates the tokenizer exactly once per row; nothing
-      // downstream can re-inline it.
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, dir)
+      // Round 19: a PURE PROJECTION — per-doc token stats from
+      // size/array_distinct (regular codegen collection ops, no
+      // lambda) and the top bigram from the native TopBigramExpr
+      // kernel (one hash-count loop per doc; max count, binary-min
+      // tie-break — exactly the struct-min convention of the
+      // aggregate form it replaces). The previous shape exploded
+      // every token, ran a per-doc lead WINDOW (full token shuffle +
+      // per-doc sort) and two aggregation exchanges plus a join; that
+      // shape existed to dodge the interpreted array-lambda trap the
+      // old structure note described, which the native kernel removes
+      // at the root. Output rows identical; the only exchange left is
+      // the declared ORDER BY.
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val stats = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
-      val stats = toks.groupBy("doc_id").agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("n_distinct"))
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          ColumnBridge.column(graft.plans.TopBigramExpr(
+            ColumnBridge.expression(col("toks")))).as("t"))
         .filter(col("n_tokens") >= 2)
-      val top = withNext.filter(col("nxt").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(min(struct((-col("c")).as("nc"), col("bg").as("bg"))).as("t"))
-        .select(col("doc_id"), (-col("t.nc")).as("top_c"), col("t.bg").as("top_bigram"))
-      stats.join(top, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("t.top_c").as("top_c"), col("t.bg").as("top_bigram"))
+      stats
         .select(
           col("doc_id"), col("n_tokens"),
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
@@ -355,20 +354,23 @@ object Pipeline extends QueryGroup {
     (s, dir) => {
       val BenchBound = 97L * 32
       val isBench = col("doc_id") % 97 === 0 && col("doc_id") < BenchBound
-      // explode-once + lead windows, not shingles-in-an-array-lambda:
-      // see pl6's structure note (pushdown would inline the tokenizer
-      // into the scan filter at O(tokens²) regex cost per doc)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-        .withColumn("t2", lead(col("tok"), 1).over(w))
-        .withColumn("t3", lead(col("tok"), 2).over(w))
-        .filter(col("t3").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
-        .distinct()
+      // round 19: per-doc native ngram-set kernel (NgramSetExpr) +
+      // explode — map-side, already distinct within a doc. The
+      // previous posexplode + lead-window + distinct() form paid a
+      // full token shuffle + per-doc sort + a distinct exchange to
+      // build the same (doc_id, shingle) set (the window existed to
+      // dodge the interpreted array-lambda cost, which the native
+      // kernel eliminates at the root). Identical rows: per-doc
+      // distinct strict trigrams — exactly the oracle's
+      // list_distinct(list_transform(...)) CTE.
+      val sh = {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(ColumnBridge.column(graft.plans.NgramSetExpr(
+              ColumnBridge.expression(col("toks")), 3))).as("sh"))
+      }
       val bench = sh.filter(isBench).select("sh").distinct()
       val corpus = sh.filter(!isBench)
       val overlap = corpus.join(broadcast(bench), "sh")

@@ -95,6 +95,36 @@ class NativeKernelsSpec extends SparkSpec {
         DedupEnrich.windowHashesFromToksComposed(col("toks")))
   }
 
+  test("ngram_set kernel == strict ngrams + distinct composition") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    for (df <- Seq(docToks, edgeToks); k <- Seq(2, 3))
+      assertColsEqual(df,
+        ColumnBridge.column(graft.plans.NgramSetExpr(
+          ColumnBridge.expression(col("toks")), k)),
+        array_distinct(TextOps.ngrams(col("toks"), k)))
+  }
+
+  test("top_bigram kernel == count/struct-min aggregate on exploded bigrams") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    for (df <- Seq(docToks, edgeToks)) {
+      val native = df
+        .select(col("doc_id"), ColumnBridge.column(graft.plans.TopBigramExpr(
+          ColumnBridge.expression(col("toks")))).as("t"))
+        .filter(col("t").isNotNull)
+        .select(col("doc_id"), col("t.top_c").as("c"), col("t.bg").as("bg"))
+      val agg = df
+        .select(col("doc_id"), explode(TextOps.ngrams(col("toks"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(min(struct((-col("c")).as("nc"), col("bg").as("bg"))).as("t"))
+        .select(col("doc_id"), (-col("t.nc")).as("c"), col("t.bg").as("bg"))
+      val bad = native.as("n").join(agg.as("a"), Seq("doc_id"), "full")
+        .filter(!(col("n.c") <=> col("a.c")) || !(col("n.bg") <=> col("a.bg")))
+        .limit(5).collect()
+      assert(bad.isEmpty, s"top bigram diverges: ${bad.mkString("; ")}")
+    }
+  }
+
   test("simhash16 kernel == aggregate/zip_with composition") {
     for (df <- Seq(docToks, edgeToks))
       assertColsEqual(df,
