@@ -225,6 +225,48 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Span-removal rebuild (the d14 shape): tokens surviving the
+    * W-wide removal spans at the given 1-based start positions —
+    * returns (n_kept, md5 of the space-joined kept tokens in position
+    * order). Matches the posexplode → anti-join → groupBy/array_sort
+    * rebuild exactly: a position survives iff NO span covers it; zero
+    * survivors (or zero tokens) yield md5(""). */
+  def removeSpans(toks: ArrayData, starts: ArrayData, w: Int): Any = {
+    val n = toks.numElements()
+    val covered = new Array[Boolean](n)
+    val m = starts.numElements()
+    var i = 0
+    while (i < m) {
+      if (!starts.isNullAt(i)) {
+        val p = starts.getInt(i)
+        var t = math.max(1, p)
+        val end = math.min(n, p + w - 1)
+        while (t <= end) { covered(t - 1) = true; t += 1 }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var first = true
+    var t = 0
+    while (t < n) {
+      if (!covered(t)) {
+        kept += 1
+        if (!toks.isNullAt(t)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(t).toString)
+          first = false
+        }
+      }
+      t += 1
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(2)
+    row.setLong(0, kept)
+    row.update(1, UTF8String.fromString(md5Hex(sb.toString)))
+    row
+  }
+
   /** Per-doc top bigram (the pl6 shape): bigram counts with
     * multiplicity, winner = max count, ties broken by the BINARY-min
     * bigram string (UTF8String order — the struct-min convention of
@@ -484,6 +526,64 @@ case class NgramSetExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(
       newChild: Expression): NgramSetExpr = copy(child = newChild)
   override def prettyName: String = "ngram_set"
+}
+
+/** See [[TextKernels.removeSpans]]: struct<n_kept:bigint,
+  * kept_md5:string>. */
+case class RemoveSpansExpr(left: Expression, right: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType =
+    StructType(Seq(StructField("n_kept", LongType, nullable = false),
+      StructField("kept_md5", StringType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"remove_spans expects (array<string>, array<int>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+  override def nullable: Boolean = false
+  // NULL routing mirrors the posexplode/anti-join/groupBy chain this
+  // kernel replaces: a NULL token array produced no rows there, so
+  // the left-join coalesces yielded (0, md5("")); NULL spans behave
+  // as no spans
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val toks = left.eval(input)
+    val starts = right.eval(input)
+    TextKernels.removeSpans(
+      if (toks == null) new GenericArrayData(Array.empty[Any])
+      else toks.asInstanceOf[ArrayData],
+      if (starts == null) new GenericArrayData(Array.empty[Any])
+      else starts.asInstanceOf[ArrayData], w)
+  }
+  override protected def nullSafeEval(toks: Any, starts: Any): Any =
+    TextKernels.removeSpans(toks.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    val empty = ctx.addReferenceObj("rsEmpty",
+      new GenericArrayData(Array.empty[Any]),
+      "org.apache.spark.sql.catalyst.util.ArrayData")
+    val resultCode = lGen.code.toString + "\n" + rGen.code.toString +
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.InternalRow)
+         |  graft.plans.TextKernels.removeSpans(
+         |    ${lGen.isNull} ? $empty : ${lGen.value},
+         |    ${rGen.isNull} ? $empty : ${rGen.value}, $w);
+       """.stripMargin
+    ev.copy(code = code"$resultCode", isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RemoveSpansExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "remove_spans"
 }
 
 /** See [[TextKernels.topBigram]]: struct<top_c:bigint, bg:string>,

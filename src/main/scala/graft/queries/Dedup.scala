@@ -958,28 +958,32 @@ object Dedup extends QueryGroup {
     * rewrite first, then shingle/MinHash the survivors, and
     * boilerplate-driven false near-dup pairs disappear while the
     * removal has already consumed true substring duplication. */
-  private[graft] def substringKeptTokens(base: DataFrame): DataFrame = {
-    val W = DedupEnrich.WindowW
-    // ALL window occurrences with 1-based start positions, via the
-    // ONE shared construction (DedupEnrich.windowOccurrencesFromToks
-    // — the same hash family d9 counts and the DedupIndex window leg
-    // screens). CACHED: the canonical aggregate and the marked join
-    // both read it, and the per-window md5 pass is this query's
-    // dominant cost (review finding: the uncached form re-hashed the
-    // corpus per consumer).
+  /** The NON-CANONICAL duplicated-window start positions per doc —
+    * the shared detection half of the d14 rewrite: all window
+    * occurrences (cached — the canonical aggregate and the marked
+    * join both read it, and the per-window md5 pass is the dominant
+    * cost), one map-side-combinable struct-min canonical aggregate
+    * (min over (doc_id, pos) structs is lexicographic in both
+    * engines, which IS the min-doc-then-min-pos convention), and the
+    * non-canonical remainder. Consumed by [[substringKeptTokens]]
+    * (the spec-facing row form) and by the registered q14's
+    * span-removal kernel. */
+  private def substringMarked(base: DataFrame): DataFrame = {
     val occ = base.select(col("doc_id"),
         explode(DedupEnrich.windowOccurrencesFromToks(col("toks"))).as("o"))
       .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
       .cache()
-    // canonical occurrence per hash — ONE map-side-combinable
-    // aggregate: min over (doc_id, pos) structs is lexicographic in
-    // both engines, which IS the min-doc-then-min-pos convention
     val canon = occ.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
-    val marked = occ.join(canon, "h")
+    occ.join(canon, "h")
       .filter(col("doc_id") =!= col("c.doc_id") ||
         col("pos") =!= col("c.pos"))
       .select(col("doc_id"), col("pos"))
+  }
+
+  private[graft] def substringKeptTokens(base: DataFrame): DataFrame = {
+    val W = DedupEnrich.WindowW
+    val marked = substringMarked(base)
     // covered token positions (bounded: W x duplicate occurrences)
     val covered = marked.select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (W - 1))).as("t"))
@@ -1043,21 +1047,37 @@ object Dedup extends QueryGroup {
   private val q14 = QueryDef(
     "d14_substring_rewrite",
     (s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .cache() // three consumers: occurrences, token explode, stats
-      val reb = substringKeptTokens(base)
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_kept"),
-          md5(concat_ws(" ",
-            transform(array_sort(collect_list(struct(col("t"), col("tok")))),
-              x => x.getField("tok")))).as("kept_md5"))
-      base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-        .join(reb, Seq("doc_id"), "left")
+        .cache() // two consumers: occurrences + the rebuild join
+      // round 19: the rebuild is the native span-removal kernel — one
+      // groupBy over the DUPLICATE occurrences only (collect the span
+      // starts per doc), one join back to the cached token arrays,
+      // and a map-side rebuild per doc. The previous chain exploded
+      // EVERY token (posexplode), shuffled the O(dup × W) covered
+      // positions through a distinct, anti-joined O(tokens) rows, and
+      // re-aggregated O(kept tokens) rows through a groupBy with a
+      // per-doc array_sort — three corpus-sized exchanges that the
+      // kernel removes (guide §2.3/§2.4: only the duplicate mass
+      // shuffles now). NativeKernelsSpec pins the kernel rebuild
+      // against the substringKeptTokens row form; the oracle verifies
+      // the md5-exact rewrite end-to-end at all scales.
+      val spans = substringMarked(base)
+        .groupBy("doc_id").agg(collect_list(col("pos")).as("starts"))
+      base
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          ColumnBridge.column(graft.plans.RemoveSpansExpr(
+            ColumnBridge.expression(col("toks")),
+            ColumnBridge.expression(
+              coalesce(col("starts"), array().cast("array<int>"))),
+            DedupEnrich.WindowW)).as("r"))
         .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+          (col("n_tokens") - col("r.n_kept")).as("n_removed"),
+          col("r.n_kept").as("n_kept"),
+          col("r.kept_md5").as("kept_md5"))
         .orderBy("doc_id")
     },
     Some(s"""

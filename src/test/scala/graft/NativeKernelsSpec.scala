@@ -125,6 +125,43 @@ class NativeKernelsSpec extends SparkSpec {
     }
   }
 
+  test("remove_spans kernel == anti-join/groupBy rebuild (the d14 chain)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // crafted spans over the edge corpus: remove the window starting
+    // at every even position of docs 6-8 (W=3 here for a dense case)
+    val w = 4
+    val df = edgeToks.withColumn("starts",
+      filter(sequence(lit(1), greatest(size(col("toks")), lit(1))),
+        p => p % 3 === 1).cast("array<int>"))
+    val native = df.select(col("doc_id"),
+      ColumnBridge.column(graft.plans.RemoveSpansExpr(
+        ColumnBridge.expression(col("toks")),
+        ColumnBridge.expression(col("starts")), w)).as("r"))
+      .select(col("doc_id"), col("r.n_kept").as("n_kept"),
+        col("r.kept_md5").as("kept_md5"))
+    val covered = df.select(col("doc_id"),
+        explode(col("starts")).as("pos"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("t"))
+      .distinct()
+    val tok = df.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("t"), col("col").as("tok"))
+    val reb = tok.join(covered, Seq("doc_id", "t"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+            x => x.getField("tok")))).as("kept_md5"))
+    val composed = df.select("doc_id").join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+    val bad = native.as("n").join(composed.as("c"), Seq("doc_id"))
+      .filter(!(col("n.n_kept") <=> col("c.n_kept")) ||
+        !(col("n.kept_md5") <=> col("c.kept_md5")))
+      .limit(5).collect()
+    assert(bad.isEmpty, s"span rebuild diverges: ${bad.mkString("; ")}")
+  }
+
   test("simhash16 kernel == aggregate/zip_with composition") {
     for (df <- Seq(docToks, edgeToks))
       assertColsEqual(df,
