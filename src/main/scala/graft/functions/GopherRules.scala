@@ -23,16 +23,25 @@ object GopherRules {
     * their conjunction (`kept`) to a frame carrying `text` and a bound
     * token-array column `toks`. One narrow projection, no shuffle. */
   def withStats(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val nonEmpty: Column = size(col("toks")) > 0
-    d.withColumn("n_words", size(col("toks")).cast("long"))
+    // round 19: one native token-stats pass (TokenStatsExpr) replaces
+    // the interpreted aggregate-length and rlike-filter lambdas; the
+    // kernel's sum_len is Spark length() (numChars) and n_alpha is the
+    // rlike("[a-z]") class verbatim (NativeKernelsSpec-pinned), so
+    // every derived column is value-identical
+    d.withColumn("_gr_ts", ColumnBridge.column(graft.plans.TokenStatsExpr(
+        ColumnBridge.expression(col("toks")), IndexedSeq.empty)))
+      .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("mean_word_len", when(nonEmpty,
-        round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+        round(col("_gr_ts.sum_len")
           .cast("double") / col("n_words"), 6)).otherwise(0.0))
       .withColumn("n_symbols", (length(col("text"))
         - length(regexp_replace(col("text"), "[#…]", ""))).cast("long"))
       .withColumn("alpha_frac", when(nonEmpty,
-        round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double")
+        round(col("_gr_ts.n_alpha").cast("double")
           / col("n_words"), 6)).otherwise(0.0))
+      .drop("_gr_ts")
       .withColumn("n_stop_hits", size(array_intersect(
         array_distinct(col("toks")),
         array(StopWords.map(lit): _*))).cast("long"))

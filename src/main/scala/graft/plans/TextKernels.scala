@@ -225,6 +225,50 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-doc token statistics (the GopherRules / pl1-quality shape):
+    * sum of token CHARACTER lengths (Spark `length` = numChars), the
+    * count of tokens containing any a-z character (the `rlike("[a-z]")`
+    * class — byte-scan exact, since no UTF-8 multi-byte unit overlaps
+    * 0x61..0x7a), and the count WITH multiplicity of stop-list tokens.
+    * Replaces three interpreted per-token lambda passes with one
+    * loop. */
+  def tokenStats(toks: ArrayData, stop: Array[UTF8String]): Any = {
+    val n = toks.numElements()
+    var sumLen = 0L
+    var nAlpha = 0L
+    var nStop = 0L
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        sumLen += t.numChars()
+        val bytes = t.getBytes
+        var j = 0
+        var alpha = false
+        while (!alpha && j < bytes.length) {
+          val b = bytes(j)
+          if (b >= 'a'.toByte && b <= 'z'.toByte) alpha = true
+          j += 1
+        }
+        if (alpha) nAlpha += 1
+        var k = 0
+        var isStop = false
+        while (!isStop && k < stop.length) {
+          if (t.equals(stop(k))) isStop = true
+          k += 1
+        }
+        if (isStop) nStop += 1
+      }
+      i += 1
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(3)
+    row.setLong(0, sumLen)
+    row.setLong(1, nAlpha)
+    row.setLong(2, nStop)
+    row
+  }
+
   /** Span-removal rebuild (the d14 shape): tokens surviving the
     * W-wide removal spans at the given 1-based start positions —
     * returns (n_kept, md5 of the space-joined kept tokens in position
@@ -526,6 +570,33 @@ case class NgramSetExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(
       newChild: Expression): NgramSetExpr = copy(child = newChild)
   override def prettyName: String = "ngram_set"
+}
+
+/** See [[TextKernels.tokenStats]]: struct<sum_len:bigint,
+  * n_alpha:bigint, n_stop:bigint>. */
+case class TokenStatsExpr(child: Expression, stop: IndexedSeq[String])
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType =
+    StructType(Seq(StructField("sum_len", LongType, nullable = false),
+      StructField("n_alpha", LongType, nullable = false),
+      StructField("n_stop", LongType, nullable = false)))
+  @transient private lazy val stopArr: Array[UTF8String] =
+    stop.map(UTF8String.fromString).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenStats(input.asInstanceOf[ArrayData], stopArr)
+  @transient private var stopRef: Option[String] = None
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStatsStop", stopArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, arr => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        graft.plans.TextKernels.tokenStats($arr, $ref);
+    """)
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenStatsExpr = copy(child = newChild)
+  override def prettyName: String = "token_stats"
 }
 
 /** See [[TextKernels.removeSpans]]: struct<n_kept:bigint,

@@ -19,12 +19,20 @@ object Pipeline extends QueryGroup {
   /** quality score shared with t2_quality_score: length, stopword and
     * word-shape components, each clamped to [0,1]. */
   private def quality(toks: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // round 19: the per-token length-sum and stop-hit lambdas run as
+    // one native TokenStatsExpr pass (value-identical — the kernel's
+    // sum_len is Spark length() and n_stop counts list membership
+    // with multiplicity, NativeKernelsSpec-pinned)
+    val ts = ColumnBridge.column(graft.plans.TokenStatsExpr(
+      ColumnBridge.expression(toks),
+      IndexedSeq("the", "a", "of", "and", "to", "in")))
     val nToks = size(toks).cast("double")
     val avgLen = when(size(toks) > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+      ts.getField("sum_len").cast("double") / nToks)
       .otherwise(0.0)
     val stopRatio = when(size(toks) > 0,
-      size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in"))).cast("double") / nToks)
+      ts.getField("n_stop").cast("double") / nToks)
       .otherwise(0.0)
     round(
       lit(0.4) * least(lit(1.0), nToks / 64.0)

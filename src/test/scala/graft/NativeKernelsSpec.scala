@@ -162,6 +162,21 @@ class NativeKernelsSpec extends SparkSpec {
     assert(bad.isEmpty, s"span rebuild diverges: ${bad.mkString("; ")}")
   }
 
+  test("token_stats kernel == length-sum / rlike / isin lambda compositions") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val stop = IndexedSeq("the", "a", "of", "and", "to", "in")
+    for (df <- Seq(docToks, edgeToks)) {
+      val ts = ColumnBridge.column(graft.plans.TokenStatsExpr(
+        ColumnBridge.expression(col("toks")), stop))
+      assertColsEqual(df, ts.getField("sum_len"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)))
+      assertColsEqual(df, ts.getField("n_alpha").cast("int"),
+        size(filter(col("toks"), t => t.rlike("[a-z]"))))
+      assertColsEqual(df, ts.getField("n_stop").cast("int"),
+        size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*))))
+    }
+  }
+
   test("simhash16 kernel == aggregate/zip_with composition") {
     for (df <- Seq(docToks, edgeToks))
       assertColsEqual(df,
